@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import QHelp._
+
+/** Stream-table joins (SURVEY §2.3) and the DSL stream-stream TTL join
+  * (§2.1), re-expressed over bounded tables.
+  *
+  * Reference envelope (samza-sql/.../translator/JoinTranslator.java:198-245):
+  * INNER / LEFT OUTER / RIGHT OUTER, equi-conjunction conditions only,
+  * one stream side + one table side. LEFT requires table on the right,
+  * RIGHT requires table on the left — mirrored in the shapes below.
+  *
+  * Scale notes:
+  *  - dimension sides (nation/region/supplier/part) are broadcast — no
+  *    shuffle of the fact table for those joins;
+  *  - fact⋈fact joins (lineitem⋈orders) shuffle on the join key, which
+  *    is the partitioning a real deployment would bucket on;
+  *  - the TTL join reduces each side to last-value-per-key *before* the
+  *    join (PartialJoinOperatorImpl keeps one TimestampedValue per key —
+  *    samza-core/.../operators/impl/PartialJoinOperatorImpl.java:84-86),
+  *    so the join input is pre-shrunk, never row-multiplying.
+  */
+object JoinQueries extends QueryPack {
+
+  override def queries: Map[String, Q] = Map(
+
+    // stream ⋈ table INNER (orders stream, customer table)
+    "q_join_inner" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+          .select($"o_orderkey", $"c_custkey", $"c_name", $"o_totalprice")
+      },
+      Some("""SELECT o_orderkey, c_custkey, c_name, o_totalprice
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |""".stripMargin)),
+
+    // stream LEFT OUTER table (table on the right, JoinTranslator.java:220-222)
+    "q_join_left" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey", "left_outer")
+          .select($"c_custkey", $"c_name", $"o_orderkey", $"o_totalprice")
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |""".stripMargin)),
+
+    // table RIGHT OUTER stream (table on the left, JoinTranslator.java:225-227)
+    "q_join_right" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey", "right_outer")
+          .select($"c_custkey", $"c_name", $"o_orderkey", $"o_totalprice")
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+             |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+             |""".stripMargin)),
+
+    // multi-way star join with aggregation (TPC-H Q5 shape): fact⋈fact
+    // shuffles on the key; dims are broadcast.
+    "q_join_star_revenue" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+          .filter($"r_name" === "ASIA")
+          .groupBy($"n_name")
+          .agg(sumDec($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT n_name,
+              |  ${oSumDec("l_extendedprice * (1.0 - l_discount)", "revenue")},
+              |  count(*) AS n_items
+              |FROM lineitem
+              |JOIN orders   ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation   ON c_nationkey = n_nationkey
+              |JOIN region   ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |GROUP BY n_name
+              |""".stripMargin)),
+
+    // composite (multi-column) equi-join key — the reference builds a
+    // composite RocksDB table key (JoinTranslator.java:176-196); here the
+    // shuffle key is the column pair.
+    "q_join_composite_key" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem")
+        val ps = li.groupBy($"l_partkey".as("ps_partkey"),
+            $"l_suppkey".as("ps_suppkey"))
+          .agg(count(lit(1)).as("ps_lines"))
+        li.join(ps, $"l_partkey" === $"ps_partkey" &&
+            $"l_suppkey" === $"ps_suppkey")
+          .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"ps_lines")
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             |         count(*) AS ps_lines
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT l_orderkey, l_partkey, l_suppkey, ps_lines
+             |FROM lineitem JOIN ps
+             |  ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+             |""".stripMargin)),
+
+    // BROADCAST operator (MessageStream.broadcast:328): the bounded-table
+    // analog — every task sees the full small side; expressed as an
+    // explicit broadcast join so no shuffle touches the big side.
+    "q_broadcast_dim" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+          .select($"s_suppkey", $"s_name", $"n_name", $"r_name")
+      },
+      Some("""SELECT s_suppkey, s_name, n_name, r_name
+             |FROM supplier
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |""".stripMargin)),
+
+    // stream-stream TTL join (MessageStream.join:185): Samza keeps the
+    // LAST value per key on each side and emits on match. Batch analog:
+    // reduce each side to latest-per-key, then equi-join.
+    "q_join_stream_stream_ttl" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "events")
+        def latest(tpe: String, idCol: String, valCol: String) = {
+          val w = Window.partitionBy($"user_id")
+            .orderBy($"ts".desc, $"event_id".desc)
+          e.filter($"event_type" === tpe)
+            .withColumn("rn", row_number().over(w))
+            .filter($"rn" === 1)
+            .select($"user_id", $"event_id".as(idCol), $"value".as(valCol))
+        }
+        latest("click", "click_id", "click_value")
+          .join(latest("view", "view_id", "view_value"), Seq("user_id"))
+          .select($"user_id", $"click_id", $"click_value",
+            $"view_id", $"view_value")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, event_id AS click_id, value AS click_value,
+             |         row_number() OVER (PARTITION BY user_id
+             |                            ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events WHERE event_type = 'click'),
+             |v AS (
+             |  SELECT user_id, event_id AS view_id, value AS view_value,
+             |         row_number() OVER (PARTITION BY user_id
+             |                            ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events WHERE event_type = 'view')
+             |SELECT c.user_id, click_id, click_value, view_id, view_value
+             |FROM c JOIN v ON c.user_id = v.user_id
+             |WHERE c.rn = 1 AND v.rn = 1
+             |""".stripMargin)),
+
+    // sendTo(table) upsert (MessageStream.sendTo:298,
+    // SendToTableOperatorImpl): last-write-wins materialization per key.
+    "q_table_upsert" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts".desc, $"event_id".desc)
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_id".as("last_event"),
+            $"event_type".as("last_type"), $"value".as("last_value"))
+      },
+      Some("""SELECT user_id, event_id AS last_event,
+             |       event_type AS last_type, value AS last_value
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |                ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events)
+             |WHERE rn = 1
+             |""".stripMargin))
+  )
+}
