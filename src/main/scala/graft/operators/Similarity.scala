@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — exact, O(|Q|·|C|·dim); right
+  * whenever |Q| is small (the query side is broadcast so the corpus is
+  * never shuffled). Scale path: blocked/LSH variants that prune the
+  * candidate set before the expensive dot product.
+  *
+  * Numeric discipline: dot products accumulate in DOUBLE via a
+  * sequential fold (`aggregate`), so results are deterministic and
+  * reproducible across engines — float SIMD reductions would not be.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in [-1, 1], deterministic fold order. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k: for each query vector, the k
+    * nearest corpus vectors (self-pairs excluded).
+    * Returns (q_id, nn_id, rank, cos). The query side is broadcast;
+    * ranking runs window-per-query — at 1000 executors the corpus scan
+    * parallelizes and only k rows per query survive the window. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      scale: Int = 6): DataFrame = {
+    // norms are computed once per vector BEFORE the pair join — at
+    // |Q|·|C| pairs, recomputing a norm per pair would dominate cost
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_nrm", norm(col("q_vec")))
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+      .withColumn("nn_nrm", norm(col("nn_vec")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("cos",
+        dot(col("q_vec"), col("nn_vec")) / (col("q_nrm") * col("nn_nrm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("nn_id"), col("rank"),
+        round(col("cos"), scale).as("cos"))
+  }
+
+  /** Near-duplicate pairs by cosine within blocking buckets: candidate
+    * pairs share a blocking key (e.g. a cluster/label column or an LSH
+    * bucket), so comparisons are Σ bucket² instead of n². Returns
+    * (id_a, id_b, cos) with id_a < id_b and cos >= threshold. */
+  def blockedNearDup(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double, scale: Int = 6): DataFrame = {
+    val withNorm = df.withColumn("nrm", norm(col(vecCol)))
+    val a = withNorm.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"), col("nrm").as("nrm_a"))
+    val b = withNorm.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"), col("nrm").as("nrm_b"))
+    a.join(b, "blk")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(
+        dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")),
+        scale))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Sign-random-projection (SRP) LSH bucket key: the sign pattern of
+    * `planes` pseudo-random hyperplane projections. Hyperplane
+    * coefficients are deterministic in (plane, dim): a triangular-wave
+    * function of a multiplicative mix, centered on zero. Vectors with
+    * small angular distance land in the same bucket with high
+    * probability; buckets then feed [[blockedNearDup]]-style pruning. */
+  def srpBucket(vec: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      // proj_p = Σ_d coef(p,d) * vec[d]; coef in [-0.5, 0.5)
+      val terms = (0 until dim).map { dIdx =>
+        val mixed = ((p * 2654435761L + dIdx * 40503L + 97L) % 1000L + 1000L) % 1000L
+        val coef = (mixed / 1000.0) - 0.5
+        element_at(vec, dIdx + 1).cast("double") * lit(coef)
+      }
+      val proj = terms.reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate near-dup via SRP-LSH blocking: same output contract as
+    * [[blockedNearDup]] but candidates come from SRP buckets — the
+    * 100 TB path when no natural blocking column exists. Misses pairs
+    * that straddle buckets (tunable via `planes`; fewer planes = bigger
+    * buckets = higher recall & cost). */
+  def lshNearDup(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int, threshold: Double): DataFrame = {
+    val bucketed = df.withColumn("bucket",
+      srpBucket(col(vecCol), dim, planes))
+    blockedNearDup(bucketed, idCol, vecCol, "bucket", threshold)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.operators.Dedup
+import QHelp._
+
+/** Deduplication over the `documents` table: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash — each verified against a DuckDB oracle that
+  * recomputes the same algorithm in SQL.
+  */
+object DedupQueries extends QueryPack {
+
+  /** Shared DuckDB fragments: word array → distinct 3-gram shingles. */
+  private val oShingles =
+    """w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |      FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)-1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM w WHERE len(w) >= 3))""".stripMargin
+
+  private val oJaccardTail =
+    """sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |shared AS (
+      |  SELECT id_a, id_b, count(*) AS shr
+      |  FROM cand JOIN sh sa ON sa.doc_id = id_a
+      |            JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+      |  GROUP BY id_a, id_b)
+      |SELECT id_a, id_b,
+      |  round(shr / CAST(za.sz + zb.sz - shr AS DOUBLE), 4) AS jaccard
+      |FROM shared JOIN sizes za ON za.doc_id = id_a
+      |            JOIN sizes zb ON zb.doc_id = id_b
+      |WHERE round(shr / CAST(za.sz + zb.sz - shr AS DOUBLE), 4) >= 0.5""".stripMargin
+
+  /** DuckDB minhash signature column for seed h. */
+  private def oMh(h: Int) = s"min(md5('$h:' || shingle)) AS mh_$h"
+
+  /** Generated simhash oracle: 20-bit polynomial word hashes, per-bit
+    * majority vote. Mirrors Dedup.simhash exactly (seed 7, mod 2^20). */
+  private val oSimhash: String = {
+    val bits = 20
+    val bitTerms = (0 until bits).map { b =>
+      s"""CASE WHEN list_sum(list_transform(hs,
+         |  h -> CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+         |THEN ${1L << b} ELSE 0 END""".stripMargin
+    }.mkString(" +\n")
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split_regex(trim(text), '\\s+'),
+       |      wd -> list_reduce(
+       |        list_prepend(7, list_transform(string_split(wd, ''),
+       |                        c -> ascii(c))),
+       |        (a, b) -> (a * 31 + b) % ${1 << 20})) AS hs
+       |  FROM documents)
+       |SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash FROM hashed
+       |""".stripMargin
+  }
+
+  override def queries: Map[String, Q] = Map(
+
+    "q_dedup_exact" -> Q(
+      (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text"),
+      Some("""SELECT min(doc_id) AS doc_id, md5(text) AS digest,
+             |       count(*) AS copies
+             |FROM documents GROUP BY md5(text)
+             |""".stripMargin)),
+
+    "q_dedup_jaccard" -> Q(
+      (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5),
+      Some(s"""WITH $oShingles,
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM sh a JOIN sh b
+              |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+              |$oJaccardTail
+              |""".stripMargin)),
+
+    "q_dedup_minhash_lsh" -> Q(
+      (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5),
+      Some(s"""WITH $oShingles,
+              |sig AS (SELECT doc_id, ${(0 until 8).map(oMh).mkString(", ")}
+              |        FROM sh GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, '0' || '|' || mh_0 || '|' || mh_1 AS band_key FROM sig
+              |  UNION ALL
+              |  SELECT doc_id, '1' || '|' || mh_2 || '|' || mh_3 FROM sig
+              |  UNION ALL
+              |  SELECT doc_id, '2' || '|' || mh_4 || '|' || mh_5 FROM sig
+              |  UNION ALL
+              |  SELECT doc_id, '3' || '|' || mh_6 || '|' || mh_7 FROM sig),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands a JOIN bands b
+              |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+              |$oJaccardTail
+              |""".stripMargin)),
+
+    "q_dedup_simhash" -> Q(
+      (s, d) => Dedup.simhash(t(s, d, "documents"), "doc_id", "text",
+        bits = 20),
+      Some(oSimhash))
+  )
+}

@@ -6,7 +6,11 @@ object Registry {
   def packs: Seq[QueryPack] = Seq(
     RelationalQueries,
     JoinQueries,
-    WindowQueries)
+    WindowQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries,
+    MultimodalQueries)
 
   lazy val all: Map[String, Q] =
     packs.flatMap(_.queries).toMap

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import QHelp._
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64).
+  *
+  * The oracle recomputes dot products with the same sequential double
+  * fold (list_reduce) as the Spark implementation, so cosines are
+  * bit-identical before rounding — which also makes the top-k ranking
+  * order identical.
+  */
+object SimilarityQueries extends QueryPack {
+
+  /** DuckDB sequential-fold dot product of two FLOAT[] columns. */
+  private def oDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+       |  (x, y) -> x + y)""".stripMargin
+
+  override def queries: Map[String, Q] = Map(
+
+    // exact brute-force cosine top-k (the ANN baseline): every 100th
+    // vector queries the whole corpus
+    "q_ann_bruteforce_topk" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(
+          queries = emb.filter($"vec_id" % 100 === 0),
+          corpus = emb,
+          idCol = "vec_id", vecCol = "embedding", k = 5)
+      },
+      Some(s"""WITH n AS (
+              |  SELECT vec_id, embedding,
+              |         sqrt(${oDot("embedding", "embedding")}) AS nrm
+              |  FROM embeddings),
+              |scored AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+              |    ${oDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+              |  FROM n q JOIN n c ON q.vec_id % 100 = 0
+              |                   AND q.vec_id <> c.vec_id),
+              |ranked AS (
+              |  SELECT q_id, nn_id, cos,
+              |    row_number() OVER (PARTITION BY q_id
+              |                       ORDER BY cos DESC, nn_id) AS rank
+              |  FROM scored)
+              |SELECT q_id, nn_id, rank, round(cos, 6) AS cos
+              |FROM ranked WHERE rank <= 5
+              |""".stripMargin)),
+
+    // blocked near-duplicate pairs: candidates restricted to the same
+    // label (cluster) — Σ bucket² comparisons instead of n²
+    "q_embed_neardup_blocked" -> Q(
+      (s, d) => Similarity.blockedNearDup(t(s, d, "embeddings"),
+        idCol = "vec_id", vecCol = "embedding", blockCol = "label",
+        threshold = 0.4),
+      Some(s"""WITH n AS (
+              |  SELECT vec_id, label, embedding,
+              |         sqrt(${oDot("embedding", "embedding")}) AS nrm
+              |  FROM embeddings)
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |  round(${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm),
+              |        6) AS cos
+              |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+              |WHERE round(${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm),
+              |      6) >= 0.4
+              |""".stripMargin)),
+
+    // SRP-LSH near-dup: approximate scale path (no oracle — candidate
+    // recall is probabilistic by design; correctness is spec-tested
+    // against blockedNearDup recall in the ScalaTest suite)
+    "q_embed_neardup_lsh" -> Q(
+      (s, d) => Similarity.lshNearDup(t(s, d, "embeddings"),
+        idCol = "vec_id", vecCol = "embedding", dim = 64, planes = 4,
+        threshold = 0.3),
+      None,
+      note = "approximate by construction; rows-only check"),
+
+    // stream-table join against an embedding-derived feature table:
+    // per-label centroid norm lookup (join of a computed dim table)
+    "q_embed_label_stats" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        emb.withColumn("nrm", Similarity.norm($"embedding"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n_vecs"),
+            round(avg($"nrm"), 6).as("avg_norm"),
+            round(min($"nrm"), 6).as("min_norm"),
+            round(max($"nrm"), 6).as("max_norm"))
+      },
+      Some(s"""WITH n AS (
+              |  SELECT label, sqrt(${oDot("embedding", "embedding")}) AS nrm
+              |  FROM embeddings)
+              |SELECT label, count(*) AS n_vecs,
+              |  round(avg(nrm), 6) AS avg_norm,
+              |  round(min(nrm), 6) AS min_norm,
+              |  round(max(nrm), 6) AS max_norm
+              |FROM n GROUP BY label
+              |""".stripMargin))
+  )
+}

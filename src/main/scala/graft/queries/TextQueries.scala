@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import QHelp._
+
+/** Text analysis over the `documents` table: token counting, quality
+  * scoring, language-ID heuristic, fingerprinting. All single-pass
+  * narrow transforms — no shuffle at all except the fingerprint-dedup
+  * aggregation, so they scan-scale linearly.
+  */
+object TextQueries extends QueryPack {
+
+  override def queries: Map[String, Q] = Map(
+
+    "q_text_token_count" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents").select(
+          $"doc_id",
+          tokenCount($"text").as("n_tokens"),
+          length($"text").cast("long").as("n_chars_m"))
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |  length(text) AS n_chars_m
+             |FROM documents
+             |""".stripMargin)),
+
+    "q_text_quality" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents").select(
+          $"doc_id",
+          alphaRatio($"text").as("alpha_ratio"),
+          stopwordRatio($"text").as("stop_ratio"),
+          avgTokenLen($"text").as("avg_tok_len"))
+      },
+      Some("""SELECT doc_id,
+             |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) /
+             |        CAST(length(text) AS DOUBLE), 4) AS alpha_ratio,
+             |  round(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |        tk -> tk IN ('the','a','an','of','and','or','to','in','is','it'))) /
+             |        CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 4)
+             |    AS stop_ratio,
+             |  round(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+             |        tk -> length(tk))) /
+             |        CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 4)
+             |    AS avg_tok_len
+             |FROM documents
+             |""".stripMargin)),
+
+    "q_text_lang_id" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents").select(
+          $"doc_id", langIdHeuristic($"text").as("lang_pred"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+             |hits AS (
+             |  SELECT doc_id,
+             |    (CASE WHEN t LIKE '% the %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% and %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% of %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% is %' THEN 1 ELSE 0 END) AS en,
+             |    (CASE WHEN t LIKE '% der %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% die %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% und %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% ist %' THEN 1 ELSE 0 END) AS de,
+             |    (CASE WHEN t LIKE '% el %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% la %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% los %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% es %' THEN 1 ELSE 0 END) AS es,
+             |    (CASE WHEN t LIKE '% le %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% les %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% et %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% est %' THEN 1 ELSE 0 END) AS fr
+             |  FROM scored)
+             |SELECT doc_id,
+             |  CASE WHEN de > en AND de >= es AND de >= fr THEN 'de'
+             |       WHEN es > en AND es >= fr THEN 'es'
+             |       WHEN fr > en THEN 'fr'
+             |       WHEN en > 0 THEN 'en'
+             |       ELSE 'und' END AS lang_pred
+             |FROM hits
+             |""".stripMargin)),
+
+    "q_text_fingerprint" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents").select(
+          $"doc_id", fingerprint($"text").as("fp"))
+      },
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |FROM documents
+             |""".stripMargin))
+  )
+}
