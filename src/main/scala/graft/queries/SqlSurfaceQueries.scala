@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sql.SamzaSql
+import QHelp._
+
+/** Queries driven through the Samza-SQL surface (INSERT INTO … SELECT
+  * parsed by SamzaSql, executed by Spark SQL with the reference UDF set
+  * registered), plus collection-operator coverage (ITEM / DOT /
+  * CARDINALITY / constructors — SamzaSqlOperatorTable.java:71-108).
+  */
+object SqlSurfaceQueries extends QueryPack {
+
+  override def queries: Map[String, Q] = Map(
+
+    // the reference's canonical statement shape, end-to-end through the
+    // parser shim (INSERT INTO <sink> SELECT …)
+    "q_sql_insert_select" -> Q(
+      (s, d) => SamzaSql.run(s, d,
+        """INSERT INTO open_orders
+          |SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders WHERE o_orderstatus = 'O'""".stripMargin),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders WHERE o_orderstatus = 'O'
+             |""".stripMargin)),
+
+    // subquery in FROM (supported by the reference —
+    // TestSamzaSqlEndToEnd.java:587)
+    "q_sql_subquery" -> Q(
+      (s, d) => SamzaSql.run(s, d,
+        """INSERT INTO big_spenders
+          |SELECT c_custkey, total FROM
+          |  (SELECT o_custkey AS c_custkey,
+          |          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))),2)
+          |               AS DOUBLE) AS total
+          |   FROM orders GROUP BY o_custkey)
+          |WHERE total > 1000000""".stripMargin),
+      Some("""SELECT c_custkey, total FROM
+             |  (SELECT o_custkey AS c_custkey,
+             |          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))),2)
+             |               AS DOUBLE) AS total
+             |   FROM orders GROUP BY o_custkey) t
+             |WHERE total > 1000000
+             |""".stripMargin)),
+
+    // reference UDFs through SQL: RegexMatch (regex-first arg order),
+    // ConvertToString, BuildOutputRecord + nested access
+    "q_sql_udfs" -> Q(
+      (s, d) => SamzaSql.run(s, d,
+        """INSERT INTO tagged
+          |SELECT doc_id,
+          |  RegexMatch('.*stream.*', text) AS has_stream,
+          |  ConvertToString(doc_id) AS id_str,
+          |  BuildOutputRecord('lang', lang, 'src', source).lang AS rec_lang
+          |FROM documents""".stripMargin),
+      Some("""SELECT doc_id,
+             |  regexp_matches(text, '.*stream.*') AS has_stream,
+             |  CAST(doc_id AS VARCHAR) AS id_str,
+             |  lang AS rec_lang
+             |FROM documents
+             |""".stripMargin)),
+
+    // multi-statement job: statement 2 reads statement 1's sink
+    // (intermediate stream composition)
+    "q_sql_multi_statement" -> Q(
+      (s, d) => {
+        SamzaSql.runAll(s, d, Seq(
+          """INSERT INTO click_events
+            |SELECT user_id, value FROM events
+            |WHERE event_type = 'click'""".stripMargin,
+          """INSERT INTO click_totals
+            |SELECT user_id,
+            |  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))),2) AS DOUBLE)
+            |    AS total_value,
+            |  COUNT(*) AS n_clicks
+            |FROM click_events GROUP BY user_id""".stripMargin
+        ))("click_totals")
+      },
+      Some("""SELECT user_id,
+             |  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))),2) AS DOUBLE)
+             |    AS total_value,
+             |  count(*) AS n_clicks
+             |FROM events WHERE event_type = 'click'
+             |GROUP BY user_id
+             |""".stripMargin)),
+
+    // collection ops: ITEM (a[i]), DOT (record.field), CARDINALITY,
+    // ARRAY/ROW constructors
+    "q_collections" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val arr = array($"doc_id", $"n_chars")
+        val rec = struct($"lang".as("l"), $"source".as("s"))
+        t(s, d, "documents").select(
+          $"doc_id",
+          element_at(arr, 1).as("arr_item"),
+          size(arr).cast("long").as("card"),
+          rec.getField("l").as("rec_lang"),
+          element_at(split($"text", " "), 1).as("first_word"))
+      },
+      Some("""SELECT doc_id,
+             |  [doc_id, n_chars][1] AS arr_item,
+             |  len([doc_id, n_chars]) AS card,
+             |  struct_pack(l := lang, s := source).l AS rec_lang,
+             |  string_split(text, ' ')[1] AS first_word
+             |FROM documents
+             |""".stripMargin))
+  )
+}

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Samza DSL windows on Structured Streaming, with the reference's
+  * processing-time semantics (WindowOperatorImpl.java:338-354: window
+  * position comes from the wall clock, not event time), early triggers
+  * and accumulation modes (triggers/Triggers.java, AccumulationMode).
+  *
+  * Built on flatMapGroupsWithState + processing-time timeouts — the
+  * Spark analog of Samza's per-task RocksDB window store + timer tick.
+  * State per key is one open pane per window start; firings carry
+  * EARLY/DEFAULT labels exactly like FiringType.
+  *
+  * Event-time windows (the Spark-idiomatic route, used by the engine's
+  * query inventory) are `groupBy(window(...))`/`session_window` — see
+  * graft.queries.WindowQueries. This class exists for semantic parity
+  * where wall-clock panes and count-triggers genuinely matter.
+  */
+object StreamWindows {
+
+  /** One emitted pane. firing: "EARLY" (count trigger) or "DEFAULT"
+    * (window close), matching FiringType (triggers/FiringType.java). */
+  case class Pane[K, A](key: K, windowStartMs: Long, value: A,
+      firing: String, paneCount: Long)
+
+  case class WindowConfig(
+      intervalMs: Long,
+      earlyTriggerCount: Option[Int] = None,
+      accumulating: Boolean = false)
+
+  /** Open-pane state (public so call sites can summon its Encoder). */
+  case class PaneState[A](windowStartMs: Long, acc: A,
+      sinceLastFire: Int, fired: Long)
+
+  /** Keyed tumbling window, incremental fold
+    * (Windows.keyedTumblingWindow:128). `clock` is injectable for
+    * deterministic tests; production uses the wall clock like the
+    * reference. */
+  def keyedTumblingFold[T, K: Encoder, A: Encoder](
+      ds: Dataset[T], keyFn: T => K, init: A, fold: (A, T) => A,
+      cfg: WindowConfig, clock: () => Long = () => System.currentTimeMillis())(
+      implicit paneEnc: Encoder[Pane[K, A]],
+      stateEnc: Encoder[Map[Long, PaneState[A]]]): Dataset[Pane[K, A]] = {
+
+    def process(key: K, values: Iterator[T],
+        state: GroupState[Map[Long, PaneState[A]]]): Iterator[Pane[K, A]] = {
+      var panes = state.getOption.getOrElse(Map.empty[Long, PaneState[A]])
+      val out = Seq.newBuilder[Pane[K, A]]
+      val now = clock()
+
+      if (state.hasTimedOut) {
+        // window close: DEFAULT firing for every expired pane
+        val (expired, open) = panes.partition(_._1 + cfg.intervalMs <= now)
+        expired.toSeq.sortBy(_._1).foreach { case (ws, p) =>
+          out += Pane(key, ws, p.acc, "DEFAULT", p.fired + 1)
+        }
+        panes = open
+      } else {
+        values.foreach { v =>
+          val ws = (now / cfg.intervalMs) * cfg.intervalMs
+          val prev = panes.getOrElse(ws, PaneState(ws, init, 0, 0L))
+          var next = PaneState(ws, fold(prev.acc, v), prev.sinceLastFire + 1,
+            prev.fired)
+          cfg.earlyTriggerCount.foreach { n =>
+            if (next.sinceLastFire >= n) {
+              out += Pane(key, ws, next.acc, "EARLY", next.fired + 1)
+              // DISCARDING resets the pane after each firing;
+              // ACCUMULATING keeps folding into the same pane
+              next =
+                if (cfg.accumulating) next.copy(sinceLastFire = 0,
+                  fired = next.fired + 1)
+                else PaneState(ws, init, 0, next.fired + 1)
+            }
+          }
+          panes = panes.updated(ws, next)
+        }
+      }
+      if (panes.nonEmpty) {
+        state.update(panes)
+        state.setTimeoutDuration(cfg.intervalMs)
+      } else state.remove()
+      out.result().iterator
+    }
+
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(process)
+  }
+
+  /** Keyed tumbling window, collect form (Windows.keyedTumblingWindow:159)
+    * — fold specialized to list accumulation. */
+  def keyedTumblingCollect[T: Encoder, K: Encoder](
+      ds: Dataset[T], keyFn: T => K, cfg: WindowConfig,
+      clock: () => Long = () => System.currentTimeMillis())(
+      implicit seqEnc: Encoder[Seq[T]],
+      paneEnc: Encoder[Pane[K, Seq[T]]],
+      stateEnc: Encoder[Map[Long, PaneState[Seq[T]]]]): Dataset[Pane[K, Seq[T]]] =
+    keyedTumblingFold[T, K, Seq[T]](ds, keyFn, Seq.empty[T],
+      (acc, t) => acc :+ t, cfg, clock)
+
+  /** Keyed session window with gap close
+    * (Windows.keyedSessionWindow:259). One open session per key;
+    * arrival extends the session (WindowOperatorImpl: session windows
+    * extend by latest arrival); timeout after `gapMs` idle closes it. */
+  def keyedSessionFold[T, K: Encoder, A: Encoder](
+      ds: Dataset[T], keyFn: T => K, init: A, fold: (A, T) => A,
+      gapMs: Long, clock: () => Long = () => System.currentTimeMillis())(
+      implicit paneEnc: Encoder[Pane[K, A]],
+      stateEnc: Encoder[(Long, A)]): Dataset[Pane[K, A]] = {
+
+    def process(key: K, values: Iterator[T],
+        state: GroupState[(Long, A)]): Iterator[Pane[K, A]] = {
+      if (state.hasTimedOut) {
+        val (start, acc) = state.get
+        state.remove()
+        Iterator.single(Pane(key, start, acc, "DEFAULT", 1L))
+      } else {
+        val now = clock()
+        val (start, acc0) = state.getOption.getOrElse((now, init))
+        val acc = values.foldLeft(acc0)(fold)
+        state.update((start, acc))
+        state.setTimeoutDuration(gapMs)
+        Iterator.empty
+      }
+    }
+
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(process)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import scala.concurrent.{ExecutionContext, Future}
+
+import graft.tables.{RemoteTable, TableOps}
+
+class TablesSpec extends SparkSpec {
+
+  test("remote lookup join enriches rows and handles misses") {
+    val s = spark
+    import s.implicits._
+    val ds = Seq(1L, 2L, 3L, 42L).toDS()
+    val reader = new RemoteTable.AsyncReader[Long, String] {
+      def getAsync(key: Long)(implicit ec: ExecutionContext) =
+        Future.successful(if (key < 10) Some(s"v$key") else None)
+    }
+    val out = RemoteTable.lookupJoin[Long, Long, String](ds, identity, reader)
+      .collect().toMap
+    assert(out == Map(1L -> Some("v1"), 2L -> Some("v2"),
+      3L -> Some("v3"), 42L -> None))
+  }
+
+  test("remote lookup retries transient failures") {
+    val s = spark
+    import s.implicits._
+    val ds = Seq(5L).toDS().coalesce(1)
+    val reader = new FlakyReader
+    val out = RemoteTable.lookupJoin[Long, Long, String](ds, identity, reader)
+      .collect()
+    assert(out.head._2.contains("ok"))
+  }
+
+  test("upsert: updates win, ties broken by sequence") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("k", "v", "seq")
+    val updates = Seq((2L, "b2", 11L), (2L, "b3", 12L), (3L, "c", 11L))
+      .toDF("k", "v", "seq")
+    val merged = TableOps.upsert(base, updates, Seq("k"), "seq")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(merged == Map(1L -> "a", 2L -> "b3", 3L -> "c"))
+  }
+
+  test("tombstones delete rows") {
+    val s = spark
+    import s.implicits._
+    val t = Seq((1L, "a", false), (2L, "b", true)).toDF("k", "v", "del")
+    val out = TableOps.applyTombstones(t, "del")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a"))
+  }
+
+  test("partial update overlays columns and defaults missing keys") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a", 100L)).toDF("k", "name", "score")
+    val updates = Seq((1L, "a2"), (9L, "z")).toDF("k", "name")
+    val out = TableOps.partialUpdate(base, updates, Seq("k"),
+        Map("score" -> 0L))
+      .as[(Long, String, Long)].collect().toSet
+    // existing row: name updated, score kept; new row: default score
+    assert(out == Set((1L, "a2", 100L), (9L, "z", 0L)))
+  }
+}
+
+/** Fails twice, then succeeds — exercises AsyncRetriableTable behavior. */
+class FlakyReader extends RemoteTable.AsyncReader[Long, String] {
+  def getAsync(key: Long)(implicit ec: ExecutionContext): Future[Option[String]] = {
+    FlakyReader.calls += 1
+    if (FlakyReader.calls <= 2) Future.failed(new RuntimeException("transient"))
+    else Future.successful(Some("ok"))
+  }
+}
+object FlakyReader { @volatile var calls = 0 }
