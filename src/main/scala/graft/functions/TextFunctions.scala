@@ -21,17 +21,28 @@ object TextFunctions {
   /** Token count (BIGINT for oracle parity). */
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 
-  /** Word n-gram shingles joined by single spaces; empty array when the
-    * document has fewer than n tokens. The guard matters: Spark's
-    * sequence(0, -k) would count DOWN (implicit step -1) and produce
-    * garbage shingles. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val w = tokens(c)
+  /** Word n-gram shingles from an ALREADY-MATERIALIZED token-array
+    * column; empty array when fewer than n tokens. The guard matters:
+    * Spark's sequence(0, -k) would count DOWN (implicit step -1) and
+    * produce garbage shingles.
+    *
+    * PERFORMANCE: `w` must be a bound column (project `tokens(text)`
+    * into a column first), NOT the tokens(...) expression itself —
+    * higher-order-function lambdas are interpreted and re-evaluate
+    * captured expressions per element, so an inline split would re-split
+    * the whole document for every element_at (measured 8s → 0.3s on
+    * 260k shingles). */
+  def shinglesOfTokens(w: Column, n: Int): Column = {
     val idxs = when(size(w) >= n, sequence(lit(0), size(w) - n))
       .otherwise(array().cast("array<int>"))
     transform(idxs, i =>
       concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))
   }
+
+  /** Convenience form over raw text — fine for small inputs; hot paths
+    * should materialize tokens and use [[shinglesOfTokens]]. */
+  def wordShingles(c: Column, n: Int): Column =
+    shinglesOfTokens(tokens(c), n)
 
   /** Ratio of alphabetic chars, rounded for cross-engine comparison. */
   def alphaRatio(c: Column, scale: Int = 4): Column =

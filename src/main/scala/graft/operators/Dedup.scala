@@ -36,10 +36,13 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
       .select(col(idCol), col("digest"), col("copies"))
 
-  /** Distinct (id, shingle) pairs — the inverted-index input. */
+  /** Distinct (id, shingle) pairs — the inverted-index input. Tokens
+    * are materialized as a column BEFORE shingling (see
+    * TextFunctions.shinglesOfTokens' performance note). */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("shingle"))
+    df.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol), explode(shinglesOfTokens(col("__w"), n)).as("shingle"))
       .distinct()
 
   /** All-pairs n-gram Jaccard via inverted index: pairs of documents
@@ -47,7 +50,10 @@ object Dedup {
     * id_a < id_b. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, n)
+    // the index feeds three consumers (sizes + both join sides): persist
+    // it — in a production pipeline this is a materialized intermediate
+    // table, not a recomputed scan
+    val idx = shingleIndex(df, idCol, textCol, n).persist()
     val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = idx.select(col(idCol).as("id_a"), col("shingle"))
     val b = idx.select(col(idCol).as("id_b"), col("shingle"))
@@ -64,17 +70,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature component h: min over shingles of md5(h || ':' ||
-    * shingle). Minwise hashing over the md5-hex ordering — engine-stable
-    * and uniform enough for banding. */
-  private def minhashCol(h: Int): Column =
-    min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"mh_$h")
+  /** MinHash modulus (2^20) — matches TextFunctions.polyHash's range. */
+  val MinhashMod: Int = 1 << 20
+
+  /** Universal-hash family member k applied to a base shingle hash:
+    * h_k(x) = (a_k·x + b_k) mod m with odd a_k. ONE polynomial hash per
+    * shingle plus K cheap arithmetic transforms — computing K
+    * independent digests per shingle (e.g. K md5s) costs ~K× more and
+    * dominated the whole pipeline before this. */
+  private def universal(h: Column, k: Int): Column =
+    (h * (2 * k + 1) + (97 * k + 31)) % MinhashMod
+
+  private def minhashCol(k: Int): Column =
+    min(universal(col("sh_h"), k)).as(s"mh_$k")
 
   /** MinHash signatures: one row per id, numHashes minhash columns.
     * Documents with no shingles are dropped (nothing to sign). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame =
     shingleIndex(df, idCol, textCol, n)
+      .withColumn("sh_h", polyHash(col("shingle"), 7, 20))
       .groupBy(col(idCol))
       .agg(minhashCol(0), (1 until numHashes).map(minhashCol): _*)
 
@@ -86,21 +101,25 @@ object Dedup {
       n: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
-    val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
     val numBands = numHashes / rowsPerBand
-    val bands = (0 until numBands).map { b =>
+    // ONE pass computes every band key (explode of an array literal);
+    // building each band as its own select-over-sig would recompute the
+    // whole signature pipeline once per band per join side
+    val bandArray = array((0 until numBands).map { b =>
       val cols = (0 until rowsPerBand)
         .map(r => col(s"mh_${b * rowsPerBand + r}"))
-      sig.select(col(idCol),
-        concat_ws("|", lit(b.toString) +: cols: _*).as("band_key"))
-    }.reduce(_ union _)
+      concat_ws("|", lit(b.toString) +: cols: _*)
+    }: _*)
+    val bands = minhashSignatures(df, idCol, textCol, n, numHashes)
+      .select(col(idCol), explode(bandArray).as("band_key"))
+      .persist()
     val l = bands.select(col(idCol).as("id_a"), col("band_key"))
     val r = bands.select(col(idCol).as("id_b"), col("band_key"))
     val candidates = l.join(r, "band_key")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // verify candidates with true jaccard (exact, but only on candidates)
-    val idx = shingleIndex(df, idCol, textCol, n)
+    val idx = shingleIndex(df, idCol, textCol, n).persist()
     val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = idx.select(col(idCol).as("id_a"), col("shingle"))
     val b = idx.select(col(idCol).as("id_b"), col("shingle"))

@@ -32,8 +32,19 @@ object DedupQueries extends QueryPack {
       |            JOIN sizes zb ON zb.doc_id = id_b
       |WHERE round(shr / CAST(za.sz + zb.sz - shr AS DOUBLE), 4) >= 0.5""".stripMargin
 
-  /** DuckDB minhash signature column for seed h. */
-  private def oMh(h: Int) = s"min(md5('$h:' || shingle)) AS mh_$h"
+  /** DuckDB: base polynomial shingle hash (mirrors TextFunctions
+    * .polyHash(_, seed=7, bits=20)). */
+  private val oShingleHash =
+    """shh AS (SELECT doc_id, shingle,
+      |  list_reduce(list_prepend(7, list_transform(string_split(shingle, ''),
+      |                                             c -> ascii(c))),
+      |              (a, b) -> (a * 31 + b) % 1048576) AS sh_h
+      |  FROM sh)""".stripMargin
+
+  /** DuckDB minhash column k: universal hash of the base shingle hash
+    * (mirrors Dedup.universal). */
+  private def oMh(k: Int) =
+    s"min((sh_h * ${2 * k + 1} + ${97 * k + 31}) % 1048576) AS mh_$k"
 
   /** Generated simhash oracle: 20-bit polynomial word hashes, per-bit
     * majority vote. Mirrors Dedup.simhash exactly (seed 7, mod 2^20). */
@@ -76,26 +87,32 @@ object DedupQueries extends QueryPack {
               |$oJaccardTail
               |""".stripMargin)),
 
+    // 16 hashes in 4-row bands: P(band collision) = sim^4, so random
+    // pairs (sim≈0.05) almost never become candidates while true
+    // near-dups (sim≥0.8) match with high probability — with a small
+    // shingle vocabulary, wider bands are what keeps the candidate set
+    // from going quadratic.
     "q_dedup_minhash_lsh" -> Q(
       (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
-        n = 3, numHashes = 8, rowsPerBand = 2, threshold = 0.5),
-      Some(s"""WITH $oShingles,
-              |sig AS (SELECT doc_id, ${(0 until 8).map(oMh).mkString(", ")}
-              |        FROM sh GROUP BY doc_id),
-              |bands AS (
-              |  SELECT doc_id, '0' || '|' || mh_0 || '|' || mh_1 AS band_key FROM sig
-              |  UNION ALL
-              |  SELECT doc_id, '1' || '|' || mh_2 || '|' || mh_3 FROM sig
-              |  UNION ALL
-              |  SELECT doc_id, '2' || '|' || mh_4 || '|' || mh_5 FROM sig
-              |  UNION ALL
-              |  SELECT doc_id, '3' || '|' || mh_6 || '|' || mh_7 FROM sig),
-              |cand AS (
-              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM bands a JOIN bands b
-              |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-              |$oJaccardTail
-              |""".stripMargin)),
+        n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5),
+      Some {
+        val bandSelects = (0 until 4).map { b =>
+          val cols = (0 until 4).map(r => s"mh_${b * 4 + r}")
+          s"SELECT doc_id, '$b' || '|' || ${cols.mkString(" || '|' || ")} AS band_key FROM sig"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH $oShingles,
+           |$oShingleHash,
+           |sig AS (SELECT doc_id, ${(0 until 16).map(oMh).mkString(", ")}
+           |        FROM shh GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |$oJaccardTail
+           |""".stripMargin
+      }),
 
     "q_dedup_simhash" -> Q(
       (s, d) => Dedup.simhash(t(s, d, "documents"), "doc_id", "text",

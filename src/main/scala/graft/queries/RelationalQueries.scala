@@ -106,6 +106,48 @@ object RelationalQueries extends QueryPack {
              |FROM lineitem
              |""".stripMargin)),
 
+    // §2.5 remainder: OVERLAY, SIMILAR TO (→ rlike), EXTRACT, numeric
+    // TRUNCATE, IS [NOT] EMPTY analog, hour/minute/second
+    "q_scalar_misc" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events").select(
+          $"event_id",
+          expr("overlay(event_type placing 'XX' from 2)").as("etype_ov"),
+          $"event_type".rlike("^(click|view)$").as("is_cv"),
+          hour($"ts").cast("long").as("hr"),
+          minute($"ts").cast("long").as("mi"),
+          second($"ts").cast("long").as("sec"),
+          (floor($"value" * 10) / 10.0).as("val_trunc1"),
+          (length($"props") === 0).as("props_empty"))
+      },
+      Some("""SELECT event_id,
+             |  substr(event_type, 1, 1) || 'XX' || substr(event_type, 4)
+             |    AS etype_ov,
+             |  regexp_matches(event_type, '^(click|view)$') AS is_cv,
+             |  extract(hour FROM ts) AS hr,
+             |  extract(minute FROM ts) AS mi,
+             |  extract(second FROM ts) AS sec,
+             |  floor(value * 10) / 10.0 AS val_trunc1,
+             |  length(props) = 0 AS props_empty
+             |FROM events
+             |""".stripMargin)),
+
+    // beyond-reference extension: JSON props extraction (the reference
+    // has no JSON functions — SURVEY §2.5 — but a training-data pipeline
+    // needs them; q_ext_* marks surface beyond Samza's)
+    "q_ext_json" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events").select(
+          $"event_id",
+          get_json_object($"props", "$.k").cast("long").as("prop_k"))
+      },
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+             |FROM events
+             |""".stripMargin)),
+
     // §2.5 temporal: EXTRACT YEAR/QUARTER/MONTH/WEEK/DOY/DOM/DOW,
     // epoch seconds, interval arithmetic (TIMESTAMPADD)
     "q_scalar_temporal" -> Q(

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** End-to-end Structured Streaming jobs over the engine's sources:
+  * readStream → transforms → writeStream, with the reference's
+  * bounded-input lifecycle — end-of-stream flush and drain
+  * (SURVEY §2.8: EndOfStreamStates / DrainNotification →
+  * Trigger.AvailableNow + processAllAvailable + stop).
+  */
+object StreamJobs {
+
+  /** The events table as a STREAM: same schema and ns→µs conversion as
+    * the batch path (Tables.load), via readStream on the parquet path.
+    * In production this is the Kafka source; file-stream here keeps the
+    * identical downstream plan. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    // the file-stream source requires a DIRECTORY; stage the single
+    // parquet file behind a symlink dir (zero-copy)
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    // same ns→µs rewrite as the batch loader (Tables.load)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream.schema(raw).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Event-time tumbling window counts with watermark — the streaming
+    * form of q_tumbling_count_5m. Append mode + watermark-close is the
+    * DISCARDING/default-trigger semantics (SURVEY §2.4 mapping). */
+  def tumblingCounts(events: DataFrame, duration: String,
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), duration), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"))
+
+  /** Session windows (30-min gap) per user, streaming form. */
+  def sessionCounts(events: DataFrame, gap: String,
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n"))
+
+  /** Drain a bounded stream to completion: AvailableNow consumes all
+    * input, no-data micro-batches advance the watermark so closed
+    * windows flush (the Samza EOS flush analog —
+    * OperatorImpl.onEndOfStream:339), then stop. Returns the collected
+    * sink table.
+    *
+    * Divergence to note: with append output, the window containing the
+    * very last event stays open (watermark cannot pass max event time),
+    * where Samza's EOS flush would emit it. Callers needing full flush
+    * use `complete` mode aggregations or the batch path. */
+  def drainToTable(spark: SparkSession, df: DataFrame,
+      outputMode: String = "append"): DataFrame = {
+    val name = "sink_" + UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

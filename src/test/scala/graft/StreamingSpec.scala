@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Registry
+import graft.streaming.StreamJobs
+
+/** End-to-end Structured Streaming: readStream → watermark window agg →
+  * memory sink, drained with AvailableNow (the bounded-input EOS path).
+  * The streaming result must agree with the batch inventory query on
+  * every window the watermark closed. */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming tumbling counts match the batch query on closed windows") {
+    val events = StreamJobs.eventsStream(spark, sf0001)
+    val streamed = StreamJobs
+      .drainToTable(spark, StreamJobs.tumblingCounts(events, "5 minutes"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+
+    val batch = Registry.all("q_tumbling_count_5m").run(spark, sf0001)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+
+    // append mode: every closed window must match the batch result
+    // exactly; only windows overlapping the final watermark may be
+    // withheld (Samza's EOS flush would emit those too — documented
+    // divergence in StreamJobs.drainToTable)
+    assert(streamed.subsetOf(batch))
+    val maxStart = batch.map(_._1.getTime).max
+    val closed = batch.filterNot(_._1.getTime >= maxStart)
+    assert(closed.subsetOf(streamed))
+  }
+
+  test("streaming session windows produce per-user sessions") {
+    val events = StreamJobs.eventsStream(spark, sf0001)
+    val streamed = StreamJobs
+      .drainToTable(spark, StreamJobs.sessionCounts(events, "30 minutes"))
+    assert(streamed.count() > 0)
+    // session integrity: per-user event totals in closed sessions never
+    // exceed the user's batch event count
+    val perUser = streamed.groupBy("user_id").agg(sum("n").as("total"))
+    val batchPerUser = graft.sources.Tables.load(spark, sf0001, "events")
+      .groupBy("user_id").count()
+    val joined = perUser.join(batchPerUser, "user_id")
+      .filter(col("total") > col("count"))
+    assert(joined.count() == 0)
+  }
+}
