@@ -26,14 +26,22 @@ object StreamWindows {
   case class Pane[K, A](key: K, windowStartMs: Long, value: A,
       firing: String, paneCount: Long)
 
+  /** Early-trigger spec — the Triggers.java factory set with ANY-of
+    * combination semantics (Triggers.any:88): count(n):54,
+    * timeSinceFirstMessage(d):66, timeSinceLastMessage(d):77;
+    * `repeatEarly` = Triggers.repeat(t):106 (re-arm after each firing;
+    * false = fire early at most once per pane). */
   case class WindowConfig(
       intervalMs: Long,
       earlyTriggerCount: Option[Int] = None,
+      earlyTimeSinceFirstMs: Option[Long] = None,
+      earlyTimeSinceLastMs: Option[Long] = None,
+      repeatEarly: Boolean = true,
       accumulating: Boolean = false)
 
   /** Open-pane state (public so call sites can summon its Encoder). */
   case class PaneState[A](windowStartMs: Long, acc: A,
-      sinceLastFire: Int, fired: Long)
+      sinceLastFire: Int, fired: Long, firstAtMs: Long, lastAtMs: Long)
 
   /** Keyed tumbling window, incremental fold
     * (Windows.keyedTumblingWindow:128). `clock` is injectable for
@@ -45,6 +53,35 @@ object StreamWindows {
       implicit paneEnc: Encoder[Pane[K, A]],
       stateEnc: Encoder[Map[Long, PaneState[A]]]): Dataset[Pane[K, A]] = {
 
+    def fire(out: scala.collection.mutable.Builder[Pane[K, A], Seq[Pane[K, A]]],
+        key: K, ws: Long, p: PaneState[A], firing: String): PaneState[A] = {
+      out += Pane(key, ws, p.acc, firing, p.fired + 1)
+      // DISCARDING resets the pane after each firing; ACCUMULATING
+      // keeps folding into the same pane (AccumulationMode.java:32-34)
+      if (cfg.accumulating)
+        p.copy(sinceLastFire = 0, fired = p.fired + 1, lastAtMs = p.lastAtMs)
+      else p.copy(acc = init, sinceLastFire = 0, fired = p.fired + 1)
+    }
+
+    def timeTriggerDue(p: PaneState[A], now: Long): Boolean = {
+      val canFire = cfg.repeatEarly || p.fired == 0
+      canFire && p.sinceLastFire > 0 && (
+        cfg.earlyTimeSinceFirstMs.exists(d => now - p.firstAtMs >= d) ||
+        cfg.earlyTimeSinceLastMs.exists(d => now - p.lastAtMs >= d))
+    }
+
+    /** earliest wakeup this key needs: pane close or a time trigger */
+    def nextDeadline(panes: Map[Long, PaneState[A]], now: Long): Long = {
+      val closes = panes.keys.map(_ + cfg.intervalMs)
+      val triggers = panes.values.flatMap { p =>
+        val canFire = cfg.repeatEarly || p.fired == 0
+        if (!canFire || p.sinceLastFire == 0) Nil
+        else cfg.earlyTimeSinceFirstMs.map(p.firstAtMs + _).toSeq ++
+          cfg.earlyTimeSinceLastMs.map(p.lastAtMs + _).toSeq
+      }
+      (closes ++ triggers).min
+    }
+
     def process(key: K, values: Iterator[T],
         state: GroupState[Map[Long, PaneState[A]]]): Iterator[Pane[K, A]] = {
       var panes = state.getOption.getOrElse(Map.empty[Long, PaneState[A]])
@@ -52,35 +89,31 @@ object StreamWindows {
       val now = clock()
 
       if (state.hasTimedOut) {
-        // window close: DEFAULT firing for every expired pane
+        // closed windows → DEFAULT firing and drop
         val (expired, open) = panes.partition(_._1 + cfg.intervalMs <= now)
         expired.toSeq.sortBy(_._1).foreach { case (ws, p) =>
           out += Pane(key, ws, p.acc, "DEFAULT", p.fired + 1)
         }
-        panes = open
+        // still-open panes whose time trigger is due → EARLY firing
+        panes = open.map { case (ws, p) =>
+          ws -> (if (timeTriggerDue(p, now)) fire(out, key, ws, p, "EARLY")
+                 else p)
+        }
       } else {
         values.foreach { v =>
           val ws = (now / cfg.intervalMs) * cfg.intervalMs
-          val prev = panes.getOrElse(ws, PaneState(ws, init, 0, 0L))
-          var next = PaneState(ws, fold(prev.acc, v), prev.sinceLastFire + 1,
-            prev.fired)
-          cfg.earlyTriggerCount.foreach { n =>
-            if (next.sinceLastFire >= n) {
-              out += Pane(key, ws, next.acc, "EARLY", next.fired + 1)
-              // DISCARDING resets the pane after each firing;
-              // ACCUMULATING keeps folding into the same pane
-              next =
-                if (cfg.accumulating) next.copy(sinceLastFire = 0,
-                  fired = next.fired + 1)
-                else PaneState(ws, init, 0, next.fired + 1)
-            }
-          }
+          val prev = panes.getOrElse(ws, PaneState(ws, init, 0, 0L, now, now))
+          var next = prev.copy(acc = fold(prev.acc, v),
+            sinceLastFire = prev.sinceLastFire + 1, lastAtMs = now)
+          val countDue = cfg.earlyTriggerCount.exists(n =>
+            next.sinceLastFire >= n && (cfg.repeatEarly || next.fired == 0))
+          if (countDue) next = fire(out, key, ws, next, "EARLY")
           panes = panes.updated(ws, next)
         }
       }
       if (panes.nonEmpty) {
         state.update(panes)
-        state.setTimeoutDuration(cfg.intervalMs)
+        state.setTimeoutDuration(math.max(1L, nextDeadline(panes, now) - now))
       } else state.remove()
       out.result().iterator
     }
