@@ -84,14 +84,20 @@ object Dedup {
   private def minhashCol(k: Int): Column =
     min(universal(col("sh_h"), k)).as(s"mh_$k")
 
-  /** MinHash signatures: one row per id, numHashes minhash columns.
-    * Documents with no shingles are dropped (nothing to sign). */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int): DataFrame =
-    shingleIndex(df, idCol, textCol, n)
-      .withColumn("sh_h", polyHash(col("shingle"), 7, 20))
+  /** MinHash signatures from an existing shingle index (one row per id,
+    * numHashes minhash columns). */
+  def minhashSignaturesOfIndex(idx: DataFrame, idCol: String,
+      numHashes: Int): DataFrame =
+    idx.withColumn("sh_h", polyHash(col("shingle"), 7, 20))
       .groupBy(col(idCol))
       .agg(minhashCol(0), (1 until numHashes).map(minhashCol): _*)
+
+  /** MinHash signatures from raw text. Documents with no shingles are
+    * dropped (nothing to sign). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame =
+    minhashSignaturesOfIndex(shingleIndex(df, idCol, textCol, n), idCol,
+      numHashes)
 
   /** MinHash + LSH banding: candidate pairs from band-signature buckets,
     * then verified with true n-gram Jaccard. rowsPerBand minhashes are
@@ -102,6 +108,10 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
     val numBands = numHashes / rowsPerBand
+    // ONE shingle index feeds both the signatures and the verification
+    // stage (it is by far the most expensive intermediate — persist it,
+    // the way a production pipeline would materialize it)
+    val idx = shingleIndex(df, idCol, textCol, n).persist()
     // ONE pass computes every band key (explode of an array literal);
     // building each band as its own select-over-sig would recompute the
     // whole signature pipeline once per band per join side
@@ -110,7 +120,7 @@ object Dedup {
         .map(r => col(s"mh_${b * rowsPerBand + r}"))
       concat_ws("|", lit(b.toString) +: cols: _*)
     }: _*)
-    val bands = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val bands = minhashSignaturesOfIndex(idx, idCol, numHashes)
       .select(col(idCol), explode(bandArray).as("band_key"))
       .persist()
     val l = bands.select(col(idCol).as("id_a"), col("band_key"))
@@ -119,7 +129,6 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // verify candidates with true jaccard (exact, but only on candidates)
-    val idx = shingleIndex(df, idCol, textCol, n).persist()
     val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = idx.select(col(idCol).as("id_a"), col("shingle"))
     val b = idx.select(col(idCol).as("id_b"), col("shingle"))

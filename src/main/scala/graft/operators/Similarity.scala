@@ -17,10 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two float-array columns, accumulated sequentially
+    * in double. Uses the codegen'd DotProduct Catalyst expression — the
+    * equivalent higher-order-function composition
+    * (aggregate(zip_with(...))) evaluates interpreted per element and
+    * dominated similarity-search cost (graft.plans.VectorExpressions). */
+  def dot(a: Column, b: Column): Column = {
+    graft.plans.VectorExpressions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(graft.plans.VectorExpressions.DotName, a, b)
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

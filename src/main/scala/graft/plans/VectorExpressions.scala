@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for embedding dot products.
+  *
+  * The composed form — aggregate(zip_with(a, b, multiply), 0.0, add) —
+  * is a higher-order function chain that Spark evaluates INTERPRETED,
+  * one lambda dispatch per element; on |Q|·|C| candidate pairs × dim 64
+  * that dominates similarity-search cost. This expression generates a
+  * tight Java loop inside whole-stage codegen instead (preference order
+  * from the build brief: custom Expression with doGenCode beats UDF
+  * beats interpreted composition).
+  *
+  * Semantics are IDENTICAL to the composed form: elements widened to
+  * double, sequential accumulation in index order (deterministic —
+  * matches the DuckDB oracle's list_reduce fold). Array elements are
+  * assumed non-null (embedding vectors); a null ARRAY yields null via
+  * BinaryExpression's default null handling.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dot expects float/double arrays, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val (lf, rf) = (isFloat(left), isFloat(right))
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val getA = if (isFloat(left)) s"(double) $a.getFloat(i)"
+                 else s"$a.getDouble(i)"
+      val getB = if (isFloat(right)) s"(double) $b.getFloat(i)"
+                 else s"$b.getDouble(i)"
+      s"""
+         |int n = Math.min($a.numElements(), $b.numElements());
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  s += $getA * $getB;
+         |}
+         |${ev.value} = s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  val DotName = "graft_dot"
+
+  /** Idempotent per-session registration so `call_function` resolves. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(DotName,
+      { exprs => DotProduct(exprs(0), exprs(1)) }, "built-in")
+  }
+}
