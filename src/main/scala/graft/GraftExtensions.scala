@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Cast, CreateNamedStruct, RLike}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.StringType
+
+import graft.plans.DotProduct
+
+/** Cluster-wide registration: set
+  * `spark.sql.extensions=graft.GraftExtensions` and every session —
+  * including thrift/connect sessions with no driver code — gets the
+  * engine's function surface: the reference UDF set and the codegen'd
+  * vector expressions. (Session-scoped registration for library use
+  * lives in graft.functions.Udfs / graft.plans.VectorExpressions.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name),
+        (exprs: Seq[Expression]) => builder(exprs)))
+
+    // reference UDFs (samza-sql/.../fn/) — regex-first arg order
+    inject("regexmatch") { case Seq(regex, str) => RLike(str, regex) }
+    inject("converttostring") { case Seq(e) => Cast(e, StringType) }
+    inject("buildoutputrecord") { exprs => CreateNamedStruct(exprs) }
+    // engine vector expressions
+    inject("graft_dot") { case Seq(a, b) => DotProduct(a, b) }
+  }
+}
