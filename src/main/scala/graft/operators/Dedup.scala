@@ -108,36 +108,42 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
     val numBands = numHashes / rowsPerBand
-    // ONE shingle index feeds both the signatures and the verification
-    // stage (it is by far the most expensive intermediate — persist it,
-    // the way a production pipeline would materialize it)
-    val idx = shingleIndex(df, idCol, textCol, n).persist()
-    // ONE pass computes every band key (explode of an array literal);
-    // building each band as its own select-over-sig would recompute the
-    // whole signature pipeline once per band per join side
+    // ONE aggregation computes everything per document — the minhash
+    // signature, the shingle set (for verification) and its size — so
+    // the pipeline pays a single shuffle over the shingle index before
+    // the (tiny) candidate joins. Set sizes are bounded by document
+    // length, so collect_set stays safe at scale.
+    val idx = shingleIndex(df, idCol, textCol, n)
+      .withColumn("sh_h", polyHash(col("shingle"), 7, 20))
+    val aggCols = (0 until numHashes).map(minhashCol) :+
+      collect_set(col("shingle")).as("sh_set")
+    val docAgg = idx.groupBy(col(idCol))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("sz", size(col("sh_set")).cast("long"))
+      .persist()
+    // one pass computes every band key (explode of an array literal);
+    // building each band as its own select would recompute the
+    // signature pipeline once per band per join side
     val bandArray = array((0 until numBands).map { b =>
       val cols = (0 until rowsPerBand)
         .map(r => col(s"mh_${b * rowsPerBand + r}"))
       concat_ws("|", lit(b.toString) +: cols: _*)
     }: _*)
-    val bands = minhashSignaturesOfIndex(idx, idCol, numHashes)
-      .select(col(idCol), explode(bandArray).as("band_key"))
-      .persist()
+    val bands = docAgg.select(col(idCol), explode(bandArray).as("band_key"))
     val l = bands.select(col(idCol).as("id_a"), col("band_key"))
     val r = bands.select(col(idCol).as("id_b"), col("band_key"))
     val candidates = l.join(r, "band_key")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verify candidates with true jaccard (exact, but only on candidates)
-    val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = idx.select(col(idCol).as("id_a"), col("shingle"))
-    val b = idx.select(col(idCol).as("id_b"), col("shingle"))
-    val shared = candidates.join(a, "id_a").join(b, Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+    // verify candidates with true jaccard via set intersection — only
+    // candidate pairs pay this cost
+    val aSide = docAgg.select(col(idCol).as("id_a"),
+      col("sh_set").as("set_a"), col("sz").as("sz_a"))
+    val bSide = docAgg.select(col(idCol).as("id_b"),
+      col("sh_set").as("set_b"), col("sz").as("sz_b"))
+    candidates.join(aSide, "id_a").join(bSide, "id_b")
+      .withColumn("shared",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard", round(col("shared").cast("double") /
         (col("sz_a") + col("sz_b") - col("shared")), 4))
       .filter(col("jaccard") >= threshold)

@@ -38,7 +38,15 @@ object Tables {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
 
-  /** Register every table as a temp view for the SQL surface. */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** Register every table as a temp view for the SQL surface.
+    * Memoized on the session's CURRENT dir (re-registering re-reads ten
+    * parquet footers, which dominates short SQL statements); switching
+    * dirs within a session re-registers so views never point at stale
+    * data. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    if (registeredDir.put(spark, sfDir) != sfDir)
+      all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 }
