@@ -1,11 +1,12 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Cast, CreateNamedStruct, RLike}
+import org.apache.spark.sql.catalyst.expressions.{Cast, CreateNamedStruct, Literal, RLike}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.plans.DotProduct
 
@@ -30,6 +31,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("regexmatch") { case Seq(regex, str) => RLike(str, regex) }
     inject("converttostring") { case Seq(e) => Cast(e, StringType) }
     inject("buildoutputrecord") { exprs => CreateNamedStruct(exprs) }
+    inject("getnestedfield") { case Seq(rec, pathExpr) =>
+      val path = pathExpr match {
+        case Literal(s: UTF8String, StringType) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"GetNestedField path must be a string literal, got $other")
+      }
+      path.split('.').foldLeft(rec) { (e, f) =>
+        UnresolvedExtractValue(e, Literal(f))
+      }
+    }
     // engine vector expressions
     inject("graft_dot") { case Seq(a, b) => DotProduct(a, b) }
   }

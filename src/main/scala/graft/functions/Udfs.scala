@@ -1,9 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Cast, CreateNamedStruct, Expression, RLike}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+import org.apache.spark.sql.catalyst.expressions.{Cast, CreateNamedStruct, Expression, Literal, RLike}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The reference's built-in SQL UDF set (samza-sql/.../fn/): Flatten,
   * RegexMatch, GetNestedField, ConvertToString, BuildOutputRecord —
@@ -48,6 +50,20 @@ object Udfs {
 
     // BuildOutputRecord(k1, v1, ...) = named_struct
     temp("BuildOutputRecord") { exprs => CreateNamedStruct(exprs) }
+
+    // GetNestedField(record, 'a.b.c'): dotted path resolved at plan
+    // time into an ExtractValue chain (the path must be a literal,
+    // which covers every reference usage — GetNestedFieldUdf)
+    temp("GetNestedField") { case Seq(rec, pathExpr) =>
+      val path = pathExpr match {
+        case Literal(s: UTF8String, StringType) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"GetNestedField path must be a string literal, got $other")
+      }
+      path.split('.').foldLeft(rec) { (e, f) =>
+        UnresolvedExtractValue(e, Literal(f))
+      }
+    }
 
     // Flatten(arr): the project-level unnest. Spark SQL's lateral-view
     // explode covers the operator form; for expression position the

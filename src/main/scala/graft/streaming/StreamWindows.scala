@@ -134,6 +134,38 @@ object StreamWindows {
     keyedTumblingFold[T, K, Seq[T]](ds, keyFn, Seq.empty[T],
       (acc, t) => acc :+ t, cfg, clock)
 
+  /** Global (non-keyed) tumbling fold (Windows.tumblingWindow:191) —
+    * the reference's Void-key form; every message lands in one pane
+    * stream. NOTE: a global window is a single-task bottleneck by
+    * construction (exactly as in the reference, where it runs on one
+    * task); prefer keyed windows at scale. */
+  def tumblingFold[T, A: Encoder](
+      ds: Dataset[T], init: A, fold: (A, T) => A, cfg: WindowConfig,
+      clock: () => Long = () => System.currentTimeMillis())(
+      implicit unitEnc: Encoder[Boolean], paneEnc: Encoder[Pane[Boolean, A]],
+      stateEnc: Encoder[Map[Long, PaneState[A]]]): Dataset[Pane[Boolean, A]] =
+    keyedTumblingFold[T, Boolean, A](ds, _ => true, init, fold, cfg, clock)
+
+  /** Global tumbling collect (Windows.tumblingWindow:221). */
+  def tumblingCollect[T: Encoder](
+      ds: Dataset[T], cfg: WindowConfig,
+      clock: () => Long = () => System.currentTimeMillis())(
+      implicit seqEnc: Encoder[Seq[T]], unitEnc: Encoder[Boolean],
+      paneEnc: Encoder[Pane[Boolean, Seq[T]]],
+      stateEnc: Encoder[Map[Long, PaneState[Seq[T]]]])
+      : Dataset[Pane[Boolean, Seq[T]]] =
+    keyedTumblingFold[T, Boolean, Seq[T]](ds, _ => true, Seq.empty[T],
+      (acc, t) => acc :+ t, cfg, clock)
+
+  /** Keyed session window, collect form (Windows.keyedSessionWindow:295). */
+  def keyedSessionCollect[T: Encoder, K: Encoder](
+      ds: Dataset[T], keyFn: T => K, gapMs: Long,
+      clock: () => Long = () => System.currentTimeMillis())(
+      implicit seqEnc: Encoder[Seq[T]], paneEnc: Encoder[Pane[K, Seq[T]]],
+      stateEnc: Encoder[(Long, Seq[T])]): Dataset[Pane[K, Seq[T]]] =
+    keyedSessionFold[T, K, Seq[T]](ds, keyFn, Seq.empty[T],
+      (acc, t) => acc :+ t, gapMs, clock)
+
   /** Keyed session window with gap close
     * (Windows.keyedSessionWindow:259). One open session per key;
     * arrival extends the session (WindowOperatorImpl: session windows

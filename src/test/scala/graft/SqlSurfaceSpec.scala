@@ -43,4 +43,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getString(2) == "42")
     assert(r.getInt(3) == 1)
   }
+
+  test("GetNestedField traverses dotted paths in SQL") {
+    SamzaSql.run(spark, sf0001,
+      "INSERT INTO y SELECT doc_id FROM documents")
+    val r = spark.sql(
+      """SELECT GetNestedField(
+        |  BuildOutputRecord('a', BuildOutputRecord('b', 42)), 'a.b') AS v
+        |""".stripMargin).collect().head
+    assert(r.getInt(0) == 42)
+    // non-literal path is rejected at plan time
+    intercept[Exception] {
+      spark.sql("SELECT GetNestedField(BuildOutputRecord('a', 1), lower('A'))")
+        .collect()
+    }
+  }
 }

@@ -67,6 +67,20 @@ class StatefulSpec extends SparkSpec {
       Set((3, "EARLY"), (10, "EARLY")))
   }
 
+  test("global tumbling fold and collect use one Void-like key") {
+    val s = spark
+    import s.implicits._
+    val ds = Seq(1, 2, 3, 4).toDS().coalesce(1)
+    val cfg = StreamWindows.WindowConfig(intervalMs = 60000,
+      earlyTriggerCount = Some(4))
+    val fold = StreamWindows.tumblingFold[Int, Int](
+      ds, 0, (a, t) => a + t, cfg, () => 0L).collect()
+    assert(fold.map(p => (p.value, p.firing)).toSeq == Seq((10, "EARLY")))
+    val coll = StreamWindows.tumblingCollect[Int](
+      ds, cfg, () => 0L).collect()
+    assert(coll.head.value.sorted == Seq(1, 2, 3, 4))
+  }
+
   test("windows assign by the processing-time clock") {
     val s = spark
     import s.implicits._
