@@ -39,7 +39,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // single-node throughput (the reference's headline unit is msg/s):
+    // a filter→project→hash-agg pipeline over lineitem, rows/sec
+    val throughput = try {
+      val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      val rows = li.count()
+      val t0 = System.nanoTime()
+      li.filter(org.apache.spark.sql.functions.col("l_quantity") > 0)
+        .groupBy("l_returnflag").count().count()
+      rows / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","throughput_rows_per_sec":${throughput.toLong}}""")
     spark.stop()
   }
 }
