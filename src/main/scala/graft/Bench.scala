@@ -41,7 +41,9 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
     // single-node throughput (the reference's headline unit is msg/s):
-    // a filter→project→hash-agg pipeline over lineitem, rows/sec
+    // a filter→hash-agg pipeline over lineitem, rows/sec, measured WARM
+    // (the count() beforehand primes file/footer caches — recorded as
+    // such in BASELINE.md)
     val throughput = try {
       val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
       val rows = li.count()
@@ -49,7 +51,11 @@ object Bench {
       li.filter(org.apache.spark.sql.functions.col("l_quantity") > 0)
         .groupBy("l_returnflag").count().count()
       rows / ((System.nanoTime() - t0) / 1e9)
-    } catch { case _: Throwable => -1.0 }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] throughput measurement failed: $e")
+        -1.0
+    }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","throughput_rows_per_sec":${throughput.toLong}}""")
     spark.stop()

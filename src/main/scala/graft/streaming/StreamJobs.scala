@@ -18,7 +18,8 @@ object StreamJobs {
     * the batch path (Tables.load), via readStream on the parquet path.
     * In production this is the Kafka source; file-stream here keeps the
     * identical downstream plan. */
-  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, sfDir: String,
+      startpoint: Option[Startpoint] = None): DataFrame = {
     // the file-stream source requires a DIRECTORY; stage the single
     // parquet file behind a symlink dir (zero-copy)
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
@@ -28,7 +29,9 @@ object StreamJobs {
     // same ns→µs rewrite as the batch loader (Tables.load)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream.schema(raw).parquet(dir.toString)
+    spark.readStream.schema(raw)
+      .options(startpoint.map(_.fileOptions).getOrElse(Map.empty))
+      .parquet(dir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 

@@ -1,7 +1,5 @@
 package graft.testkit
 
-import scala.reflect.ClassTag
-
 import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
@@ -31,10 +29,11 @@ object TestRunner {
     }
 
     /** Run through Structured Streaming (MemoryStream → AvailableNow →
-      * memory sink), for pipelines whose semantics are stream-specific. */
+      * memory sink), for pipelines whose semantics are stream-specific.
+      * The append-mode EOS caveat documented on
+      * graft.streaming.StreamJobs.drainToTable applies here too. */
     def runStream[O](pipeline: Dataset[I] => Dataset[O])(
-        implicit ie: Encoder[I], oe: Encoder[O],
-        ct: ClassTag[O]): StreamAssert[O] = {
+        implicit ie: Encoder[I], oe: Encoder[O]): StreamAssert[O] = {
       implicit val sql = spark.sqlContext
       val mem = MemoryStream[I]
       mem.addData(input: _*)
@@ -43,26 +42,35 @@ object TestRunner {
       val q = pipeline(mem.toDS()).writeStream
         .outputMode("append").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      new StreamAssert(spark.table(name).as[O](oe).collect().toSeq)
+      try {
+        q.awaitTermination()
+        new StreamAssert(spark.table(name).as[O](oe).collect().toSeq)
+      } finally {
+        if (q.isActive) q.stop()
+        spark.catalog.dropTempView(name) // don't leak the cached sink
+      }
     }
   }
 
   /** StreamAssert analog: order-insensitive by default, mirroring the
-    * reference's sorted asserts (TestSamzaSqlEndToEnd.java:71-76). */
+    * reference's sorted asserts (TestSamzaSqlEndToEnd.java:71-76).
+    * Failures throw unconditionally (never elidable Predef.assert — a
+    * test harness must not no-op under -Xdisable-assertions). */
   final class StreamAssert[O](val output: Seq[O]) {
+    private def fail(msg: String): Nothing = throw new AssertionError(msg)
+
     def containsInAnyOrder(expected: O*): StreamAssert[O] = {
       val got = output.groupBy(identity).view.mapValues(_.size).toMap
       val want = expected.groupBy(identity).view.mapValues(_.size).toMap
-      assert(got == want, s"expected $want, got $got")
+      if (got != want) fail(s"expected $want, got $got")
       this
     }
     def hasSize(n: Int): StreamAssert[O] = {
-      assert(output.size == n, s"expected $n rows, got ${output.size}")
+      if (output.size != n) fail(s"expected $n rows, got ${output.size}")
       this
     }
     def satisfies(p: Seq[O] => Boolean): StreamAssert[O] = {
-      assert(p(output), s"predicate failed on $output")
+      if (!p(output)) fail(s"predicate failed on $output")
       this
     }
   }

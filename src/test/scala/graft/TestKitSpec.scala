@@ -41,9 +41,25 @@ class TestKitSpec extends SparkSpec {
   test("startpoints map to source options") {
     assert(Startpoint.Oldest.kafkaOptions("startingOffsets") == "earliest")
     assert(Startpoint.Upcoming.kafkaOptions("startingOffsets") == "latest")
+    assert(Startpoint.Upcoming.fileOptions("maxFileAge") == "0ms")
     assert(Startpoint.Specific("""{"t":{"0":42}}""")
       .kafkaOptions("startingOffsets").contains("42"))
-    assert(Startpoint.Timestamp(0L).fileOptions("modifiedAfter")
-      .startsWith("1970-01-01"))
+    val ts = Startpoint.Timestamp(1000L)
+    assert(ts.kafkaOptions("startingTimestamp") == "1000")
+    // Samza fallback: timestamp past the end resolves to upcoming
+    assert(ts.kafkaOptions("startingOffsetsByTimestampStrategy") == "latest")
+    // modifiedAfter is batch-only (file stream source rejects it) —
+    // timestamp has no file-stream mapping
+    assert(ts.fileOptions.isEmpty)
+  }
+
+  test("eventsStream accepts a startpoint (Oldest reads full history)") {
+    val s = spark
+    val events = graft.streaming.StreamJobs.eventsStream(s, sf0001,
+      Some(Startpoint.Oldest))
+    val n = graft.streaming.StreamJobs
+      .drainToTable(s, events.groupBy().count(), outputMode = "complete")
+      .collect().head.getLong(0)
+    assert(n == 1000L)
   }
 }
