@@ -52,7 +52,10 @@ object Dedup {
       n: Int, threshold: Double): DataFrame = {
     // the index feeds three consumers (sizes + both join sides): persist
     // it — in a production pipeline this is a materialized intermediate
-    // table, not a recomputed scan
+    // table, not a recomputed scan. Lifecycle note: the cache outlives
+    // this call (the result DataFrame still references it); callers that
+    // loop over many corpora should spark.catalog.clearCache() between
+    // runs, as Verify/Bench do.
     val idx = shingleIndex(df, idCol, textCol, n).persist()
     val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = idx.select(col(idCol).as("id_a"), col("shingle"))

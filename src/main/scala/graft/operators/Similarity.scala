@@ -42,11 +42,16 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       scale: Int = 6): DataFrame = {
     // norms are computed once per vector BEFORE the pair join — at
-    // |Q|·|C| pairs, recomputing a norm per pair would dominate cost
+    // |Q|·|C| pairs, recomputing a norm per pair would dominate cost.
+    // Zero-norm vectors are excluded: their cosine is NaN, and Spark
+    // sorts NaN ABOVE every double, which would rank a zero vector as
+    // the #1 neighbor of every query.
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("q_nrm", norm(col("q_vec")))
+      .filter(col("q_nrm") > 0)
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
       .withColumn("nn_nrm", norm(col("nn_vec")))
+      .filter(col("nn_nrm") > 0)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("nn_id"))
       .withColumn("cos",
@@ -66,6 +71,7 @@ object Similarity {
   def blockedNearDup(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double, scale: Int = 6): DataFrame = {
     val withNorm = df.withColumn("nrm", norm(col(vecCol)))
+      .filter(col("nrm") > 0) // zero-norm → NaN cosine; exclude
     val a = withNorm.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"), col("nrm").as("nrm_a"))
     val b = withNorm.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
@@ -106,23 +112,25 @@ object Similarity {
     * nprobe/nlist of it — centroids are broadcast, the cell assignment
     * is one narrow pass, and the probe join shuffles on cell id.
     *
-    * Centroids here are deterministic samples (every corpus/nlist-th
-    * vector by id order) — a production pipeline would run k-means
-    * refinement behind the same contract. Returns (q_id, nn_id, rank,
-    * cos); approximate — recall vs [[bruteForceTopK]] is spec-tested. */
+    * Centroids are a deterministic pseudo-random sample: the nlist
+    * vectors with the smallest md5(id) — computed by a DISTRIBUTED
+    * TakeOrdered, not a global row_number window (which would pull the
+    * whole corpus into one task). A production pipeline would run
+    * k-means refinement behind the same contract. Returns (q_id, nn_id,
+    * rank, cos); approximate — recall vs [[bruteForceTopK]] is
+    * spec-tested. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int, nprobe: Int,
       scale: Int = 6): DataFrame = {
+    // persisted: feeds centroid selection AND cell assignment
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
       .withColumn("nn_nrm", norm(col("nn_vec")))
-    // deterministic centroid sample: rank by id, take every nlist-th
-    val n = c.count()
-    val step = math.max(1L, n / nlist)
-    val wAll = Window.orderBy(col("nn_id"))
-    // rank-based selection, NOT limit(): limit on an unordered frame
-    // picks arbitrary rows and would break determinism
-    val centroids = c.withColumn("__rn", row_number().over(wAll))
-      .filter((col("__rn") - 1) % step === 0 && col("__rn") <= step * nlist)
+      .filter(col("nn_nrm") > 0) // zero-norm → NaN cosine; exclude
+      .persist()
+    val centroids = c
+      .withColumn("__h", md5(col("nn_id").cast("string")))
+      .orderBy(col("__h")) // TakeOrderedAndProject with the limit below
+      .limit(nlist)
       .select(col("nn_id").as("cent_id"), col("nn_vec").as("cent_vec"),
         col("nn_nrm").as("cent_nrm"))
     // assign every corpus vector to its nearest centroid (one narrow
@@ -139,6 +147,7 @@ object Similarity {
     // pick each query's nprobe nearest cells
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("q_nrm", norm(col("q_vec")))
+      .filter(col("q_nrm") > 0)
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("cent_score").desc, col("cent_id").asc)
     val probes = q.crossJoin(broadcast(centroids))

@@ -22,7 +22,7 @@ object MultimodalQueries extends QueryPack {
       },
       Some("""SELECT doc_id AS asset_id,
              |  octet_length(encode(text)) AS byte_len,
-             |  lower(hex(encode(substr(text, 1, 4)))) AS magic,
+             |  lower(substr(hex(encode(text)), 1, 8)) AS magic,
              |  64 + octet_length(encode(text)) % 1024 AS width,
              |  64 + (octet_length(encode(text)) * 7) % 1024 AS height,
              |  1 + octet_length(encode(text)) % 30 AS frames

@@ -13,6 +13,12 @@ object Registry {
     SimilarityQueries,
     MultimodalQueries)
 
-  lazy val all: Map[String, Q] =
-    packs.flatMap(_.queries).toMap
+  lazy val all: Map[String, Q] = {
+    val entries = packs.flatMap(_.queries)
+    val dups = entries.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate query names across packs: ${dups.mkString(", ")} — " +
+        "toMap would silently drop the shadowed query from the inventory")
+    entries.toMap
+  }
 }

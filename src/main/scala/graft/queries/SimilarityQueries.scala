@@ -86,13 +86,10 @@ object SimilarityQueries extends QueryPack {
               |  SELECT vec_id, embedding,
               |         sqrt(${oDot("embedding", "embedding")}) AS nrm
               |  FROM embeddings),
-              |step AS (SELECT greatest(1, count(*) // 16) AS st FROM n),
               |cent AS (
               |  SELECT vec_id AS cent_id, embedding AS cent_vec,
               |         nrm AS cent_nrm
-              |  FROM (SELECT *, row_number() OVER (ORDER BY vec_id) AS rn
-              |        FROM n), step
-              |  WHERE (rn - 1) % st = 0 AND rn <= st * 16),
+              |  FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
               |assigned AS (
               |  SELECT nn_id, nn_vec, nn_nrm, cell FROM (
               |    SELECT c.vec_id AS nn_id, c.embedding AS nn_vec,

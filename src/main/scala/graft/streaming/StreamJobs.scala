@@ -18,14 +18,22 @@ object StreamJobs {
     * the batch path (Tables.load), via readStream on the parquet path.
     * In production this is the Kafka source; file-stream here keeps the
     * identical downstream plan. */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   def eventsStream(spark: SparkSession, sfDir: String,
       startpoint: Option[Startpoint] = None): DataFrame = {
     // the file-stream source requires a DIRECTORY; stage the single
-    // parquet file behind a symlink dir (zero-copy)
-    val dir = java.nio.file.Files.createTempDirectory("events_stream")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    // parquet file behind a symlink dir (zero-copy), memoized per
+    // source dir so repeated calls don't accumulate temp dirs
+    val dir = stagedDirs.computeIfAbsent(sfDir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("events_stream")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+      d.toFile.deleteOnExit()
+      d
+    })
     // same ns→µs rewrite as the batch loader (Tables.load)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet").schema

@@ -88,18 +88,21 @@ object StreamWindows {
       val out = Seq.newBuilder[Pane[K, A]]
       val now = clock()
 
-      if (state.hasTimedOut) {
-        // closed windows → DEFAULT firing and drop
-        val (expired, open) = panes.partition(_._1 + cfg.intervalMs <= now)
-        expired.toSeq.sortBy(_._1).foreach { case (ws, p) =>
-          out += Pane(key, ws, p.acc, "DEFAULT", p.fired + 1)
-        }
-        // still-open panes whose time trigger is due → EARLY firing
-        panes = open.map { case (ws, p) =>
-          ws -> (if (timeTriggerDue(p, now)) fire(out, key, ws, p, "EARLY")
-                 else p)
-        }
-      } else {
+      // expiry + due time-triggers run on EVERY invocation, not just
+      // timeouts: Spark only delivers hasTimedOut for keys with no data
+      // in a batch, so a key with continuous traffic would otherwise
+      // never flush closed windows (and would grow one pane per
+      // elapsed interval forever)
+      val (expired, open) = panes.partition(_._1 + cfg.intervalMs <= now)
+      expired.toSeq.sortBy(_._1).foreach { case (ws, p) =>
+        out += Pane(key, ws, p.acc, "DEFAULT", p.fired + 1)
+      }
+      panes = open.map { case (ws, p) =>
+        ws -> (if (timeTriggerDue(p, now)) fire(out, key, ws, p, "EARLY")
+               else p)
+      }
+
+      if (!state.hasTimedOut) {
         values.foreach { v =>
           val ws = (now / cfg.intervalMs) * cfg.intervalMs
           val prev = panes.getOrElse(ws, PaneState(ws, init, 0, 0L, now, now))

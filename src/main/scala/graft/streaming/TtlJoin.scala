@@ -41,7 +41,13 @@ object TtlJoin {
       var (l, r) = state.getOption.getOrElse(
         (None: Option[(L, Long)], None: Option[(R, Long)]))
       val out = Seq.newBuilder[Joined[K, L, R]]
-      values.foreach { t =>
+      // process in timestamp order: groupByKey does NOT preserve
+      // cross-partition arrival order, so "last value per key" over a
+      // multi-partition bounded input would otherwise be
+      // nondeterministic; sorting also guarantees the buffered side is
+      // never newer than the arrival, keeping the TTL check one-sided
+      // like the reference's monotonic processing-time store
+      values.toSeq.sortBy(t => (t.atMs, t.right.isDefined)).foreach { t =>
         t.left.foreach { lv =>
           l = Some((lv, t.atMs)) // overwrite: last value per key
           r.foreach { case (rv, rts) =>
