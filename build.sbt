@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print machine-read JSON on stdout: pass the forked
+// process's output through raw (no [info] prefix) and suppress the
+// trailing [success] banner so the last stdout line IS the JSON.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.plans.DotProduct
+import graft.plans.{DotProduct, IntersectCountSorted, MinHashSig, ShingleSet}
 
 /** Cluster-wide registration: set
   * `spark.sql.extensions=graft.GraftExtensions` and every session —
@@ -41,7 +41,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         UnresolvedExtractValue(e, Literal(f))
       }
     }
-    // engine vector expressions
+    // engine vector/text expressions
     inject("graft_dot") { case Seq(a, b) => DotProduct(a, b) }
+    inject("graft_minhash_sig") { case Seq(arr, k, seed, bits) =>
+      def litInt(e: Expression): Int = e match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash_sig parameters must be int literals, got $other")
+      }
+      MinHashSig(arr, litInt(k), litInt(seed), litInt(bits))
+    }
+    inject("graft_shingle_set") { case Seq(arr, n) =>
+      val nv = n match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_shingle_set n must be an int literal, got $other")
+      }
+      ShingleSet(arr, nv)
+    }
+    inject("graft_intersect_count") { case Seq(a, b) =>
+      IntersectCountSorted(a, b)
+    }
   }
 }

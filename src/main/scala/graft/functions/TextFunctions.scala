@@ -21,6 +21,16 @@ object TextFunctions {
   /** Token count (BIGINT for oracle parity). */
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 
+  /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, single
+    * punctuation marks — the boundary split GPT-2-style BPE vocab
+    * builds start from. RE2-compatible, so the DuckDB oracle counts
+    * with the identical pattern. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Subword-boundary token count under [[BpePattern]] (BIGINT). */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit(BpePattern)).cast("long")
+
   /** Word n-gram shingles from an ALREADY-MATERIALIZED token-array
     * column; empty array when fewer than n tokens. The guard matters:
     * Spark's sequence(0, -k) would count DOWN (implicit step -1) and

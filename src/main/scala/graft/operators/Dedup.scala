@@ -11,20 +11,29 @@ import graft.functions.TextFunctions._
   * Scale design (the point of each algorithm at 100 TB):
   *  - exact: one hash-shuffle on a 32-char digest — the minimum
   *    possible; never shuffles document text, only (digest, id).
-  *  - jaccard: inverted-index self-join on shingles (shuffle keyed by
-  *    shingle), so cost is Σ postings², not n² documents. Hot shingles
-  *    are the skew risk — AQE skew-join handles it; a stopword-shingle
-  *    filter is the structural fix if needed.
-  *  - MinHash+LSH: fixed-size signatures (numHashes minhashes) replace
-  *    shingle sets, then banding buckets candidates; only candidate
-  *    pairs are verified with true Jaccard. This is the linear-ish
-  *    scale path.
+  *  - jaccard: exact all-pairs, but candidate generation uses
+  *    PPJoin-style PREFIX FILTERING — only the first
+  *    |d| - ceil(t·|d|) + 1 shingles of each document (under a global
+  *    order) enter the inverted index, which provably loses no pair
+  *    with Jaccard >= t while cutting the Σ postings² join cost
+  *    roughly by (1-t)² (at t=0.5, ~4×). A length filter
+  *    (min/max size >= t) prunes candidates before the pair-distinct.
+  *  - MinHash+LSH: fixed-size signatures replace shingle sets, then
+  *    banding buckets candidates; only candidate pairs are verified
+  *    with true Jaccard. This is the linear-ish scale path.
   *  - SimHash: constant-size (bits-wide) signature per document;
   *    near-dup = small Hamming distance.
   *
-  * All signature computation is Spark SQL higher-order functions
-  * (codegen'd); hashes are md5-based so they are reproducible across
-  * engines and runs — no JVM hashCode dependence.
+  * Shuffle discipline: per-document shingle SETS are computed narrowly
+  * (array_distinct over a materialized token array — no shuffle at
+  * all); the only shuffles left are the candidate joins themselves.
+  * Round 1 shuffled the exploded (id, shingle) index twice (distinct +
+  * groupBy) before any candidates existed — at 100 TB those two
+  * corpus-sized shuffles are the whole job.
+  *
+  * Hashes are cross-engine-stable (polynomial code-point hashes / md5),
+  * so every result is reproducible in the DuckDB oracle — no JVM
+  * hashCode dependence.
   */
 object Dedup {
 
@@ -36,37 +45,94 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
       .select(col(idCol), col("digest"), col("copies"))
 
-  /** Distinct (id, shingle) pairs — the inverted-index input. Tokens
-    * are materialized as a column BEFORE shingling (see
-    * TextFunctions.shinglesOfTokens' performance note). */
+  /** Distinct-shingle-set column over a token-array column, via the
+    * codegen'd ShingleSet Catalyst expression (graft.plans
+    * .TextExpressions) — one JIT loop, immune to the interpreted-HOF
+    * re-evaluation trap (see ShingleKernel's doc). */
+  def shingleSetCol(tokensArr: Column, n: Int): Column = {
+    graft.plans.TextExpressions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(graft.plans.TextExpressions.ShingleSetName, tokensArr,
+      lit(n))
+  }
+
+  /** Per-document distinct shingle set (SORTED ascending — the
+    * ShingleSet contract), computed WITHOUT a shuffle:
+    * (id, sh_set, sz). Documents with no shingles (fewer than n
+    * tokens) are dropped. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol),
+        shingleSetCol(tokens(col(textCol)), n).as("sh_set"))
+      .filter(size(col("sh_set")) > 0)
+      .withColumn("sz", size(col("sh_set")).cast("long"))
+
+  /** Distinct (id, shingle) pairs — the classic inverted-index shape,
+    * now a narrow explode of [[shingleSets]] (distinctness is
+    * per-document, so no shuffle is needed to deduplicate). */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("__w"))
-      .select(col(idCol), explode(shinglesOfTokens(col("__w"), n)).as("shingle"))
-      .distinct()
+    shingleSets(df, idCol, textCol, n)
+      .select(col(idCol), explode(col("sh_set")).as("shingle"))
 
-  /** All-pairs n-gram Jaccard via inverted index: pairs of documents
-    * with jaccard >= threshold. Returns (id_a, id_b, jaccard) with
-    * id_a < id_b. */
+  /** All-pairs n-gram Jaccard: pairs of documents with
+    * jaccard >= threshold. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b.
+    *
+    * Exact despite the pruning: under any global total order on
+    * shingles (we use lexicographic — array_sort is codegen'd), two
+    * sets with J >= t must share an element within their first
+    * |x| - ceil(t·|x|) + 1 elements (PPJoin prefix-filtering
+    * principle), so indexing only prefixes generates every qualifying
+    * pair; each candidate is then verified with the true Jaccard over
+    * the full sets. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    // the index feeds three consumers (sizes + both join sides): persist
-    // it — in a production pipeline this is a materialized intermediate
-    // table, not a recomputed scan. Lifecycle note: the cache outlives
-    // this call (the result DataFrame still references it); callers that
-    // loop over many corpora should spark.catalog.clearCache() between
-    // runs, as Verify/Bench do.
-    val idx = shingleIndex(df, idCol, textCol, n).persist()
-    val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = idx.select(col(idCol).as("id_a"), col("shingle"))
-    val b = idx.select(col(idCol).as("id_b"), col("shingle"))
-    val shared = a.join(b, "shingle")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+    // persisted: feeds both prefix-index sides and the verify joins.
+    // Lifecycle note: the cache outlives this call (the result
+    // DataFrame references it); callers that loop over many corpora
+    // should spark.catalog.clearCache() between runs, as Verify/Bench
+    // do.
+    val docs = shingleSets(df, idCol, textCol, n)
+      .withColumn("prefix", slice(col("sh_set"), lit(1),
+        (col("sz") - ceil(col("sz") * lit(threshold)) + lit(1)).cast("int")))
+      .persist()
+    val pa = docs.select(col(idCol).as("id_a"), col("sz").as("psz_a"),
+      explode(col("prefix")).as("shingle"))
+    val pb = docs.select(col(idCol).as("id_b"), col("sz").as("psz_b"),
+      explode(col("prefix")).as("shingle"))
+    // length filter: J >= t forces min(sz)/max(sz) >= t — prune before
+    // the distinct
+    val candidates = pa.join(pb, "shingle")
+      .filter(col("id_a") < col("id_b") &&
+        greatest(col("psz_a"), col("psz_b")) * lit(threshold) <=
+          least(col("psz_a"), col("psz_b")))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(candidates, docs, idCol, threshold)
+  }
+
+  /** Join candidate (id_a, id_b) pairs back to their (sorted) shingle
+    * sets and keep pairs with true Jaccard >= threshold. Shared counts
+    * use the codegen'd merge-intersect over the sorted sets — Spark's
+    * array_intersect walks O(m·n) interpreted comparisons per pair and
+    * was the dominant cost of the whole pipeline. */
+  private def verifyJaccard(candidates: DataFrame, docs: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
+    // build side = the DOCUMENT table (|docs| rows), never the candidate
+    // stream (|pairs| rows, quadratic-ish): without a hint Catalyst's
+    // size estimate can pick the candidate side and build (or even
+    // broadcast) a several-hundred-thousand-entry hash table per
+    // action. shuffle_hash rather than broadcast: at corpus scale the
+    // document table outgrows any broadcast threshold, and a
+    // shuffled hash join on id keeps working.
+    val aSide = docs.select(col(idCol).as("id_a"),
+      col("sh_set").as("set_a"), col("sz").as("sz_a")).hint("shuffle_hash")
+    val bSide = docs.select(col(idCol).as("id_b"),
+      col("sh_set").as("set_b"), col("sz").as("sz_b")).hint("shuffle_hash")
+    candidates.join(aSide, "id_a").join(bSide, "id_b")
+      .withColumn("shared", call_function(
+        graft.plans.TextExpressions.IntersectCountName,
+        col("set_a"), col("set_b")))
       .withColumn("jaccard", round(col("shared").cast("double") /
         (col("sz_a") + col("sz_b") - col("shared")), 4))
       .filter(col("jaccard") >= threshold)
@@ -76,81 +142,62 @@ object Dedup {
   /** MinHash modulus (2^20) — matches TextFunctions.polyHash's range. */
   val MinhashMod: Int = 1 << 20
 
-  /** Universal-hash family member k applied to a base shingle hash:
-    * h_k(x) = (a_k·x + b_k) mod m with odd a_k. ONE polynomial hash per
-    * shingle plus K cheap arithmetic transforms — computing K
-    * independent digests per shingle (e.g. K md5s) costs ~K× more and
-    * dominated the whole pipeline before this. */
-  private def universal(h: Column, k: Int): Column =
-    (h * (2 * k + 1) + (97 * k + 31)) % MinhashMod
+  /** MinHash signature column (array<long>, length numHashes) over a
+    * shingle-set column, via the codegen'd MinHashSig Catalyst
+    * expression (graft.plans.TextExpressions) — one JIT loop instead of
+    * numHashes interpreted higher-order-function passes. */
+  def minhashSigCol(shSet: Column, numHashes: Int): Column = {
+    graft.plans.TextExpressions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(graft.plans.TextExpressions.MinHashName, shSet,
+      lit(numHashes), lit(7), lit(20))
+  }
 
-  private def minhashCol(k: Int): Column =
-    min(universal(col("sh_h"), k)).as(s"mh_$k")
-
-  /** MinHash signatures from an existing shingle index (one row per id,
-    * numHashes minhash columns). */
-  def minhashSignaturesOfIndex(idx: DataFrame, idCol: String,
-      numHashes: Int): DataFrame =
-    idx.withColumn("sh_h", polyHash(col("shingle"), 7, 20))
-      .groupBy(col(idCol))
-      .agg(minhashCol(0), (1 until numHashes).map(minhashCol): _*)
-
-  /** MinHash signatures from raw text. Documents with no shingles are
-    * dropped (nothing to sign). */
+  /** MinHash signatures from raw text (one row per id, numHashes
+    * mh_<k> columns). Documents with no shingles are dropped (nothing
+    * to sign). Kept as the column-per-hash public shape; the array
+    * form ([[minhashSigCol]]) is the internal hot path. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int): DataFrame =
-    minhashSignaturesOfIndex(shingleIndex(df, idCol, textCol, n), idCol,
-      numHashes)
+      n: Int, numHashes: Int): DataFrame = {
+    val sig = shingleSets(df, idCol, textCol, n)
+      .withColumn("__sig", minhashSigCol(col("sh_set"), numHashes))
+    sig.select(col(idCol) +: (0 until numHashes).map(k =>
+      element_at(col("__sig"), k + 1).as(s"mh_$k")): _*)
+  }
 
   /** MinHash + LSH banding: candidate pairs from band-signature buckets,
     * then verified with true n-gram Jaccard. rowsPerBand minhashes are
     * concatenated per band; a pair is a candidate if ANY band matches.
-    * Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a<id_b. */
+    * Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a<id_b.
+    *
+    * One narrow pass computes the signature AND keeps the shingle set
+    * for verification — zero shuffles before the (tiny) band join. Set
+    * sizes are bounded by document length, so carrying sh_set is safe
+    * at scale. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
     val numBands = numHashes / rowsPerBand
-    // ONE aggregation computes everything per document — the minhash
-    // signature, the shingle set (for verification) and its size — so
-    // the pipeline pays a single shuffle over the shingle index before
-    // the (tiny) candidate joins. Set sizes are bounded by document
-    // length, so collect_set stays safe at scale.
-    val idx = shingleIndex(df, idCol, textCol, n)
-      .withColumn("sh_h", polyHash(col("shingle"), 7, 20))
-    val aggCols = (0 until numHashes).map(minhashCol) :+
-      collect_set(col("shingle")).as("sh_set")
-    val docAgg = idx.groupBy(col(idCol))
-      .agg(aggCols.head, aggCols.tail: _*)
-      .withColumn("sz", size(col("sh_set")).cast("long"))
+    val docs = shingleSets(df, idCol, textCol, n)
+      .withColumn("sig", minhashSigCol(col("sh_set"), numHashes))
       .persist()
     // one pass computes every band key (explode of an array literal);
     // building each band as its own select would recompute the
-    // signature pipeline once per band per join side
+    // signature once per band per join side
     val bandArray = array((0 until numBands).map { b =>
       val cols = (0 until rowsPerBand)
-        .map(r => col(s"mh_${b * rowsPerBand + r}"))
+        .map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
       concat_ws("|", lit(b.toString) +: cols: _*)
     }: _*)
-    val bands = docAgg.select(col(idCol), explode(bandArray).as("band_key"))
+    val bands = docs.select(col(idCol), explode(bandArray).as("band_key"))
     val l = bands.select(col(idCol).as("id_a"), col("band_key"))
     val r = bands.select(col(idCol).as("id_b"), col("band_key"))
     val candidates = l.join(r, "band_key")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verify candidates with true jaccard via set intersection — only
-    // candidate pairs pay this cost
-    val aSide = docAgg.select(col(idCol).as("id_a"),
-      col("sh_set").as("set_a"), col("sz").as("sz_a"))
-    val bSide = docAgg.select(col(idCol).as("id_b"),
-      col("sh_set").as("set_b"), col("sz").as("sz_b"))
-    candidates.join(aSide, "id_a").join(bSide, "id_b")
-      .withColumn("shared",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
-      .withColumn("jaccard", round(col("shared").cast("double") /
-        (col("sz_a") + col("sz_b") - col("shared")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // verify candidates with true jaccard — only candidate pairs pay
+    verifyJaccard(candidates, docs, idCol, threshold)
   }
 
   /** SimHash over word unigrams with `bits`-wide polynomial hashes:

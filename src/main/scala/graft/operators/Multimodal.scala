@@ -66,4 +66,81 @@ object Multimodal {
     meta.select(col("asset_id"), col("frames"),
       explode(sequence(lit(0L), col("frames") - 1, lit(every.toLong)))
         .as("frame_idx"))
+
+  /** Resized-asset metadata row. */
+  case class ResizeMeta(
+      asset_id: Long,
+      width: Long,
+      height: Long,
+      out_w: Long,
+      out_h: Long,
+      out_bytes: Long)
+
+  /** STUB resize: aspect-preserving downscale to fit maxDim, integer
+    * math only (deterministic, oracle-replicable). out_bytes models an
+    * uncompressed RGB buffer — the real codec would return the encoded
+    * size. */
+  def fakeResize(m: MediaMeta, maxDim: Long): ResizeMeta = {
+    val longest = math.max(m.width, m.height)
+    val (ow, oh) =
+      if (longest <= maxDim) (m.width, m.height)
+      else (m.width * maxDim / longest, m.height * maxDim / longest)
+    ResizeMeta(m.asset_id, m.width, m.height, ow, oh, ow * oh * 3L)
+  }
+
+  /** Partition-batched resize over decoded metadata: the per-asset
+    * stage a real pipeline runs against the decoded buffer. Same
+    * batching shape as [[decodeMeta]] — one codec per partition. */
+  def resize(spark: SparkSession, meta: Dataset[MediaMeta],
+      maxDim: Long): Dataset[ResizeMeta] = {
+    import spark.implicits._
+    meta.mapPartitions { rows =>
+      // real impl: init the native scaler here, once per partition
+      rows.map(m => fakeResize(m, maxDim))
+    }
+  }
+
+  /** Per-asset feature row: byte stats + content hash + a 4-bin byte
+    * histogram (the fixed-dim "embedding" a real extractor would emit). */
+  case class MediaFeatures(
+      asset_id: Long,
+      n_bytes: Long,
+      mean_byte: Long,
+      content_hash: Long,
+      h0: Long, h1: Long, h2: Long, h3: Long)
+
+  /** STUB feature extraction over raw payload bytes: deterministic
+    * stand-in for an image/audio feature network. All math is integer
+    * and byte-order-sequential, so the DuckDB oracle replays it
+    * exactly (content hash = the polyHash fold, seed 7, mod 2^20). */
+  def fakeFeatures(assetId: Long, bytes: Array[Byte]): MediaFeatures = {
+    val n = bytes.length.toLong
+    var sum = 0L
+    var h = 7L
+    val hist = new Array[Long](4)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sum += b
+      h = (h * 31 + b) % (1 << 20)
+      hist(b % 4) += 1
+      i += 1
+    }
+    MediaFeatures(assetId, n, if (n == 0) 0L else sum / n, h,
+      hist(0), hist(1), hist(2), hist(3))
+  }
+
+  /** Partition-batched feature extraction: same contract as
+    * [[decodeMeta]] — select only (asset_id, payload) so column
+    * pruning reaches the scan, one extractor per partition. */
+  def extractFeatures(spark: SparkSession,
+      assets: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real impl: load the feature model here, once per partition
+        rows.map { case (id, bytes) => fakeFeatures(id, bytes) }
+      }
+  }
 }

@@ -123,15 +123,41 @@ object SimilarityQueries extends QueryPack {
               |FROM ranked WHERE rank <= 5
               |""".stripMargin)),
 
-    // SRP-LSH near-dup: approximate scale path (no oracle — candidate
-    // recall is probabilistic by design; correctness is spec-tested
-    // against blockedNearDup recall in the ScalaTest suite)
+    // SRP-LSH near-dup: approximate scale path. The hyperplanes are
+    // deterministic integer-derived coefficients (Similarity.srpBucket),
+    // so the oracle replays the identical signature: same coefficient
+    // formula, same left-fold projection order, same bucket bit-pack —
+    // then the same verified-cosine filter as the blocked variant.
     "q_embed_neardup_lsh" -> Q(
       (s, d) => Similarity.lshNearDup(t(s, d, "embeddings"),
         idCol = "vec_id", vecCol = "embedding", dim = 64, planes = 4,
         threshold = 0.3),
-      None,
-      note = "approximate by construction; rows-only check"),
+      Some {
+        // proj_p(v) = Σ_i coef(p,i)·v[i], left fold in index order;
+        // coef(p,i) = (((p·2654435761 + i·40503 + 97) % 1000 + 1000)
+        //              % 1000) / 1000.0 - 0.5  (i zero-based)
+        def oProj(p: Int, vec: String) =
+          s"""list_reduce(list_transform(range(1, 65),
+             |    i -> CAST($vec[i] AS DOUBLE) *
+             |         (((($p * 2654435761 + (i-1) * 40503 + 97) % 1000
+             |            + 1000) % 1000) / 1000.0 - 0.5)),
+             |  (x, y) -> x + y)""".stripMargin
+        val oBucket = (0 until 4).map { p =>
+          s"(CASE WHEN ${oProj(p, "embedding")} >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" +\n      ")
+        s"""WITH n AS (
+           |  SELECT vec_id, embedding,
+           |         sqrt(${oDot("embedding", "embedding")}) AS nrm,
+           |         $oBucket AS bucket
+           |  FROM embeddings)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  round(${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm),
+           |        6) AS cos
+           |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE round(${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm),
+           |      6) >= 0.3
+           |""".stripMargin
+      }),
 
     // stream-table join against an embedding-derived feature table:
     // per-label centroid norm lookup (join of a computed dim table)

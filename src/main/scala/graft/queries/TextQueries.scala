@@ -20,10 +20,13 @@ object TextQueries extends QueryPack {
         t(s, d, "documents").select(
           $"doc_id",
           tokenCount($"text").as("n_tokens"),
+          bpeTokenCount($"text").as("n_bpe_tokens"),
           length($"text").cast("long").as("n_chars_m"))
       },
       Some("""SELECT doc_id,
              |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             |    AS n_bpe_tokens,
              |  length(text) AS n_chars_m
              |FROM documents
              |""".stripMargin)),
