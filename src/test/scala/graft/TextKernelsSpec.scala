@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** The codegen text kernels (ShingleSet, MinHashSig,
+  * IntersectCountSorted) must be bit-equivalent to the composed
+  * column/HOF forms they replace — these specs pin that equivalence,
+  * plus the exactness of prefix-filtered Jaccard against brute force.
+  */
+class TextKernelsSpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+
+  private val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private def textGen(nw: Int) = Gen.listOfN(nw, wordGen).map(_.mkString(" "))
+
+  private def docsDf(texts: Seq[String]) = {
+    val s = spark
+    import s.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  test("ShingleSet == array_sort(array_distinct(HOF shingles))") {
+    val s = spark
+    import s.implicits._
+    // include degenerate docs: 0/1/2 tokens (below n=3), repeats
+    val texts = samples(textGen(12), 15) ++
+      Seq("", "one", "one two", "a a a a a", "x y z x y z x y z")
+    val df = docsDf(texts)
+    val got = df.select(col("doc_id"),
+        Dedup.shingleSetCol(TextFunctions.tokens(col("text")), 3).as("ss"))
+      .as[(Long, Seq[String])].collect().toMap
+    val want = df
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+      .select(col("doc_id"), array_sort(array_distinct(
+        TextFunctions.shinglesOfTokens(col("w"), 3))).as("ss"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got == want)
+  }
+
+  test("MinHashSig == plain-Scala universal-hash minima, in range") {
+    val s = spark
+    import s.implicits._
+    val mod = 1 << 20
+    def polyHash(str: String): Long = {
+      var h = 7L
+      str.codePoints().forEach(cp => h = (h * 31 + cp) % mod)
+      h
+    }
+    val texts = samples(textGen(20), 10)
+    val df = docsDf(texts)
+    val sets = Dedup.shingleSets(df, "doc_id", "text", 3)
+    val got = sets.select(col("doc_id"),
+        Dedup.minhashSigCol(col("sh_set"), 8).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val ref = sets.select(col("doc_id"), col("sh_set"))
+      .as[(Long, Seq[String])].collect().toMap
+      .map { case (id, set) =>
+        id -> (0 until 8).map { k =>
+          set.map(sh => (polyHash(sh) * (2 * k + 1) + (97 * k + 31)) % mod).min
+        }
+      }
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (id, sig) =>
+      assert(sig == ref(id), s"doc $id")
+      assert(sig.forall(v => v >= 0 && v < mod))
+    }
+  }
+
+  test("IntersectCountSorted == size(array_intersect) on sorted sets") {
+    val s = spark
+    import s.implicits._
+    val setGen = Gen.listOfN(12, wordGen)
+      .map(_.distinct.sorted)
+    val pairs = samples(Gen.zip(setGen, setGen), 25) ++
+      Seq((Nil, Nil), (List("a"), Nil), (List("a", "b"), List("a", "b")))
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+        call_function(graft.plans.TextExpressions.IntersectCountName,
+          col("a"), col("b")).as("mc"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ai"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (mc, ai) => assert(mc == ai) }
+  }
+
+  test("prefix-filtered jaccardPairs is exact vs brute force") {
+    val s = spark
+    import s.implicits._
+    // corpus with planted near-duplicates: mutate a base text by
+    // swapping a few words so pairs straddle the 0.5 threshold
+    val bases = samples(textGen(15), 6)
+    val mutGen = Gen.choose(0, 14)
+    val texts = bases ++ bases.zipWithIndex.flatMap { case (b, i) =>
+      val ws = b.split(" ")
+      (0 until 2).map { v =>
+        val ks = samples(mutGen, 2 + v + i % 2).distinct
+        val mutated = ws.clone()
+        ks.foreach(k => mutated(k) = s"mut${i}_$v")
+        mutated.mkString(" ")
+      }
+    }
+    val df = docsDf(texts)
+    val got = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // brute force in plain Scala
+    val sets = texts.map { t =>
+      val w = t.trim.split("\\s+")
+      (if (w.length < 3) Seq.empty[String]
+       else w.sliding(3).map(_.mkString(" ")).toSeq).distinct.toSet
+    }
+    val want = (for {
+      i <- sets.indices; j <- sets.indices if i < j
+      si = sets(i); sj = sets(j)
+      if si.nonEmpty && sj.nonEmpty
+      shared = (si & sj).size
+      jac = BigDecimal(shared.toDouble / (si.size + sj.size - shared))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jac >= 0.5
+    } yield (i.toLong, j.toLong) -> jac).toMap
+    assert(got == want)
+    assert(want.nonEmpty, "test corpus must contain near-duplicates")
+    spark.catalog.clearCache()
+  }
+}
