@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.plans.{DotProduct, IntersectCountSorted, MinHashSig, ShingleSet}
+import graft.plans.{DotProduct, IntersectCountSorted, MinHashSig, ShingleSet, SrpBucket}
 
 /** Cluster-wide registration: set
   * `spark.sql.extensions=graft.GraftExtensions` and every session —
@@ -61,6 +61,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     inject("graft_intersect_count") { case Seq(a, b) =>
       IntersectCountSorted(a, b)
+    }
+    inject("graft_srp_bucket") { case Seq(vec, d, p) =>
+      def litInt(e: Expression): Int = e match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_srp_bucket dim/planes must be int literals, got $other")
+      }
+      SrpBucket(vec, litInt(d), litInt(p))
     }
   }
 }

@@ -90,19 +90,17 @@ object Similarity {
     * coefficients are deterministic in (plane, dim): a triangular-wave
     * function of a multiplicative mix, centered on zero. Vectors with
     * small angular distance land in the same bucket with high
-    * probability; buckets then feed [[blockedNearDup]]-style pruning. */
+    * probability; buckets then feed [[blockedNearDup]]-style pruning.
+    * Runs as the codegen'd SrpBucket Catalyst expression
+    * (graft.plans.VectorExpressions) — the composed column form is a
+    * dim×planes-term tree; semantics (coefficients, left-fold
+    * accumulation order) are identical and replayed by the DuckDB
+    * oracle. */
   def srpBucket(vec: Column, dim: Int, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      // proj_p = Σ_d coef(p,d) * vec[d]; coef in [-0.5, 0.5)
-      val terms = (0 until dim).map { dIdx =>
-        val mixed = ((p * 2654435761L + dIdx * 40503L + 97L) % 1000L + 1000L) % 1000L
-        val coef = (mixed / 1000.0) - 0.5
-        element_at(vec, dIdx + 1).cast("double") * lit(coef)
-      }
-      val proj = terms.reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    graft.plans.VectorExpressions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(graft.plans.VectorExpressions.SrpName, vec,
+      lit(dim), lit(planes))
   }
 
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned

@@ -84,13 +84,91 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object SrpKernel {
+  /** Sign-random-projection bucket of a float/double vector:
+    * bit p of the result is set iff Σ_d coef(p,d)·vec[d] >= 0, with
+    * coef(p,d) = (((p·2654435761 + d·40503 + 97) mod 1000 + 1000)
+    * mod 1000) / 1000.0 - 0.5 and the projection accumulated as a left
+    * fold in dimension order — bit-identical to the composed column
+    * form it replaces (and to the DuckDB oracle's list_reduce replay).
+    * A vector shorter than `dim` mirrors element_at's null poisoning:
+    * every projection is null, no bit is set, bucket = 0. */
+  def bucket(vec: ArrayData, isFloat: Boolean, dim: Int,
+      planes: Int): Long = {
+    if (vec.numElements() < dim) return 0L
+    var b = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var d = 0
+      while (d < dim) {
+        val mixed = ((p * 2654435761L + d * 40503L + 97L) % 1000L +
+          1000L) % 1000L
+        val coef = mixed / 1000.0 - 0.5
+        val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+        proj += x * coef
+        d += 1
+      }
+      if (proj >= 0) b |= 1L << p
+      p += 1
+    }
+    b
+  }
+}
+
+/** Codegen'd SRP-LSH bucket key over an embedding column. The composed
+  * column form is a dim×planes-term expression tree (256 nodes at
+  * dim 64) — legal but codegen-hostile (method splitting, no loop) and
+  * rebuilt per query; this is one JIT loop. */
+case class SrpBucket(child: Expression, dim: Int, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_srp_bucket expects float/double array, got ${t.simpleString}")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SrpKernel.bucket(input.asInstanceOf[ArrayData], isFloat, dim, planes)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.SrpKernel.bucket($c, $isFloat, $dim, $planes)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SrpBucket = copy(child = newChild)
+}
+
 object VectorExpressions {
   val DotName = "graft_dot"
+  val SrpName = "graft_srp_bucket"
 
   /** Idempotent per-session registration so `call_function` resolves. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(DotName,
       { exprs => DotProduct(exprs(0), exprs(1)) }, "built-in")
+    reg.createOrReplaceTempFunction(SrpName,
+      { exprs =>
+        def litInt(e: Expression): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"$SrpName dim/planes must be int literals, got $other")
+        }
+        SrpBucket(exprs(0), litInt(exprs(1)), litInt(exprs(2)))
+      }, "built-in")
   }
 }

@@ -58,6 +58,32 @@ object WindowQueries extends QueryPack {
               |GROUP BY l_returnflag, l_linestatus
               |""".stripMargin)),
 
+    // skew-safe two-phase aggregation (operators.Salting): the group
+    // key has only 3 values — the "hot key" shape where one reducer
+    // would take the whole table. Salting spreads each key over
+    // `factor` partial tasks; exact-decimal partials keep the merged
+    // result bit-identical to the plain GROUP BY the oracle runs.
+    "q_salted_agg" -> Q(
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Salting.saltedAgg(
+          t(s, d, "lineitem"), key = "l_returnflag", factor = 8,
+          saltOf = hash($"l_orderkey", $"l_linenumber"),
+          partialAggs = Seq(
+            "cnt" -> count(lit(1)),
+            "qty" -> sum($"l_quantity".cast(
+              org.apache.spark.sql.types.DecimalType(30, 6)))),
+          mergeAggs = Seq(
+            "n_items" -> sum($"cnt"),
+            "sum_qty" -> round(sum($"qty"), 2).cast("double")))
+      },
+      Some(s"""SELECT l_returnflag,
+              |  count(*) AS n_items,
+              |  ${oSumDec("l_quantity", "sum_qty")}
+              |FROM lineitem
+              |GROUP BY l_returnflag
+              |""".stripMargin)),
+
     // the faithful SQL-GROUP-BY shape: 5-minute tumbling COUNT keyed by
     // the projected row (LogicalAggregateTranslator.java:70 — window
     // duration samza.sql.groupby.window.ms default 300000)

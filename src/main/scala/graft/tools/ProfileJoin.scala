@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: plan + timing comparison for the composite-key join. */
+object ProfileJoin {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    def current = {
+      val ps = li.groupBy($"l_partkey".as("ps_partkey"),
+          $"l_suppkey".as("ps_suppkey"))
+        .agg(count(lit(1)).as("ps_lines"))
+      li.join(ps, $"l_partkey" === $"ps_partkey" &&
+          $"l_suppkey" === $"ps_suppkey")
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"ps_lines")
+    }
+
+    def repartitioned = {
+      val liP = li.select($"l_orderkey", $"l_partkey", $"l_suppkey")
+        .repartition($"l_partkey", $"l_suppkey")
+      val ps = liP.groupBy($"l_partkey".as("ps_partkey"),
+          $"l_suppkey".as("ps_suppkey"))
+        .agg(count(lit(1)).as("ps_lines"))
+      liP.join(ps, $"l_partkey" === $"ps_partkey" &&
+          $"l_suppkey" === $"ps_suppkey")
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"ps_lines")
+    }
+
+    current.count() // warm
+    time("current")(println("  n=" + current.count()))
+    time("repartitioned")(println("  n=" + repartitioned.count()))
+    println("=== current plan ===")
+    current.explain("formatted")
+    println("=== repartitioned plan ===")
+    repartitioned.explain("formatted")
+    spark.stop()
+  }
+}
