@@ -76,18 +76,31 @@ object Dedup {
       .select(col(idCol), explode(col("sh_set")).as("shingle"))
 
   /** All-pairs n-gram Jaccard: pairs of documents with
-    * jaccard >= threshold. Returns (id_a, id_b, jaccard) with
-    * id_a < id_b.
+    * round(jaccard, 4) >= threshold. Returns (id_a, id_b, jaccard)
+    * with id_a < id_b.
     *
-    * Exact despite the pruning: under any global total order on
-    * shingles (we use lexicographic — array_sort is codegen'd), two
-    * sets with J >= t must share an element within their first
-    * |x| - ceil(t·|x|) + 1 elements (PPJoin prefix-filtering
-    * principle), so indexing only prefixes generates every qualifying
-    * pair; each candidate is then verified with the true Jaccard over
+    * Exact despite three layers of pruning (all PPJoin-family filters,
+    * applied with an effective threshold tEff = t - 1e-4 so that pairs
+    * whose RAW jaccard is just below t but ROUNDS to t are never
+    * pruned — the final verification uses the rounded value):
+    *  1. prefix filter: under any global total order on shingles (we
+    *     use lexicographic — the sorted ShingleSet contract), two sets
+    *     with J >= t share an element within their first
+    *     |x| - ceil(t·|x|) + 1 elements, so only prefixes enter the
+    *     inverted index;
+    *  2. length filter: J >= t forces min(sz)/max(sz) >= t;
+    *  3. positional filter: prefixes are downward-closed in the sort
+    *     order, so the smallest MATCHING shingle of a pair is its
+    *     smallest COMMON element; every common element sorts at or
+    *     after it, hence overlap <= min(sz_a - pos_a, sz_b - pos_b)
+    *     (0-based positions in the sorted sets). Pairs whose bound
+    *     cannot reach the required overlap t(sz_a+sz_b)/(1+t) skip
+    *     verification entirely.
+    * Each surviving candidate is verified with the true Jaccard over
     * the full sets. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
+    val tEff = threshold - 1e-4
     // persisted: feeds both prefix-index sides and the verify joins.
     // Lifecycle note: the cache outlives this call (the result
     // DataFrame references it); callers that loop over many corpora
@@ -95,19 +108,30 @@ object Dedup {
     // do.
     val docs = shingleSets(df, idCol, textCol, n)
       .withColumn("prefix", slice(col("sh_set"), lit(1),
-        (col("sz") - ceil(col("sz") * lit(threshold)) + lit(1)).cast("int")))
+        (col("sz") - ceil(col("sz") * lit(tEff)) + lit(1)).cast("int")))
       .persist()
     val pa = docs.select(col(idCol).as("id_a"), col("sz").as("psz_a"),
-      explode(col("prefix")).as("shingle"))
+      posexplode(col("prefix")).as(Seq("pos_a", "shingle")))
     val pb = docs.select(col(idCol).as("id_b"), col("sz").as("psz_b"),
-      explode(col("prefix")).as("shingle"))
-    // length filter: J >= t forces min(sz)/max(sz) >= t — prune before
-    // the distinct
+      posexplode(col("prefix")).as(Seq("pos_b", "shingle")))
+    // For a fixed pair, match-shingle order equals position order on
+    // BOTH sides (each side is sorted by the same global order), so
+    // min(pos_a) and min(pos_b) both belong to the smallest matching
+    // shingle — the pair's smallest common element. The aggregation
+    // shuffles only integers and doubles as the pair-dedup the verify
+    // needs.
     val candidates = pa.join(pb, "shingle")
       .filter(col("id_a") < col("id_b") &&
-        greatest(col("psz_a"), col("psz_b")) * lit(threshold) <=
+        greatest(col("psz_a"), col("psz_b")) * lit(tEff) <=
           least(col("psz_a"), col("psz_b")))
-      .select("id_a", "id_b").distinct()
+      .groupBy(col("id_a"), col("id_b"), col("psz_a"), col("psz_b"))
+      .agg(min(col("pos_a")).as("mpa"), min(col("pos_b")).as("mpb"))
+      .withColumn("ub", least(col("psz_a") - col("mpa"),
+        col("psz_b") - col("mpb")))
+      // ub >= tEff(A+B)/(1+tEff), kept ceil-free in exact-enough form
+      .filter(col("ub") * lit(1 + tEff) >=
+        (col("psz_a") + col("psz_b")) * lit(tEff))
+      .select("id_a", "id_b")
     verifyJaccard(candidates, docs, idCol, threshold)
   }
 

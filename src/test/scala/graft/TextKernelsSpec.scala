@@ -90,6 +90,15 @@ class TextKernelsSpec extends SparkSpec {
     rows.foreach { case (mc, ai) => assert(mc == ai) }
   }
 
+  test("shingle->signature stage is shuffle-free (scale invariant)") {
+    val df = docsDf(samples(textGen(12), 10))
+    val staged = Dedup.shingleSets(df, "doc_id", "text", 3)
+      .withColumn("sig", Dedup.minhashSigCol(col("sh_set"), 16))
+    val plan = staged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"per-document signature stage must not shuffle:\n$plan")
+  }
+
   test("prefix-filtered jaccardPairs is exact vs brute force") {
     val s = spark
     import s.implicits._
