@@ -107,8 +107,14 @@ object Similarity {
     * into `nlist` cells by nearest centroid; a query scores only the
     * `nprobe` cells whose centroids it is closest to. At 100 TB this is
     * the difference between scanning the corpus per query and scanning
-    * nprobe/nlist of it — centroids are broadcast, the cell assignment
-    * is one narrow pass, and the probe join shuffles on cell id.
+    * nprobe/nlist of it.
+    *
+    * The centroid table (nlist rows) is collected to the driver and
+    * embedded as an array literal, so cell assignment and probe
+    * selection are NARROW per-row argmax/top-n over that array — no
+    * shuffle touches the corpus until the final probe join on cell id.
+    * (The previous shape ran row_number windows over corpus×nlist
+    * rows: a corpus-sized shuffle that exists only to pick a max.)
     *
     * Centroids are a deterministic pseudo-random sample: the nlist
     * vectors with the smallest md5(id) — computed by a DISTRIBUTED
@@ -120,41 +126,54 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int, nprobe: Int,
       scale: Int = 6): DataFrame = {
-    // persisted: feeds centroid selection AND cell assignment
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
       .withColumn("nn_nrm", norm(col("nn_vec")))
       .filter(col("nn_nrm") > 0) // zero-norm → NaN cosine; exclude
-      .persist()
-    val centroids = c
+    // centroid table → driver (nlist rows — the IVF index's codebook),
+    // ordered by cent_id so array positions give deterministic
+    // tie-breaks (score desc, cent_id asc — matches the oracle's
+    // row_number ordering)
+    val centRows = c
       .withColumn("__h", md5(col("nn_id").cast("string")))
       .orderBy(col("__h")) // TakeOrderedAndProject with the limit below
       .limit(nlist)
       .select(col("nn_id").as("cent_id"), col("nn_vec").as("cent_vec"),
         col("nn_nrm").as("cent_nrm"))
-    // assign every corpus vector to its nearest centroid (one narrow
-    // pass over a broadcast centroid table)
-    val wAssign = Window.partitionBy(col("nn_id"))
-      .orderBy(col("cent_score").desc, col("cent_id").asc)
-    val assigned = c.crossJoin(broadcast(centroids))
-      .withColumn("cent_score",
-        dot(col("nn_vec"), col("cent_vec")) / (col("nn_nrm") * col("cent_nrm")))
-      .withColumn("__r", row_number().over(wAssign))
-      .filter(col("__r") === 1)
+      .collect()
+      .sortBy(_.getAs[Long]("cent_id"))
+    val centArr = array(centRows.map { r =>
+      struct(lit(r.getAs[Long]("cent_id")).as("cent_id"),
+        typedLit(r.getSeq[Float](1)).as("cent_vec"),
+        lit(r.getAs[Double]("cent_nrm")).as("cent_nrm"))
+    }: _*)
+    // per-row centroid scores: the lambda only captures plain
+    // attributes (vec, nrm), so interpreted HOF evaluation costs one
+    // method dispatch per centroid — the dot product itself runs the
+    // DotProduct kernel
+    def cellScores(vec: Column, nrm: Column): Column =
+      transform(centArr, cs => struct(
+        (dot(vec, cs.getField("cent_vec")) /
+          (nrm * cs.getField("cent_nrm"))).as("s"),
+        (-cs.getField("cent_id")).as("negid")))
+    // argmax by (score desc, cent_id asc) == array_max of
+    // struct(score, -cent_id)
+    val assigned = c
+      .withColumn("__best", array_max(cellScores(col("nn_vec"), col("nn_nrm"))))
       .select(col("nn_id"), col("nn_vec"), col("nn_nrm"),
-        col("cent_id").as("cell"))
-    // pick each query's nprobe nearest cells
+        (-col("__best.negid")).as("cell"))
+    // each query's nprobe nearest cells: sort the nlist scores
+    // (asc by (-score, cent_id)) and take the first nprobe
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("q_nrm", norm(col("q_vec")))
       .filter(col("q_nrm") > 0)
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("cent_score").desc, col("cent_id").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("cent_score",
-        dot(col("q_vec"), col("cent_vec")) / (col("q_nrm") * col("cent_nrm")))
-      .withColumn("__r", row_number().over(wProbe))
-      .filter(col("__r") <= nprobe)
+    val probes = q
+      .withColumn("__probe", explode(slice(array_sort(
+        transform(cellScores(col("q_vec"), col("q_nrm")), cs => struct(
+          (-cs.getField("s")).as("negs"),
+          (-cs.getField("negid")).as("cent_id")))),
+        1, nprobe)))
       .select(col("q_id"), col("q_vec"), col("q_nrm"),
-        col("cent_id").as("cell"))
+        col("__probe.cent_id").as("cell"))
     // score only vectors in probed cells
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("nn_id").asc)

@@ -93,14 +93,19 @@ object JoinQueries extends QueryPack {
 
     // composite (multi-column) equi-join key — the reference builds a
     // composite RocksDB table key (JoinTranslator.java:176-196); here the
-    // shuffle key is the column pair.
+    // shuffle key is the column pair. The aggregated side's cardinality
+    // scales WITH the fact table (~591k groups per 600k rows at sf0.1),
+    // so it must never be broadcast — shuffle_hash keeps the join a
+    // shuffled hash join, which is also what survives a 100× scale-up
+    // (without the hint, AQE sees a small byte size and builds a
+    // fact-table-sized broadcast hash table on the driver).
     "q_join_composite_key" -> Q(
       (s, d) => {
         import s.implicits._
         val li = t(s, d, "lineitem")
         val ps = li.groupBy($"l_partkey".as("ps_partkey"),
             $"l_suppkey".as("ps_suppkey"))
-          .agg(count(lit(1)).as("ps_lines"))
+          .agg(count(lit(1)).as("ps_lines")).hint("shuffle_hash")
         li.join(ps, $"l_partkey" === $"ps_partkey" &&
             $"l_suppkey" === $"ps_suppkey")
           .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"ps_lines")

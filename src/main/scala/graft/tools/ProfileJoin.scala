@@ -43,13 +43,23 @@ object ProfileJoin {
         .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"ps_lines")
     }
 
+    def shj = {
+      val ps = li.groupBy($"l_partkey".as("ps_partkey"),
+          $"l_suppkey".as("ps_suppkey"))
+        .agg(count(lit(1)).as("ps_lines")).hint("shuffle_hash")
+      li.join(ps, $"l_partkey" === $"ps_partkey" &&
+          $"l_suppkey" === $"ps_suppkey")
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"ps_lines")
+    }
+
+    println("  n_groups=" + li.select($"l_partkey", $"l_suppkey")
+      .distinct().count())
     current.count() // warm
-    time("current")(println("  n=" + current.count()))
+    time("current broadcast")(println("  n=" + current.count()))
+    time("current broadcast 2")(println("  n=" + current.count()))
+    time("shuffle_hash")(println("  n=" + shj.count()))
+    time("shuffle_hash 2")(println("  n=" + shj.count()))
     time("repartitioned")(println("  n=" + repartitioned.count()))
-    println("=== current plan ===")
-    current.explain("formatted")
-    println("=== repartitioned plan ===")
-    repartitioned.explain("formatted")
     spark.stop()
   }
 }
