@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Sinks, Tables}
+
+/** Date-time bucketed parquet sink: bucket layout, append semantics,
+  * and partition pruning on the bucket column. */
+class SinksSpec extends SparkSpec {
+
+  test("bucketed write partitions by hour and prunes on read") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft-sinks").toString
+    val events = Tables.load(s, sf001, "events").limit(5000)
+      .select($"event_id", $"user_id", $"ts").cache()
+    Sinks.writeDateTimeBucketed(events, "ts", out, "job-a")
+
+    val back = s.read.parquet(s"$out/job-a")
+    assert(back.count() == events.count())
+    // bucket column materialized from the directory layout
+    val buckets = back.select(Sinks.BucketCol).distinct().as[String].collect()
+    assert(buckets.nonEmpty && buckets.forall(_.matches("\\d{4}-\\d{2}-\\d{2}-\\d{2}")))
+    // a bucket-filtered scan prunes partitions: only matching files read
+    val one = buckets.min
+    val pruned = back.filter(col(Sinks.BucketCol) === one)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains(Sinks.BucketCol),
+      s"bucket filter must reach the scan as a partition filter:\n$plan")
+    val expected = events
+      .filter(date_format($"ts", "yyyy-MM-dd-HH") === one).count()
+    assert(pruned.count() == expected)
+
+    // append mode: a second run adds rows to existing buckets
+    Sinks.writeDateTimeBucketed(events, "ts", out, "job-a")
+    assert(s.read.parquet(s"$out/job-a").count() == 2 * events.count())
+    events.unpersist()
+  }
+}
