@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.plans.{DotProduct, IntersectCountSorted, MinHashSig, ShingleSet, SrpBucket}
+import graft.plans.{DotProduct, IntersectCountSorted, LitArg, MinHashSig, ShingleSet, SrpBucket}
 
 /** Cluster-wide registration: set
   * `spark.sql.extensions=graft.GraftExtensions` and every session —
@@ -44,31 +44,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // engine vector/text expressions
     inject("graft_dot") { case Seq(a, b) => DotProduct(a, b) }
     inject("graft_minhash_sig") { case Seq(arr, k, seed, bits) =>
-      def litInt(e: Expression): Int = e match {
-        case Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"graft_minhash_sig parameters must be int literals, got $other")
-      }
-      MinHashSig(arr, litInt(k), litInt(seed), litInt(bits))
+      MinHashSig(arr, LitArg.int("graft_minhash_sig", k),
+        LitArg.int("graft_minhash_sig", seed),
+        LitArg.int("graft_minhash_sig", bits))
     }
     inject("graft_shingle_set") { case Seq(arr, n) =>
-      val nv = n match {
-        case Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"graft_shingle_set n must be an int literal, got $other")
-      }
-      ShingleSet(arr, nv)
+      ShingleSet(arr, LitArg.int("graft_shingle_set", n))
     }
     inject("graft_intersect_count") { case Seq(a, b) =>
       IntersectCountSorted(a, b)
     }
     inject("graft_srp_bucket") { case Seq(vec, d, p) =>
-      def litInt(e: Expression): Int = e match {
-        case Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"graft_srp_bucket dim/planes must be int literals, got $other")
-      }
-      SrpBucket(vec, litInt(d), litInt(p))
+      SrpBucket(vec, LitArg.int("graft_srp_bucket", d),
+        LitArg.int("graft_srp_bucket", p))
     }
   }
 }

@@ -130,39 +130,53 @@ object Similarity {
       .withColumn("nn_nrm", norm(col("nn_vec")))
       .filter(col("nn_nrm") > 0) // zero-norm → NaN cosine; exclude
     // centroid table → driver (nlist rows — the IVF index's codebook),
-    // ordered by cent_id so array positions give deterministic
-    // tie-breaks (score desc, cent_id asc — matches the oracle's
-    // row_number ordering)
+    // sorted engine-side by cent_id (id-type generic) so ARRAY POSITION
+    // gives deterministic tie-breaks (score desc, cent_id asc — matches
+    // the oracle's row_number ordering) without arithmetic on the id
     val centRows = c
       .withColumn("__h", md5(col("nn_id").cast("string")))
       .orderBy(col("__h")) // TakeOrderedAndProject with the limit below
       .limit(nlist)
       .select(col("nn_id").as("cent_id"), col("nn_vec").as("cent_vec"),
         col("nn_nrm").as("cent_nrm"))
+      .orderBy(col("cent_id"))
       .collect()
-      .sortBy(_.getAs[Long]("cent_id"))
+    if (centRows.isEmpty) {
+      // empty corpus → empty result with the output schema
+      return queries.limit(0).select(col(idCol).as("q_id"),
+        col(idCol).as("nn_id"), lit(0L).as("rank"), lit(0.0).as("cos"))
+    }
+    val vecLit: Any => Column = corpus.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) =>
+        v => typedLit(v.asInstanceOf[Seq[Double]])
+      case _ => v => typedLit(v.asInstanceOf[Seq[Float]])
+    }
     val centArr = array(centRows.map { r =>
-      struct(lit(r.getAs[Long]("cent_id")).as("cent_id"),
-        typedLit(r.getSeq[Float](1)).as("cent_vec"),
+      struct(lit(r.get(0)).as("cent_id"),
+        vecLit(r.getSeq[Any](1)).as("cent_vec"),
         lit(r.getAs[Double]("cent_nrm")).as("cent_nrm"))
     }: _*)
-    // per-row centroid scores: the lambda only captures plain
-    // attributes (vec, nrm), so interpreted HOF evaluation costs one
-    // method dispatch per centroid — the dot product itself runs the
-    // DotProduct kernel
+    // per-row centroid scores with the array index as tie-break: the
+    // lambda only captures plain attributes (vec, nrm), so interpreted
+    // HOF evaluation costs one method dispatch per centroid — the dot
+    // product itself runs the DotProduct kernel. negidx is unique per
+    // element, so the cent_id field never participates in struct
+    // comparisons.
     def cellScores(vec: Column, nrm: Column): Column =
-      transform(centArr, cs => struct(
+      transform(centArr, (cs, i) => struct(
         (dot(vec, cs.getField("cent_vec")) /
           (nrm * cs.getField("cent_nrm"))).as("s"),
-        (-cs.getField("cent_id")).as("negid")))
+        (-i).as("negidx"),
+        cs.getField("cent_id").as("cent_id")))
     // argmax by (score desc, cent_id asc) == array_max of
-    // struct(score, -cent_id)
+    // struct(score, -index)
     val assigned = c
       .withColumn("__best", array_max(cellScores(col("nn_vec"), col("nn_nrm"))))
       .select(col("nn_id"), col("nn_vec"), col("nn_nrm"),
-        (-col("__best.negid")).as("cell"))
+        col("__best.cent_id").as("cell"))
     // each query's nprobe nearest cells: sort the nlist scores
-    // (asc by (-score, cent_id)) and take the first nprobe
+    // (asc by (-score, index)) and take the first nprobe
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("q_nrm", norm(col("q_vec")))
       .filter(col("q_nrm") > 0)
@@ -170,7 +184,8 @@ object Similarity {
       .withColumn("__probe", explode(slice(array_sort(
         transform(cellScores(col("q_vec"), col("q_nrm")), cs => struct(
           (-cs.getField("s")).as("negs"),
-          (-cs.getField("negid")).as("cent_id")))),
+          (-cs.getField("negidx")).as("idx"),
+          cs.getField("cent_id").as("cent_id")))),
         1, nprobe)))
       .select(col("q_id"), col("q_vec"), col("q_nrm"),
         col("__probe.cent_id").as("cell"))

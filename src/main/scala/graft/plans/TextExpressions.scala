@@ -142,6 +142,8 @@ case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if n < 1 => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_set n must be >= 1, got $n")
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"graft_shingle_set expects array<string>, got ${t.simpleString}")
@@ -174,6 +176,12 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Int,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // bits > 30 would wrap the Int shift (1 << 31 < 0, 1 << 32 == 1)
+    // and silently collapse every signature — reject at analysis
+    case _ if bits < 1 || bits > 30 => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig bits must be in [1, 30], got $bits")
+    case _ if numHashes < 1 => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig numHashes must be >= 1, got $numHashes")
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"graft_minhash_sig expects array<string>, got ${t.simpleString}")
@@ -192,27 +200,33 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Int,
       newChild: Expression): MinHashSig = copy(child = newChild)
 }
 
+/** Shared extractor for the integer-literal parameters of graft
+  * expression builders (function registry + GraftExtensions). */
+object LitArg {
+  def int(fn: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects integer literal parameters, got $other")
+  }
+}
+
 object TextExpressions {
   val MinHashName = "graft_minhash_sig"
   val ShingleSetName = "graft_shingle_set"
   val IntersectCountName = "graft_intersect_count"
-
-  private def litInt(e: Expression): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    case other => throw new IllegalArgumentException(
-      s"graft text expressions expect integer literal parameters, got $other")
-  }
 
   /** Idempotent per-session registration so `call_function` resolves. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(MinHashName,
       { exprs =>
-        MinHashSig(exprs(0), litInt(exprs(1)), litInt(exprs(2)),
-          litInt(exprs(3)))
+        MinHashSig(exprs(0), LitArg.int(MinHashName, exprs(1)),
+          LitArg.int(MinHashName, exprs(2)),
+          LitArg.int(MinHashName, exprs(3)))
       }, "built-in")
     reg.createOrReplaceTempFunction(ShingleSetName,
-      { exprs => ShingleSet(exprs(0), litInt(exprs(1))) }, "built-in")
+      { exprs => ShingleSet(exprs(0), LitArg.int(ShingleSetName, exprs(1))) },
+      "built-in")
     reg.createOrReplaceTempFunction(IntersectCountName,
       { exprs => IntersectCountSorted(exprs(0), exprs(1)) }, "built-in")
   }

@@ -128,6 +128,13 @@ case class SrpBucket(child: Expression, dim: Int, planes: Int)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
+      // planes > 63 would wrap the Long bit shift; reject at analysis
+      case _ if planes < 1 || planes > 63 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_srp_bucket planes must be in [1, 63], got $planes")
+      case _ if dim < 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_srp_bucket dim must be >= 1, got $dim")
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t =>
@@ -163,12 +170,8 @@ object VectorExpressions {
       { exprs => DotProduct(exprs(0), exprs(1)) }, "built-in")
     reg.createOrReplaceTempFunction(SrpName,
       { exprs =>
-        def litInt(e: Expression): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"$SrpName dim/planes must be int literals, got $other")
-        }
-        SrpBucket(exprs(0), litInt(exprs(1)), litInt(exprs(2)))
+        SrpBucket(exprs(0), LitArg.int(SrpName, exprs(1)),
+          LitArg.int(SrpName, exprs(2)))
       }, "built-in")
   }
 }

@@ -27,8 +27,12 @@ class SinksSpec extends SparkSpec {
     val one = buckets.min
     val pruned = back.filter(col(Sinks.BucketCol) === one)
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") &&
-      plan.contains(Sinks.BucketCol),
+    // the filter must appear INSIDE the scan's PartitionFilters list —
+    // plain contains() on both tokens would also pass with an empty
+    // "PartitionFilters: []" plus a post-scan Filter
+    val prunedFilter =
+      s"PartitionFilters: \\[[^\\]]*${Sinks.BucketCol}".r
+    assert(prunedFilter.findFirstIn(plan).isDefined,
       s"bucket filter must reach the scan as a partition filter:\n$plan")
     val expected = events
       .filter(date_format($"ts", "yyyy-MM-dd-HH") === one).count()
