@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The reference's LOW-LEVEL task API (its third query surface) on
+  * Spark: per-message `process()` callbacks with a persistent
+  * KeyValueStore plus a periodic `window()` tick.
+  *
+  * Reference surface (samza-api):
+  *  - task/StreamTask.java:49 — process(envelope, collector, coordinator)
+  *  - task/WindowableTask.java:38 — window(collector, coordinator),
+  *    called every task.window.ms (TaskConfig.java:54)
+  *  - storage/kv/KeyValueStore.java:40 — get:59 put:89 delete:105
+  *    all:152 over the task's local RocksDB store
+  *
+  * Spark mapping: a Samza task owns one partition of a keyed stream and
+  * a store scoped to it. Here each distinct task key (the user's
+  * partitionBy) is a "task"; its store is keyed state managed by
+  * flatMapGroupsWithState — Spark's analog of the per-task RocksDB +
+  * RunLoop timer (container/RunLoop.java:79-121). Messages are sorted
+  * by `orderBy` inside each invocation because groupByKey does NOT
+  * preserve cross-partition arrival order (Samza delivers a partition
+  * in offset order; the sort restores determinism).
+  *
+  * `window()` runs when `windowMs` has elapsed since the last tick, at
+  * invocation granularity on the data path plus processing-time
+  * timeouts for idle tasks — batch granularity is the micro-batch
+  * analog of RunLoop's timer thread.
+  */
+object TaskRunner {
+
+  /** KeyValueStore.java:40 essentials over the task's state map; string
+    * key/value like the reference's serde-wrapped byte store (callers
+    * layer typed serdes the same way). */
+  final class KVStore private[graft] (
+      private[graft] var map: Map[String, String]) {
+    def get(k: String): Option[String] = map.get(k)
+    def put(k: String, v: String): Unit = map = map.updated(k, v)
+    def delete(k: String): Unit = map = map - k
+    def all: Map[String, String] = map
+  }
+
+  /** MessageCollector analog. */
+  final class Collector[OUT] private[graft] () {
+    private[graft] val out = Seq.newBuilder[OUT]
+    def send(m: OUT): Unit = out += m
+  }
+
+  /** StreamTask + WindowableTask in one trait; override `window` for
+    * the periodic tick (default: no-op, plain StreamTask). */
+  trait StreamTaskLike[T, OUT] extends Serializable {
+    def process(msg: T, store: KVStore, collector: Collector[OUT]): Unit
+    def window(store: KVStore, collector: Collector[OUT]): Unit = ()
+  }
+
+  /** Persisted per-task state: the store plus the last window tick. */
+  case class TaskState(store: Map[String, String], lastWindowMs: Long)
+
+  /** Run a low-level task over a (bounded or streaming) Dataset.
+    * `taskKeyFn` plays partitionBy: one logical task per key.
+    * `orderBy` restores per-task delivery order within an invocation. */
+  def run[T, K, OUT](ds: Dataset[T], taskKeyFn: T => K,
+      task: StreamTaskLike[T, OUT], orderBy: T => Long,
+      windowMs: Option[Long] = None,
+      clock: () => Long = () => System.currentTimeMillis())(
+      implicit kEnc: Encoder[K], outEnc: Encoder[OUT],
+      stateEnc: Encoder[TaskState]): Dataset[OUT] = {
+
+    def invoke(key: K, values: Iterator[T],
+        state: GroupState[TaskState]): Iterator[OUT] = {
+      var st = state.getOption.getOrElse(TaskState(Map.empty, clock()))
+      val store = new KVStore(st.store)
+      val collector = new Collector[OUT]
+      values.toSeq.sortBy(orderBy).foreach { m =>
+        task.process(m, store, collector)
+      }
+      val now = clock()
+      windowMs.foreach { w =>
+        if (now - st.lastWindowMs >= w || state.hasTimedOut) {
+          task.window(store, collector)
+          st = st.copy(lastWindowMs = now)
+        }
+        if (!state.hasTimedOut)
+          scala.util.Try(state.setTimeoutDuration(w)) // streaming only
+      }
+      state.update(TaskState(store.map, st.lastWindowMs))
+      collector.out.result().iterator
+    }
+
+    ds.groupByKey(taskKeyFn)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (windowMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(invoke)
+  }
+}
