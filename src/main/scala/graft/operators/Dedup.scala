@@ -49,12 +49,9 @@ object Dedup {
     * codegen'd ShingleSet Catalyst expression (graft.plans
     * .TextExpressions) — one JIT loop, immune to the interpreted-HOF
     * re-evaluation trap (see ShingleKernel's doc). */
-  def shingleSetCol(tokensArr: Column, n: Int): Column = {
-    graft.plans.TextExpressions.ensureRegistered(
-      org.apache.spark.sql.SparkSession.active)
-    call_function(graft.plans.TextExpressions.ShingleSetName, tokensArr,
-      lit(n))
-  }
+  def shingleSetCol(tokensArr: Column, n: Int): Column =
+    graft.plans.GraftCall(graft.plans.TextExpressions.ShingleSetName,
+      tokensArr, lit(n))
 
   /** Per-document distinct shingle set (SORTED ascending — the
     * ShingleSet contract), computed WITHOUT a shuffle:
@@ -154,7 +151,7 @@ object Dedup {
     val bSide = docs.select(col(idCol).as("id_b"),
       col("sh_set").as("set_b"), col("sz").as("sz_b")).hint("shuffle_hash")
     candidates.join(aSide, "id_a").join(bSide, "id_b")
-      .withColumn("shared", call_function(
+      .withColumn("shared", graft.plans.GraftCall(
         graft.plans.TextExpressions.IntersectCountName,
         col("set_a"), col("set_b")))
       .withColumn("jaccard", round(col("shared").cast("double") /
@@ -170,12 +167,9 @@ object Dedup {
     * shingle-set column, via the codegen'd MinHashSig Catalyst
     * expression (graft.plans.TextExpressions) — one JIT loop instead of
     * numHashes interpreted higher-order-function passes. */
-  def minhashSigCol(shSet: Column, numHashes: Int): Column = {
-    graft.plans.TextExpressions.ensureRegistered(
-      org.apache.spark.sql.SparkSession.active)
-    call_function(graft.plans.TextExpressions.MinHashName, shSet,
+  def minhashSigCol(shSet: Column, numHashes: Int): Column =
+    graft.plans.GraftCall(graft.plans.TextExpressions.MinHashName, shSet,
       lit(numHashes), lit(7), lit(20))
-  }
 
   /** MinHash signatures from raw text (one row per id, numHashes
     * mh_<k> columns). Documents with no shingles are dropped (nothing

@@ -22,11 +22,8 @@ object Similarity {
     * equivalent higher-order-function composition
     * (aggregate(zip_with(...))) evaluates interpreted per element and
     * dominated similarity-search cost (graft.plans.VectorExpressions). */
-  def dot(a: Column, b: Column): Column = {
-    graft.plans.VectorExpressions.ensureRegistered(
-      org.apache.spark.sql.SparkSession.active)
-    call_function(graft.plans.VectorExpressions.DotName, a, b)
-  }
+  def dot(a: Column, b: Column): Column =
+    graft.plans.GraftCall(graft.plans.VectorExpressions.DotName, a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -96,12 +93,9 @@ object Similarity {
     * dim×planes-term tree; semantics (coefficients, left-fold
     * accumulation order) are identical and replayed by the DuckDB
     * oracle. */
-  def srpBucket(vec: Column, dim: Int, planes: Int): Column = {
-    graft.plans.VectorExpressions.ensureRegistered(
-      org.apache.spark.sql.SparkSession.active)
-    call_function(graft.plans.VectorExpressions.SrpName, vec,
+  def srpBucket(vec: Column, dim: Int, planes: Int): Column =
+    graft.plans.GraftCall(graft.plans.VectorExpressions.SrpName, vec,
       lit(dim), lit(planes))
-  }
 
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned
     * into `nlist` cells by nearest centroid; a query scores only the

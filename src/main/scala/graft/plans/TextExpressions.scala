@@ -2,10 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared hot-loop kernels, callable from both interpreted eval and
   * generated code. Keeping the loop in one static method means codegen
@@ -56,7 +57,7 @@ object MinHashKernel {
 }
 
 object ShingleKernel {
-  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  private val Space = UTF8String.fromString(" ")
 
   /** Distinct word n-gram shingles of a token array, SORTED ascending
     * in binary (UTF8String) order — semantically
@@ -72,14 +73,13 @@ object ShingleKernel {
   def shingleSet(arr: ArrayData, n: Int): ArrayData = {
     val sz = arr.numElements()
     if (sz < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.TreeSet[org.apache.spark.unsafe.types.UTF8String]
-    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    val seen = new java.util.TreeSet[UTF8String]
+    val parts = new Array[UTF8String](n)
     var i = 0
     while (i <= sz - n) {
       var j = 0
       while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
-      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(Space,
-        parts: _*))
+      seen.add(UTF8String.concatWs(Space, parts: _*))
       i += 1
     }
     new GenericArrayData(seen.toArray(
@@ -109,7 +109,7 @@ object ShingleKernel {
 /** Codegen'd |a ∩ b| over two sorted-distinct array<string> columns
   * (the [[ShingleKernel.shingleSet]] contract). */
 case class IntersectCountSorted(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -207,6 +207,20 @@ object LitArg {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$fn expects integer literal parameters, got $other")
+  }
+}
+
+/** One-stop invocation of a graft expression from Column code:
+  * ensures the active session has the function registered, then calls
+  * it. Keeps call sites free of the register-then-call boilerplate and
+  * of implicit registration-order dependencies. */
+object GraftCall {
+  def apply(name: String, args: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.Column = {
+    val spark = SparkSession.active
+    TextExpressions.ensureRegistered(spark)
+    VectorExpressions.ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function(name, args: _*)
   }
 }
 

@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -28,15 +29,15 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      : TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      TypeCheckResult.TypeCheckSuccess
     else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      TypeCheckResult.TypeCheckFailure(
         s"graft_dot expects float/double arrays, got " +
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
@@ -121,24 +122,24 @@ object SrpKernel {
   * dim 64) — legal but codegen-hostile (method splitting, no loop) and
   * rebuilt per query; this is one JIT loop. */
 case class SrpBucket(child: Expression, dim: Int, planes: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      : TypeCheckResult =
     child.dataType match {
       // planes > 63 would wrap the Long bit shift; reject at analysis
       case _ if planes < 1 || planes > 63 =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        TypeCheckResult.TypeCheckFailure(
           s"graft_srp_bucket planes must be in [1, 63], got $planes")
       case _ if dim < 1 =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        TypeCheckResult.TypeCheckFailure(
           s"graft_srp_bucket dim must be >= 1, got $dim")
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        TypeCheckResult.TypeCheckSuccess
       case t =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        TypeCheckResult.TypeCheckFailure(
           s"graft_srp_bucket expects float/double array, got ${t.simpleString}")
     }
 

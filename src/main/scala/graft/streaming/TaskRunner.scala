@@ -67,6 +67,10 @@ object TaskRunner {
       implicit kEnc: Encoder[K], outEnc: Encoder[OUT],
       stateEnc: Encoder[TaskState]): Dataset[OUT] = {
 
+    // timeouts exist only on the streaming path; batch invocations get
+    // the window tick from the data-path elapsed check alone
+    val streaming = ds.isStreaming
+
     def invoke(key: K, values: Iterator[T],
         state: GroupState[TaskState]): Iterator[OUT] = {
       var st = state.getOption.getOrElse(TaskState(Map.empty, clock()))
@@ -81,8 +85,7 @@ object TaskRunner {
           task.window(store, collector)
           st = st.copy(lastWindowMs = now)
         }
-        if (!state.hasTimedOut)
-          scala.util.Try(state.setTimeoutDuration(w)) // streaming only
+        if (streaming && !state.hasTimedOut) state.setTimeoutDuration(w)
       }
       state.update(TaskState(store.map, st.lastWindowMs))
       collector.out.result().iterator
