@@ -90,6 +90,23 @@ class TextKernelsSpec extends SparkSpec {
     rows.foreach { case (mc, ai) => assert(mc == ai) }
   }
 
+  test("pair with raw jaccard below t that ROUNDS to t is kept") {
+    val s = spark
+    import s.implicits._
+    // two docs sharing a 30001-word run: shared shingles = 29999,
+    // each doc 45000 distinct shingles -> J = 29999/60001 = 0.4999750...
+    // which is < 0.5 raw but round(.,4) = 0.5 — the filters must use
+    // tEff < t or this pair is wrongly pruned before verification
+    val shared = (0 until 30001).map(i => s"s$i")
+    val docA = (shared ++ (0 until 15001).map(i => s"a$i")).mkString(" ")
+    val docB = (shared ++ (0 until 15001).map(i => s"b$i")).mkString(" ")
+    val df = docsDf(Seq(docA, docB))
+    val out = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((0L, 1L, 0.5)))
+    spark.catalog.clearCache()
+  }
+
   test("shingle->signature stage is shuffle-free (scale invariant)") {
     val df = docsDf(samples(textGen(12), 10))
     val staged = Dedup.shingleSets(df, "doc_id", "text", 3)
