@@ -99,6 +99,73 @@ object TextQueries extends QueryPack {
       Some("""SELECT doc_id,
              |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
              |FROM documents
+             |""".stripMargin)),
+
+    // the composed corpus-cleaning pipeline a training-data job runs:
+    // fingerprint dedup (keep smallest id) → quality gate → language
+    // gate → token accounting. One narrow pass + one dedup shuffle —
+    // the shape that scans 100 TB and keeps the survivors.
+    "q_pipeline_corpus_clean" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"fp").orderBy($"doc_id") // min-id survivor
+        val deduped = docs
+          .withColumn("fp", fingerprint($"text"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+        deduped
+          .withColumn("alpha", alphaRatio($"text"))
+          .withColumn("n_tok", tokenCount($"text"))
+          .withColumn("lang_pred", langIdHeuristic($"text"))
+          .filter($"alpha" >= 0.7 && $"n_tok" >= 8 && $"lang_pred" === "en")
+          .select($"doc_id", $"lang_pred", $"n_tok", $"alpha")
+      },
+      Some("""WITH deduped AS (
+             |  SELECT doc_id, text,
+             |    row_number() OVER (
+             |      PARTITION BY md5(trim(regexp_replace(lower(text),
+             |                                           '\s+', ' ', 'g')))
+             |      ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |scored AS (
+             |  SELECT doc_id,
+             |    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) /
+             |          CAST(length(text) AS DOUBLE), 4) AS alpha,
+             |    len(string_split_regex(trim(text), '\s+')) AS n_tok,
+             |    ' ' || lower(text) || ' ' AS t
+             |  FROM deduped WHERE rn = 1),
+             |hits AS (
+             |  SELECT doc_id, alpha, n_tok,
+             |    (CASE WHEN t LIKE '% the %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% and %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% of %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% is %' THEN 1 ELSE 0 END) AS en,
+             |    (CASE WHEN t LIKE '% der %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% die %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% und %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% ist %' THEN 1 ELSE 0 END) AS de,
+             |    (CASE WHEN t LIKE '% el %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% la %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% los %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% es %' THEN 1 ELSE 0 END) AS es,
+             |    (CASE WHEN t LIKE '% le %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% les %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% et %' THEN 1 ELSE 0 END +
+             |     CASE WHEN t LIKE '% est %' THEN 1 ELSE 0 END) AS fr
+             |  FROM scored),
+             |labeled AS (
+             |  SELECT doc_id, alpha, n_tok,
+             |    CASE WHEN de > en AND de >= es AND de >= fr THEN 'de'
+             |         WHEN es > en AND es >= fr THEN 'es'
+             |         WHEN fr > en THEN 'fr'
+             |         WHEN en > 0 THEN 'en'
+             |         ELSE 'und' END AS lang_pred
+             |  FROM hits)
+             |SELECT doc_id, lang_pred, n_tok, alpha
+             |FROM labeled
+             |WHERE alpha >= 0.7 AND n_tok >= 8 AND lang_pred = 'en'
              |""".stripMargin))
   )
 }
