@@ -136,9 +136,12 @@ object Similarity {
       .orderBy(col("cent_id"))
       .collect()
     if (centRows.isEmpty) {
-      // empty corpus → empty result with the output schema
-      return queries.limit(0).select(col(idCol).as("q_id"),
-        col(idCol).as("nn_id"), lit(0L).as("rank"), lit(0.0).as("cos"))
+      // empty corpus → empty result; q_id typed from the queries side,
+      // nn_id from the corpus side (they may differ), like the normal path
+      return queries.limit(0).select(col(idCol).as("q_id"))
+        .crossJoin(corpus.limit(0).select(col(idCol).as("nn_id")))
+        .select(col("q_id"), col("nn_id"), lit(0L).as("rank"),
+          lit(0.0).as("cos"))
     }
     val vecLit: Any => Column = corpus.schema(vecCol).dataType match {
       case org.apache.spark.sql.types.ArrayType(

@@ -85,7 +85,11 @@ object TaskRunner {
           task.window(store, collector)
           st = st.copy(lastWindowMs = now)
         }
-        if (streaming && !state.hasTimedOut) state.setTimeoutDuration(w)
+        // re-arm on EVERY invocation, including the timed-out one:
+        // GroupState clears the timeout each call, so skipping re-arm
+        // after a fire would tick an idle task exactly once and then
+        // never again (WindowableTask is every task.window.ms, forever)
+        if (streaming) state.setTimeoutDuration(w)
       }
       state.update(TaskState(store.map, st.lastWindowMs))
       collector.out.result().iterator

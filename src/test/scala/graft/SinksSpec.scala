@@ -27,11 +27,12 @@ class SinksSpec extends SparkSpec {
     val one = buckets.min
     val pruned = back.filter(col(Sinks.BucketCol) === one)
     val plan = pruned.queryExecution.executedPlan.toString
-    // the filter must appear INSIDE the scan's PartitionFilters list —
-    // plain contains() on both tokens would also pass with an empty
-    // "PartitionFilters: []" plus a post-scan Filter
+    // the EQUALITY predicate must appear INSIDE the scan's
+    // PartitionFilters list — matching the bare column name would also
+    // pass when Catalyst pushes only isnotnull(bucket_date) and the
+    // equality stays in a post-scan Filter (partial pruning)
     val prunedFilter =
-      s"PartitionFilters: \\[[^\\]]*${Sinks.BucketCol}".r
+      s"PartitionFilters: \\[[^\\]]*${Sinks.BucketCol}[^\\]]*=".r
     assert(prunedFilter.findFirstIn(plan).isDefined,
       s"bucket filter must reach the scan as a partition filter:\n$plan")
     val expected = events

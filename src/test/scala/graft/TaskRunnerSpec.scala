@@ -57,6 +57,47 @@ class TaskRunnerSpec extends SparkSpec {
     assert(out.toSeq == Seq(("flush", 3L)))
   }
 
+  test("streaming window() keeps ticking while the task is idle") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // emits the tick count on every window() call; data arrives once,
+    // then the task sits idle — Samza's WindowableTask keeps ticking
+    // every task.window.ms, so at least two ticks must surface
+    class TickTask extends StreamTaskLike[(String, Long, Long), (String, Long)] {
+      override def process(msg: (String, Long, Long), store: KVStore,
+          collector: Collector[(String, Long)]): Unit = ()
+      override def window(store: KVStore,
+          collector: Collector[(String, Long)]): Unit = {
+        val n = store.get("ticks").map(_.toLong).getOrElse(0L) + 1
+        store.put("ticks", n.toString)
+        collector.send(("tick", n))
+      }
+    }
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Long)]
+    val out = TaskRunner.run[(String, Long, Long), String, (String, Long)](
+      input.toDS(), _._1, new TickTask, orderBy = _._3,
+      windowMs = Some(300L))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("task_ticks")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      input.addData(("k", 1L, 1L))
+      val deadline = System.currentTimeMillis() + 30000
+      var maxTick = 0L
+      while (maxTick < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        val ticks = s.table("task_ticks").as[(String, Long)].collect()
+        if (ticks.nonEmpty) maxTick = ticks.map(_._2).max
+      }
+      assert(maxTick >= 2,
+        s"window() must keep ticking after the first timeout, got $maxTick")
+    } finally q.stop()
+  }
+
   test("store delete and all behave like KeyValueStore") {
     val store = new KVStore(Map("a" -> "1", "b" -> "2"))
     store.delete("a")
