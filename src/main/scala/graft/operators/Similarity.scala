@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -197,6 +197,48 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("nn_id"), col("rank"),
         round(col("cos"), scale).as("cos"))
+  }
+
+  /** Per-vector int8 quantization summary row. */
+  case class QuantStats(
+      vec_id: Long,
+      scale: Double,       // max|x| / 127 (1.0 for the zero vector)
+      n_sat: Long,         // codes at the ±127 saturation boundary
+      sum_codes: Long,     // Σ codes (integer — order-free, oracle-exact)
+      max_abs_err: Double) // max reconstruction error |code·scale − x|
+
+  /** Symmetric scalar int8 quantization stats — the embedding
+    * compression pass a 100 TB corpus runs before storage/ANN (4× over
+    * float32). code_i = floor(x_i/scale + 0.5) with scale = max|x|/127,
+    * so codes span [-127, 127] with no clamp. Implemented as a typed
+    * partition-batched pass (one tight JVM loop per vector): every
+    * statistic is either integer or an order-free IEEE double, so the
+    * DuckDB oracle reproduces it bit-exactly with no rounding step.
+    * (A column/HOF form is optimizer-unstable — CollapseProject can
+    * inline the max|x| subtree into the per-element lambda.) */
+  def quantizeInt8Stats(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, idCol: String, vecCol: String): Dataset[QuantStats] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        rows.map { case (id, v) =>
+          var am = 0.0
+          v.foreach(x => am = math.max(am, math.abs(x.toDouble)))
+          val s = if (am > 0) am / 127.0 else 1.0
+          var sat = 0L
+          var sum = 0L
+          var err = 0.0
+          v.foreach { xf =>
+            val x = xf.toDouble
+            val c = math.floor(x / s + 0.5)
+            if (math.abs(c) == 127.0) sat += 1
+            sum += c.toLong
+            err = math.max(err, math.abs(c * s - x))
+          }
+          QuantStats(id, s, sat, sum, err)
+        }
+      }
   }
 
   /** Approximate near-dup via SRP-LSH blocking: same output contract as

@@ -159,6 +159,34 @@ object SimilarityQueries extends QueryPack {
            |""".stripMargin
       }),
 
+    // int8 embedding quantization stats: the compression pass before
+    // storage/ANN. All outputs are integers or order-free IEEE doubles,
+    // so the oracle matches bit-exactly with no rounding.
+    "q_embed_quantize_int8" -> Q(
+      (s, d) => Similarity.quantizeInt8Stats(s, t(s, d, "embeddings"),
+        idCol = "vec_id", vecCol = "embedding").toDF(),
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    list_max(list_transform(embedding,
+             |      x -> abs(CAST(x AS DOUBLE)))) AS am
+             |  FROM embeddings),
+             |sc AS (
+             |  SELECT vec_id, embedding,
+             |    CASE WHEN am > 0 THEN am / 127.0 ELSE 1.0 END AS scale
+             |  FROM n)
+             |SELECT vec_id, scale,
+             |  len(list_filter(embedding,
+             |    x -> abs(floor(CAST(x AS DOUBLE)/scale + 0.5)) = 127.0))
+             |    AS n_sat,
+             |  CAST(list_sum(list_transform(embedding,
+             |    x -> CAST(floor(CAST(x AS DOUBLE)/scale + 0.5) AS BIGINT)))
+             |    AS BIGINT) AS sum_codes,
+             |  list_max(list_transform(embedding,
+             |    x -> abs(floor(CAST(x AS DOUBLE)/scale + 0.5) * scale
+             |             - CAST(x AS DOUBLE)))) AS max_abs_err
+             |FROM sc
+             |""".stripMargin)),
+
     // stream-table join against an embedding-derived feature table:
     // per-label centroid norm lookup (join of a computed dim table)
     "q_embed_label_stats" -> Q(

@@ -101,6 +101,31 @@ object TextQueries extends QueryPack {
              |FROM documents
              |""".stripMargin)),
 
+    // vocabulary building: top-k terms by DOCUMENT frequency (distinct
+    // per doc, so a word repeated in one doc counts once) — the shape a
+    // tokenizer-vocab or stopword-mining job runs. The per-doc distinct
+    // is narrow (array_distinct); the only shuffle is the term count,
+    // and only k rows survive the TakeOrdered.
+    "q_text_vocab_topk" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select(explode(array_distinct(tokens($"text"))).as("term"))
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+          .orderBy($"df".desc, $"term".asc)
+          .limit(50)
+      },
+      Some("""WITH terms AS (
+             |  SELECT DISTINCT doc_id, term FROM (
+             |    SELECT doc_id,
+             |      unnest(string_split_regex(trim(text), '\s+')) AS term
+             |    FROM documents))
+             |SELECT term, count(*) AS df
+             |FROM terms GROUP BY term
+             |ORDER BY df DESC, term ASC
+             |LIMIT 50
+             |""".stripMargin)),
+
     // the composed corpus-cleaning pipeline a training-data job runs:
     // fingerprint dedup (keep smallest id) → quality gate → language
     // gate → token accounting. One narrow pass + one dedup shuffle —
