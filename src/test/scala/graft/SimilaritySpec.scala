@@ -9,6 +9,23 @@ import graft.sources.Tables
   * bounded recall loss against the exact baseline. */
 class SimilaritySpec extends SparkSpec {
 
+  test("int8 quantization: codes bounded, error within scale/2") {
+    val s = spark
+    val emb = Tables.load(s, sf001, "embeddings")
+    val stats = graft.operators.Similarity
+      .quantizeInt8Stats(s, emb, "vec_id", "embedding").collect()
+    assert(stats.nonEmpty)
+    stats.foreach { q =>
+      assert(q.scale > 0)
+      // rounding to the nearest code can never miss by more than half a
+      // quantization step
+      assert(q.max_abs_err <= q.scale / 2 + 1e-12, s"vec ${q.vec_id}")
+      // sum of 64 codes each in [-127, 127]
+      assert(math.abs(q.sum_codes) <= 127L * 64)
+      assert(q.n_sat >= 0 && q.n_sat <= 64)
+    }
+  }
+
   private def topkPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
     val s = spark
     import s.implicits._
