@@ -218,6 +218,51 @@ object Dedup {
     verifyJaccard(candidates, docs, idCol, threshold)
   }
 
+  /** Connected components over duplicate pairs: every document that
+    * appears in a pair gets the MINIMUM id reachable through pair
+    * edges as its cluster id — the canonical-survivor assignment a
+    * dedup pipeline applies after candidate generation (delete
+    * everything whose id != cluster_id). Returns (doc_id, cluster_id).
+    *
+    * Min-label propagation, driver-coordinated like every iterative
+    * graph algorithm on Spark: each round joins labels to neighbors
+    * and takes the min; rounds needed = graph diameter (near-dup
+    * clusters are shallow — pairs chain through shared content).
+    * Each iteration persists its label table and unpersists the
+    * previous one so lineage stays flat. Throws if `maxIters` rounds
+    * do not converge rather than returning partial components. */
+  def dupClusters(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var iters = 0
+    var changed = 1L
+    while (changed > 0 && iters < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src")).agg(min(col("label")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("next"))
+        .persist()
+      changed = updated.filter(col("next") < col("label")).count()
+      val prev = labels
+      labels = updated.select(col("id"), col("next").as("label")).persist()
+      labels.count() // materialize before dropping parents
+      prev.unpersist()
+      updated.unpersist()
+      iters += 1
+    }
+    require(changed == 0,
+      s"dupClusters did not converge in $maxIters iterations")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash over word unigrams with `bits`-wide polynomial hashes:
     * bit b of the signature is set iff more word-hashes have bit b set
     * than clear. Returns (id, simhash). */

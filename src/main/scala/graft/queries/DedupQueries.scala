@@ -19,18 +19,22 @@ object DedupQueries extends QueryPack {
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
       |  FROM w WHERE len(w) >= 3))""".stripMargin
 
+  /** Verification tail as a CTE chain ending in `jp` (the verified
+    * pairs) so callers can either select from it or build on it
+    * (q_dedup_clusters recurses over it). */
   private val oJaccardTail =
     """sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       |shared AS (
       |  SELECT id_a, id_b, count(*) AS shr
       |  FROM cand JOIN sh sa ON sa.doc_id = id_a
       |            JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
-      |  GROUP BY id_a, id_b)
-      |SELECT id_a, id_b,
-      |  round(shr / CAST(za.sz + zb.sz - shr AS DOUBLE), 4) AS jaccard
-      |FROM shared JOIN sizes za ON za.doc_id = id_a
-      |            JOIN sizes zb ON zb.doc_id = id_b
-      |WHERE round(shr / CAST(za.sz + zb.sz - shr AS DOUBLE), 4) >= 0.5""".stripMargin
+      |  GROUP BY id_a, id_b),
+      |jp AS (
+      |  SELECT id_a, id_b,
+      |    round(shr / CAST(za.sz + zb.sz - shr AS DOUBLE), 4) AS jaccard
+      |  FROM shared JOIN sizes za ON za.doc_id = id_a
+      |              JOIN sizes zb ON zb.doc_id = id_b
+      |  WHERE round(shr / CAST(za.sz + zb.sz - shr AS DOUBLE), 4) >= 0.5)""".stripMargin
 
   /** DuckDB: base polynomial shingle hash (mirrors TextFunctions
     * .polyHash(_, seed=7, bits=20)). */
@@ -42,9 +46,29 @@ object DedupQueries extends QueryPack {
       |  FROM sh)""".stripMargin
 
   /** DuckDB minhash column k: universal hash of the base shingle hash
-    * (mirrors Dedup.universal). */
+    * (mirrors MinHashKernel's universal-hash family). */
   private def oMh(k: Int) =
     s"min((sh_h * ${2 * k + 1} + ${97 * k + 31}) % 1048576) AS mh_$k"
+
+  /** Full MinHash+LSH CTE chain ending in `jp` (verified pairs) —
+    * shared by q_dedup_minhash_lsh and q_dedup_clusters. */
+  private val oMinhashCtes: String = {
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"mh_${b * 4 + r}")
+      s"SELECT doc_id, '$b' || '|' || ${cols.mkString(" || '|' || ")} AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$oShingles,
+       |$oShingleHash,
+       |sig AS (SELECT doc_id, ${(0 until 16).map(oMh).mkString(", ")}
+       |        FROM shh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |$oJaccardTail""".stripMargin
+  }
 
   /** Generated simhash oracle: 20-bit polynomial word hashes, per-bit
     * majority vote. Mirrors Dedup.simhash exactly (seed 7, mod 2^20). */
@@ -85,6 +109,7 @@ object DedupQueries extends QueryPack {
               |  FROM sh a JOIN sh b
               |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
               |$oJaccardTail
+              |SELECT id_a, id_b, jaccard FROM jp
               |""".stripMargin)),
 
     // 16 hashes in 4-row bands: P(band collision) = sim^4, so random
@@ -95,24 +120,32 @@ object DedupQueries extends QueryPack {
     "q_dedup_minhash_lsh" -> Q(
       (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
         n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5),
-      Some {
-        val bandSelects = (0 until 4).map { b =>
-          val cols = (0 until 4).map(r => s"mh_${b * 4 + r}")
-          s"SELECT doc_id, '$b' || '|' || ${cols.mkString(" || '|' || ")} AS band_key FROM sig"
-        }.mkString("\n  UNION ALL\n  ")
-        s"""WITH $oShingles,
-           |$oShingleHash,
-           |sig AS (SELECT doc_id, ${(0 until 16).map(oMh).mkString(", ")}
-           |        FROM shh GROUP BY doc_id),
-           |bands AS (
-           |  $bandSelects),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-           |$oJaccardTail
-           |""".stripMargin
-      }),
+      Some(s"""WITH $oMinhashCtes
+              |SELECT id_a, id_b, jaccard FROM jp
+              |""".stripMargin)),
+
+    // duplicate clustering: connected components over the MinHash+LSH
+    // pairs, canonical id = component minimum — the survivor
+    // assignment a dedup job applies. Oracle: recursive reachability
+    // closure over the same pairs (tiny graph, closure is exact).
+    "q_dedup_clusters" -> Q(
+      (s, d) => Dedup.dupClusters(
+        Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)),
+      Some(s"""WITH RECURSIVE $oMinhashCtes,
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM jp
+              |  UNION
+              |  SELECT id_b AS src, id_a AS dst FROM jp),
+              |nodes AS (SELECT DISTINCT src AS id FROM edges),
+              |reach(src, dst) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT r.src, e.dst FROM reach r
+              |  JOIN edges e ON r.dst = e.src)
+              |SELECT src AS doc_id, min(dst) AS cluster_id
+              |FROM reach GROUP BY src
+              |""".stripMargin)),
 
     "q_dedup_simhash" -> Q(
       (s, d) => Dedup.simhash(t(s, d, "documents"), "doc_id", "text",

@@ -107,6 +107,21 @@ class TextKernelsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dupClusters finds component minima across chained pairs") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5 (diameter 4, forces multiple propagation rounds),
+    // separate pair (10, 11), and 7-8-9 star on 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (7L, 8L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 7L -> 7L, 8L -> 7L, 9L -> 7L)
+    assert(got == want)
+    spark.catalog.clearCache()
+  }
+
   test("shingle->signature stage is shuffle-free (scale invariant)") {
     val df = docsDf(samples(textGen(12), 10))
     val staged = Dedup.shingleSets(df, "doc_id", "text", 3)
