@@ -232,30 +232,77 @@ object Dedup {
     * previous one so lineage stays flat. Throws if `maxIters` rounds
     * do not converge rather than returning partial components. */
   def dupClusters(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIters: Int = 50): DataFrame = {
+      bCol: String = "id_b", maxIters: Int = 50,
+      localEdgeThreshold: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("id")).distinct()
+    // the duplicate GRAPH is tiny relative to the corpus (edges scale
+    // with near-duplicates, not documents): below the threshold, a
+    // driver-side union-find beats N distributed propagation rounds of
+    // fixed job overhead; the distributed loop below remains the path
+    // for pathological billions-of-pairs graphs
+    if (edges.count() <= localEdgeThreshold) {
+      val idType = edges.schema("src").dataType
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x0: Any): Any = {
+        var x = x0
+        while (parent.get(x) != x) {
+          parent.put(x, parent.get(parent.get(x))) // path halving
+          x = parent.get(x)
+        }
+        x
+      }
+      edges.collect().foreach { r =>
+        val (a, b) = (r.get(0), r.get(1))
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          // min root so the final root IS the component minimum
+          val cmp = ra.asInstanceOf[Comparable[Any]].compareTo(rb)
+          if (cmp < 0) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val rows = parent.keySet().asScala.toSeq.map { id =>
+        org.apache.spark.sql.Row(id, find(id))
+      }
+      return spark.createDataFrame(rows.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", idType),
+          org.apache.spark.sql.types.StructField("cluster_id", idType))))
+    }
+    var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
+    var labels = cached
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < maxIters) {
-      val neighborMin = edges
+      // one-hop neighbor minimum...
+      val nbrMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src")).agg(min(col("label")).as("nmin"))
-      val updated = labels
-        .join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("next"))
+      val stepped = labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id").as("id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("l1"))
+      // ...then pointer-jump through the previous mapping
+      // (label(label(v))), halving remaining path length — rounds scale
+      // with log(diameter) instead of diameter
+      val lookup = labels.select(col("id").as("jid"), col("label").as("jl"))
+      val updated = stepped
+        .join(lookup, stepped("l1") === lookup("jid"), "left")
+        .select(stepped("id").as("id"), col("label"),
+          least(col("l1"), coalesce(col("jl"), col("l1"))).as("next"))
         .persist()
+      // single action per round: materializes the cache AND counts
+      // outstanding changes
       changed = updated.filter(col("next") < col("label")).count()
-      val prev = labels
-      labels = updated.select(col("id"), col("next").as("label")).persist()
-      labels.count() // materialize before dropping parents
-      prev.unpersist()
-      updated.unpersist()
+      labels = updated.select(col("id"), col("next").as("label"))
+      cached.unpersist() // the handle that owns the previous cache entry
+      cached = updated
       iters += 1
     }
     require(changed == 0,

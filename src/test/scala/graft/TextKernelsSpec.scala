@@ -114,11 +114,15 @@ class TextKernelsSpec extends SparkSpec {
     // separate pair (10, 11), and 7-8-9 star on 7
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (10L, 11L), (7L, 8L), (7L, 9L)).toDF("id_a", "id_b")
-    val got = Dedup.dupClusters(pairs)
-      .as[(Long, Long)].collect().toMap
     val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L, 7L -> 7L, 8L -> 7L, 9L -> 7L)
-    assert(got == want)
+    // driver union-find path (small graph)...
+    val local = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(local == want)
+    // ...and the distributed min-label loop, forced via threshold 0
+    val dist = Dedup.dupClusters(pairs, localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == want)
     spark.catalog.clearCache()
   }
 
