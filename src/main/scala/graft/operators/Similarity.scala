@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (Array[Float]).
@@ -30,11 +29,34 @@ object Similarity {
   /** Cosine similarity in [-1, 1], deterministic fold order. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Bounded-heap per-query top-k over a scored candidate frame with
+    * columns (q_id, nn_id, cos): groupBy(q_id) + the BoundedTopK
+    * TypedImperativeAggregate (graft.plans), then posexplode to
+    * (q_id, nn_id, rank, cos) with rank 1 = best.
+    *
+    * This is deliberately NOT `row_number().over(Window.partitionBy
+    * ("q_id"))`: the window form shuffles every scored candidate of a
+    * query into one task before discarding all but k — at 100× corpus
+    * that task holds the whole corpus per query. The aggregate runs
+    * with map-side partial aggregation (ObjectHashAggregate), so each
+    * map task retains ≤ k rows per query and the shuffle carries
+    * ≤ k·partitions rows per query. Ordering (cos desc, nn_id asc) and
+    * output are identical to the window form. */
+  private def topKRank(scored: DataFrame, k: Int, scale: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.plans.GraftCall(graft.plans.VectorExpressions.TopKName,
+        struct(col("cos"), col("nn_id")), lit(k)).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("q_id"), col("__e.nn_id").as("nn_id"),
+        (col("__pos") + 1).cast("long").as("rank"),
+        round(col("__e.cos"), scale).as("cos"))
+
   /** Exact brute-force cosine top-k: for each query vector, the k
     * nearest corpus vectors (self-pairs excluded).
-    * Returns (q_id, nn_id, rank, cos). The query side is broadcast;
-    * ranking runs window-per-query — at 1000 executors the corpus scan
-    * parallelizes and only k rows per query survive the window. */
+    * Returns (q_id, nn_id, rank, cos). The query side is broadcast and
+    * the corpus scan parallelizes; ranking is the bounded-heap
+    * [[topKRank]] aggregate, so no task ever holds more than k rows
+    * per query — the corpus is never shuffled. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       scale: Int = 6): DataFrame = {
@@ -53,12 +75,7 @@ object Similarity {
       .filter(col("q_id") =!= col("nn_id"))
       .withColumn("cos",
         dot(col("q_vec"), col("nn_vec")) / (col("q_nrm") * col("nn_nrm")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("nn_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("nn_id"), col("rank"),
-        round(col("cos"), scale).as("cos"))
+    topKRank(scored, k, scale)
   }
 
   /** Near-duplicate pairs by cosine within blocking buckets: candidate
@@ -186,17 +203,13 @@ object Similarity {
         1, nprobe)))
       .select(col("q_id"), col("q_vec"), col("q_nrm"),
         col("__probe.cent_id").as("cell"))
-    // score only vectors in probed cells
-    val wRank = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("nn_id").asc)
-    probes.join(assigned, "cell")
+    // score only vectors in probed cells; bounded-heap top-k (no
+    // per-query window shuffle — see topKRank)
+    val scored = probes.join(assigned, "cell")
       .filter(col("q_id") =!= col("nn_id"))
       .withColumn("cos",
         dot(col("q_vec"), col("nn_vec")) / (col("q_nrm") * col("nn_nrm")))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("nn_id"), col("rank"),
-        round(col("cos"), scale).as("cos"))
+    topKRank(scored, k, scale)
   }
 
   /** Per-vector int8 quantization summary row. */

@@ -163,6 +163,7 @@ case class SrpBucket(child: Expression, dim: Int, planes: Int)
 object VectorExpressions {
   val DotName = "graft_dot"
   val SrpName = "graft_srp_bucket"
+  val TopKName = "graft_topk"
 
   /** Idempotent per-session registration so `call_function` resolves. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -174,5 +175,8 @@ object VectorExpressions {
         SrpBucket(exprs(0), LitArg.int(SrpName, exprs(1)),
           LitArg.int(SrpName, exprs(2)))
       }, "built-in")
+    reg.createOrReplaceTempFunction(TopKName,
+      { exprs => BoundedTopK(exprs(0), LitArg.int(TopKName, exprs(1))) },
+      "built-in")
   }
 }

@@ -58,6 +58,56 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.forall(_._3 >= 0.3))
   }
 
+  test("bounded-heap top-k equals the window-form reference exactly") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sf001, "embeddings")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val heap = Similarity.bruteForceTopK(queries, emb,
+      "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // reference: the row_number-window formulation this replaced
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"))
+      .withColumn("q_nrm", Similarity.norm(col("q_vec")))
+      .filter(col("q_nrm") > 0)
+    val c = emb.select(col("vec_id").as("nn_id"),
+      col("embedding").as("nn_vec"))
+      .withColumn("nn_nrm", Similarity.norm(col("nn_vec")))
+      .filter(col("nn_nrm") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id").asc)
+    val windowed = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("cos", Similarity.dot(col("q_vec"), col("nn_vec")) /
+        (col("q_nrm") * col("nn_nrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("nn_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(heap == windowed)
+  }
+
+  test("ANN top-k plans contain no per-query window exchange") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sf001, "embeddings")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    for (df <- Seq(
+        Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5),
+        Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 5, 16, 4))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"window survived:\n$plan")
+      // the bounded-heap aggregate must run as ObjectHashAggregate with
+      // a partial (map-side) phase so the shuffle carries <= k per group
+      assert(plan.contains("ObjectHashAggregate"), plan)
+      assert(plan.contains("partial_graft_topk") ||
+        plan.contains("partial graft_topk") ||
+        plan.toLowerCase.contains("partial_graft_topk"), plan)
+    }
+  }
+
   test("cosine is symmetric and self-cosine is 1") {
     val s = spark
     import s.implicits._
