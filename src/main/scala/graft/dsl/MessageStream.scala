@@ -90,11 +90,23 @@ final case class KVStream[K, V](ds: Dataset[(K, V)]) {
     * PartialJoinOperatorImpl:84-86): each side keeps the LAST value per
     * key; emits on match. Bounded analog reduces both sides to
     * last-per-key then inner-joins — see graft.streaming.TtlJoin for
-    * the stateful streaming form. */
-  def joinTtl[W](other: KVStream[K, W])(
-      implicit enc: Encoder[(K, V, W)]): Dataset[(K, V, W)] = {
-    val l = ds.toDF("k", "v").groupBy("k").agg(last("v").as("v"))
-    val r = other.ds.toDF("k", "w").groupBy("k").agg(last("w").as("w"))
+    * the stateful streaming form.
+    *
+    * "Last" is defined by the caller-supplied order extractors (event
+    * time / offset), NOT by arrival order: `agg(last(...))` would
+    * depend on partition scan order and silently change across
+    * runs/AQE re-plans. Ties on the order value break on the value
+    * struct itself (max_by over struct(order, value)), so the result
+    * is a pure function of the input multiset. */
+  def joinTtl[W](other: KVStream[K, W])(orderV: V => Long, orderW: W => Long)(
+      implicit enc: Encoder[(K, V, W)], encV: Encoder[(K, Long, V)],
+      encW: Encoder[(K, Long, W)]): Dataset[(K, V, W)] = {
+    val l = ds.map { case (k, v) => (k, orderV(v), v) }(encV)
+      .toDF("k", "o", "v").groupBy("k")
+      .agg(max_by(col("v"), struct(col("o"), col("v"))).as("v"))
+    val r = other.ds.map { case (k, w) => (k, orderW(w), w) }(encW)
+      .toDF("k", "o", "w").groupBy("k")
+      .agg(max_by(col("w"), struct(col("o"), col("w"))).as("w"))
     l.join(r, "k").select(col("k"), col("v"), col("w")).as[(K, V, W)](enc)
   }
 }

@@ -96,7 +96,7 @@ object Dedup {
     * Each surviving candidate is verified with the true Jaccard over
     * the full sets. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxPostings: Int = 0): DataFrame = {
     val tEff = threshold - 1e-4
     // persisted: feeds both prefix-index sides and the verify joins.
     // Lifecycle note: the cache outlives this call (the result
@@ -111,13 +111,42 @@ object Dedup {
       posexplode(col("prefix")).as(Seq("pos_a", "shingle")))
     val pb = docs.select(col(idCol).as("id_b"), col("sz").as("psz_b"),
       posexplode(col("prefix")).as(Seq("pos_b", "shingle")))
+    // Optional stop-shingle guard: prefix filtering bounds TOTAL join
+    // work, but a single near-universal shingle still lands its whole
+    // posting list on one join key — |P|² pair rows in one task at
+    // corpus scale. With maxPostings > 0, shingles whose posting list
+    // exceeds the cap are SUB-BUCKETED, not dropped (dropping loses
+    // pairs whose only shared prefix shingle is the hot one): the
+    // id_a side is split into ceil(|P|/cap) salt buckets by id hash,
+    // the id_b side replicated across them — every pair still meets
+    // exactly once, on the key (shingle, salt), and no single key
+    // carries more than cap·|P| pair rows. The hot-shingle table is
+    // tiny by construction (few shingles exceed any sane cap), so it
+    // broadcasts.
+    val joined = if (maxPostings > 0) {
+      val hot = pa.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("__pc"))
+        .filter(col("__pc") > maxPostings)
+        .select(col("shingle"),
+          ceil(col("__pc") / lit(maxPostings)).cast("int").as("__buckets"))
+      val aSalted = pa.join(broadcast(hot), Seq("shingle"), "left")
+        .withColumn("__salt", when(col("__buckets").isNull, lit(0))
+          .otherwise(pmod(hash(col("id_a")), col("__buckets"))))
+        .drop("__buckets")
+      val bReplicated = pb.join(broadcast(hot), Seq("shingle"), "left")
+        .withColumn("__salt", explode(
+          when(col("__buckets").isNull, array(lit(0)))
+            .otherwise(sequence(lit(0), col("__buckets") - 1))))
+        .drop("__buckets")
+      aSalted.join(bReplicated, Seq("shingle", "__salt")).drop("__salt")
+    } else pa.join(pb, "shingle")
     // For a fixed pair, match-shingle order equals position order on
     // BOTH sides (each side is sorted by the same global order), so
     // min(pos_a) and min(pos_b) both belong to the smallest matching
     // shingle — the pair's smallest common element. The aggregation
     // shuffles only integers and doubles as the pair-dedup the verify
     // needs.
-    val candidates = pa.join(pb, "shingle")
+    val candidates = joined
       .filter(col("id_a") < col("id_b") &&
         greatest(col("psz_a"), col("psz_b")) * lit(tEff) <=
           least(col("psz_a"), col("psz_b")))
@@ -237,14 +266,31 @@ object Dedup {
     val spark = pairs.sparkSession
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().persist()
+      .distinct()
+    val idType = edges.schema("src").dataType
     // the duplicate GRAPH is tiny relative to the corpus (edges scale
     // with near-duplicates, not documents): below the threshold, a
     // driver-side union-find beats N distributed propagation rounds of
     // fixed job overhead; the distributed loop below remains the path
-    // for pathological billions-of-pairs graphs
-    if (edges.count() <= localEdgeThreshold) {
-      val idType = edges.schema("src").dataType
+    // for pathological billions-of-pairs graphs. ONE action decides
+    // AND fetches: limit(threshold+1) either returns the whole edge
+    // set (small graph) or overflows by one row (go distributed) —
+    // no separate count() job. The driver path needs ids the JVM can
+    // compare; binary/struct/map ids go distributed, where Spark's
+    // own ordering handles them.
+    val jvmComparable = {
+      import org.apache.spark.sql.types._
+      idType match {
+        case _: NumericType | StringType | BooleanType | DateType |
+            TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+    }
+    val capped = math.min(localEdgeThreshold, Int.MaxValue - 2L).toInt
+    val sample =
+      if (jvmComparable) edges.limit(capped + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (jvmComparable && sample.length <= capped) {
       val parent = new java.util.HashMap[Any, Any]()
       def find(x0: Any): Any = {
         var x = x0
@@ -254,13 +300,15 @@ object Dedup {
         }
         x
       }
-      edges.collect().foreach { r =>
+      sample.foreach { r =>
         val (a, b) = (r.get(0), r.get(1))
         parent.putIfAbsent(a, a)
         parent.putIfAbsent(b, b)
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) {
           // min root so the final root IS the component minimum
+          // (AtomicType externals — numbers, strings, timestamps — are
+          // all java.lang.Comparable; guarded above)
           val cmp = ra.asInstanceOf[Comparable[Any]].compareTo(rb)
           if (cmp < 0) parent.put(rb, ra) else parent.put(ra, rb)
         }
@@ -274,6 +322,9 @@ object Dedup {
           org.apache.spark.sql.types.StructField("doc_id", idType),
           org.apache.spark.sql.types.StructField("cluster_id", idType))))
     }
+    // distributed path: edges feed every propagation round — persist
+    // once here, released after convergence
+    edges.persist()
     var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
     var labels = cached
@@ -307,6 +358,12 @@ object Dedup {
     }
     require(changed == 0,
       s"dupClusters did not converge in $maxIters iterations")
+    // the final label table stays cached (the returned DataFrame reads
+    // from it; lineage stays valid either way) but the edge cache is
+    // done — downstream actions never touch it again. Lifecycle of the
+    // final cache follows the jaccardPairs convention: callers looping
+    // over corpora should spark.catalog.clearCache() between runs.
+    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

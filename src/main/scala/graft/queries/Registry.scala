@@ -7,6 +7,7 @@ object Registry {
     RelationalQueries,
     JoinQueries,
     WindowQueries,
+    StreamParityQueries,
     SqlSurfaceQueries,
     TextQueries,
     DedupQueries,

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StreamHarness, StreamWindows, TaskRunner, TtlJoin}
+import QHelp._
+
+/** Oracle coverage for the FAITHFUL streaming implementations
+  * (SURVEY §2.4/§2.8/§3.3): StreamWindows.keyedTumblingFold,
+  * TtlJoin.join and TaskRunner.run executed as REAL streaming queries —
+  * MemoryStream micro-batches, flatMapGroupsWithState state crossing
+  * batch boundaries, injected clock — with results a DuckDB batch
+  * oracle reproduces row-for-row. The batch-mode analogs of these
+  * operators were already hash-gated; these entries put the stateful
+  * streaming code paths themselves in front of the gate (reference
+  * behavior: WindowOperatorImpl.java:129-165 pane lifecycle,
+  * PartialJoinOperatorImpl.java:84-90 last-value TTL join,
+  * StreamTask.java:49 process loop).
+  *
+  * Inputs are fed in event-time order, bucketed into several
+  * micro-batches, so each query exercises cross-batch state. All
+  * folded values are integers (counts, floor(value*100) sums), so
+  * results are order-free and exact on both engines.
+  */
+object StreamParityQueries extends QueryPack {
+
+  /** 7-day tumbling window; batches are half-window buckets so every
+    * pane accumulates across two micro-batch invocations. */
+  private val WeekMs = 604800000L
+  /** 5-day feed buckets for the join/task queries (6 batches over the
+    * 30-day events span). */
+  private val FeedMs = 432000000L
+
+  override def queries: Map[String, Q] = Map(
+
+    // keyedTumblingFold driven as a stream: per-user 7-day panes,
+    // fold = (count, Σ floor(value*100)); panes flush as DEFAULT
+    // firings when the injected clock passes window close
+    // (WindowOperatorImpl pane close; handleEndOfStream:208 analog is
+    // the final flush batch)
+    "q_stream_tumbling_fold" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val rows = t(s, d, "events")
+          .select($"user_id", unix_millis($"ts").as("tms"), $"value")
+          .as[(Long, Long, Double)].collect().sortBy(r => (r._2, r._1))
+        val half = WeekMs / 2
+        val steps = rows.groupBy(_._2 / half).toSeq.sortBy(_._1)
+          .map { case (b, evs) => (b * half, evs.toSeq) }
+        // flush: one dummy per user far past every window close; the
+        // dummies' own panes are never emitted (stream stops first)
+        val flushAt = rows.map(_._2).max + 2 * WeekMs
+        val flush = (flushAt,
+          rows.map(_._1).distinct.sorted.map(u => (u, flushAt, 0.0)).toSeq)
+        val cfg = StreamWindows.WindowConfig(intervalMs = WeekMs)
+        val out = StreamHarness.run(s, steps :+ flush) { ds =>
+          StreamWindows.keyedTumblingFold[(Long, Long, Double), Long,
+            (Long, Long)](
+            ds, _._1, (0L, 0L),
+            (a, e) => (a._1 + 1, a._2 + math.floor(e._3 * 100).toLong),
+            cfg, StreamHarness.clock, timers = false)
+        }
+        out.select(col("windowStartMs").as("window_start_ms"),
+          col("key").as("user_id"),
+          col("value._1").as("n"), col("value._2").as("isum"))
+      },
+      Some("""SELECT (epoch_ms(ts) // 604800000) * 604800000 AS window_start_ms,
+             |  user_id, count(*) AS n,
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS isum
+             |FROM events GROUP BY 1, 2
+             |""".stripMargin)),
+
+    // TtlJoin driven as a stream: click (left) / view (right) arrivals
+    // per user, each arrival joining the other side's LAST buffered
+    // value within a 2h TTL — the oracle enumerates both join
+    // directions with the operator's tie rule (left before right at
+    // equal ms; a side's (user, ms) pairs are unique in this dataset)
+    "q_stream_ttl_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ttl = 7200000L
+        val rows = t(s, d, "events")
+          .filter($"event_type".isin("click", "view"))
+          .select($"user_id", unix_millis($"ts").as("tms"),
+            $"event_id", $"event_type")
+          .as[(Long, Long, Long, String)].collect().sortBy(r => (r._2, r._3))
+        val steps = rows.groupBy(_._2 / FeedMs).toSeq.sortBy(_._1)
+          .map { case (b, evs) =>
+            (b * FeedMs, evs.map { r =>
+              if (r._4 == "click")
+                TtlJoin.Tagged[Long, Long, Long](r._1, Some(r._3), None, r._2)
+              else
+                TtlJoin.Tagged[Long, Long, Long](r._1, None, Some(r._3), r._2)
+            }.toSeq)
+          }
+        val out = StreamHarness.run(s, steps) { ds =>
+          TtlJoin.join(ds, ttlMs = ttl, timers = false)
+        }
+        out.select(col("key").as("user_id"), col("left").as("click_id"),
+          col("right").as("view_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, epoch_ms(ts) AS t, event_id AS cid
+             |  FROM events WHERE event_type = 'click'),
+             |v AS (
+             |  SELECT user_id, epoch_ms(ts) AS t, event_id AS vid
+             |  FROM events WHERE event_type = 'view'),
+             |lj AS ( -- click arrival joins last view STRICTLY before it
+             |  SELECT c.user_id, c.cid, v.vid,
+             |    row_number() OVER (PARTITION BY c.user_id, c.t
+             |                       ORDER BY v.t DESC) AS rn
+             |  FROM c JOIN v ON c.user_id = v.user_id
+             |              AND v.t < c.t AND c.t - v.t <= 7200000),
+             |rj AS ( -- view arrival joins last click at-or-before it
+             |  SELECT v.user_id, c.cid, v.vid,
+             |    row_number() OVER (PARTITION BY v.user_id, v.t
+             |                       ORDER BY c.t DESC) AS rn
+             |  FROM v JOIN c ON c.user_id = v.user_id
+             |              AND c.t <= v.t AND v.t - c.t <= 7200000)
+             |SELECT user_id, cid AS click_id, vid AS view_id
+             |FROM lj WHERE rn = 1
+             |UNION ALL
+             |SELECT user_id, cid AS click_id, vid AS view_id
+             |FROM rj WHERE rn = 1
+             |""".stripMargin)),
+
+    // low-level task API driven as a stream: per-user StreamTask with a
+    // KVStore holding running (count, isum), one emission per message —
+    // the oracle is the running window equivalent. Delivery order is
+    // (ms, event_id) via orderBy within invocations and time-bucketed
+    // feed across them.
+    "q_stream_task" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val rows = t(s, d, "events")
+          .select($"user_id", unix_millis($"ts").as("tms"),
+            $"event_id", $"value")
+          .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._2, r._3))
+        val steps = rows.groupBy(_._2 / FeedMs).toSeq.sortBy(_._1)
+          .map { case (b, evs) => (b * FeedMs, evs.toSeq) }
+        val task = new TaskRunner.StreamTaskLike[(Long, Long, Long, Double),
+            (Long, Long, Long, Long)] {
+          def process(msg: (Long, Long, Long, Double),
+              store: TaskRunner.KVStore,
+              collector: TaskRunner.Collector[(Long, Long, Long, Long)])
+              : Unit = {
+            val n = store.get("n").map(_.toLong).getOrElse(0L) + 1
+            val isum = store.get("isum").map(_.toLong).getOrElse(0L) +
+              math.floor(msg._4 * 100).toLong
+            store.put("n", n.toString)
+            store.put("isum", isum.toString)
+            collector.send((msg._1, msg._3, n, isum))
+          }
+        }
+        val out = StreamHarness.run(s, steps) { ds =>
+          TaskRunner.run[(Long, Long, Long, Double), Long,
+            (Long, Long, Long, Long)](
+            ds, _._1, task,
+            orderBy = e => e._2 * 1000000L + e._3 % 1000000L)
+        }
+        out.toDF("user_id", "event_id", "n", "run_isum")
+      },
+      Some("""SELECT user_id, event_id,
+             |  row_number() OVER w AS n,
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w
+             |       AS BIGINT) AS run_isum
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id
+             |             ORDER BY epoch_ms(ts), event_id
+             |             ROWS UNBOUNDED PRECEDING)
+             |""".stripMargin))
+  )
+}

@@ -46,10 +46,20 @@ object StreamWindows {
   /** Keyed tumbling window, incremental fold
     * (Windows.keyedTumblingWindow:128). `clock` is injectable for
     * deterministic tests; production uses the wall clock like the
-    * reference. */
+    * reference.
+    *
+    * `timers = false` disables processing-time timeouts: pane expiry
+    * and early time-triggers then run only on the data path (every
+    * invocation checks them), so idle keys flush on their NEXT message
+    * instead of on a timer. Use it for bounded/replay runs — Spark's
+    * micro-batch engine reruns no-data batches CONTINUOUSLY while any
+    * processing-time timeout is armed (it cannot know the next
+    * deadline), which turns a drained replay into a busy loop of empty
+    * checkpointed batches. Live jobs keep the default. */
   def keyedTumblingFold[T, K: Encoder, A: Encoder](
       ds: Dataset[T], keyFn: T => K, init: A, fold: (A, T) => A,
-      cfg: WindowConfig, clock: () => Long = () => System.currentTimeMillis())(
+      cfg: WindowConfig, clock: () => Long = () => System.currentTimeMillis(),
+      timers: Boolean = true)(
       implicit paneEnc: Encoder[Pane[K, A]],
       stateEnc: Encoder[Map[Long, PaneState[A]]]): Dataset[Pane[K, A]] = {
 
@@ -116,14 +126,16 @@ object StreamWindows {
       }
       if (panes.nonEmpty) {
         state.update(panes)
-        state.setTimeoutDuration(math.max(1L, nextDeadline(panes, now) - now))
+        if (timers)
+          state.setTimeoutDuration(math.max(1L, nextDeadline(panes, now) - now))
       } else state.remove()
       out.result().iterator
     }
 
     ds.groupByKey(keyFn)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.ProcessingTimeTimeout)(process)
+        if (timers) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(process)
   }
 
   /** Keyed tumbling window, collect form (Windows.keyedTumblingWindow:159)

@@ -28,8 +28,14 @@ object TtlJoin {
   private case class SideState[L, R](
       left: Option[(L, Long)], right: Option[(R, Long)])
 
+  /** `timers = false` skips the processing-time cleanup timeout (TTL is
+    * enforced on read regardless — state just lingers until the key's
+    * next arrival). Use for bounded/replay runs: an armed
+    * processing-time timeout makes Spark's micro-batch engine rerun
+    * no-data batches continuously. */
   def join[K: Encoder, L, R](
-      tagged: Dataset[Tagged[K, L, R]], ttlMs: Long)(
+      tagged: Dataset[Tagged[K, L, R]], ttlMs: Long,
+      timers: Boolean = true)(
       implicit outEnc: Encoder[Joined[K, L, R]],
       stateEnc: Encoder[(Option[(L, Long)], Option[(R, Long)])])
       : Dataset[Joined[K, L, R]] = {
@@ -62,13 +68,14 @@ object TtlJoin {
         }
       }
       state.update((l, r))
-      state.setTimeoutDuration(ttlMs)
+      if (timers) state.setTimeoutDuration(ttlMs)
       out.result().iterator
     }
 
     tagged.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.ProcessingTimeTimeout)(process)
+        if (timers) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(process)
   }
 
   /** Convenience: tag two keyed datasets for [[join]]. `atMs` defaults

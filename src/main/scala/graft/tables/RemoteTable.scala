@@ -1,9 +1,9 @@
 package graft.tables
 
-import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
 
 import scala.concurrent.duration.Duration
-import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.{Await, ExecutionContext, Future, Promise}
 
 import org.apache.spark.sql.{Dataset, Encoder}
 
@@ -35,6 +35,28 @@ object RemoteTable {
       cacheSize: Int = 10000,       // CachingTable (read-through)
       timeout: Duration = Duration("30s"))
 
+  /** Shared timer for retry backoff (AsyncRetriableTable's retry
+    * scheduling). One small daemon pool per executor JVM: it only runs
+    * `schedule` callbacks that re-launch lookups, never the lookups
+    * themselves, so 2 threads serve any number of concurrent backoffs.
+    * Sleeping on the ExecutionContext instead (the old shape) parked a
+    * worker thread per backing-off key and stalled unrelated lookups. */
+  private lazy val retryTimer = Executors.newScheduledThreadPool(2, r => {
+    val t = new Thread(r, "graft-remote-table-retry")
+    t.setDaemon(true)
+    t
+  })
+
+  /** Complete with `f`, started after `delayMs` — without blocking any
+    * caller or EC thread. */
+  private def after[A](delayMs: Long)(f: => Future[A]): Future[A] = {
+    val p = Promise[A]()
+    retryTimer.schedule(new Runnable {
+      override def run(): Unit = p.completeWith(f)
+    }, delayMs, TimeUnit.MILLISECONDS)
+    p.future
+  }
+
   /** Simple token-bucket rate limiter, one per partition. */
   private final class TokenBucket(permitsPerSec: Int) {
     private var allowance = permitsPerSec.toDouble
@@ -65,9 +87,10 @@ object RemoteTable {
 
       def getWithRetry(key: K, attempt: Int = 0): Future[Option[V]] =
         reader.getAsync(key).recoverWith {
-          case e if attempt < cfg.maxRetries =>
-            Thread.sleep(cfg.retryBackoffMs << attempt) // exp backoff
-            getWithRetry(key, attempt + 1)
+          case _ if attempt < cfg.maxRetries =>
+            // exponential backoff on the shared timer — the EC thread
+            // returns to the pool, concurrent lookups keep flowing
+            after(cfg.retryBackoffMs << attempt)(getWithRetry(key, attempt + 1))
         }
 
       rows.grouped(cfg.batchSize).flatMap { batch =>

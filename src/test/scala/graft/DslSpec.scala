@@ -68,4 +68,25 @@ class DslSpec extends SparkSpec {
     val left = stream.joinTable(table, inner = false).collect()
     assert(left.exists(r => r._1 == 3 && r._3.isEmpty))
   }
+
+  test("joinTtl is deterministic under shuffled input partitioning") {
+    val s = spark
+    import s.implicits._
+    import graft.dsl.KVStream
+    // several updates per key; "last" must follow the order column, not
+    // arrival/partition order
+    val lRows = Seq((1, (10L, "a")), (1, (30L, "c")), (1, (20L, "b")),
+      (2, (5L, "x")), (2, (5L, "y"))) // tie on order → max value wins
+    val rRows = Seq((1, (100L, 7)), (1, (50L, 3)), (2, (1L, 9)))
+    def run(lPart: Int, rPart: Int) = {
+      val l = KVStream(s.createDataset(lRows).repartition(lPart))
+      val r = KVStream(s.createDataset(rRows).repartition(rPart))
+      l.joinTtl(r)(_._1, _._1).collect().toSet
+    }
+    val expected = Set(
+      (1, (30L, "c"), (100L, 7)),
+      (2, (5L, "y"), (1L, 9))) // (5,"y") > (5,"x") on the value struct
+    for ((lp, rp) <- Seq((1, 1), (3, 2), (7, 5)))
+      assert(run(lp, rp) == expected, s"partitioning ($lp,$rp)")
+  }
 }

@@ -30,6 +30,34 @@ class TablesSpec extends SparkSpec {
     assert(out.head._2.contains("ok"))
   }
 
+  test("concurrent lookups proceed during one key's retry backoff") {
+    val s = spark
+    import s.implicits._
+    // 48 keys that each fail once with a 500ms backoff, in ONE batch:
+    // if backoff blocked EC threads (the old Thread.sleep shape), 48
+    // parked sleeps over a ~CPU-sized pool would serialize into waves
+    // of >= 1s total; with the scheduled timer every backoff overlaps
+    // and the batch finishes in ~one backoff period.
+    val keys = (1L to 48L)
+    val ds = keys.toDS().coalesce(1)
+    val reader = new RemoteTable.AsyncReader[Long, String] {
+      private val failed = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]()
+      def getAsync(key: Long)(implicit ec: ExecutionContext) =
+        if (failed.putIfAbsent(key, java.lang.Boolean.TRUE) == null)
+          Future.failed(new RuntimeException("transient"))
+        else Future.successful(Some(s"ok$key"))
+    }
+    val cfg = RemoteTable.LookupConfig(batchSize = 64, maxRetries = 2,
+      retryBackoffMs = 500)
+    val t0 = System.nanoTime()
+    val out = RemoteTable.lookupJoin[Long, Long, String](
+      ds, identity, reader, cfg).collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(out.length == 48 && out.forall(_._2.isDefined))
+    assert(elapsedMs < 950,
+      s"48 overlapping 500ms backoffs took ${elapsedMs}ms — serialized?")
+  }
+
   test("upsert: updates win, ties broken by sequence") {
     val s = spark
     import s.implicits._

@@ -135,6 +135,34 @@ class TextKernelsSpec extends SparkSpec {
       s"per-document signature stage must not shuffle:\n$plan")
   }
 
+  test("postings cap sub-buckets hot shingles without losing pairs") {
+    val s = spark
+    import s.implicits._
+    // every doc shares one universal 6-word run -> its shingles' posting
+    // lists cover the whole corpus (the stop-shingle shape the cap
+    // guards against); variants differ elsewhere
+    val common = (0 until 6).map(i => s"c$i").mkString(" ")
+    val texts = (0 until 12).map { i =>
+      val tail =
+        if (i % 2 == 0) (0 until 10).map(j => s"dup${i / 2}_$j")
+        else (0 until 10).map(j => s"dup${i / 2}_$j") // pairwise near-dups
+      s"$common ${tail.mkString(" ")} uniq$i"
+    }
+    val df = docsDf(texts)
+    val uncapped = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    s.catalog.clearCache()
+    val cappedDf = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5,
+      maxPostings = 3)
+    // the candidate join key must carry the salt when the cap engages
+    val plan = cappedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt missing from plan:\n$plan")
+    val capped = cappedDf.as[(Long, Long, Double)].collect().toSet
+    assert(capped == uncapped)
+    assert(uncapped.nonEmpty) // the test corpus must actually produce pairs
+    s.catalog.clearCache()
+  }
+
   test("prefix-filtered jaccardPairs is exact vs brute force") {
     val s = spark
     import s.implicits._
