@@ -92,11 +92,19 @@ object SrpKernel {
     * mod 1000) / 1000.0 - 0.5 and the projection accumulated as a left
     * fold in dimension order — bit-identical to the composed column
     * form it replaces (and to the DuckDB oracle's list_reduce replay).
-    * A vector shorter than `dim` mirrors element_at's null poisoning:
-    * every projection is null, no bit is set, bucket = 0. */
+    * A vector shorter than `dim` — or carrying a NULL element — mirrors
+    * element_at's null poisoning: the projection sum goes null, no bit
+    * is set, bucket = 0 (the composed column form this kernel replaced
+    * behaved exactly so; silently reading a null slot as 0.0 would
+    * CHANGE bucket assignment for such vectors). */
   def bucket(vec: ArrayData, isFloat: Boolean, dim: Int,
       planes: Int): Long = {
     if (vec.numElements() < dim) return 0L
+    var d0 = 0
+    while (d0 < dim) {
+      if (vec.isNullAt(d0)) return 0L
+      d0 += 1
+    }
     var b = 0L
     var p = 0
     while (p < planes) {

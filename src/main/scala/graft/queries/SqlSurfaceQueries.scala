@@ -25,6 +25,42 @@ object SqlSurfaceQueries extends QueryPack {
              |FROM orders WHERE o_orderstatus = 'O'
              |""".stripMargin)),
 
+    // remote table joined FROM SQL (JoinTranslator.java:279-291): the
+    // lookup table is a deterministic pure function of the key, so the
+    // oracle replays it as an expression. The WHERE lands below the
+    // lookup stage (filter-before-lookup,
+    // SamzaSqlFilterRemoteJoinRule.java:51) — asserted by SqlSurfaceSpec
+    // with a counting reader.
+    "q_sql_remote_join" -> Q(
+      (s, d) => {
+        graft.sql.RemoteSql.registerRemote(s, "remote_tiers",
+          graft.sql.RemoteSql.RemoteTableDef(
+            keyCol = "user_id",
+            schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("user_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("tier",
+                org.apache.spark.sql.types.StringType))),
+            reader = new graft.tables.RemoteTable.AsyncReader[Any,
+                org.apache.spark.sql.Row] {
+              def getAsync(key: Any)(
+                  implicit ec: scala.concurrent.ExecutionContext) =
+                scala.concurrent.Future.successful(Some(
+                  org.apache.spark.sql.Row(
+                    "T" + (key.asInstanceOf[Long] % 5))))
+            }))
+        SamzaSql.run(s, d,
+          """INSERT INTO click_tiers
+            |SELECT e.user_id, e.event_id, r.tier
+            |FROM events e
+            |JOIN remote_tiers r ON e.user_id = r.user_id
+            |WHERE e.event_type = 'click'""".stripMargin)
+      },
+      Some("""SELECT user_id, event_id,
+             |  'T' || CAST(user_id % 5 AS VARCHAR) AS tier
+             |FROM events WHERE event_type = 'click'
+             |""".stripMargin)),
+
     // subquery in FROM (supported by the reference —
     // TestSamzaSqlEndToEnd.java:587)
     "q_sql_subquery" -> Q(

@@ -31,13 +31,14 @@ object SamzaSql {
   }
 
   /** Run one statement against the sf tables: registers sources + UDFs,
-    * executes the SELECT, registers the result as the sink view, and
-    * returns it. */
+    * executes the SELECT (remote-table joins, if any are registered via
+    * RemoteSql.registerRemote, plan through the per-message lookup
+    * stage), registers the result as the sink view, and returns it. */
   def run(spark: SparkSession, sfDir: String, sql: String): DataFrame = {
     Tables.registerAll(spark, sfDir)
     Udfs.register(spark)
     val stmt = parse(sql)
-    val out = spark.sql(stmt.select)
+    val out = RemoteSql.select(spark, stmt.select)
     out.createOrReplaceTempView(stmt.sink)
     out
   }

@@ -59,7 +59,19 @@ object TaskRunner {
 
   /** Run a low-level task over a (bounded or streaming) Dataset.
     * `taskKeyFn` plays partitionBy: one logical task per key.
-    * `orderBy` restores per-task delivery order within an invocation. */
+    * `orderBy` restores per-task delivery order within an invocation.
+    *
+    * Ordering caveats vs Samza's per-partition offset order:
+    * (1) order is restored only WITHIN one invocation — messages of a
+    * key split across micro-batches process in batch-arrival order, so
+    * a later batch carrying an earlier `orderBy` value is delivered
+    * late (feed streams in `orderBy`-monotonic batches, as the
+    * StreamHarness parity queries do, for exact replay);
+    * (2) each invocation materializes its group's messages to sort
+    * them — per-(key, micro-batch) volume must fit a task, which holds
+    * for keyed streams at Samza-like granularity but makes a single
+    * hot key with an unbounded batch the same OOM it would be in a
+    * Samza task's process loop backlog. */
   def run[T, K, OUT](ds: Dataset[T], taskKeyFn: T => K,
       task: StreamTaskLike[T, OUT], orderBy: T => Long,
       windowMs: Option[Long] = None,

@@ -80,33 +80,40 @@ object RemoteTable {
   def lookupJoin[T, K, V](ds: Dataset[T], keyFn: T => K,
       reader: AsyncReader[K, V], cfg: LookupConfig = LookupConfig())(
       implicit enc: Encoder[(T, Option[V])]): Dataset[(T, Option[V])] =
-    ds.mapPartitions { rows =>
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val cache = new ConcurrentHashMap[K, Option[V]]()
-      val bucket = new TokenBucket(cfg.ratePermitsPerSec)
+    ds.mapPartitions(rows => lookupIterator(rows, keyFn, reader, cfg))
 
-      def getWithRetry(key: K, attempt: Int = 0): Future[Option[V]] =
-        reader.getAsync(key).recoverWith {
-          case _ if attempt < cfg.maxRetries =>
-            // exponential backoff on the shared timer — the EC thread
-            // returns to the pool, concurrent lookups keep flowing
-            after(cfg.retryBackoffMs << attempt)(getWithRetry(key, attempt + 1))
-        }
+  /** The per-partition lookup pipeline shared by the typed
+    * [[lookupJoin]] and the SQL-surface Row stage
+    * (graft.sql.RemoteSql): one cache + rate limiter per partition,
+    * `batchSize` lookups in flight, drained in input order. */
+  private[graft] def lookupIterator[T, K, V](rows: Iterator[T], keyFn: T => K,
+      reader: AsyncReader[K, V], cfg: LookupConfig): Iterator[(T, Option[V])] = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val cache = new ConcurrentHashMap[K, Option[V]]()
+    val bucket = new TokenBucket(cfg.ratePermitsPerSec)
 
-      rows.grouped(cfg.batchSize).flatMap { batch =>
-        val futs = batch.map { row =>
-          val k = keyFn(row)
-          val cached = cache.get(k)
-          if (cached != null) (row, Future.successful(cached))
-          else {
-            bucket.acquire()
-            (row, getWithRetry(k).map { v =>
-              if (cache.size < cfg.cacheSize) cache.put(k, v)
-              v
-            })
-          }
-        }
-        futs.map { case (row, fu) => (row, Await.result(fu, cfg.timeout)) }
+    def getWithRetry(key: K, attempt: Int = 0): Future[Option[V]] =
+      reader.getAsync(key).recoverWith {
+        case _ if attempt < cfg.maxRetries =>
+          // exponential backoff on the shared timer — the EC thread
+          // returns to the pool, concurrent lookups keep flowing
+          after(cfg.retryBackoffMs << attempt)(getWithRetry(key, attempt + 1))
       }
+
+    rows.grouped(cfg.batchSize).flatMap { batch =>
+      val futs = batch.map { row =>
+        val k = keyFn(row)
+        val cached = cache.get(k)
+        if (cached != null) (row, Future.successful(cached))
+        else {
+          bucket.acquire()
+          (row, getWithRetry(k).map { v =>
+            if (cache.size < cfg.cacheSize) cache.put(k, v)
+            v
+          })
+        }
+      }
+      futs.map { case (row, fu) => (row, Await.result(fu, cfg.timeout)) }
     }
+  }
 }

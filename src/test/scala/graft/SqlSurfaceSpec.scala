@@ -1,8 +1,126 @@
 package graft
 
-import graft.sql.SamzaSql
+import graft.sql.{RemoteSql, SamzaSql}
+
+/** Lookup-call counter visible across closure serialization: objects
+  * deserialize to the JVM singleton, so executor-side increments (local
+  * mode) land here. */
+object RemoteSqlCounter {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
 
 class SqlSurfaceSpec extends SparkSpec {
+
+  test("SQL remote-table join looks up only post-filter rows") {
+    val s = spark
+    import org.apache.spark.sql.types._
+    RemoteSqlCounter.calls.set(0)
+    RemoteSql.registerRemote(s, "remote_counted",
+      RemoteSql.RemoteTableDef(
+        keyCol = "user_id",
+        schema = StructType(Seq(StructField("user_id", LongType),
+          StructField("tier", StringType))),
+        reader = new graft.tables.RemoteTable.AsyncReader[Any,
+            org.apache.spark.sql.Row] {
+          def getAsync(key: Any)(
+              implicit ec: scala.concurrent.ExecutionContext) = {
+            RemoteSqlCounter.calls.incrementAndGet()
+            scala.concurrent.Future.successful(Some(
+              org.apache.spark.sql.Row("T" + (key.asInstanceOf[Long] % 3))))
+          }
+        },
+        // cache off so the counter equals exactly one call per row
+        cfg = graft.tables.RemoteTable.LookupConfig(cacheSize = 0)))
+    val out = SamzaSql.run(s, sf0001,
+      """INSERT INTO counted_sink
+        |SELECT e.user_id, e.event_id, r.tier
+        |FROM events e
+        |JOIN remote_counted r ON e.user_id = r.user_id
+        |WHERE e.event_type = 'click'""".stripMargin).collect()
+    val total = graft.sources.Tables.load(s, sf0001, "events").count()
+    val clicks = graft.sources.Tables.load(s, sf0001, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .count()
+    assert(out.length == clicks)
+    // filter-before-lookup: the reader saw only the filtered stream
+    assert(RemoteSqlCounter.calls.get() == clicks,
+      s"expected $clicks lookups, saw ${RemoteSqlCounter.calls.get()}")
+    assert(clicks < total)
+    assert(out.forall(r => r.getString(2) == "T" + (r.getLong(0) % 3)))
+  }
+
+  test("SQL remote-table LEFT OUTER join null-extends misses") {
+    val s = spark
+    import org.apache.spark.sql.types._
+    RemoteSql.registerRemote(s, "remote_sparse",
+      RemoteSql.RemoteTableDef(
+        keyCol = "user_id",
+        schema = StructType(Seq(StructField("user_id", LongType),
+          StructField("flag", StringType))),
+        reader = new graft.tables.RemoteTable.AsyncReader[Any,
+            org.apache.spark.sql.Row] {
+          def getAsync(key: Any)(
+              implicit ec: scala.concurrent.ExecutionContext) =
+            scala.concurrent.Future.successful(
+              if (key.asInstanceOf[Long] % 2 == 0)
+                Some(org.apache.spark.sql.Row("even"))
+              else None)
+        }))
+    val out = SamzaSql.run(s, sf0001,
+      """INSERT INTO sparse_sink
+        |SELECT e.user_id, r.flag
+        |FROM events e
+        |LEFT JOIN remote_sparse r ON e.user_id = r.user_id""".stripMargin)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      if (r.getLong(0) % 2 == 0) r.getString(1) == "even" else r.isNullAt(1)
+    })
+  }
+
+  test("polymorphic UDF resolves overloads by argument type") {
+    val s = spark
+    import org.apache.spark.sql.catalyst.expressions.{Add, Length, Literal}
+    import org.apache.spark.sql.types._
+    // the reference shape: one UDF name, int and string overloads
+    // (TestSamzaSqlEndToEnd.java:719 MyTestPolyUdf)
+    graft.functions.UdfRegistry.register(s, "poly", Seq(
+      graft.functions.UdfRegistry.Overload(Seq(IntegerType),
+        { case Seq(x) => Add(x, Literal(100)) }),
+      graft.functions.UdfRegistry.Overload(Seq(StringType),
+        { case Seq(x) => Length(x) }),
+      graft.functions.UdfRegistry.Overload(Seq(IntegerType, IntegerType),
+        { case Seq(a, b) => Add(a, b) })))
+    val row = s.sql(
+      "SELECT poly(5) AS a, poly('hello') AS b, poly(3, 4) AS c").head()
+    assert((row.getInt(0), row.getInt(1), row.getInt(2)) == (105, 5, 7))
+    // up-cast resolution: smallint argument picks the int overload
+    assert(s.sql("SELECT poly(CAST(2 AS SMALLINT)) AS a").head()
+      .getInt(0) == 102)
+  }
+
+  test("polymorphic UDF rejects bad arity/types at analysis") {
+    val s = spark
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    graft.functions.UdfRegistry.register(s, "typed_one", Seq(
+      graft.functions.UdfRegistry.Overload(Seq(IntegerType),
+        { case Seq(x) => x })))
+    // Checker.java:45 behavior: bad calls fail when the query is
+    // ANALYZED — before any data moves
+    val arity = intercept[Exception] { s.sql("SELECT typed_one(1, 2)") }
+    assert(arity.getMessage.contains("wrong number of arguments"),
+      arity.getMessage)
+    val types = intercept[Exception] { s.sql("SELECT typed_one(array(1))") }
+    assert(types.getMessage.contains("no overload accepts"),
+      types.getMessage)
+    // a long does NOT up-cast to int (lossy) — must be rejected too
+    val lossy = intercept[Exception] {
+      s.sql("SELECT typed_one(CAST(1 AS BIGINT))")
+    }
+    assert(lossy.getMessage.contains("no overload accepts"),
+      lossy.getMessage)
+  }
 
   test("parses INSERT INTO … SELECT") {
     val st = SamzaSql.parse(
