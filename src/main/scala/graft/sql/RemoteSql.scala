@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, SubqueryAlias, View}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.types.StructType
 
 import graft.tables.RemoteTable
@@ -39,34 +39,70 @@ object RemoteSql {
       s"key column $keyCol missing from remote table schema")
   }
 
-  private val registry =
-    new ConcurrentHashMap[(SparkSession, String), RemoteTableDef]()
+  /** Weak session keys: a stopped/collected session releases its
+    * entries instead of pinning the session (and every reader closure)
+    * for the life of the JVM. WeakHashMap requires external sync. */
+  private val registry: java.util.Map[
+      SparkSession, ConcurrentHashMap[String, RemoteTableDef]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[
+        SparkSession, ConcurrentHashMap[String, RemoteTableDef]]())
+
+  private def tables(spark: SparkSession)
+      : Option[ConcurrentHashMap[String, RemoteTableDef]] =
+    Option(registry.get(spark))
 
   /** Register `name` as a remote table for this session: SQL statements
-    * may join it like any stream; scanning it yields zero rows (it is
-    * lookup-only, as in the reference — remote tables have no
-    * replayable scan). */
+    * may join it like any stream. It is lookup-only, as in the
+    * reference — remote tables have no replayable scan, so any
+    * statement that would SCAN the marker (remote table outside a
+    * supported join shape) is rejected loudly at plan time by
+    * [[select]] rather than silently returning zero rows. */
   def registerRemote(spark: SparkSession, name: String,
       d: RemoteTableDef): Unit = {
-    registry.put((spark, name.toLowerCase), d)
+    registry.synchronized {
+      var m = registry.get(spark)
+      if (m == null) { m = new ConcurrentHashMap(); registry.put(spark, m) }
+      m.put(name.toLowerCase, d)
+    }
     spark.createDataFrame(java.util.Collections.emptyList[Row](), d.schema)
       .createOrReplaceTempView(name)
+  }
+
+  /** Drop one remote table: releases the registry entry (and the
+    * reader closure it pins) and the marker view. */
+  def unregisterRemote(spark: SparkSession, name: String): Unit = {
+    registry.synchronized {
+      val m = registry.get(spark)
+      if (m != null) { m.remove(name.toLowerCase)
+        if (m.isEmpty) registry.remove(spark) }
+    }
+    spark.catalog.dropTempView(name)
+  }
+
+  /** Drop every remote table registered for this session; subsequent
+    * [[select]] calls take the plain spark.sql fast path again. */
+  def clearRemotes(spark: SparkSession): Unit = {
+    val names = registry.synchronized {
+      val m = registry.remove(spark)
+      if (m == null) Nil
+      else { val ks = new scala.collection.mutable.ArrayBuffer[String]
+        m.keySet.forEach(k => ks += k); ks.toList }
+    }
+    names.foreach(spark.catalog.dropTempView)
   }
 
   private def remoteDef(spark: SparkSession, p: LogicalPlan)
       : Option[RemoteTableDef] = p match {
     case SubqueryAlias(id, child) =>
-      Option(registry.get((spark, id.name.toLowerCase)))
+      tables(spark).flatMap(m => Option(m.get(id.name.toLowerCase)))
         .orElse(remoteDef(spark, child))
     case v: View => remoteDef(spark, v.child)
     case _ => None
   }
 
-  private def hasRemotes(spark: SparkSession): Boolean = {
-    val it = registry.keySet().iterator()
-    while (it.hasNext) if (it.next()._1 eq spark) return true
-    false
-  }
+  private def hasRemotes(spark: SparkSession): Boolean =
+    tables(spark).exists(!_.isEmpty)
 
   /** Run a SELECT, rewriting remote-table joins into lookup stages.
     * Falls through to plain spark.sql when the session has no remote
@@ -75,10 +111,35 @@ object RemoteSql {
     if (!hasRemotes(spark)) return spark.sql(sql)
     val analyzed = spark.sql(sql).queryExecution.analyzed
 
+    // 0. normalize remote-on-LEFT joins to remote-on-right (inner is
+    // symmetric; `remote RIGHT JOIN stream` ≡ `stream LEFT JOIN remote`),
+    // with a Project restoring the original column order. Two remote
+    // sides can't lookup-join each other — reject loudly, as the
+    // reference does for unsupported shapes
+    // (JoinTranslator.validateJoinQuery, JoinTranslator.java:198-245).
+    val normalized = analyzed.transformUp {
+      case Join(l, r, _, _, _)
+          if remoteDef(spark, l).isDefined && remoteDef(spark, r).isDefined =>
+        throw new IllegalArgumentException(
+          "joining two remote tables is not supported: remote tables are " +
+            "lookup-only; one side of the join must be a stream")
+      case j @ Join(l, r, joinType, cond, hint)
+          if remoteDef(spark, l).isDefined =>
+        val swappedType = joinType match {
+          case Inner => Inner
+          case RightOuter => LeftOuter
+          case other => throw new IllegalArgumentException(
+            s"remote table on the LEFT of a $other join is not supported; " +
+              "supported shapes: INNER (either side), stream LEFT JOIN " +
+              "remote, remote RIGHT JOIN stream")
+        }
+        Project(j.output, Join(r, l, swappedType, cond, hint))
+    }
+
     // 1. filter-before-lookup (SamzaSqlFilterRemoteJoinRule.java:244-257):
     // a filter over only stream-side columns moves below the join, so
     // the lookup stage sees post-filter traffic
-    val filtered = analyzed.transformUp {
+    val filtered = normalized.transformUp {
       case Filter(cond, j @ Join(l, r, _, _, _))
           if remoteDef(spark, r).isDefined &&
             cond.references.subsetOf(l.outputSet) =>
@@ -115,6 +176,26 @@ object RemoteSql {
         Project(j.output.zip(repl.output).map { case (o, n) =>
           Alias(n, o.name)(exprId = o.exprId) }, repl)
     }
+
+    // 3. marker-survival check: any registered remote relation still in
+    // the plan means a shape the rewrite didn't cover (remote wrapped in
+    // a subquery/Project/Filter, scanned outside a join, …). Executing
+    // it would silently join/scan the zero-row marker view — the exact
+    // wrong-answer class the reference rejects loudly
+    // (JoinTranslator.validateJoinQuery), so we do too.
+    val survivors = rewritten.collect {
+      case SubqueryAlias(id, _)
+          if tables(spark).exists(_.containsKey(id.name.toLowerCase)) =>
+        id.name
+    }.distinct
+    if (survivors.nonEmpty) throw new IllegalArgumentException(
+      s"remote table(s) ${survivors.mkString(", ")} used in an " +
+        "unsupported shape: remote tables are lookup-only and must " +
+        "appear directly as one side of an equi-join with a stream " +
+        "(INNER either side, stream LEFT JOIN remote, remote RIGHT JOIN " +
+        "stream). Wrapping the remote table in a subquery/SELECT, " +
+        "scanning it outside a join, or non-equi conditions are not " +
+        "supported.")
     org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, rewritten)
   }
 

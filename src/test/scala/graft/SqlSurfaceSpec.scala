@@ -78,6 +78,148 @@ class SqlSurfaceSpec extends SparkSpec {
     })
   }
 
+  test("remote table on the LEFT of an inner join is swapped, not empty") {
+    val s = spark
+    import org.apache.spark.sql.types._
+    RemoteSql.registerRemote(s, "remote_left",
+      RemoteSql.RemoteTableDef(
+        keyCol = "user_id",
+        schema = StructType(Seq(StructField("user_id", LongType),
+          StructField("tier", StringType))),
+        reader = new graft.tables.RemoteTable.AsyncReader[Any,
+            org.apache.spark.sql.Row] {
+          def getAsync(key: Any)(
+              implicit ec: scala.concurrent.ExecutionContext) =
+            scala.concurrent.Future.successful(Some(
+              org.apache.spark.sql.Row("T" + (key.asInstanceOf[Long] % 3))))
+        }))
+    val out = SamzaSql.run(s, sf0001,
+      """INSERT INTO left_sink
+        |SELECT r.tier, e.user_id, e.event_id
+        |FROM remote_left r
+        |JOIN events e ON e.user_id = r.user_id
+        |WHERE e.event_type = 'click'""".stripMargin).collect()
+    val clicks = graft.sources.Tables.load(s, sf0001, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .count()
+    assert(out.length == clicks, s"expected $clicks rows, got ${out.length}")
+    assert(out.forall(r => r.getString(0) == "T" + (r.getLong(1) % 3)))
+  }
+
+  test("remote RIGHT JOIN stream ≡ stream LEFT JOIN remote") {
+    val s = spark
+    import org.apache.spark.sql.types._
+    RemoteSql.registerRemote(s, "remote_rj",
+      RemoteSql.RemoteTableDef(
+        keyCol = "user_id",
+        schema = StructType(Seq(StructField("user_id", LongType),
+          StructField("flag", StringType))),
+        reader = new graft.tables.RemoteTable.AsyncReader[Any,
+            org.apache.spark.sql.Row] {
+          def getAsync(key: Any)(
+              implicit ec: scala.concurrent.ExecutionContext) =
+            scala.concurrent.Future.successful(
+              if (key.asInstanceOf[Long] % 2 == 0)
+                Some(org.apache.spark.sql.Row("even"))
+              else None)
+        }))
+    val out = SamzaSql.run(s, sf0001,
+      """INSERT INTO rj_sink
+        |SELECT e.user_id, r.flag
+        |FROM remote_rj r
+        |RIGHT JOIN events e ON e.user_id = r.user_id""".stripMargin)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      if (r.getLong(0) % 2 == 0) r.getString(1) == "even" else r.isNullAt(1)
+    })
+  }
+
+  test("unsupported remote shapes throw loudly, never silent-empty") {
+    val s = spark
+    import org.apache.spark.sql.types._
+    def reg(name: String): Unit =
+      RemoteSql.registerRemote(s, name,
+        RemoteSql.RemoteTableDef(
+          keyCol = "user_id",
+          schema = StructType(Seq(StructField("user_id", LongType),
+            StructField("tier", StringType))),
+          reader = new graft.tables.RemoteTable.AsyncReader[Any,
+              org.apache.spark.sql.Row] {
+            def getAsync(key: Any)(
+                implicit ec: scala.concurrent.ExecutionContext) =
+              scala.concurrent.Future.successful(Some(
+                org.apache.spark.sql.Row("T")))
+          }))
+    reg("remote_shape")
+    reg("remote_shape2")
+    // (b) remote wrapped in a subquery: rewrite can't see it — must throw
+    val wrapped = intercept[IllegalArgumentException] {
+      SamzaSql.run(s, sf0001,
+        """INSERT INTO w_sink
+          |SELECT e.user_id, r.tier
+          |FROM events e
+          |JOIN (SELECT user_id, tier FROM remote_shape) r
+          |  ON e.user_id = r.user_id""".stripMargin)
+    }
+    assert(wrapped.getMessage.contains("unsupported shape"),
+      wrapped.getMessage)
+    // (c) remote scanned outside a join — lookup-only, must throw
+    val scanned = intercept[IllegalArgumentException] {
+      SamzaSql.run(s, sf0001,
+        "INSERT INTO s_sink SELECT user_id FROM remote_shape")
+    }
+    assert(scanned.getMessage.contains("unsupported shape"),
+      scanned.getMessage)
+    // two remote tables can't lookup-join each other
+    val both = intercept[IllegalArgumentException] {
+      SamzaSql.run(s, sf0001,
+        """INSERT INTO b_sink
+          |SELECT a.user_id FROM remote_shape a
+          |JOIN remote_shape2 b ON a.user_id = b.user_id""".stripMargin)
+    }
+    assert(both.getMessage.contains("two remote tables"), both.getMessage)
+    // remote on the left of a LEFT join has no lookup semantics
+    val lol = intercept[IllegalArgumentException] {
+      SamzaSql.run(s, sf0001,
+        """INSERT INTO l_sink
+          |SELECT e.user_id, r.tier FROM remote_shape r
+          |LEFT JOIN events e ON e.user_id = r.user_id""".stripMargin)
+    }
+    assert(lol.getMessage.contains("not supported"), lol.getMessage)
+    RemoteSql.unregisterRemote(s, "remote_shape")
+    RemoteSql.unregisterRemote(s, "remote_shape2")
+  }
+
+  test("registry lifecycle: unregister/clear release entries and views") {
+    val s = spark
+    import org.apache.spark.sql.types._
+    val d = RemoteSql.RemoteTableDef(
+      keyCol = "user_id",
+      schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("tier", StringType))),
+      reader = new graft.tables.RemoteTable.AsyncReader[Any,
+          org.apache.spark.sql.Row] {
+        def getAsync(key: Any)(
+            implicit ec: scala.concurrent.ExecutionContext) =
+          scala.concurrent.Future.successful(Some(
+            org.apache.spark.sql.Row("T")))
+      })
+    RemoteSql.registerRemote(s, "remote_lc1", d)
+    RemoteSql.registerRemote(s, "remote_lc2", d)
+    assert(s.catalog.tableExists("remote_lc1"))
+    RemoteSql.unregisterRemote(s, "remote_lc1")
+    assert(!s.catalog.tableExists("remote_lc1"))
+    assert(s.catalog.tableExists("remote_lc2"))
+    // clear releases everything for the session
+    RemoteSql.clearRemotes(s)
+    assert(!s.catalog.tableExists("remote_lc2"))
+    // with no remotes registered, select is the plain spark.sql path
+    // (a stale marker would throw here; absence of registry entries
+    // means no rewrite/validation pass runs at all)
+    assert(RemoteSql.select(s, "SELECT 1 AS x").head().getInt(0) == 1)
+  }
+
   test("polymorphic UDF resolves overloads by argument type") {
     val s = spark
     import org.apache.spark.sql.catalyst.expressions.{Add, Length, Literal}
