@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.plans.{DotProduct, IntersectCountSorted, LitArg, MinHashSig, ShingleSet, SrpBucket}
+import graft.plans.{DotProduct, IntersectCountSorted, LitArg, MinHashSig, ShingleSet, SimHashSig, SrpBucket}
 
 /** Cluster-wide registration: set
   * `spark.sql.extensions=graft.GraftExtensions` and every session —
@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     inject("graft_intersect_count") { case Seq(a, b) =>
       IntersectCountSorted(a, b)
+    }
+    inject("graft_simhash") { case Seq(arr, seed, bits) =>
+      SimHashSig(arr, LitArg.int("graft_simhash", seed),
+        LitArg.int("graft_simhash", bits))
     }
     inject("graft_srp_bucket") { case Seq(vec, d, p) =>
       SrpBucket(vec, LitArg.int("graft_srp_bucket", d),

@@ -96,17 +96,27 @@ final case class KVStream[K, V](ds: Dataset[(K, V)]) {
     * time / offset), NOT by arrival order: `agg(last(...))` would
     * depend on partition scan order and silently change across
     * runs/AQE re-plans. Ties on the order value break on the value
-    * struct itself (max_by over struct(order, value)), so the result
-    * is a pure function of the input multiset. */
+    * struct itself (max_by over struct(order, value)) — which requires
+    * the value type to be ORDERABLE under Spark (maps, and structs /
+    * arrays containing maps, are not). For unorderable value types the
+    * tiebreak falls back to the order value alone: still deterministic
+    * whenever order values are unique per key (give each message a
+    * distinct offset/timestamp, as Samza's per-partition offsets are),
+    * but duplicate (key, order) rows with different unorderable values
+    * pick an arbitrary winner. */
   def joinTtl[W](other: KVStream[K, W])(orderV: V => Long, orderW: W => Long)(
       implicit enc: Encoder[(K, V, W)], encV: Encoder[(K, Long, V)],
       encW: Encoder[(K, Long, W)]): Dataset[(K, V, W)] = {
-    val l = ds.map { case (k, v) => (k, orderV(v), v) }(encV)
-      .toDF("k", "o", "v").groupBy("k")
-      .agg(max_by(col("v"), struct(col("o"), col("v"))).as("v"))
-    val r = other.ds.map { case (k, w) => (k, orderW(w), w) }(encW)
-      .toDF("k", "o", "w").groupBy("k")
-      .agg(max_by(col("w"), struct(col("o"), col("w"))).as("w"))
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    def lastPerKey(df: org.apache.spark.sql.DataFrame, vc: String) = {
+      val orderable = RowOrdering.isOrderable(df.schema(vc).dataType)
+      val ord = if (orderable) struct(col("o"), col(vc)) else struct(col("o"))
+      df.groupBy("k").agg(max_by(col(vc), ord).as(vc))
+    }
+    val l = lastPerKey(ds.map { case (k, v) => (k, orderV(v), v) }(encV)
+      .toDF("k", "o", "v"), "v")
+    val r = lastPerKey(other.ds.map { case (k, w) => (k, orderW(w), w) }(encW)
+      .toDF("k", "o", "w"), "w")
     l.join(r, "k").select(col("k"), col("v"), col("w")).as[(K, V, W)](enc)
   }
 }

@@ -369,17 +369,18 @@ object Dedup {
 
   /** SimHash over word unigrams with `bits`-wide polynomial hashes:
     * bit b of the signature is set iff more word-hashes have bit b set
-    * than clear. Returns (id, simhash). */
+    * than clear. Returns (id, simhash).
+    *
+    * One codegen'd pass per document (graft.plans.SimHashKernel) —
+    * the composed-column form this replaces ran `bits` interpreted
+    * `aggregate` HOF scans over every document's hash array, the exact
+    * interpreted-lambda-in-the-hot-loop shape the other dedup kernels
+    * exist to avoid. Null text hashes to 0 (no votes), as before. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 20): DataFrame = {
-    val hashes = df.select(col(idCol),
-      transform(tokens(col(textCol)), w => polyHash(w, 7, bits)).as("hs"))
-    // per-bit majority vote, folded into a single integer
-    val sig = (0 until bits).map { b =>
-      val votes = aggregate(col("hs"), lit(0),
-        (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1).otherwise(-1))
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    hashes.select(col(idCol), sig.as("simhash"))
-  }
+      bits: Int = 20): DataFrame =
+    df.select(col(idCol),
+      coalesce(
+        graft.plans.GraftCall(graft.plans.TextExpressions.SimHashName,
+          tokens(col(textCol)), lit(7), lit(bits)),
+        lit(0L)).as("simhash"))
 }

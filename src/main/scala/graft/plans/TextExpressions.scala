@@ -200,6 +200,76 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Int,
       newChild: Expression): MinHashSig = copy(child = newChild)
 }
 
+object SimHashKernel {
+
+  /** SimHash signature of a token array in ONE pass: per token the
+    * seeded polynomial hash ([[MinHashKernel.polyHash]], the family the
+    * DuckDB oracles mirror), then a per-bit majority vote over the
+    * `bits` low bits; bit b of the result is set iff strictly more
+    * token-hashes have bit b set than clear. Matches the
+    * composed-column form it replaces bit-for-bit (Dedup.scala's
+    * per-bit `aggregate` HOF passes — `bits` interpreted scans per
+    * document; this is one JIT loop), INCLUDING the empty-token case:
+    * tokenizing empty text yields one "" token, and both Spark's
+    * `split(c, "")` and DuckDB's `string_split(wd, '')` turn "" into
+    * [""] with ascii('') = 0 — one fold step with code point 0, NOT
+    * zero steps, so hash('') = (seed*31) % 2^bits (217 for seed 7),
+    * not `seed`. */
+  def simhash(arr: ArrayData, seed: Int, bits: Int): Long = {
+    val mod = 1 << bits
+    val votes = new Array[Int](bits)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      val h =
+        if (s.isEmpty) (seed * 31L) % mod // ascii('') = 0, one step
+        else MinHashKernel.polyHash(s, seed, mod)
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}
+
+/** Codegen'd SimHash signature over an array<string> of tokens. */
+case class SimHashSig(child: Expression, seed: Int, bits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // bits > 30 would wrap the Int modulus (1 << 31 < 0) like
+    // graft_minhash_sig; reject at analysis
+    case _ if bits < 1 || bits > 30 => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash bits must be in [1, 30], got $bits")
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash expects array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashKernel.simhash(input.asInstanceOf[ArrayData], seed, bits)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.SimHashKernel.simhash($c, $seed, $bits)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHashSig = copy(child = newChild)
+}
+
 /** Shared extractor for the integer-literal parameters of graft
   * expression builders (function registry + GraftExtensions). */
 object LitArg {
@@ -228,6 +298,7 @@ object TextExpressions {
   val MinHashName = "graft_minhash_sig"
   val ShingleSetName = "graft_shingle_set"
   val IntersectCountName = "graft_intersect_count"
+  val SimHashName = "graft_simhash"
 
   /** Idempotent per-session registration so `call_function` resolves. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -243,5 +314,10 @@ object TextExpressions {
       "built-in")
     reg.createOrReplaceTempFunction(IntersectCountName,
       { exprs => IntersectCountSorted(exprs(0), exprs(1)) }, "built-in")
+    reg.createOrReplaceTempFunction(SimHashName,
+      { exprs =>
+        SimHashSig(exprs(0), LitArg.int(SimHashName, exprs(1)),
+          LitArg.int(SimHashName, exprs(2)))
+      }, "built-in")
   }
 }

@@ -47,18 +47,23 @@ object StreamParityQueries extends QueryPack {
         val half = WeekMs / 2
         val steps = rows.groupBy(_._2 / half).toSeq.sortBy(_._1)
           .map { case (b, evs) => (b * half, evs.toSeq) }
-        // flush: one dummy per user far past every window close; the
-        // dummies' own panes are never emitted (stream stops first)
+        // flush: a clock-only step past every window close; the
+        // harness's watermark tick delivers event-time timeouts to
+        // every user's state and the injected clock expires every open
+        // pane (EOS flush analog, WindowOperatorImpl
+        // .handleEndOfStream:208) — no dummy data rows involved
         val flushAt = rows.map(_._2).max + 2 * WeekMs
-        val flush = (flushAt,
-          rows.map(_._1).distinct.sorted.map(u => (u, flushAt, 0.0)).toSeq)
+        val flush = (flushAt, Seq.empty[(Long, Long, Double)])
         val cfg = StreamWindows.WindowConfig(intervalMs = WeekMs)
-        val out = StreamHarness.run(s, steps :+ flush) { ds =>
-          StreamWindows.keyedTumblingFold[(Long, Long, Double), Long,
-            (Long, Long)](
-            ds, _._1, (0L, 0L),
-            (a, e) => (a._1 + 1, a._2 + math.floor(e._3 * 100).toLong),
-            cfg, StreamHarness.clock, timers = false)
+        val out = StreamHarness.runWithTicks(s, steps :+ flush,
+          sentinel = (0L, 0L, 0.0)) { ds =>
+          StreamWindows.keyedTumblingFold[
+            StreamHarness.Ticked[(Long, Long, Double)], Long, (Long, Long)](
+            ds, _._1._1, (0L, 0L),
+            (a, e) => (a._1 + 1, a._2 + math.floor(e._1._3 * 100).toLong),
+            cfg, StreamHarness.clock,
+            timeout = org.apache.spark.sql.streaming.GroupStateTimeout
+              .EventTimeTimeout)
         }
         out.select(col("windowStartMs").as("window_start_ms"),
           col("key").as("user_id"),
@@ -94,7 +99,7 @@ object StreamParityQueries extends QueryPack {
             }.toSeq)
           }
         val out = StreamHarness.run(s, steps) { ds =>
-          TtlJoin.join(ds, ttlMs = ttl, timers = false)
+          TtlJoin.join(ds, ttlMs = ttl, timers = false) // no timer output
         }
         out.select(col("key").as("user_id"), col("left").as("click_id"),
           col("right").as("view_id"))

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** Deterministic micro-batch driver for the faithful streaming
@@ -35,7 +35,15 @@ object StreamHarness {
     * batch, and drains the micro-batch before moving on — so state
     * crosses batch boundaries exactly as it would across Samza
     * process() invocations over time. Returns the collected append
-    * output. */
+    * output.
+    *
+    * Clock-only steps (empty batch) drain a zero-row micro-batch (an
+    * empty MemoryStream block still advances the offset), but without
+    * timers they cannot INVOKE keys that got no data — nothing
+    * flushes. Operators here must use `NoTimeout` (armed
+    * processing-time timeouts make Spark rerun no-data batches
+    * forever, so processAllAvailable would never return). When
+    * clock-only steps must flush idle keys, use [[runWithTicks]]. */
   def run[T: Encoder](spark: SparkSession, steps: Seq[(Long, Seq[T])])(
       build: Dataset[T] => Dataset[_]): DataFrame = {
     implicit val sqlCtx = spark.sqlContext
@@ -46,10 +54,65 @@ object StreamHarness {
     try {
       steps.foreach { case (t, batch) =>
         nowMs = t
-        if (batch.nonEmpty) {
-          input.addData(batch)
-          q.processAllAvailable()
-        }
+        input.addData(batch)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  /** Input shape [[runWithTicks]] hands to its `build`: (value,
+    * stepEventTime, isData). isData is always true by then (sentinels
+    * are filtered); it rides along because a typed .map would strip
+    * the watermark metadata off the timestamp column (see below). */
+  type Ticked[T] = (T, java.sql.Timestamp, Boolean)
+
+  /** [[run]] plus a per-step WATERMARK tick, so operators running with
+    * `GroupStateTimeout.EventTimeTimeout` flush idle keys on
+    * clock-only steps — the RunLoop-timer-tick analog
+    * (container/RunLoop.java:79-121) that [[run]] cannot express.
+    *
+    * Every step feeds its rows enveloped as (stepMs, isData, value)
+    * plus one sentinel (stepMs, false, `sentinel`), so the watermark
+    * reaches stepMs even when `batch` is empty. Event-time timeouts
+    * fire on the engine's one follow-up batch per watermark advance,
+    * with the operator's injected clock (= [[clock]]) deciding what
+    * is actually due; then the query quiesces, so processAllAvailable
+    * terminates (unlike armed processing-time timeouts, which rerun
+    * no-data batches forever). `sentinel` never reaches `build`.
+    * Steps must be clock-monotonic (watermarks never regress).
+    *
+    * Plumbing constraints baked into the [[Ticked]] shape: Spark's
+    * event-time-timeout checker requires the watermark-tagged column
+    * in the stateful operator's CHILD OUTPUT, and a typed .map
+    * re-serializes into fresh attributes (metadata gone), so the
+    * timestamp column must ride inside the element tuple all the way
+    * to groupByKey; sentinels are dropped by a TYPED filter, which
+    * keeps child attributes (a Column filter would be pushed below
+    * the watermark node and the tick would never reach it). */
+  def runWithTicks[T: Encoder](spark: SparkSession,
+      steps: Seq[(Long, Seq[T])], sentinel: T)(
+      build: Dataset[Ticked[T]] => Dataset[_]): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val envEnc: Encoder[(Long, Boolean, T)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean,
+        implicitly[Encoder[T]])
+    val tickedEnc: Encoder[Ticked[T]] =
+      Encoders.tuple(implicitly[Encoder[T]], Encoders.TIMESTAMP,
+        Encoders.scalaBoolean)
+    val input = MemoryStream[(Long, Boolean, T)]
+    val data: Dataset[Ticked[T]] = input.toDS()
+      .map(e => (e._3, new java.sql.Timestamp(e._1), e._2))(tickedEnc)
+      .withWatermark("_2", "0 milliseconds")
+      .filter(_._3) // typed on purpose — see scaladoc
+    val name = s"graft_stream_parity_${nameCounter.incrementAndGet()}"
+    val q = build(data).writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      steps.foreach { case (t, batch) =>
+        nowMs = t
+        input.addData(batch.map(v => (t, true, v)) :+ ((t, false, sentinel)))
+        q.processAllAvailable()
       }
     } finally q.stop()
     spark.table(name)

@@ -48,18 +48,30 @@ object StreamWindows {
     * deterministic tests; production uses the wall clock like the
     * reference.
     *
-    * `timers = false` disables processing-time timeouts: pane expiry
-    * and early time-triggers then run only on the data path (every
-    * invocation checks them), so idle keys flush on their NEXT message
-    * instead of on a timer. Use it for bounded/replay runs — Spark's
-    * micro-batch engine reruns no-data batches CONTINUOUSLY while any
-    * processing-time timeout is armed (it cannot know the next
-    * deadline), which turns a drained replay into a busy loop of empty
-    * checkpointed batches. Live jobs keep the default. */
+    * `timeout` picks how IDLE keys learn that a pane is due (keys with
+    * traffic always flush on the data path, which checks the injected
+    * clock every invocation):
+    *  - `ProcessingTimeTimeout` (default): real wall-clock timers —
+    *    the production mode, where `clock` IS the wall clock (RunLoop
+    *    timer-thread analog, container/RunLoop.java:79-121). NOTE:
+    *    Spark reruns no-data batches continuously while any
+    *    processing-time timeout is armed (it cannot know the next
+    *    deadline), so `processAllAvailable` NEVER RETURNS on such a
+    *    query — drive it with a real trigger and poll the sink
+    *    (TriggerSpec's shape), not with processAllAvailable.
+    *  - `EventTimeTimeout`: deadlines are event-time ms, delivered
+    *    when the WATERMARK passes them — the replay/harness mode,
+    *    where simulated time is carried by a watermarked column and
+    *    `clock` returns the same simulated time
+    *    (StreamHarness.runWithTicks builds exactly this). The engine
+    *    runs one extra batch per watermark advance and then quiesces,
+    *    so processAllAvailable terminates.
+    *  - `NoTimeout`: data-path only; idle keys flush on their NEXT
+    *    message. For bounded/replay runs that feed every key. */
   def keyedTumblingFold[T, K: Encoder, A: Encoder](
       ds: Dataset[T], keyFn: T => K, init: A, fold: (A, T) => A,
       cfg: WindowConfig, clock: () => Long = () => System.currentTimeMillis(),
-      timers: Boolean = true)(
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)(
       implicit paneEnc: Encoder[Pane[K, A]],
       stateEnc: Encoder[Map[Long, PaneState[A]]]): Dataset[Pane[K, A]] = {
 
@@ -126,16 +138,21 @@ object StreamWindows {
       }
       if (panes.nonEmpty) {
         state.update(panes)
-        if (timers)
-          state.setTimeoutDuration(math.max(1L, nextDeadline(panes, now) - now))
+        // deadlines are strictly > now (expired panes were flushed
+        // above; due early-triggers fired), and the watermark never
+        // exceeds the current simulated clock, so setTimeoutTimestamp
+        // cannot trip Spark's timestamp-behind-watermark check
+        if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+          state.setTimeoutDuration(
+            math.max(1L, nextDeadline(panes, now) - now))
+        else if (timeout == GroupStateTimeout.EventTimeTimeout)
+          state.setTimeoutTimestamp(nextDeadline(panes, now))
       } else state.remove()
       out.result().iterator
     }
 
     ds.groupByKey(keyFn)
-      .flatMapGroupsWithState(OutputMode.Append,
-        if (timers) GroupStateTimeout.ProcessingTimeTimeout
-        else GroupStateTimeout.NoTimeout)(process)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
   }
 
   /** Keyed tumbling window, collect form (Windows.keyedTumblingWindow:159)

@@ -89,4 +89,24 @@ class DslSpec extends SparkSpec {
     for ((lp, rp) <- Seq((1, 1), (3, 2), (7, 5)))
       assert(run(lp, rp) == expected, s"partitioning ($lp,$rp)")
   }
+
+  test("joinTtl runs with Map-typed (unorderable) values") {
+    val s = spark
+    import s.implicits._
+    import graft.dsl.KVStream
+    // map values can't join the max_by tiebreak struct (maps are not
+    // orderable in Spark) — joinTtl must fall back to order-only
+    // tiebreak instead of failing analysis. Order values are unique
+    // per key, so the result is still fully determined.
+    val lRows = Seq(
+      (1, (10L, Map("a" -> 1))), (1, (30L, Map("c" -> 3))),
+      (2, (5L, Map("x" -> 9))))
+    val rRows = Seq((1, (20L, "r1")), (2, (1L, "r2")))
+    val l = KVStream(s.createDataset(lRows).repartition(3))
+    val r = KVStream(s.createDataset(rRows).repartition(2))
+    val out = l.joinTtl(r)(_._1, _._1).collect().toSet
+    assert(out == Set(
+      (1, (30L, Map("c" -> 3)), (20L, "r1")),
+      (2, (5L, Map("x" -> 9)), (1L, "r2"))))
+  }
 }

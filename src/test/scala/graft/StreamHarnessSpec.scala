@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+import graft.streaming.{StreamHarness, StreamWindows}
+import graft.streaming.StreamWindows.WindowConfig
+
+/** StreamHarness.runWithTicks contract: clock-only steps advance the
+  * watermark via a sentinel tick, so operators running with
+  * event-time timeouts flush panes whose injected-clock deadline has
+  * passed WITHOUT any data arriving for the key (the dummy-flush-row
+  * workaround the harness previously required). Reference analog:
+  * RunLoop's timer thread ticks windows with no input
+  * (container/RunLoop.java:79-121);
+  * WindowOperatorImpl.handleEndOfStream:208 flushes open panes. */
+class StreamHarnessSpec extends SparkSpec {
+
+  private lazy val s0 = spark
+  import s0.implicits._
+
+  private def fold(
+      ds: org.apache.spark.sql.Dataset[StreamHarness.Ticked[(String, Int)]],
+      interval: Long) =
+    StreamWindows.keyedTumblingFold[StreamHarness.Ticked[(String, Int)],
+      String, Int](
+      ds, _._1._1, 0, (a, e) => a + e._1._2,
+      WindowConfig(intervalMs = interval), StreamHarness.clock,
+      timeout = GroupStateTimeout.EventTimeTimeout)
+
+  test("timer flush happens on a clock-only step") {
+    val s = spark
+    import s.implicits._
+    val steps: Seq[(Long, Seq[(String, Int)])] = Seq(
+      (100L, Seq(("a", 1), ("a", 2), ("b", 10))), // all panes open
+      (2500L, Seq.empty) // clock-only: both keys idle, panes past close
+    )
+    val out = StreamHarness.runWithTicks(s, steps, sentinel = ("x", 0)) {
+      ds => fold(ds, 1000L)
+    }
+    val panes = out.as[StreamWindows.Pane[String, Int]].collect()
+      .map(p => (p.key, p.windowStartMs, p.value, p.firing)).toSet
+    assert(panes == Set(
+      ("a", 0L, 3, "DEFAULT"), ("b", 0L, 10, "DEFAULT")))
+  }
+
+  test("clock-only step flushes only panes past their close") {
+    val s = spark
+    import s.implicits._
+    val steps: Seq[(Long, Seq[(String, Int)])] = Seq(
+      (100L, Seq(("a", 1))), // pane [0, 1000)
+      (1200L, Seq(("a", 5))), // flushes pane 0 on data path; opens [1000, 2000)
+      (1500L, Seq.empty), // clock-only, nothing due — must emit nothing
+      (3000L, Seq.empty) // clock-only, pane 1000 due
+    )
+    val out = StreamHarness.runWithTicks(s, steps, sentinel = ("x", 0)) {
+      ds => fold(ds, 1000L)
+    }
+    val panes = out.as[StreamWindows.Pane[String, Int]].collect()
+      .map(p => (p.key, p.windowStartMs, p.value, p.firing)).toSet
+    assert(panes == Set(
+      ("a", 0L, 1, "DEFAULT"), ("a", 1000L, 5, "DEFAULT")))
+  }
+
+  test("sentinel rows never reach the operator") {
+    val s = spark
+    import s.implicits._
+    // sentinel shares key "a": if it leaked through the typed filter it
+    // would fold 99 into a's pane
+    val steps: Seq[(Long, Seq[(String, Int)])] = Seq(
+      (100L, Seq(("a", 1))),
+      (2500L, Seq.empty))
+    val out = StreamHarness.runWithTicks(s, steps, sentinel = ("a", 99)) {
+      ds => fold(ds, 1000L)
+    }
+    val panes = out.as[StreamWindows.Pane[String, Int]].collect()
+      .map(p => (p.key, p.value)).toSet
+    assert(panes == Set(("a", 1)))
+  }
+}

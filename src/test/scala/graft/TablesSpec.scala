@@ -35,27 +35,45 @@ class TablesSpec extends SparkSpec {
     import s.implicits._
     // 48 keys that each fail once with a 500ms backoff, in ONE batch:
     // if backoff blocked EC threads (the old Thread.sleep shape), 48
-    // parked sleeps over a ~CPU-sized pool would serialize into waves
-    // of >= 1s total; with the scheduled timer every backoff overlaps
-    // and the batch finishes in ~one backoff period.
+    // parked sleeps over a ~CPU-sized pool would serialize into waves;
+    // with the scheduled timer every backoff overlaps. Asserting on
+    // OBSERVED overlap (each key's backoff interval = first failure →
+    // retry call) instead of wall-clock elapsed keeps the test stable
+    // on a loaded box — scheduling delay stretches intervals but
+    // cannot un-overlap intervals that all started together.
     val keys = (1L to 48L)
     val ds = keys.toDS().coalesce(1)
+    // timestamps live in a JVM-global (TablesSpec companion): the
+    // reader closure is SERIALIZED into the task, so instance state
+    // written executor-side would be a copy the driver never sees;
+    // local mode shares one JVM, so an object field round-trips
+    TablesSpec.backoffProbe.clear()
     val reader = new RemoteTable.AsyncReader[Long, String] {
-      private val failed = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]()
       def getAsync(key: Long)(implicit ec: ExecutionContext) =
-        if (failed.putIfAbsent(key, java.lang.Boolean.TRUE) == null)
+        if (TablesSpec.backoffProbe.putIfAbsent(
+            key, Array(System.nanoTime(), -1L)) == null)
           Future.failed(new RuntimeException("transient"))
-        else Future.successful(Some(s"ok$key"))
+        else {
+          TablesSpec.backoffProbe.get(key)(1) = System.nanoTime()
+          Future.successful(Some(s"ok$key"))
+        }
     }
     val cfg = RemoteTable.LookupConfig(batchSize = 64, maxRetries = 2,
       retryBackoffMs = 500)
-    val t0 = System.nanoTime()
     val out = RemoteTable.lookupJoin[Long, Long, String](
       ds, identity, reader, cfg).collect()
-    val elapsedMs = (System.nanoTime() - t0) / 1e6
     assert(out.length == 48 && out.forall(_._2.isDefined))
-    assert(elapsedMs < 950,
-      s"48 overlapping 500ms backoffs took ${elapsedMs}ms — serialized?")
+    // max number of simultaneously-open backoff intervals: serialized
+    // backoffs give ~1; the scheduled timer overlaps (nearly) all 48
+    val intervals = keys.map { k =>
+      val ts = TablesSpec.backoffProbe.get(k)
+      (ts(0), ts(1))
+    }
+    val events = intervals.flatMap { case (a, b) => Seq((a, 1), (b, -1)) }
+      .sortBy(e => (e._1, e._2)) // close before open at identical ts
+    val maxOverlap = events.scanLeft(0)(_ + _._2).max
+    assert(maxOverlap >= 24,
+      s"max concurrent backoffs was $maxOverlap of 48 — serialized?")
   }
 
   test("upsert: updates win, ties broken by sequence") {
@@ -89,6 +107,14 @@ class TablesSpec extends SparkSpec {
     // existing row: name updated, score kept; new row: default score
     assert(out == Set((1L, "a2", 100L), (9L, "z", 0L)))
   }
+}
+
+object TablesSpec {
+  /** (firstFailureNanos, retryNanos) per key — JVM-global so the
+    * serialized reader closure and the driver assertion see the same
+    * state in local mode. */
+  val backoffProbe =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]()
 }
 
 /** Fails twice, then succeeds — exercises AsyncRetriableTable behavior. */

@@ -74,6 +74,30 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
+  test("SimHashSig == composed per-bit majority-vote columns") {
+    val s = spark
+    import s.implicits._
+    val bits = 20
+    // degenerate docs ride along: empty text (one "" token, hash =
+    // seed) and single-word docs
+    val texts = samples(textGen(15), 12) ++ Seq("", "one", "a a a a")
+    val df = docsDf(texts)
+    val got = Dedup.simhash(df, "doc_id", "text", bits)
+      .as[(Long, Long)].collect().toMap
+    // the pre-kernel composed form: bits interpreted aggregate passes
+    val hashes = df.select(col("doc_id"),
+      transform(TextFunctions.tokens(col("text")),
+        w => TextFunctions.polyHash(w, 7, bits)).as("hs"))
+    val sig = (0 until bits).map { b =>
+      val votes = aggregate(col("hs"), lit(0),
+        (acc, h) => acc + when(shiftright(h, b) % 2 === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val want = hashes.select(col("doc_id"), sig.as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("IntersectCountSorted == size(array_intersect) on sorted sets") {
     val s = spark
     import s.implicits._
