@@ -47,8 +47,16 @@ object ScaleData {
     val spark = graft.core.GraftSession("graft-scale-data",
       master = Some(s"local[$cpus]"), shufflePartitions = Some(cpus.toInt))
 
-    def read(t: String): DataFrame =
+    def read(t: String): DataFrame = {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+      // rejects; read it as a raw int64 and KEEP it that way — the
+      // written copy is plain INT64 ns-since-epoch, which
+      // graft.sources.Tables.load converts ns→µs exactly as it does
+      // for the driver's original file
+      if (t == "events")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$src/$t.parquet")
+    }
 
     def write(df: DataFrame, t: String): Unit = {
       df.write.mode("overwrite").parquet(s"$dest/$t.parquet")
