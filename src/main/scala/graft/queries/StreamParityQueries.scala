@@ -75,6 +75,61 @@ object StreamParityQueries extends QueryPack {
              |FROM events GROUP BY 1, 2
              |""".stripMargin)),
 
+    // keyedSessionFold driven as a stream: per-user sessions over
+    // QUANTIZED processing time (clock per step = 2-day feed bucket,
+    // gap 4 days), fold = (count, Σ floor(value*100)); stale sessions
+    // close on the data path when a later arrival finds the gap
+    // elapsed, idle users' sessions close via event-time timeouts on
+    // the harness's watermark ticks (WindowOperatorImpl session
+    // semantics: extend by latest arrival, close on gap)
+    "q_stream_session_fold" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val bucket = 172800000L // 2 days
+        val gap = 345600000L // 4 days
+        val rows = t(s, d, "events")
+          .select($"user_id", unix_millis($"ts").as("tms"), $"value")
+          .as[(Long, Long, Double)].collect().sortBy(r => (r._2, r._1))
+        val steps = rows.groupBy(_._2 / bucket).toSeq.sortBy(_._1)
+          .map { case (b, evs) => (b * bucket, evs.toSeq) }
+        val flushAt = rows.map(_._2).max + 2 * gap
+        val out = StreamHarness.runWithTicks(s,
+          steps :+ ((flushAt, Seq.empty[(Long, Long, Double)])),
+          sentinel = (0L, 0L, 0.0)) { ds =>
+          StreamWindows.keyedSessionFold[
+            StreamHarness.Ticked[(Long, Long, Double)], Long, (Long, Long)](
+            ds, _._1._1, (0L, 0L),
+            (a, e) => (a._1 + 1, a._2 + math.floor(e._1._3 * 100).toLong),
+            gap, StreamHarness.clock,
+            timeout = org.apache.spark.sql.streaming.GroupStateTimeout
+              .EventTimeTimeout)
+        }
+        out.select(col("windowStartMs").as("session_start_ms"),
+          col("key").as("user_id"),
+          col("value._1").as("n"), col("value._2").as("isum"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id,
+             |    (epoch_ms(ts) // 172800000) * 172800000 AS tq, value
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, tq, value,
+             |    CASE WHEN lag(tq) OVER w IS NULL
+             |           OR tq - lag(tq) OVER w >= 345600000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY tq)),
+             |g AS (
+             |  SELECT user_id, tq, value,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY tq
+             |                   ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM m)
+             |SELECT min(tq) AS session_start_ms, user_id,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS isum
+             |FROM g GROUP BY user_id, sid
+             |""".stripMargin)),
+
     // TtlJoin driven as a stream: click (left) / view (right) arrivals
     // per user, each arrival joining the other side's LAST buffered
     // value within a 2h TTL — the oracle enumerates both join

@@ -30,6 +30,22 @@ object StreamHarness {
 
   private val nameCounter = new AtomicInteger(0)
 
+  /** Stateful-operator partition count for harness queries. Every
+    * micro-batch commits one state store PER shuffle partition, so a
+    * 32-partition session pays 32 store commits × batches for
+    * driver-fed volumes that fit in a handful — the fixed overhead
+    * that dominates the parity queries' bench cost. The partition
+    * count pins into the checkpoint at the first batch, so setting it
+    * for the query's lifetime (and restoring after) is safe. */
+  private val HarnessPartitions = "4"
+
+  private def withHarnessPartitions[R](spark: SparkSession)(body: => R): R = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, HarnessPartitions)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run `build` over a MemoryStream fed with `steps`: for each
     * (clockMs, batch) the harness sets the injected clock, adds the
     * batch, and drains the micro-batch before moving on — so state
@@ -45,21 +61,22 @@ object StreamHarness {
     * forever, so processAllAvailable would never return). When
     * clock-only steps must flush idle keys, use [[runWithTicks]]. */
   def run[T: Encoder](spark: SparkSession, steps: Seq[(Long, Seq[T])])(
-      build: Dataset[T] => Dataset[_]): DataFrame = {
-    implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[T]
-    val name = s"graft_stream_parity_${nameCounter.incrementAndGet()}"
-    val q = build(input.toDS()).writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try {
-      steps.foreach { case (t, batch) =>
-        nowMs = t
-        input.addData(batch)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    spark.table(name)
-  }
+      build: Dataset[T] => Dataset[_]): DataFrame =
+    withHarnessPartitions(spark) {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[T]
+      val name = s"graft_stream_parity_${nameCounter.incrementAndGet()}"
+      val q = build(input.toDS()).writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        steps.foreach { case (t, batch) =>
+          nowMs = t
+          input.addData(batch)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(name)
+    }
 
   /** Input shape [[runWithTicks]] hands to its `build`: (value,
     * stepEventTime, isData). isData is always true by then (sentinels
@@ -92,29 +109,30 @@ object StreamHarness {
     * the watermark node and the tick would never reach it). */
   def runWithTicks[T: Encoder](spark: SparkSession,
       steps: Seq[(Long, Seq[T])], sentinel: T)(
-      build: Dataset[Ticked[T]] => Dataset[_]): DataFrame = {
-    implicit val sqlCtx = spark.sqlContext
-    implicit val envEnc: Encoder[(Long, Boolean, T)] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean,
-        implicitly[Encoder[T]])
-    val tickedEnc: Encoder[Ticked[T]] =
-      Encoders.tuple(implicitly[Encoder[T]], Encoders.TIMESTAMP,
-        Encoders.scalaBoolean)
-    val input = MemoryStream[(Long, Boolean, T)]
-    val data: Dataset[Ticked[T]] = input.toDS()
-      .map(e => (e._3, new java.sql.Timestamp(e._1), e._2))(tickedEnc)
-      .withWatermark("_2", "0 milliseconds")
-      .filter(_._3) // typed on purpose — see scaladoc
-    val name = s"graft_stream_parity_${nameCounter.incrementAndGet()}"
-    val q = build(data).writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try {
-      steps.foreach { case (t, batch) =>
-        nowMs = t
-        input.addData(batch.map(v => (t, true, v)) :+ ((t, false, sentinel)))
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    spark.table(name)
-  }
+      build: Dataset[Ticked[T]] => Dataset[_]): DataFrame =
+    withHarnessPartitions(spark) {
+      implicit val sqlCtx = spark.sqlContext
+      implicit val envEnc: Encoder[(Long, Boolean, T)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean,
+          implicitly[Encoder[T]])
+      val tickedEnc: Encoder[Ticked[T]] =
+        Encoders.tuple(implicitly[Encoder[T]], Encoders.TIMESTAMP,
+          Encoders.scalaBoolean)
+      val input = MemoryStream[(Long, Boolean, T)]
+      val data: Dataset[Ticked[T]] = input.toDS()
+        .map(e => (e._3, new java.sql.Timestamp(e._1), e._2))(tickedEnc)
+        .withWatermark("_2", "0 milliseconds")
+        .filter(_._3) // typed on purpose — see scaladoc
+      val name = s"graft_stream_parity_${nameCounter.incrementAndGet()}"
+      val q = build(data).writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        steps.foreach { case (t, batch) =>
+          nowMs = t
+          input.addData(batch.map(v => (t, true, v)) :+ ((t, false, sentinel)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      spark.table(name)
+    }
 }

@@ -192,40 +192,65 @@ object StreamWindows {
   /** Keyed session window, collect form (Windows.keyedSessionWindow:295). */
   def keyedSessionCollect[T: Encoder, K: Encoder](
       ds: Dataset[T], keyFn: T => K, gapMs: Long,
-      clock: () => Long = () => System.currentTimeMillis())(
+      clock: () => Long = () => System.currentTimeMillis(),
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)(
       implicit seqEnc: Encoder[Seq[T]], paneEnc: Encoder[Pane[K, Seq[T]]],
-      stateEnc: Encoder[(Long, Seq[T])]): Dataset[Pane[K, Seq[T]]] =
+      stateEnc: Encoder[(Long, Long, Seq[T])]): Dataset[Pane[K, Seq[T]]] =
     keyedSessionFold[T, K, Seq[T]](ds, keyFn, Seq.empty[T],
-      (acc, t) => acc :+ t, gapMs, clock)
+      (acc, t) => acc :+ t, gapMs, clock, timeout)
 
   /** Keyed session window with gap close
     * (Windows.keyedSessionWindow:259). One open session per key;
     * arrival extends the session (WindowOperatorImpl: session windows
-    * extend by latest arrival); timeout after `gapMs` idle closes it. */
+    * extend by latest arrival); `gapMs` idle closes it. Gap expiry
+    * runs on EVERY invocation against the injected clock (Spark only
+    * delivers hasTimedOut to keys with no data in a batch, and a
+    * stale session must close BEFORE a late arrival starts the next
+    * one), with `timeout` — same modes as [[keyedTumblingFold]] —
+    * deciding how idle keys learn their gap elapsed. State per key is
+    * (sessionStartMs, lastArrivalMs, acc). */
   def keyedSessionFold[T, K: Encoder, A: Encoder](
       ds: Dataset[T], keyFn: T => K, init: A, fold: (A, T) => A,
-      gapMs: Long, clock: () => Long = () => System.currentTimeMillis())(
+      gapMs: Long, clock: () => Long = () => System.currentTimeMillis(),
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)(
       implicit paneEnc: Encoder[Pane[K, A]],
-      stateEnc: Encoder[(Long, A)]): Dataset[Pane[K, A]] = {
+      stateEnc: Encoder[(Long, Long, A)]): Dataset[Pane[K, A]] = {
 
     def process(key: K, values: Iterator[T],
-        state: GroupState[(Long, A)]): Iterator[Pane[K, A]] = {
-      if (state.hasTimedOut) {
-        val (start, acc) = state.get
-        state.remove()
-        Iterator.single(Pane(key, start, acc, "DEFAULT", 1L))
-      } else {
-        val now = clock()
-        val (start, acc0) = state.getOption.getOrElse((now, init))
-        val acc = values.foldLeft(acc0)(fold)
-        state.update((start, acc))
-        state.setTimeoutDuration(gapMs)
-        Iterator.empty
+        state: GroupState[(Long, Long, A)]): Iterator[Pane[K, A]] = {
+      val now = clock()
+      val out = Seq.newBuilder[Pane[K, A]]
+      var open = state.getOption
+      open.foreach { case (start, lastAt, acc) =>
+        if (now - lastAt >= gapMs) {
+          out += Pane(key, start, acc, "DEFAULT", 1L)
+          open = None
+        }
       }
+      if (!state.hasTimedOut) {
+        values.foreach { v =>
+          open = open match {
+            case None => Some((now, now, fold(init, v)))
+            case Some((start, _, acc)) => Some((start, now, fold(acc, v)))
+          }
+        }
+      }
+      open match {
+        case Some(st) =>
+          state.update(st)
+          // EventTime: lastAt+gap > watermark holds — lastAt is `now`
+          // for keys with data, and an unexpired idle session has
+          // lastAt > now - gap, with watermark <= now always
+          if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+            state.setTimeoutDuration(gapMs)
+          else if (timeout == GroupStateTimeout.EventTimeTimeout)
+            state.setTimeoutTimestamp(st._2 + gapMs)
+        case None => state.remove()
+      }
+      out.result().iterator
     }
 
     ds.groupByKey(keyFn)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.ProcessingTimeTimeout)(process)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(process)
   }
 }

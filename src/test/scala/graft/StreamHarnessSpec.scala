@@ -61,6 +61,29 @@ class StreamHarnessSpec extends SparkSpec {
       ("a", 0L, 1, "DEFAULT"), ("a", 1000L, 5, "DEFAULT")))
   }
 
+  test("session window closes on gap via clock-only steps and data path") {
+    val s = spark
+    import s.implicits._
+    val steps: Seq[(Long, Seq[(String, Int)])] = Seq(
+      (100L, Seq(("a", 1), ("b", 5))),
+      (200L, Seq(("a", 2))), // extends a's session; b idle (gap 500 not yet elapsed)
+      (800L, Seq(("a", 10))), // 600 > gap: closes a's session (1+2) on the DATA path, starts a new one
+      (5000L, Seq.empty) // clock-only: closes b (5) via timeout and a's second session (10)
+    )
+    val out = StreamHarness.runWithTicks(s, steps, sentinel = ("x", 0)) {
+      ds =>
+        StreamWindows.keyedSessionFold[StreamHarness.Ticked[(String, Int)],
+          String, Int](
+          ds, _._1._1, 0, (a, e) => a + e._1._2, gapMs = 500L,
+          StreamHarness.clock,
+          timeout = GroupStateTimeout.EventTimeTimeout)
+    }
+    val panes = out.as[StreamWindows.Pane[String, Int]].collect()
+      .map(p => (p.key, p.windowStartMs, p.value)).toSet
+    assert(panes == Set(
+      ("a", 100L, 3), ("a", 800L, 10), ("b", 100L, 5)))
+  }
+
   test("sentinel rows never reach the operator") {
     val s = spark
     import s.implicits._
