@@ -38,8 +38,12 @@ object Tables {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
 
-  private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  /** Weak session keys (like sql.RemoteSql's registry): a stopped /
+    * collected session must release its entry instead of being pinned
+    * for the life of the JVM. WeakHashMap requires external sync. */
+  private val registeredDir: java.util.Map[SparkSession, String] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   /** Register every table as a temp view for the SQL surface.
     * Memoized on the session's CURRENT dir (re-registering re-reads ten

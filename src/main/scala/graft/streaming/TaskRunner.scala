@@ -75,12 +75,19 @@ object TaskRunner {
   def run[T, K, OUT](ds: Dataset[T], taskKeyFn: T => K,
       task: StreamTaskLike[T, OUT], orderBy: T => Long,
       windowMs: Option[Long] = None,
-      clock: () => Long = () => System.currentTimeMillis())(
+      clock: () => Long = () => System.currentTimeMillis(),
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)(
       implicit kEnc: Encoder[K], outEnc: Encoder[OUT],
       stateEnc: Encoder[TaskState]): Dataset[OUT] = {
 
     // timeouts exist only on the streaming path; batch invocations get
-    // the window tick from the data-path elapsed check alone
+    // the window tick from the data-path elapsed check alone.
+    // `timeout` picks the mode exactly as in StreamWindows: wall-clock
+    // ProcessingTimeTimeout for live jobs, EventTimeTimeout for
+    // replay/harness runs where the injected clock is carried by a
+    // watermarked column (StreamHarness.runWithTicks) — that is the
+    // RunLoop timer-thread analog that ticks window() on idle tasks
+    // (container/RunLoop.java:79-121).
     val streaming = ds.isStreaming
 
     def invoke(key: K, values: Iterator[T],
@@ -101,7 +108,15 @@ object TaskRunner {
         // GroupState clears the timeout each call, so skipping re-arm
         // after a fire would tick an idle task exactly once and then
         // never again (WindowableTask is every task.window.ms, forever)
-        if (streaming) state.setTimeoutDuration(w)
+        if (streaming) {
+          if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+            state.setTimeoutDuration(w)
+          else if (timeout == GroupStateTimeout.EventTimeTimeout)
+            // next tick in injected-clock time; > watermark because a
+            // fire just set lastWindowMs = now >= watermark, and an
+            // unfired tick has lastWindowMs > now - w
+            state.setTimeoutTimestamp(st.lastWindowMs + w)
+        }
       }
       state.update(TaskState(store.map, st.lastWindowMs))
       collector.out.result().iterator
@@ -109,7 +124,7 @@ object TaskRunner {
 
     ds.groupByKey(taskKeyFn)
       .flatMapGroupsWithState(OutputMode.Append,
-        if (windowMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        if (windowMs.isDefined) timeout
         else GroupStateTimeout.NoTimeout)(invoke)
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.streaming.GroupStateTimeout
 
-import graft.streaming.{StreamHarness, StreamWindows}
+import graft.streaming.{StreamHarness, StreamWindows, TaskRunner}
 import graft.streaming.StreamWindows.WindowConfig
 
 /** StreamHarness.runWithTicks contract: clock-only steps advance the
@@ -82,6 +82,39 @@ class StreamHarnessSpec extends SparkSpec {
       .map(p => (p.key, p.windowStartMs, p.value)).toSet
     assert(panes == Set(
       ("a", 100L, 3), ("a", 800L, 10), ("b", 100L, 5)))
+  }
+
+  test("WindowableTask window() ticks for an idle task on a clock-only step") {
+    val s = spark
+    import s.implicits._
+    // low-level task surface: window() must run every windowMs even
+    // with no input for the task — RunLoop's timer tick
+    // (WindowableTask.java:38, RunLoop.java:79-121)
+    val task = new TaskRunner.StreamTaskLike[
+        StreamHarness.Ticked[(String, Long)],
+        (String, Long)] {
+      def process(msg: StreamHarness.Ticked[(String, Long)],
+          store: TaskRunner.KVStore,
+          collector: TaskRunner.Collector[(String, Long)]): Unit = {
+        val n = store.get("n").map(_.toLong).getOrElse(0L) + msg._1._2
+        store.put("n", n.toString)
+      }
+      override def window(store: TaskRunner.KVStore,
+          collector: TaskRunner.Collector[(String, Long)]): Unit =
+        collector.send(("tick", store.get("n").map(_.toLong).getOrElse(0L)))
+    }
+    val steps: Seq[(Long, Seq[(String, Long)])] = Seq(
+      (100L, Seq(("a", 7L))), // processed, no tick due yet
+      (1500L, Seq.empty)) // clock-only: tick due (1500 - 100 >= 1000)
+    val out = StreamHarness.runWithTicks(s, steps, sentinel = ("x", 0L)) {
+      ds =>
+        TaskRunner.run[StreamHarness.Ticked[(String, Long)],
+          String, (String, Long)](
+          ds, _._1._1, task, orderBy = _._1._2, windowMs = Some(1000L),
+          clock = StreamHarness.clock,
+          timeout = GroupStateTimeout.EventTimeTimeout)
+    }
+    assert(out.as[(String, Long)].collect().toSet == Set(("tick", 7L)))
   }
 
   test("sentinel rows never reach the operator") {
