@@ -98,6 +98,19 @@ class TextKernelsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("simhash stays inside whole-stage codegen over a pruned scan") {
+    val df = Dedup.simhash(
+      spark.read.parquet(s"$sf001/documents.parquet"), "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    // the kernel expression must sit in a codegen'd Project directly
+    // over the file scan — no interpreted HOF stages, no extra exchange
+    assert(plan.contains("simhashsig"), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*") && l.contains("Project") && l.contains("simhashsig")),
+      s"simhash Project not codegen'd:\n$plan")
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("IntersectCountSorted == size(array_intersect) on sorted sets") {
     val s = spark
     import s.implicits._
