@@ -1,8 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{StreamHarness, StreamWindows, TaskRunner, TtlJoin}
+import graft.streaming.{Choosers, StreamHarness, StreamWindows, TaskRunner,
+  TtlJoin}
 import QHelp._
 
 /** Oracle coverage for the FAITHFUL streaming implementations
@@ -227,6 +229,69 @@ object StreamParityQueries extends QueryPack {
              |FROM events
              |WINDOW w AS (PARTITION BY user_id
              |             ORDER BY epoch_ms(ts), event_id
+             |             ROWS UNBOUNDED PRECEDING)
+             |""".stripMargin)),
+
+    // MessageChooser + bootstrap priority, fully distributed: 'view'
+    // events form a bootstrap stream, everything else the live stream,
+    // both key-partitioned on user into 4 task partitions; one
+    // DefaultChooser per task (bootstrapping(priority(round-robin)),
+    // DefaultChooser.scala:260) decides delivery order executor-side.
+    // Because each user's messages live in one task and one partition
+    // per stream, per-user delivery order is SQL-derivable — bootstrap
+    // messages first, then live, offset order within each — which is
+    // what the oracle pins. Delivery positions feed per-user
+    // row_number/first_value windows (user-partitioned: parallel, no
+    // global sort). Task count is the parallelism knob, as container
+    // count is in the reference.
+    "q_bootstrap_chooser" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val parts = 4
+        val ev = t(s, d, "events").select(
+          when($"event_type" === "view", "boot").otherwise("live")
+            .as("stream"),
+          pmod($"user_id", lit(parts)).cast("int").as("part"),
+          unix_millis($"ts").as("tms"), $"event_id", $"user_id")
+        // dense per-(stream, partition) offsets in (ts, event_id)
+        // order — a consumer delivers a partition offset-ascending
+        val offW = Window.partitionBy($"stream", $"part")
+          .orderBy($"tms", $"event_id")
+        val withOff = ev.withColumn("off",
+          row_number().over(offW).cast("long") - 1)
+        // newest offset per bootstrap partition = its message count - 1
+        // (tiny driver collect: one row per bootstrap partition, the
+        // same nlist-row shape as the IVF codebook)
+        val newest = withOff.filter($"stream" === "boot")
+          .groupBy($"part").agg(max($"off").as("newest"))
+          .collect().map { r =>
+            Choosers.StreamPartition("boot", r.getInt(0)) -> r.getLong(1)
+          }.toMap
+        val envs = withOff.select($"stream", $"part", $"off",
+          $"user_id", $"event_id")
+          .as[(String, Int, Long, Long, Long)]
+          .map { case (stream, part, off, user, eid) =>
+            Choosers.Envelope(Choosers.StreamPartition(stream, part),
+              off, (user, eid))
+          }
+        val delivered = Choosers.deliveryOrder(envs,
+          () => Choosers.default[(Long, Long)](Set("boot", "live"),
+            Choosers.BootstrapMetadata(newest)))
+          .toDF("task", "seq", "env")
+          .select($"env.value._1".as("user_id"),
+            $"env.value._2".as("event_id"), $"seq")
+        val userW = Window.partitionBy($"user_id").orderBy($"seq")
+        delivered.select($"user_id", $"event_id",
+          row_number().over(userW).cast("long").as("n"),
+          first($"event_id").over(userW).as("first_event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  row_number() OVER w AS n,
+             |  first_value(event_id) OVER w AS first_event_id
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id
+             |             ORDER BY (event_type <> 'view'),
+             |                      epoch_ms(ts), event_id
              |             ROWS UNBOUNDED PRECEDING)
              |""".stripMargin))
   )

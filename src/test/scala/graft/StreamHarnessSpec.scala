@@ -132,4 +132,40 @@ class StreamHarnessSpec extends SparkSpec {
       .map(p => (p.key, p.value)).toSet
     assert(panes == Set(("a", 1)))
   }
+
+  test("WatermarkStates drives the harness clock: idle producer does " +
+    "not hold back the flush") {
+    import graft.streaming.Choosers.StreamPartition
+    import graft.streaming.Watermarks.WatermarkStates
+    val s = spark
+    import s.implicits._
+    // three producer tasks feed one intermediate partition; t3 goes
+    // silent after its first report. With the idle timeout elapsed and
+    // the active producers forming a quorum, the aggregated watermark
+    // advances past the pane close anyway;
+    // feeding it to the harness as the step clock flushes the pane a
+    // Spark-global-min would hold open forever.
+    val sp = StreamPartition("int", 0)
+    var wall = 0L
+    val w = new WatermarkStates(Set(sp), Map("int" -> 3),
+      idleTimeoutMs = 50L, quorumPct = 0.6, now = () => wall)
+    w.update(sp, 100L, Some("t1"))
+    w.update(sp, 100L, Some("t2"))
+    w.update(sp, 100L, Some("t3")) // t3's last report ever
+    val early = w.watermarkOf(sp) // 100: pane [0, 1000) still open
+    wall = 200L // idle timeout elapses for t3
+    w.update(sp, 2500L, Some("t1"))
+    w.update(sp, 2600L, Some("t2"))
+    val late = w.watermarkOf(sp) // 2500: t3 dropped from the min
+    assert(early == 100L && late == 2500L)
+    val steps: Seq[(Long, Seq[(String, Int)])] = Seq(
+      (early, Seq(("a", 1))),
+      (late, Seq.empty)) // clock-only step at the aggregated watermark
+    val out = StreamHarness.runWithTicks(s, steps, sentinel = ("x", 0)) {
+      ds => fold(ds, 1000L)
+    }
+    val panes = out.as[StreamWindows.Pane[String, Int]].collect()
+      .map(p => (p.key, p.windowStartMs, p.value)).toSet
+    assert(panes == Set(("a", 0L, 1)))
+  }
 }
