@@ -383,4 +383,53 @@ object Dedup {
         graft.plans.GraftCall(graft.plans.TextExpressions.SimHashName,
           tokens(col(textCol)), lit(7), lit(bits)),
         lit(0L)).as("simhash"))
+
+  /** Exact shared-span duplicate detection: pairs of documents that
+    * share at least `minShared` DISTINCT exact word-k-gram spans —
+    * the substring-level dedup signal (documents with long verbatim
+    * overlap share many consecutive k-grams even when their overall
+    * Jaccard is low, e.g. a long document quoting a short one). The
+    * distributed standard for this job is k-gram fingerprint
+    * bucketing (suffix arrays being the single-machine alternative).
+    * Returns (id_a, id_b, shared_spans) with id_a < id_b.
+    *
+    * Scale shape: per-document distinct k-gram sets are computed
+    * without a shuffle ([[shingleSets]]); grams are 64-bit
+    * fingerprints before the join, so the only corpus-sized shuffle
+    * carries (long id, long gram) rows — never text. The pair count
+    * aggregation shuffles (long, long, count) rows. With
+    * `maxPostings > 0`, near-universal grams are sub-bucketed exactly
+    * as in [[jaccardPairs]] (salt one side, replicate the other;
+    * every pair still meets exactly once per shared gram, so counts
+    * are unchanged) — without it a single stop-gram lands its whole
+    * posting list's pair-square on one reduce key. */
+  def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minShared: Long, maxPostings: Int = 0): DataFrame = {
+    val grams = shingleSets(df, idCol, textCol, k)
+      .select(col(idCol).as("__id"),
+        explode(col("sh_set")).as("__gram"))
+      .select(col("__id"), xxhash64(col("__gram")).as("g"))
+    val a = grams.select(col("__id").as("id_a"), col("g"))
+    val b = grams.select(col("__id").as("id_b"), col("g"))
+    val joined = if (maxPostings > 0) {
+      val hot = a.groupBy(col("g")).agg(count(lit(1)).as("__pc"))
+        .filter(col("__pc") > maxPostings)
+        .select(col("g"),
+          ceil(col("__pc") / lit(maxPostings)).cast("int").as("__buckets"))
+      val aSalted = a.join(broadcast(hot), Seq("g"), "left")
+        .withColumn("__salt", when(col("__buckets").isNull, lit(0))
+          .otherwise(pmod(hash(col("id_a")), col("__buckets"))))
+        .drop("__buckets")
+      val bReplicated = b.join(broadcast(hot), Seq("g"), "left")
+        .withColumn("__salt", explode(
+          when(col("__buckets").isNull, array(lit(0)))
+            .otherwise(sequence(lit(0), col("__buckets") - 1))))
+        .drop("__buckets")
+      aSalted.join(bReplicated, Seq("g", "__salt")).drop("__salt")
+    } else a.join(b, "g")
+    joined.filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_spans"))
+      .filter(col("shared_spans") >= minShared)
+  }
 }

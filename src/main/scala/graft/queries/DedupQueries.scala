@@ -150,6 +150,35 @@ object DedupQueries extends QueryPack {
     "q_dedup_simhash" -> Q(
       (s, d) => Dedup.simhash(t(s, d, "documents"), "doc_id", "text",
         bits = 20),
-      Some(oSimhash))
+      Some(oSimhash)),
+
+    // substring-level dedup: pairs sharing >= 2 distinct exact word
+    // 6-gram spans — catches verbatim-overlap pairs whose overall
+    // Jaccard may be low. k=6 makes random collisions vanish in this
+    // corpus (every surviving pair is a seeded near-dup), minShared=2
+    // guards the residual single-collision noise at larger SFs.
+    "q_dedup_spans" -> Q(
+      (s, d) => Dedup.sharedSpanPairs(t(s, d, "documents"), "doc_id",
+        "text", k = 6, minShared = 2L),
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents),
+             |g AS (
+             |  SELECT DISTINCT doc_id, gram FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(range(1, len(w) - 4),
+             |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+             |             w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]))
+             |        AS gram
+             |    FROM w WHERE len(w) >= 6)),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         count(*) AS shared_spans
+             |  FROM g a JOIN g b
+             |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, shared_spans FROM p
+             |WHERE shared_spans >= 2
+             |""".stripMargin))
   )
 }

@@ -191,6 +191,45 @@ object TextQueries extends QueryPack {
              |SELECT doc_id, lang_pred, n_tok, alpha
              |FROM labeled
              |WHERE alpha >= 0.7 AND n_tok >= 8 AND lang_pred = 'en'
+             |""".stripMargin)),
+
+    // Gopher-style repetition signals: type-token ratio, top-bigram
+    // share, duplicate-bigram share — all integer basis points
+    // (floor), so the comparison is bit-exact on both engines
+    "q_text_repetition" -> Q(
+      (s, d) => graft.operators.TextProfile.repetition(
+        t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents),
+             |uni AS (
+             |  SELECT doc_id, len(w) AS n_tokens,
+             |         len(list_distinct(w)) AS distinct_tokens
+             |  FROM w),
+             |bi AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(w)),
+             |      i -> w[i] || ' ' || w[i+1])) AS gram
+             |  FROM w WHERE len(w) >= 2),
+             |bc AS (
+             |  SELECT doc_id, gram, count(*) AS c
+             |  FROM bi GROUP BY 1, 2),
+             |bs AS (
+             |  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_n,
+             |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ
+             |  FROM bc GROUP BY 1)
+             |SELECT u.doc_id,
+             |  CAST(u.n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(u.distinct_tokens AS BIGINT) AS distinct_tokens,
+             |  CAST(floor(u.distinct_tokens * 10000.0 / u.n_tokens)
+             |       AS BIGINT) AS ttr_bp,
+             |  CAST(b.n_bigrams AS BIGINT) AS n_bigrams,
+             |  CAST(b.top_bigram_n AS BIGINT) AS top_bigram_n,
+             |  CAST(floor(b.top_bigram_n * 10000.0 / b.n_bigrams)
+             |       AS BIGINT) AS top2_bp,
+             |  CAST(floor(b.dup_occ * 10000.0 / b.n_bigrams)
+             |       AS BIGINT) AS dup2_bp
+             |FROM uni u JOIN bs b USING (doc_id)
              |""".stripMargin))
   )
 }

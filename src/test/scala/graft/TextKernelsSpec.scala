@@ -239,4 +239,71 @@ class TextKernelsSpec extends SparkSpec {
     assert(want.nonEmpty, "test corpus must contain near-duplicates")
     spark.catalog.clearCache()
   }
+
+  test("sharedSpanPairs == brute-force distinct k-gram intersection") {
+    val s = spark
+    import s.implicits._
+    // planted verbatim overlap: doc pairs share a run of 8 words
+    // (3 distinct 6-grams) while the rest differs; singletons share
+    // nothing
+    val run = (0 until 8).map(i => s"r$i").mkString(" ")
+    val texts = (0 until 4).map(i =>
+      s"${(0 until 6).map(j => s"a${i}_$j").mkString(" ")} $run " +
+        (0 until 6).map(j => s"z${i}_$j").mkString(" ")) ++
+      Seq("lone words with no shared span at all here today",
+        "another unrelated document of completely distinct words")
+    val df = docsDf(texts)
+    def brute(minShared: Long): Set[(Long, Long, Long)] = {
+      val grams = texts.map(_.split(" ").toSeq.sliding(6)
+        .map(_.mkString(" ")).toSet)
+      (for {
+        i <- texts.indices; j <- texts.indices if i < j
+        shared = (grams(i) intersect grams(j)).size.toLong
+        if shared >= minShared
+      } yield (i.toLong, j.toLong, shared)).toSet
+    }
+    val got = Dedup.sharedSpanPairs(df, "doc_id", "text", 6, 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute(2L))
+    assert(got.nonEmpty)
+  }
+
+  test("sharedSpanPairs postings cap preserves counts exactly") {
+    val s = spark
+    import s.implicits._
+    // one universal 6-gram (posting list = whole corpus) plus pair
+    // overlaps — the cap must sub-bucket, not drop, and counts per
+    // pair must be unchanged
+    val common = (0 until 6).map(i => s"c$i").mkString(" ")
+    val texts = (0 until 10).map { i =>
+      s"$common ${(0 until 7).map(j => s"p${i / 2}_$j").mkString(" ")} uniq$i"
+    }
+    val df = docsDf(texts)
+    val uncapped = Dedup.sharedSpanPairs(df, "doc_id", "text", 6, 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    val cappedDf = Dedup.sharedSpanPairs(df, "doc_id", "text", 6, 1L,
+      maxPostings = 3)
+    assert(cappedDf.queryExecution.executedPlan.toString.contains("__salt"))
+    assert(cappedDf.as[(Long, Long, Long)].collect().toSet == uncapped)
+    assert(uncapped.nonEmpty)
+  }
+
+  test("repetition profile matches hand-computed signals") {
+    val s = spark
+    import s.implicits._
+    val df = docsDf(Seq(
+      "a b a b a", // bigrams: ab,ba,ab,ba -> top 2, dup occ 4, n 4
+      "x y z", // bigrams xy,yz -> all unique
+      "solo")) // 1 token: dropped (no bigrams)
+    val got = graft.operators.TextProfile.repetition(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(0L, 1L))
+    // doc 0: 5 tokens, 2 distinct -> ttr 4000; 4 bigrams, top 2 ->
+    // top2 5000; all 4 occurrences duplicated -> dup2 10000
+    assert(got(0L) == ((0L, 5L, 2L, 4000L, 4L, 2L, 5000L, 10000L)))
+    // doc 1: 3 tokens distinct -> ttr 10000; 2 unique bigrams ->
+    // top2 5000, dup2 0
+    assert(got(1L) == ((1L, 3L, 3L, 10000L, 2L, 1L, 5000L, 0L)))
+  }
 }
