@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators a training-data pipeline runs after
+  * dedup/quality filtering: benchmark decontamination, deterministic
+  * stratified sampling, per-group caps, sequence packing, and
+  * survivor selection. Like the rest of the engine, every operator is
+  * a declarative plan whose shuffle structure is chosen for the
+  * 100 TB case, and every one is oracle-checkable (CurationQueries).
+  */
+object Curation {
+
+  /** Benchmark decontamination: for each corpus document, the number
+    * of distinct word `n`-grams it shares with ANY benchmark document.
+    * Only contaminated documents (n_hits >= 1) are returned — callers
+    * anti-join the result to drop them, or threshold on n_hits.
+    *
+    * Scale shape: the benchmark side is tiny by definition (eval sets
+    * are MBs; corpora are TBs), so its distinct gram set is BROADCAST
+    * and the corpus side never shuffles to find its matches. The only
+    * shuffle is the per-doc hit count over rows that actually matched
+    * — at a sane contamination rate that is a vanishing fraction of
+    * the corpus. Grams are distinct per document on both sides, so
+    * count(*) after the join IS the distinct shared-gram count.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol),
+        explode(array_distinct(shinglesOfTokens(col("__w"), n))).as("gram"))
+    val benchGrams = grams(bench).select("gram").distinct()
+    grams(corpus)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Deterministic hash-threshold sampling with per-stratum rates:
+    * a row is kept iff the first 4 hex chars of md5(seedCols joined
+    * by ':') sort below the stratum's threshold. Rates are quantized
+    * to 1/65536 granularity.
+    *
+    * Properties a training pipeline needs and `rand()`-based sampling
+    * lacks: reproducible across reruns/retries/partitionings (the
+    * hash depends only on row content), stable under corpus growth
+    * (a row's fate never changes when neighbors are added), and
+    * engine-portable (md5 is md5 everywhere — the DuckDB oracle
+    * replays it exactly). Pure narrow projection+filter: no shuffle,
+    * scan-scales linearly.
+    */
+  def sampleStratified(df: DataFrame, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      seedCols: Seq[String]): DataFrame = {
+    def thresholdFor(rate: Double): Option[String] =
+      if (rate >= 1.0) None // keep all; no 4-hex string is >= "10000"
+      else Some(f"${math.max(0, (rate * 65536).toInt)}%04x")
+    val hash = substring(
+      md5(concat_ws(":", seedCols.map(c => col(c).cast("string")): _*)),
+      1, 4)
+    val keep = rates.foldLeft(
+      thresholdFor(defaultRate).map(hash < lit(_)).getOrElse(lit(true))) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum,
+          thresholdFor(rate).map(hash < lit(_)).getOrElse(lit(true)))
+          .otherwise(acc)
+    }
+    df.filter(keep)
+  }
+
+  /** Keep at most `k` rows per group, the ones with the SMALLEST
+    * `ordCol` (deterministic survivor choice — min-id, earliest-ts).
+    * Returns (groupCol, ordCol) pairs of the survivors.
+    *
+    * Scale shape: this is the per-domain / per-source cap a crawl
+    * pipeline applies, and the naive `row_number().over(partitionBy)`
+    * form shuffles EVERY row of a group into one task before
+    * discarding all but k — a straggler-then-OOM on a 100 TB skewed
+    * domain. Reuses the BoundedTopK bounded-heap aggregate
+    * (plans/TopKAggregate.scala): map-side partial aggregation keeps
+    * <= k rows per group per task, the shuffle carries
+    * <= k * partitions rows per group. */
+  def capPerGroup(df: DataFrame, groupCol: String, ordCol: String,
+      k: Int): DataFrame = {
+    // BoundedTopK keeps the k LARGEST by field0 (desc, tie field1
+    // asc); negate the order column to keep the k smallest.
+    df.groupBy(col(groupCol))
+      .agg(graft.plans.GraftCall(graft.plans.VectorExpressions.TopKName,
+        struct(negate(col(ordCol)).as("__neg"), col(ordCol).as("__id")),
+        lit(k)).as("__top"))
+      .select(col(groupCol), explode(col("__top")).as("__e"))
+      .select(col(groupCol), col("__e.__id").as(ordCol))
+  }
+
+  /** Contiguous sequence packing: within each (strataCol, shard)
+    * stream ordered by `idCol`, documents fill token-budget bins in
+    * order; a document's sequence id is the bin its first token lands
+    * in (floor of the preceding cumulative token count / budget).
+    * Returns (idCol, strataCol, shard, n_tok, seq_id).
+    *
+    * Scale shape: packing is inherently sequential, so the operator
+    * makes the parallelism unit EXPLICIT — the id-hash shard. Each
+    * (stratum, shard) packs independently: one window sort per shard,
+    * `numShards` * strata parallel streams, no global order and no
+    * single-task stratum even when one language dominates the corpus
+    * (the exact skew that breaks a plain partitionBy(lang) window).
+    * Packing quality loss vs global packing is bounded by one
+    * partially-filled tail sequence per shard. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, budget: Int, numShards: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol), col("shard"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(strataCol),
+        pmod(col(idCol), lit(numShards)).as("shard"),
+        bpeTokenCount(col(textCol)).as("n_tok"))
+      .withColumn("seq_id",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / budget))
+  }
+
+  /** Survivor selection: given the full corpus and a duplicate-cluster
+    * assignment (docId -> clusterId, canonical id = cluster minimum,
+    * the Dedup.dupClusters contract), keep every document that is not
+    * a non-canonical cluster member. This is the step that turns
+    * near-dup DETECTION into an actually deduplicated corpus.
+    *
+    * Scale shape: the drop set (non-canonical members) is keyed by id
+    * and anti-joined — a plain shuffle hash/SMJ anti join on the id,
+    * correct at any duplicate rate (at 50% duplication the drop set
+    * is half the corpus; never assume it broadcasts). */
+  def survivors(docs: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame = {
+    val drop = clusters
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup}
+import QHelp._
+
+/** Corpus-curation pipeline stages over the `documents` table:
+  * benchmark decontamination, deterministic stratified sampling,
+  * per-source caps, sequence packing, dedup survivor selection. Each
+  * verified against a DuckDB oracle that replays the same algorithm.
+  */
+object CurationQueries extends QueryPack {
+
+  /** DuckDB: distinct word 4-grams per doc, with source carried. */
+  private val oGrams4 =
+    """w AS (SELECT doc_id, source,
+      |        string_split_regex(trim(text), '\s+') AS w
+      |      FROM documents),
+      |g AS (SELECT DISTINCT doc_id, source, gram FROM (
+      |  SELECT doc_id, source,
+      |    unnest(list_transform(range(1, len(w)-2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+      |      AS gram
+      |  FROM w WHERE len(w) >= 4))""".stripMargin
+
+  override def queries: Map[String, Q] = Map(
+
+    // benchmark decontamination: docs from src0 stand in for an eval
+    // benchmark; every other doc sharing a word 4-gram with it is
+    // contaminated. Bench grams broadcast; the corpus never shuffles.
+    "q_decontaminate" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Curation.decontaminate(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 4)
+      },
+      Some(s"""WITH $oGrams4,
+              |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+              |corpus AS (SELECT doc_id, gram FROM g WHERE source <> 'src0')
+              |SELECT c.doc_id, count(*) AS n_hits
+              |FROM corpus c JOIN bench b USING (gram)
+              |GROUP BY c.doc_id
+              |""".stripMargin)),
+
+    // deterministic stratified sampling: per-language keep rates via
+    // an md5 hex-prefix threshold — reproducible under reruns and
+    // partitioning changes, exactly replayable by the oracle. Narrow
+    // (no shuffle at all).
+    "q_sample_stratified" -> Q(
+      (s, d) => Curation.sampleStratified(t(s, d, "documents"),
+          strataCol = "lang",
+          rates = Map("en" -> 0.25, "de" -> 0.5, "fr" -> 0.5,
+            "es" -> 0.75),
+          defaultRate = 1.0,
+          seedCols = Seq("doc_id", "text"))
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+             |             1, 4) <
+             |  CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN '8000'
+             |            WHEN 'fr' THEN '8000' WHEN 'es' THEN 'c000'
+             |            ELSE 'g' END
+             |""".stripMargin)),
+
+    // per-source cap: at most 10 docs per source, smallest doc_id
+    // survives — the per-domain cap a crawl pipeline applies. Runs on
+    // the bounded-heap aggregate, NOT a window: map-side partial agg
+    // keeps <=k rows/group/task, so a skewed source never lands on
+    // one task.
+    "q_source_cap" -> Q(
+      (s, d) => Curation.capPerGroup(t(s, d, "documents"),
+        groupCol = "source", ordCol = "doc_id", k = 10),
+      Some("""SELECT source, doc_id FROM (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source ORDER BY doc_id)
+             |      AS rn
+             |  FROM documents)
+             |WHERE rn <= 10
+             |""".stripMargin)),
+
+    // contiguous sequence packing into 256-token bins, parallel over
+    // (lang, doc_id % 8) shards — the explicit-shard shape that keeps
+    // packing parallel when one language dominates the corpus.
+    "q_pack_sequences" -> Q(
+      (s, d) => Curation.packSequences(t(s, d, "documents"),
+        idCol = "doc_id", textCol = "text", strataCol = "lang",
+        budget = 256, numShards = 8),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang, doc_id % 8 AS shard,
+             |    CAST(len(regexp_extract_all(text,
+             |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+             |  FROM documents)
+             |SELECT doc_id, lang, shard, n_tok,
+             |  CAST(floor((SUM(n_tok) OVER (PARTITION BY lang, shard
+             |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |    CURRENT ROW) - n_tok) / 256.0) AS BIGINT) AS seq_id
+             |FROM tok
+             |""".stripMargin)),
+
+    // end-to-end dedup: MinHash+LSH pairs -> clusters -> keep only
+    // canonical members. The step that turns near-dup detection into
+    // a deduplicated corpus; anti join on the id (never assumes the
+    // drop set broadcasts).
+    "q_dedup_survivors" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Curation.survivors(docs.select("doc_id", "lang", "source"),
+          "doc_id",
+          Dedup.dupClusters(Dedup.minhashLshPairs(docs, "doc_id", "text",
+            n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)))
+      },
+      Some(s"""WITH RECURSIVE ${DedupQueries.oMinhashCtes},
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM jp
+              |  UNION
+              |  SELECT id_b AS src, id_a AS dst FROM jp),
+              |nodes AS (SELECT DISTINCT src AS id FROM edges),
+              |reach(src, dst) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT r.src, e.dst FROM reach r
+              |  JOIN edges e ON r.dst = e.src),
+              |clusters AS (
+              |  SELECT src AS doc_id, min(dst) AS cluster_id
+              |  FROM reach GROUP BY src)
+              |SELECT d.doc_id, d.lang, d.source FROM documents d
+              |WHERE d.doc_id NOT IN (
+              |  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+              |""".stripMargin))
+  )
+}

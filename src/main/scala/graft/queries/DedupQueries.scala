@@ -51,8 +51,9 @@ object DedupQueries extends QueryPack {
     s"min((sh_h * ${2 * k + 1} + ${97 * k + 31}) % 1048576) AS mh_$k"
 
   /** Full MinHash+LSH CTE chain ending in `jp` (verified pairs) —
-    * shared by q_dedup_minhash_lsh and q_dedup_clusters. */
-  private val oMinhashCtes: String = {
+    * shared by q_dedup_minhash_lsh, q_dedup_clusters, and
+    * CurationQueries.q_dedup_survivors. */
+  private[queries] val oMinhashCtes: String = {
     val bandSelects = (0 until 4).map { b =>
       val cols = (0 until 4).map(r => s"mh_${b * 4 + r}")
       s"SELECT doc_id, '$b' || '|' || ${cols.mkString(" || '|' || ")} AS band_key FROM sig"

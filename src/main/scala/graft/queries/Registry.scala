@@ -11,6 +11,7 @@ object Registry {
     SqlSurfaceQueries,
     TextQueries,
     DedupQueries,
+    CurationQueries,
     SimilarityQueries,
     MultimodalQueries)
 
