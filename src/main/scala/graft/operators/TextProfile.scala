@@ -57,4 +57,37 @@ object TextProfile {
         bp(col("top_bigram_n"), col("n_bigrams")).as("top2_bp"),
         bp(col("__dup_occ"), col("n_bigrams")).as("dup2_bp"))
   }
+
+  /** Per-stratum token-length distribution — the profiling pass run
+    * before choosing packing budgets and length-filter thresholds.
+    * Returns (stratum, n_docs, min_tok, max_tok, p25, p50, p75, p90);
+    * quantiles are exact with linear interpolation at rank (n-1)·q —
+    * the SAME definition Spark's `percentile` and DuckDB's
+    * `quantile_cont` implement, so the oracle replays it bit-for-bit
+    * on integer inputs (rounded to 4dp for cross-engine safety).
+    *
+    * Scale shape: when `exact`, Spark's percentile keeps a
+    * value→count map per group — bounded by DISTINCT metric values,
+    * which for integer token counts is thousands, not corpus-sized,
+    * so it holds at 100 TB for this metric; for unbounded-cardinality
+    * metrics pass exact=false for approx_percentile's fixed-size
+    * sketch (not oracle-exact, hence the default is the checkable
+    * path). Either way: one partial-agg shuffle keyed by stratum. */
+  def lengthQuantiles(df: DataFrame, strataCol: String, textCol: String,
+      exact: Boolean = true): DataFrame = {
+    val nTok = bpeTokenCount(col(textCol))
+    def pct(q: Double, name: String) = {
+      val e =
+        if (exact) percentile(col("__n_tok"), lit(q))
+        else percentile_approx(col("__n_tok"), lit(q), lit(10000))
+      round(e.cast("double"), 4).as(name)
+    }
+    df.select(col(strataCol), nTok.as("__n_tok"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("__n_tok")).as("min_tok"),
+        max(col("__n_tok")).as("max_tok"),
+        pct(0.25, "p25"), pct(0.50, "p50"),
+        pct(0.75, "p75"), pct(0.90, "p90"))
+  }
 }

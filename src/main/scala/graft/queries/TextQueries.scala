@@ -196,6 +196,27 @@ object TextQueries extends QueryPack {
     // Gopher-style repetition signals: type-token ratio, top-bigram
     // share, duplicate-bigram share — all integer basis points
     // (floor), so the comparison is bit-exact on both engines
+    // length-distribution profiling per language: exact interpolated
+    // quantiles of BPE token counts — the pass that picks packing
+    // budgets and length-filter thresholds. Spark `percentile` and
+    // DuckDB `quantile_cont` share the (n-1)·q linear-interpolation
+    // definition, so the comparison is exact on integer inputs.
+    "q_stats_length_quantiles" -> Q(
+      (s, d) => graft.operators.TextProfile.lengthQuantiles(
+        t(s, d, "documents"), "lang", "text"),
+      Some("""WITH tok AS (
+             |  SELECT lang, CAST(len(regexp_extract_all(text,
+             |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |  min(n_tok) AS min_tok, max(n_tok) AS max_tok,
+             |  round(quantile_cont(n_tok, 0.25), 4) AS p25,
+             |  round(quantile_cont(n_tok, 0.50), 4) AS p50,
+             |  round(quantile_cont(n_tok, 0.75), 4) AS p75,
+             |  round(quantile_cont(n_tok, 0.90), 4) AS p90
+             |FROM tok GROUP BY lang
+             |""".stripMargin)),
+
     "q_text_repetition" -> Q(
       (s, d) => graft.operators.TextProfile.repetition(
         t(s, d, "documents"), "doc_id", "text"),

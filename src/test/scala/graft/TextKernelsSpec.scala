@@ -306,4 +306,24 @@ class TextKernelsSpec extends SparkSpec {
     // top2 5000, dup2 0
     assert(got(1L) == ((1L, 3L, 3L, 10000L, 2L, 1L, 5000L, 0L)))
   }
+
+  test("length quantiles: exact interpolation, approx within tolerance") {
+    val s = spark
+    import s.implicits._
+    // one stratum, token counts 1..5 -> p50 = 3, p25 = 2 (interp at
+    // rank (5-1)*0.25 = 1 exactly), p90 = 4.6 (rank 3.6)
+    val df = Seq("a", "a b", "a b c", "a b c d", "a b c d e")
+      .map(t => ("x", t)).toDF("lang", "text")
+    val got = graft.operators.TextProfile.lengthQuantiles(df, "lang", "text")
+      .as[(String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect()
+    assert(got.toSeq == Seq(("x", 5L, 1L, 5L, 2.0, 3.0, 4.0, 4.6)))
+    // the approx path (the unbounded-cardinality scale path) stays
+    // within a rank of the exact answer on this tiny input
+    val approx = graft.operators.TextProfile
+      .lengthQuantiles(df, "lang", "text", exact = false)
+      .as[(String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().head
+    assert(math.abs(approx._6 - 3.0) <= 1.0)
+  }
 }
