@@ -73,6 +73,39 @@ object TextProfile {
     * metrics pass exact=false for approx_percentile's fixed-size
     * sketch (not oracle-exact, hence the default is the checkable
     * path). Either way: one partial-agg shuffle keyed by stratum. */
+  /** Top-k discriminative terms per document — keyword extraction in
+    * the tf-idf family, with an INTEGER ordering so every engine
+    * agrees bit-for-bit: rank by term frequency desc, then document
+    * frequency asc (rarer across the corpus = more discriminative),
+    * then term asc. A float tf·idf score ranks identically for fixed
+    * tf whenever idf is monotone in df, so the integer form keeps the
+    * semantics and drops the cross-engine ln()-rounding hazard.
+    * Returns (idCol, rank, term, tf, df).
+    *
+    * Scale shape: tf is a (doc, term) count — shuffle bounded by
+    * corpus token count; df reduces tf rows by term (vocab-sized,
+    * NOT broadcast — a 100 TB vocab with hapax mass is itself large,
+    * so the tf⋈df join shuffles on term and AQE may still broadcast
+    * a small vocab at small SF). Per-doc top-k runs on the
+    * bounded-heap aggregate: ≤ k rows per doc per task, no window. */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .groupBy(col(idCol))
+      .agg(graft.plans.GraftCall(graft.plans.VectorExpressions.TopKName,
+        struct(col("tf").as("tf"),
+          struct(col("df").as("df"), col("term").as("term")).as("tb")),
+        lit(k)).as("__top"))
+      .select(col(idCol), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col(idCol), (col("__pos") + 1).cast("long").as("rank"),
+        col("__e.tb.term").as("term"), col("__e.tf").as("tf"),
+        col("__e.tb.df").as("df"))
+  }
+
   def lengthQuantiles(df: DataFrame, strataCol: String, textCol: String,
       exact: Boolean = true): DataFrame = {
     val nTok = bpeTokenCount(col(textCol))

@@ -196,6 +196,28 @@ object TextQueries extends QueryPack {
     // Gopher-style repetition signals: type-token ratio, top-bigram
     // share, duplicate-bigram share — all integer basis points
     // (floor), so the comparison is bit-exact on both engines
+    // keyword extraction: top-5 discriminative terms per doc (tf desc,
+    // corpus-rarity asc, term asc — integer-exact tf-idf-family
+    // ordering). Bounded-heap per-doc top-k, no window shuffle.
+    "q_text_top_terms" -> Q(
+      (s, d) => graft.operators.TextProfile.topTerms(
+        t(s, d, "documents"), "doc_id", "text", k = 5),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf
+             |       FROM tok GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |r AS (
+             |  SELECT doc_id, term, tf, df,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY tf DESC, df ASC, term ASC) AS rank
+             |  FROM tf JOIN dfq USING (term))
+             |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df
+             |FROM r WHERE rank <= 5
+             |""".stripMargin)),
+
     // length-distribution profiling per language: exact interpolated
     // quantiles of BPE token counts — the pass that picks packing
     // budgets and length-filter thresholds. Spark `percentile` and

@@ -307,6 +307,31 @@ class TextKernelsSpec extends SparkSpec {
     assert(got(1L) == ((1L, 3L, 3L, 10000L, 2L, 1L, 5000L, 0L)))
   }
 
+  test("topTerms: window-equivalent ranking on bounded-heap, no Window node") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.sources.Tables.load(s, sf001, "documents")
+    val got = graft.operators.TextProfile
+      .topTerms(docs, "doc_id", "text", k = 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id")
+      .orderBy($"tf".desc, $"df".asc, $"term".asc)
+    val tf = docs.select($"doc_id",
+        org.apache.spark.sql.functions.explode(
+          graft.functions.TextFunctions.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val want = tf.join(dfreq, "term")
+      .select($"doc_id", row_number().over(w).cast("long").as("rank"),
+        $"term", $"tf", $"df")
+      .filter($"rank" <= 5)
+    assert(got.as[(Long, Long, String, Long, Long)].collect().toSet ==
+      want.as[(Long, Long, String, Long, Long)].collect().toSet)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("length quantiles: exact interpolation, approx within tolerance") {
     val s = spark
     import s.implicits._
