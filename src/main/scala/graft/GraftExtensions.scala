@@ -62,5 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SrpBucket(vec, LitArg.int("graft_srp_bucket", d),
         LitArg.int("graft_srp_bucket", p))
     }
+    inject("graft_bloom_contains") { case Seq(h, bytes) =>
+      graft.plans.BloomContains(h,
+        graft.plans.SketchExpressions.bytesArg("graft_bloom_contains",
+          bytes))
+    }
   }
 }

@@ -41,6 +41,41 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Bloom-filter decontamination — the 100 TB path when even the
+    * benchmark gram set is too hot to broadcast-join comfortably, or
+    * when the probe must run as a plain scan filter (e.g. inside a
+    * streaming ingest). The bench grams are compacted into a bloom
+    * filter once (distributed treeAggregate build, MBs at 1% fpp for
+    * millions of grams) and the corpus side runs ONE codegen'd narrow
+    * Filter — no join, no shuffle, no broadcast exchange. Returns the
+    * same (idCol, n_hits) shape as [[decontaminate]], with n_hits
+    * counting PROBABLE hits: supersets of the exact result at the
+    * configured false-positive rate, never missing a true hit — so a
+    * downstream [[decontaminate]] pass over the survivors (now
+    * fpp-sized) can make it exact. Spec-gated (no SQL oracle can
+    * replay a bloom filter bit-for-bit): CurationSpec pins the
+    * no-false-negative guarantee and the join-free plan shape. */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol),
+        explode(array_distinct(shinglesOfTokens(col("__w"), n))).as("gram"))
+    val benchHashes = grams(bench)
+      .select(xxhash64(col("gram")).as("h")).distinct()
+    val expected = math.max(1L, benchHashes.count())
+    val bf = benchHashes.stat.bloomFilter("h", expected, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    grams(corpus)
+      .filter(graft.plans.GraftCall(
+        graft.plans.SketchExpressions.BloomContainsName,
+        xxhash64(col("gram")), lit(bos.toByteArray)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Deterministic hash-threshold sampling with per-stratum rates:
     * a row is kept iff the first 4 hex chars of md5(seedCols joined
     * by ':') sort below the stratum's threshold. Rates are quantized
@@ -95,6 +130,28 @@ object Curation {
         lit(k)).as("__top"))
       .select(col(groupCol), explode(col("__top")).as("__e"))
       .select(col(groupCol), col("__e.__id").as(ordCol))
+  }
+
+  /** Exact-k uniform sample per stratum, deterministic: the k rows
+    * with the LARGEST md5(seedCols) hash win. Hash order is uniform
+    * and content-derived, so the sample is reproducible across reruns
+    * and partitionings (same contract as [[sampleStratified]]) while
+    * hitting the stratum size exactly — the property quota-based eval
+    * or calibration sets need that rate-based sampling can't give.
+    *
+    * Scale shape: same bounded-heap aggregate as [[capPerGroup]] —
+    * map-side partials keep <= k rows per stratum per task; never a
+    * window sort. Returns (strataCol, idCol). */
+  def sampleExactK(df: DataFrame, strataCol: String, idCol: String,
+      k: Int, seedCols: Seq[String]): DataFrame = {
+    val hash = md5(concat_ws(":",
+      seedCols.map(c => col(c).cast("string")): _*))
+    df.groupBy(col(strataCol))
+      .agg(graft.plans.GraftCall(graft.plans.VectorExpressions.TopKName,
+        struct(hash.as("__h"), hash.as("__tb"), col(idCol).as("__id")),
+        lit(k)).as("__top"))
+      .select(col(strataCol), explode(col("__top")).as("__e"))
+      .select(col(strataCol), col("__e.__id").as(idCol))
   }
 
   /** Contiguous sequence packing: within each (strataCol, shard)

@@ -290,6 +290,7 @@ object GraftCall {
     val spark = SparkSession.active
     TextExpressions.ensureRegistered(spark)
     VectorExpressions.ensureRegistered(spark)
+    SketchExpressions.ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function(name, args: _*)
   }
 }

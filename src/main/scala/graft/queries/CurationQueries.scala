@@ -65,6 +65,22 @@ object CurationQueries extends QueryPack {
              |            ELSE 'g' END
              |""".stripMargin)),
 
+    // exact-k uniform sample per language: 20 rows per stratum by
+    // largest content hash — deterministic quota sampling for eval /
+    // calibration sets. Bounded-heap aggregate, no window.
+    "q_sample_exact_k" -> Q(
+      (s, d) => Curation.sampleExactK(t(s, d, "documents"),
+        strataCol = "lang", idCol = "doc_id", k = 20,
+        seedCols = Seq("doc_id", "text")),
+      Some("""SELECT lang, doc_id FROM (
+             |  SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || text)
+             |        DESC) AS rn
+             |  FROM documents)
+             |WHERE rn <= 20
+             |""".stripMargin)),
+
     // per-source cap: at most 10 docs per source, smallest doc_id
     // survives — the per-domain cap a crawl pipeline applies. Runs on
     // the bounded-heap aggregate, NOT a window: map-side partial agg

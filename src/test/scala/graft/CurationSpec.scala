@@ -37,6 +37,63 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> 2L))
   }
 
+  test("decontaminateBloom: no false negatives, join-free probe plan") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.load(s, sf001, "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    val exact = Curation.decontaminate(corpus, bench, "doc_id", "text", 4)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Curation
+      .decontaminateBloom(corpus, bench, "doc_id", "text", 4, fpp = 0.01)
+      .as[(Long, Long)].collect().toMap
+    // superset, and every exact hit count is fully preserved (bloom
+    // can only ADD probable hits, never drop a true gram match)
+    exact.foreach { case (id, hits) =>
+      assert(bloom.getOrElse(id, 0L) >= hits, s"doc $id lost hits")
+    }
+    // false-positive mass is gram-level: extra hits across the corpus
+    // stay within a small multiple of fpp × probes (docs average ~80
+    // grams, so DOC-level inflation is expectedly large at 1% fpp —
+    // the operator is a pre-filter whose survivors get the exact pass)
+    val probes = corpus
+      .select(explode(array_distinct(
+        graft.functions.TextFunctions.wordShingles(col("text"), 4))))
+      .count()
+    val extraHits = bloom.values.sum - exact.values.sum
+    assert(extraHits <= (3 * 0.01 * probes).toLong + 10,
+      s"extra $extraHits vs probes $probes")
+    // the probe is a narrow Filter: no join or broadcast anywhere
+    val plan = Curation
+      .decontaminateBloom(corpus, bench, "doc_id", "text", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("graft_bloom_contains"), plan)
+  }
+
+  test("sampleExactK: exact stratum quota, window-equivalent, deterministic") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.load(s, sf001, "documents")
+    val got = Curation.sampleExactK(docs, "lang", "doc_id", k = 20,
+      seedCols = Seq("doc_id", "text"))
+    val rows = got.as[(String, Long)].collect()
+    // every stratum at its quota (all sf0.01 langs have >= 20 docs)
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      assert(g.length == 20, s"$lang quota ${g.length}")
+    }
+    // identical to the window form: top-20 by hash desc per lang
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang")
+      .orderBy(md5(concat_ws(":", $"doc_id".cast("string"), $"text")).desc)
+    val want = docs.select($"lang", $"doc_id",
+        row_number().over(w).as("rn"))
+      .filter($"rn" <= 20).select($"lang", $"doc_id")
+      .as[(String, Long)].collect().toSet
+    assert(rows.toSet == want)
+  }
+
   test("sampleStratified: deterministic, rate-bounded, shuffle-free") {
     val s = spark
     val docs = Tables.load(s, sf001, "documents")
