@@ -43,6 +43,52 @@ object StreamJobs {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** The documents table as a STREAM — the ingest shape of a
+    * continuously-arriving corpus (crawl snapshots landing as files).
+    * Same symlink-dir staging as [[eventsStream]]. */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedDirs.computeIfAbsent(s"$sfDir#documents", { _ =>
+      val d = java.nio.file.Files.createTempDirectory("documents_stream")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+      d.toFile.deleteOnExit()
+      d
+    })
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    spark.readStream.schema(schema).parquet(dir.toString)
+  }
+
+  /** The corpus-cleaning pipeline as ONE streaming plan — the
+    * continuous-ingest form of q_pipeline_corpus_clean: stateful
+    * exact-dedup on the normalized-text fingerprint (first arrival per
+    * fingerprint wins; the state store holds one fp per distinct
+    * document, exactly the keyspace a dedup service must hold), then
+    * the narrow quality/language gates. Gates are per-row and
+    * stateless, so gate outcomes are identical no matter which
+    * micro-batch a row arrives in; the surviving doc_id per duplicate
+    * set is arrival-order dependent (streams have no min-id oracle) —
+    * the FINGERPRINT set of the output is deterministic and equals the
+    * batch pipeline's (StreamingSpec pins this).
+    *
+    * At scale: dropDuplicates state grows with distinct fingerprints;
+    * a production deployment bounds it with
+    * dropDuplicatesWithinWatermark (dedup horizon = the watermark
+    * delay) — same plan otherwise. */
+  def corpusCleanStream(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions._
+    docs
+      .withColumn("fp", fingerprint(col("text")))
+      .dropDuplicates("fp")
+      .withColumn("alpha", alphaRatio(col("text")))
+      .withColumn("n_tok", tokenCount(col("text")))
+      .withColumn("lang_pred", langIdHeuristic(col("text")))
+      .filter(col("alpha") >= 0.7 && col("n_tok") >= 8 &&
+        col("lang_pred") === "en")
+      .select(col("doc_id"), col("fp"), col("lang_pred"), col("n_tok"),
+        col("alpha"))
+  }
+
   /** Event-time tumbling window counts with watermark — the streaming
     * form of q_tumbling_count_5m. Append mode + watermark-close is the
     * DISCARDING/default-trigger semantics (SURVEY §2.4 mapping). */

@@ -34,6 +34,29 @@ class StreamingSpec extends SparkSpec {
     assert(closed.subsetOf(streamed))
   }
 
+  test("streaming corpus-clean agrees with the batch pipeline's fingerprint set") {
+    val s = spark
+    import s.implicits._
+    val docs = StreamJobs.documentsStream(s, sf001)
+    val streamed = StreamJobs
+      .drainToTable(s, StreamJobs.corpusCleanStream(docs))
+    // which doc_id survives a duplicate set is arrival-order dependent
+    // in a stream, but the FINGERPRINT set and the count are exactly
+    // the batch pipeline's (gates are per-row; dedup keeps one per fp)
+    val streamedFps = streamed.select("fp").as[String].collect().toSet
+    val batch = graft.queries.Registry.all("q_pipeline_corpus_clean")
+      .run(s, sf001)
+    val batchFps = batch
+      .join(graft.sources.Tables.load(s, sf001, "documents"), "doc_id")
+      .select(graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+      .as[String].collect().toSet
+    assert(streamedFps == batchFps)
+    assert(streamed.count() == batch.count())
+    // streaming dedup is the stateful exact-dedup operator: the plan
+    // carries a state store (dropDuplicates), not a window
+    assert(streamed.count() > 0)
+  }
+
   test("streaming session windows produce per-user sessions") {
     val events = StreamJobs.eventsStream(spark, sf0001)
     val streamed = StreamJobs
