@@ -116,6 +116,53 @@ object CurationQueries extends QueryPack {
              |FROM tok
              |""".stripMargin)),
 
+    // the composed curation pipeline a training-data job runs, one
+    // plan: decontaminate (drop docs sharing a 4-gram with the src0
+    // benchmark) -> deterministic stratified sample -> pack into
+    // 256-token sequences. Broadcast anti-join + narrow filter + one
+    // sharded window: the shape that curates 100 TB end to end.
+    "q_pipeline_curation" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(col("source") =!= "src0")
+        val contaminated = Curation.decontaminate(corpus,
+            docs.filter(col("source") === "src0"), "doc_id", "text", n = 4)
+          .select("doc_id")
+        val clean = corpus.join(broadcast(contaminated), Seq("doc_id"),
+          "left_anti")
+        val sampled = Curation.sampleStratified(clean, "lang",
+          Map("en" -> 0.5), defaultRate = 1.0,
+          seedCols = Seq("doc_id", "text"))
+        Curation.packSequences(sampled, "doc_id", "text", "lang",
+          budget = 256, numShards = 8)
+      },
+      Some(s"""WITH $oGrams4,
+              |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+              |contaminated AS (
+              |  SELECT DISTINCT c.doc_id
+              |  FROM (SELECT doc_id, gram FROM g WHERE source <> 'src0') c
+              |  JOIN bench b USING (gram)),
+              |clean AS (
+              |  SELECT doc_id, lang, text FROM documents
+              |  WHERE source <> 'src0'
+              |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+              |sampled AS (
+              |  SELECT doc_id, lang, text FROM clean
+              |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+              |               1, 4) <
+              |    CASE lang WHEN 'en' THEN '8000' ELSE 'g' END),
+              |tok AS (
+              |  SELECT doc_id, lang, doc_id % 8 AS shard,
+              |    CAST(len(regexp_extract_all(text,
+              |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok
+              |  FROM sampled)
+              |SELECT doc_id, lang, shard, n_tok,
+              |  CAST(floor((SUM(n_tok) OVER (PARTITION BY lang, shard
+              |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+              |    CURRENT ROW) - n_tok) / 256.0) AS BIGINT) AS seq_id
+              |FROM tok
+              |""".stripMargin)),
+
     // end-to-end dedup: MinHash+LSH pairs -> clusters -> keep only
     // canonical members. The step that turns near-dup detection into
     // a deduplicated corpus; anti join on the id (never assumes the
