@@ -247,6 +247,45 @@ object Dedup {
     verifyJaccard(candidates, docs, idCol, threshold)
   }
 
+  /** Incremental ingest dedup: MinHash+LSH near-dup pairs BETWEEN a
+    * new batch and an existing corpus — the daily-ingest shape that
+    * must not re-dedup the whole corpus. Only cross-side band
+    * collisions become candidates (batch-internal dups are
+    * [[minhashLshPairs]] on the batch alone — orders of magnitude
+    * smaller than corpus×corpus). Returns (id_a = new-side id,
+    * id_b = existing-side id, jaccard >= threshold). Ids must be
+    * unique across BOTH frames (one corpus id namespace).
+    *
+    * Scale shape: the existing corpus contributes one signature pass
+    * (narrow, zero pre-candidate shuffles — in production you persist
+    * its band table once and reuse it every ingest) and the band join
+    * shuffles band keys, not documents; verification joins shingle
+    * sets for candidate ids only, build side pinned exactly as in
+    * [[minhashLshPairs]]. */
+  def minhashLshPairsAgainst(newDf: DataFrame, existingDf: DataFrame,
+      idCol: String, textCol: String, n: Int, numHashes: Int,
+      rowsPerBand: Int, threshold: Double): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "bands must tile the signature")
+    val numBands = numHashes / rowsPerBand
+    def sigs(df: DataFrame) = shingleSets(df, idCol, textCol, n)
+      .withColumn("sig", minhashSigCol(col("sh_set"), numHashes))
+    val bandArray = array((0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand)
+        .map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
+      concat_ws("|", lit(b.toString) +: cols: _*)
+    }: _*)
+    val newDocs = sigs(newDf).persist()
+    val exDocs = sigs(existingDf).persist()
+    def bands(docs: DataFrame, as: String) = docs
+      .select(col(idCol).as(as), explode(bandArray).as("band_key"))
+    val candidates = bands(newDocs, "id_a")
+      .join(bands(exDocs, "id_b"), "band_key")
+      .select("id_a", "id_b").distinct()
+    val docs = newDocs.select(col(idCol), col("sh_set"), col("sz"))
+      .union(exDocs.select(col(idCol), col("sh_set"), col("sz")))
+    verifyJaccard(candidates, docs, idCol, threshold)
+  }
+
   /** Connected components over duplicate pairs: every document that
     * appears in a pair gets the MINIMUM id reachable through pair
     * edges as its cluster id — the canonical-survivor assignment a

@@ -50,10 +50,11 @@ object DedupQueries extends QueryPack {
   private def oMh(k: Int) =
     s"min((sh_h * ${2 * k + 1} + ${97 * k + 31}) % 1048576) AS mh_$k"
 
-  /** Full MinHash+LSH CTE chain ending in `jp` (verified pairs) —
-    * shared by q_dedup_minhash_lsh, q_dedup_clusters, and
+  /** Full MinHash+LSH CTE chain ending in `jp` (verified pairs), with
+    * a caller-chosen candidate clause over the `bands` CTE — shared by
+    * q_dedup_minhash_lsh, q_dedup_clusters, q_dedup_incremental, and
     * CurationQueries.q_dedup_survivors. */
-  private[queries] val oMinhashCtes: String = {
+  private[queries] def oMinhashCtesWith(candSql: String): String = {
     val bandSelects = (0 until 4).map { b =>
       val cols = (0 until 4).map(r => s"mh_${b * 4 + r}")
       s"SELECT doc_id, '$b' || '|' || ${cols.mkString(" || '|' || ")} AS band_key FROM sig"
@@ -65,11 +66,14 @@ object DedupQueries extends QueryPack {
        |bands AS (
        |  $bandSelects),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |  $candSql),
        |$oJaccardTail""".stripMargin
   }
+
+  private[queries] val oMinhashCtes: String = oMinhashCtesWith(
+    """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin)
 
   /** Generated simhash oracle: 20-bit polynomial word hashes, per-bit
     * majority vote. Mirrors Dedup.simhash exactly (seed 7, mod 2^20). */
@@ -146,6 +150,30 @@ object DedupQueries extends QueryPack {
               |  JOIN edges e ON r.dst = e.src)
               |SELECT src AS doc_id, min(dst) AS cluster_id
               |FROM reach GROUP BY src
+              |""".stripMargin)),
+
+    // incremental ingest dedup: docs with doc_id % 10 = 0 play the
+    // arriving batch; pairs are new-vs-existing ONLY (the daily-ingest
+    // shape that never re-dedups corpus x corpus).
+    "q_dedup_incremental" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.minhashLshPairsAgainst(
+          docs.filter(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.lit(10)) === 0),
+          docs.filter(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.lit(10)) =!= 0),
+          "doc_id", "text", n = 3, numHashes = 16, rowsPerBand = 4,
+          threshold = 0.5)
+      },
+      Some(s"""WITH ${oMinhashCtesWith(
+               """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+                 |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0"""
+                 .stripMargin)}
+              |SELECT id_a, id_b, jaccard FROM jp
               |""".stripMargin)),
 
     "q_dedup_simhash" -> Q(

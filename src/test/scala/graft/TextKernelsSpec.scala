@@ -288,6 +288,26 @@ class TextKernelsSpec extends SparkSpec {
     assert(uncapped.nonEmpty)
   }
 
+  test("incremental dedup equals the cross-side slice of full-corpus pairs") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.sources.Tables.load(s, sf001, "documents")
+    val newSide = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    val exSide = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val incr = graft.operators.Dedup.minhashLshPairsAgainst(
+        newSide, exSide, "doc_id", "text", 3, 16, 4, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    val full = graft.operators.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .as[(Long, Long, Double)].collect()
+    val crossSlice = full.filter { case (a, b, _) =>
+      (a % 10 == 0) != (b % 10 == 0)
+    }.map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    assert(incr == crossSlice)
+    assert(incr.nonEmpty)
+  }
+
   test("repetition profile matches hand-computed signals") {
     val s = spark
     import s.implicits._
