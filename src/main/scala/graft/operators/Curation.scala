@@ -109,8 +109,10 @@ object Curation {
   }
 
   /** Keep at most `k` rows per group, the ones with the SMALLEST
-    * `ordCol` (deterministic survivor choice — min-id, earliest-ts).
-    * Returns (groupCol, ordCol) pairs of the survivors.
+    * `ordCol` (deterministic survivor choice). `ordCol` must be
+    * numeric (the min-order inversion negates it); order timestamps
+    * by casting to epoch first. Returns (groupCol, ordCol) pairs of
+    * the survivors.
     *
     * Scale shape: this is the per-domain / per-source cap a crawl
     * pipeline applies, and the naive `row_number().over(partitionBy)`
@@ -167,7 +169,8 @@ object Curation {
     * single-task stratum even when one language dominates the corpus
     * (the exact skew that breaks a plain partitionBy(lang) window).
     * Packing quality loss vs global packing is bounded by one
-    * partially-filled tail sequence per shard. */
+    * partially-filled tail sequence per shard. Ids are assumed
+    * non-negative (pmod here == the oracle's `%` only then). */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       strataCol: String, budget: Int, numShards: Int): DataFrame = {
     val w = Window.partitionBy(col(strataCol), col("shard"))
