@@ -93,4 +93,67 @@ class PropertySpec extends SparkSpec {
       assert(ns == math.max(0, nw - 2), s"tokens=$nw shingles=$ns")
     }
   }
+
+  private def randomDocs(n: Int) = {
+    val s = spark
+    import s.implicits._
+    samples(textGen, n).zipWithIndex
+      .map { case (t, i) => (i.toLong, if (i % 3 == 0) "a" else "b", t) }
+      .toDF("doc_id", "lang", "text")
+  }
+
+  test("sampleStratified: keep-set is monotone in the rate") {
+    val s = spark
+    import s.implicits._
+    val df = randomDocs(60)
+    def keptAt(rate: Double) = graft.operators.Curation
+      .sampleStratified(df, "lang", Map("a" -> rate, "b" -> rate),
+        defaultRate = 1.0, seedCols = Seq("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    val r25 = keptAt(0.25)
+    val r50 = keptAt(0.50)
+    val r100 = keptAt(1.0)
+    // a row kept at a lower rate is kept at every higher rate (hash
+    // thresholding), and rate 1.0 keeps everything
+    assert(r25.subsetOf(r50) && r50.subsetOf(r100))
+    assert(r100.size == 60)
+  }
+
+  test("packSequences: per-bin token sums stay within budget") {
+    val s = spark
+    import s.implicits._
+    val packed = graft.operators.Curation
+      .packSequences(randomDocs(80), "doc_id", "text", "lang",
+        budget = 40, numShards = 4)
+      .select($"lang", $"shard", $"seq_id", $"n_tok", $"doc_id")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // a bin's CLOSED token mass (docs that START in it, minus the last
+    // doc's overhang) never exceeds budget + one doc: equivalently,
+    // each doc starts exactly at its predecessor-cumsum bin
+    packed.groupBy(r => (r._1, r._2)).foreach { case (_, grp) =>
+      var cum = 0L
+      grp.sortBy(_._5).foreach { case (_, _, seq, n, _) =>
+        assert(seq == cum / 40)
+        cum += n
+      }
+    }
+    // every doc is packed exactly once
+    assert(packed.map(_._5).distinct.length == 80)
+  }
+
+  test("capPerGroup: never exceeds k, keeps exactly the k smallest") {
+    val s = spark
+    import s.implicits._
+    val df = randomDocs(70)
+    val capped = graft.operators.Curation
+      .capPerGroup(df, "lang", "doc_id", k = 7)
+      .as[(String, Long)].collect()
+    val byLang = capped.groupBy(_._1)
+    byLang.foreach { case (lang, g) =>
+      val wantIds = df.filter($"lang" === lang).select("doc_id")
+        .as[Long].collect().sorted.take(7).toSet
+      assert(g.map(_._2).toSet == wantIds, lang)
+      assert(g.length <= 7)
+    }
+  }
 }
