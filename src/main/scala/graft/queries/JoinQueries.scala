@@ -147,6 +147,42 @@ object JoinQueries extends QueryPack {
     // stream-stream TTL join (MessageStream.join:185): Samza keeps the
     // LAST value per key on each side and emits on match. Batch analog:
     // reduce each side to latest-per-key, then equi-join.
+    // horizon-bounded as-of join: for each purchase, the most recent
+    // click by the same user within 1 hour (attribution shape). The
+    // bucketed plan joins on (user, time-bucket) — never a per-key
+    // window sort. Oracle: DuckDB's native ASOF JOIN with the right
+    // side deduped per (user, ts) so the tie-break is well defined on
+    // both engines; matches older than the horizon null out.
+    "q_asof_join" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        graft.operators.AsofJoin.asofJoin(
+          ev.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          "event_id",
+          ev.filter(col("event_type") === "click"),
+          "event_id", keyCol = "user_id", tsCol = "ts",
+          lookbackMs = 3600L * 1000)
+      },
+      Some("""WITH l AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'),
+             |r AS (
+             |  SELECT user_id, ts, max(event_id) AS r_id FROM events
+             |  WHERE event_type = 'click' GROUP BY 1, 2),
+             |a AS (
+             |  SELECT l.event_id, l.user_id, l.ts,
+             |         r.r_id AS m_id, r.ts AS m_ts
+             |  FROM l ASOF LEFT JOIN r
+             |    ON l.user_id = r.user_id AND l.ts >= r.ts)
+             |SELECT event_id, user_id, ts,
+             |  CASE WHEN m_ts IS NOT NULL AND ts - m_ts <= INTERVAL 1 HOUR
+             |       THEN m_id END AS asof_id,
+             |  CASE WHEN m_ts IS NOT NULL AND ts - m_ts <= INTERVAL 1 HOUR
+             |       THEN m_ts END AS asof_ts
+             |FROM a
+             |""".stripMargin)),
+
     "q_join_stream_stream_ttl" -> Q(
       (s, d) => {
         import s.implicits._
