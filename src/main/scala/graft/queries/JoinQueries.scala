@@ -147,6 +147,30 @@ object JoinQueries extends QueryPack {
     // stream-stream TTL join (MessageStream.join:185): Samza keeps the
     // LAST value per key on each side and emits on match. Batch analog:
     // reduce each side to latest-per-key, then equi-join.
+    // banded range join: events scored into overlapping value bands
+    // (bands derived from region so the oracle replays the exact same
+    // intervals). Bucketed equi-join — never a nested-loop join.
+    "q_range_join" -> Q(
+      (s, d) => {
+        val bands = t(s, d, "region").select(
+          col("r_regionkey").cast("long").as("band_id"),
+          greatest(lit(0.0), col("r_regionkey") * 100.0 - 25).as("lo"),
+          (col("r_regionkey") * 100.0 + 100).as("hi"))
+        graft.operators.RangeJoin.rangeJoin(
+            t(s, d, "events").select("event_id", "value"), "value",
+            bands, "lo", "hi", bucketWidth = 100.0)
+          .select("event_id", "value", "band_id")
+      },
+      Some("""WITH bands AS (
+             |  SELECT CAST(r_regionkey AS BIGINT) AS band_id,
+             |    CASE WHEN r_regionkey * 100.0 - 25 < 0 THEN 0
+             |         ELSE r_regionkey * 100.0 - 25 END AS lo,
+             |    r_regionkey * 100.0 + 100 AS hi
+             |  FROM region)
+             |SELECT e.event_id, e.value, b.band_id
+             |FROM events e JOIN bands b ON e.value BETWEEN b.lo AND b.hi
+             |""".stripMargin)),
+
     // horizon-bounded as-of join: for each purchase, the most recent
     // click by the same user within 1 hour (attribution shape). The
     // bucketed plan joins on (user, time-bucket) — never a per-key

@@ -47,6 +47,31 @@ class AsofJoinSpec extends SparkSpec {
     assert(want.values.exists(_._1.isEmpty)) // and misses exist
   }
 
+  test("rangeJoin equals the inequality join, without a nested-loop plan") {
+    val s = spark
+    import s.implicits._
+    val ev = Tables.load(s, sf001, "events").select("event_id", "value")
+    val bands = Tables.load(s, sf001, "region").select(
+      $"r_regionkey".cast("long").as("band_id"),
+      greatest(lit(0.0), $"r_regionkey" * 100.0 - 25).as("lo"),
+      ($"r_regionkey" * 100.0 + 100).as("hi"))
+    val got = graft.operators.RangeJoin
+      .rangeJoin(ev, "value", bands, "lo", "hi", bucketWidth = 100.0)
+      .select("event_id", "band_id")
+      .as[(Long, Long)].collect().toSet
+    val want = ev.join(bands,
+        $"value" >= $"lo" && $"value" <= $"hi")
+      .select("event_id", "band_id").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    // overlap regions produce multi-band matches
+    assert(got.size > got.map(_._1).size)
+    val plan = graft.operators.RangeJoin
+      .rangeJoin(ev, "value", bands, "lo", "hi", 100.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      plan)
+  }
+
   test("plan joins on (key, bucket) with no Window node") {
     val s = spark
     import s.implicits._
