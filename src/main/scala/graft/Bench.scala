@@ -19,16 +19,20 @@ object Bench {
     }
     spark.catalog.clearCache() // drop persisted intermediates from warmup
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val secs = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> secs
+    // deterministic name order: Map iteration order varies per binary,
+    // which changes each query's warm-cache neighbors and cost two
+    // rounds of bar ambiguity (q_dedup_incremental, q_dedup_jaccard)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val secs = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        name -> secs
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
 
     // single-node throughput (the reference's headline unit is msg/s):
     // a filter→hash-agg pipeline over lineitem, rows/sec, measured WARM

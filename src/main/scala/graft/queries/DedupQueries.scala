@@ -105,9 +105,14 @@ object DedupQueries extends QueryPack {
              |FROM documents GROUP BY md5(text)
              |""".stripMargin)),
 
+    // maxPostings ON in the benched configuration: sub-bucketing is
+    // count-preserving (every pair still meets exactly once — see
+    // Dedup.jaccardPairs), so the oracle is unchanged, and without it
+    // one near-universal shingle lands its whole posting-list square
+    // on a single join key at corpus scale.
     "q_dedup_jaccard" -> Q(
       (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5),
+        n = 3, threshold = 0.5, maxPostings = 256),
       Some(s"""WITH $oShingles,
               |cand AS (
               |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

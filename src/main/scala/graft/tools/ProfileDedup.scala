@@ -39,6 +39,11 @@ object ProfileDedup {
       println("  n=" + Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5).count())
     }
     spark.catalog.clearCache()
+    time("e2e jaccardPairs maxPostings=256") {
+      println("  n=" + Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5,
+        maxPostings = 256).count())
+    }
+    spark.catalog.clearCache()
     time("e2e minhashLshPairs single action") {
       println("  n=" + Dedup.minhashLshPairs(df, "doc_id", "text", 3,
         16, 4, 0.5).count())
