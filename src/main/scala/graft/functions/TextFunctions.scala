@@ -97,11 +97,19 @@ object TextFunctions {
       .otherwise("und")
   }
 
-  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
-    * Stable across engines (md5 is identical everywhere) and across
-    * formatting-only edits. */
-  def fingerprint(c: Column): Column =
-    md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+  /** Whitespace-normalized lowercase text — the canonical form of a
+    * document for dedup purposes. Two documents with equal normalized
+    * text have equal [[fingerprint]]s, so any metric computed on the
+    * normalized text is invariant across a fingerprint class — the
+    * property that makes dedup-then-gate pipelines deterministic no
+    * matter which duplicate survives. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Document fingerprint: md5 of [[normalizeText]]. Stable across
+    * engines (md5 is identical everywhere) and across formatting-only
+    * edits. */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
 
   /** Cross-engine-stable polynomial hash of a string, seeded.
     * h = fold(chars, seed, (a, ch) -> (a*31 + ascii(ch)) % 2^20.

@@ -148,9 +148,13 @@ object Curation {
       k: Int, seedCols: Seq[String]): DataFrame = {
     val hash = md5(concat_ws(":",
       seedCols.map(c => col(c).cast("string")): _*))
+    // tie-break on the row id, not the hash itself: two rows with
+    // identical seedCols content share an md5, and a hash-as-tiebreak
+    // winner would depend on partition/merge order — breaking the
+    // determinism contract above. Smallest id wins a hash tie.
     df.groupBy(col(strataCol))
       .agg(graft.plans.GraftCall(graft.plans.VectorExpressions.TopKName,
-        struct(hash.as("__h"), hash.as("__tb"), col(idCol).as("__id")),
+        struct(hash.as("__h"), col(idCol).as("__tb"), col(idCol).as("__id")),
         lit(k)).as("__top"))
       .select(col(strataCol), explode(col("__top")).as("__e"))
       .select(col(strataCol), col("__e.__id").as(idCol))

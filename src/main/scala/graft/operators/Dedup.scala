@@ -220,7 +220,13 @@ object Dedup {
     * One narrow pass computes the signature AND keeps the shingle set
     * for verification — zero shuffles before the (tiny) band join. Set
     * sizes are bounded by document length, so carrying sh_set is safe
-    * at scale. */
+    * at scale.
+    *
+    * Cache lifecycle (same contract as [[jaccardPairs]]): the
+    * signature frame stays persisted because the returned plan reads
+    * it on every action; callers looping over many corpora release it
+    * with spark.catalog.clearCache() between runs, as Verify/Bench
+    * do. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
@@ -255,6 +261,15 @@ object Dedup {
     * smaller than corpus×corpus). Returns (id_a = new-side id,
     * id_b = existing-side id, jaccard >= threshold). Ids must be
     * unique across BOTH frames (one corpus id namespace).
+    *
+    * Cache lifecycle (same contract as [[jaccardPairs]]): BOTH
+    * signature frames stay persisted — the returned plan reads each
+    * on every action (band join + verify union), so unpersisting here
+    * would silently recompute signatures per action instead. Callers
+    * running repeated ingest batches release them with
+    * spark.catalog.clearCache() between runs, as Verify/Bench do; a
+    * production deployment persists the CORPUS band table once and
+    * reuses it across ingests.
     *
     * Scale shape: the existing corpus contributes one signature pass
     * (narrow, zero pre-candidate shuffles — in production you persist

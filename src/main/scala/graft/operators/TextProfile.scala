@@ -58,21 +58,6 @@ object TextProfile {
         bp(col("__dup_occ"), col("n_bigrams")).as("dup2_bp"))
   }
 
-  /** Per-stratum token-length distribution — the profiling pass run
-    * before choosing packing budgets and length-filter thresholds.
-    * Returns (stratum, n_docs, min_tok, max_tok, p25, p50, p75, p90);
-    * quantiles are exact with linear interpolation at rank (n-1)·q —
-    * the SAME definition Spark's `percentile` and DuckDB's
-    * `quantile_cont` implement, so the oracle replays it bit-for-bit
-    * on integer inputs (rounded to 4dp for cross-engine safety).
-    *
-    * Scale shape: when `exact`, Spark's percentile keeps a
-    * value→count map per group — bounded by DISTINCT metric values,
-    * which for integer token counts is thousands, not corpus-sized,
-    * so it holds at 100 TB for this metric; for unbounded-cardinality
-    * metrics pass exact=false for approx_percentile's fixed-size
-    * sketch (not oracle-exact, hence the default is the checkable
-    * path). Either way: one partial-agg shuffle keyed by stratum. */
   /** Top-k discriminative terms per document — keyword extraction in
     * the tf-idf family, with an INTEGER ordering so every engine
     * agrees bit-for-bit: rank by term frequency desc, then document
@@ -106,6 +91,21 @@ object TextProfile {
         col("__e.tb.df").as("df"))
   }
 
+  /** Per-stratum token-length distribution — the profiling pass run
+    * before choosing packing budgets and length-filter thresholds.
+    * Returns (stratum, n_docs, min_tok, max_tok, p25, p50, p75, p90);
+    * quantiles are exact with linear interpolation at rank (n-1)·q —
+    * the SAME definition Spark's `percentile` and DuckDB's
+    * `quantile_cont` implement, so the oracle replays it bit-for-bit
+    * on integer inputs (rounded to 4dp for cross-engine safety).
+    *
+    * Scale shape: when `exact`, Spark's percentile keeps a
+    * value→count map per group — bounded by DISTINCT metric values,
+    * which for integer token counts is thousands, not corpus-sized,
+    * so it holds at 100 TB for this metric; for unbounded-cardinality
+    * metrics pass exact=false for approx_percentile's fixed-size
+    * sketch (not oracle-exact, hence the default is the checkable
+    * path). Either way: one partial-agg shuffle keyed by stratum. */
   def lengthQuantiles(df: DataFrame, strataCol: String, textCol: String,
       exact: Boolean = true): DataFrame = {
     val nTok = bpeTokenCount(col(textCol))

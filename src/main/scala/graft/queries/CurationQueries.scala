@@ -76,7 +76,7 @@ object CurationQueries extends QueryPack {
              |  SELECT lang, doc_id,
              |    row_number() OVER (PARTITION BY lang
              |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || text)
-             |        DESC) AS rn
+             |        DESC, doc_id ASC) AS rn
              |  FROM documents)
              |WHERE rn <= 20
              |""".stripMargin)),

@@ -129,7 +129,13 @@ object TextQueries extends QueryPack {
     // the composed corpus-cleaning pipeline a training-data job runs:
     // fingerprint dedup (keep smallest id) → quality gate → language
     // gate → token accounting. One narrow pass + one dedup shuffle —
-    // the shape that scans 100 TB and keeps the survivors.
+    // the shape that scans 100 TB and keeps the survivors. Gates run
+    // on the NORMALIZED text (the fingerprint's preimage), so gate
+    // outcomes are invariant across a fingerprint class — the output
+    // fingerprint set does not depend on which duplicate survives,
+    // which is what lets the streaming form (StreamJobs
+    // .corpusCleanStream, arrival-order survivor) produce the exact
+    // same set.
     "q_pipeline_corpus_clean" -> Q(
       (s, d) => {
         import s.implicits._
@@ -137,18 +143,20 @@ object TextQueries extends QueryPack {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"fp").orderBy($"doc_id") // min-id survivor
         val deduped = docs
-          .withColumn("fp", fingerprint($"text"))
+          .withColumn("ntext", normalizeText($"text"))
+          .withColumn("fp", md5($"ntext"))
           .withColumn("rn", row_number().over(w))
           .filter($"rn" === 1)
         deduped
-          .withColumn("alpha", alphaRatio($"text"))
-          .withColumn("n_tok", tokenCount($"text"))
-          .withColumn("lang_pred", langIdHeuristic($"text"))
+          .withColumn("alpha", alphaRatio($"ntext"))
+          .withColumn("n_tok", tokenCount($"ntext"))
+          .withColumn("lang_pred", langIdHeuristic($"ntext"))
           .filter($"alpha" >= 0.7 && $"n_tok" >= 8 && $"lang_pred" === "en")
           .select($"doc_id", $"lang_pred", $"n_tok", $"alpha")
       },
       Some("""WITH deduped AS (
-             |  SELECT doc_id, text,
+             |  SELECT doc_id,
+             |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ntext,
              |    row_number() OVER (
              |      PARTITION BY md5(trim(regexp_replace(lower(text),
              |                                           '\s+', ' ', 'g')))
@@ -156,10 +164,10 @@ object TextQueries extends QueryPack {
              |  FROM documents),
              |scored AS (
              |  SELECT doc_id,
-             |    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) /
-             |          CAST(length(text) AS DOUBLE), 4) AS alpha,
-             |    len(string_split_regex(trim(text), '\s+')) AS n_tok,
-             |    ' ' || lower(text) || ' ' AS t
+             |    round(length(regexp_replace(ntext, '[^A-Za-z]', '', 'g')) /
+             |          CAST(length(ntext) AS DOUBLE), 4) AS alpha,
+             |    len(string_split_regex(trim(ntext), '\s+')) AS n_tok,
+             |    ' ' || ntext || ' ' AS t
              |  FROM deduped WHERE rn = 1),
              |hits AS (
              |  SELECT doc_id, alpha, n_tok,
