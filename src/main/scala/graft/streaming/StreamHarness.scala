@@ -30,6 +30,31 @@ object StreamHarness {
 
   private val nameCounter = new AtomicInteger(0)
 
+  /** Checkpoint scratch root: every micro-batch fsyncs offset/commit
+    * logs and state-store deltas into the checkpoint dir, so a
+    * disk-backed temp dir puts rotational/overlay-fs latency on the
+    * per-batch floor. A tmpfs mount (when present) takes it off —
+    * these are throwaway parity-run checkpoints, not durable state;
+    * production jobs point checkpointLocation at durable storage. */
+  private val scratchBase: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    java.nio.file.Files.createDirectories(base.resolve("graft_ckpt"))
+  }
+
+  private def freshCheckpoint(name: String): java.nio.file.Path =
+    scratchBase.resolve(name)
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Stateful-operator partition count for harness queries. Every
     * micro-batch commits one state store PER shuffle partition, so a
     * 32-partition session pays 32 store commits × batches for
@@ -37,7 +62,7 @@ object StreamHarness {
     * that dominates the parity queries' bench cost. The partition
     * count pins into the checkpoint at the first batch, so setting it
     * for the query's lifetime (and restoring after) is safe. */
-  private val HarnessPartitions = "4"
+  private val HarnessPartitions = "2"
 
   private def withHarnessPartitions[R](spark: SparkSession)(body: => R): R = {
     val key = "spark.sql.shuffle.partitions"
@@ -66,7 +91,9 @@ object StreamHarness {
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[T]
       val name = s"graft_stream_parity_${nameCounter.incrementAndGet()}"
+      val ckpt = freshCheckpoint(name)
       val q = build(input.toDS()).writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
         .format("memory").queryName(name).start()
       try {
         steps.foreach { case (t, batch) =>
@@ -74,7 +101,7 @@ object StreamHarness {
           input.addData(batch)
           q.processAllAvailable()
         }
-      } finally q.stop()
+      } finally { q.stop(); deleteRecursively(ckpt) }
       spark.table(name)
     }
 
@@ -124,7 +151,9 @@ object StreamHarness {
         .withWatermark("_2", "0 milliseconds")
         .filter(_._3) // typed on purpose — see scaladoc
       val name = s"graft_stream_parity_${nameCounter.incrementAndGet()}"
+      val ckpt = freshCheckpoint(name)
       val q = build(data).writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
         .format("memory").queryName(name).start()
       try {
         steps.foreach { case (t, batch) =>
@@ -132,7 +161,7 @@ object StreamHarness {
           input.addData(batch.map(v => (t, true, v)) :+ ((t, false, sentinel)))
           q.processAllAvailable()
         }
-      } finally q.stop()
+      } finally { q.stop(); deleteRecursively(ckpt) }
       spark.table(name)
     }
 }

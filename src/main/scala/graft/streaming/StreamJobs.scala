@@ -64,12 +64,15 @@ object StreamJobs {
     * exact-dedup on the normalized-text fingerprint (first arrival per
     * fingerprint wins; the state store holds one fp per distinct
     * document, exactly the keyspace a dedup service must hold), then
-    * the narrow quality/language gates. Gates are per-row and
-    * stateless, so gate outcomes are identical no matter which
-    * micro-batch a row arrives in; the surviving doc_id per duplicate
-    * set is arrival-order dependent (streams have no min-id oracle) —
-    * the FINGERPRINT set of the output is deterministic and equals the
-    * batch pipeline's (StreamingSpec pins this).
+    * the narrow quality/language gates. Gates run on the NORMALIZED
+    * text — the fingerprint's preimage — so gate outcomes are
+    * invariant across a fingerprint class: even when duplicates differ
+    * in raw text (case/whitespace variants), the gate decision is the
+    * same whichever arrives first. The surviving doc_id per duplicate
+    * set is arrival-order dependent (streams have no min-id oracle),
+    * but the FINGERPRINT set of the output is deterministic and equals
+    * the batch pipeline's, which gates on the same normalized form
+    * (StreamingSpec pins this).
     *
     * At scale: dropDuplicates state grows with distinct fingerprints;
     * a production deployment bounds it with
@@ -78,11 +81,12 @@ object StreamJobs {
   def corpusCleanStream(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions._
     docs
-      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("ntext", normalizeText(col("text")))
+      .withColumn("fp", md5(col("ntext")))
       .dropDuplicates("fp")
-      .withColumn("alpha", alphaRatio(col("text")))
-      .withColumn("n_tok", tokenCount(col("text")))
-      .withColumn("lang_pred", langIdHeuristic(col("text")))
+      .withColumn("alpha", alphaRatio(col("ntext")))
+      .withColumn("n_tok", tokenCount(col("ntext")))
+      .withColumn("lang_pred", langIdHeuristic(col("ntext")))
       .filter(col("alpha") >= 0.7 && col("n_tok") >= 8 &&
         col("lang_pred") === "en")
       .select(col("doc_id"), col("fp"), col("lang_pred"), col("n_tok"),
@@ -124,13 +128,29 @@ object StreamJobs {
   def drainToTable(spark: SparkSession, df: DataFrame,
       outputMode: String = "append"): DataFrame = {
     val name = "sink_" + UUID.randomUUID().toString.replace("-", "")
+    // tmpfs checkpoint when available (same rationale as
+    // StreamHarness.scratchBase): throwaway drain-run state, and the
+    // per-batch offset/commit/state fsyncs are the drain's floor
+    val ckptBase =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        "/dev/shm/graft_ckpt"
+      else sys.props("java.io.tmpdir")
+    val ckpt = s"$ckptBase/$name"
     val q = df.writeStream
       .outputMode(outputMode)
       .format("memory")
       .queryName(name)
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(ckpt)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: java.io.IOException => () }
     spark.table(name)
   }
 }
