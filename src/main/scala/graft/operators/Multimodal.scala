@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, and run decode /
   * feature-extraction as partition-batched functions.
   *
-  * The media codecs themselves are STUBBED (no image/audio libraries in
-  * this environment): [[FakeCodec]] derives deterministic metadata from
-  * the bytes. Everything Spark-side is real — the binary schema, the
-  * mapPartitions batching shape (one codec init per partition, reused
-  * across rows, exactly how a JNI/FFI decoder would be held), and the
-  * pruned-column flow.
+  * The IMAGE path is real: [[PngCodec]] encodes and decodes actual PNG
+  * bytes with the JDK's own `javax.imageio` (no external libraries),
+  * and the decode queries are gated on a pixel checksum the oracle
+  * predicts — a garbled decode cannot pass. Only the VIDEO-shaped path
+  * ([[FakeCodec]], frame counts) remains a deterministic stub, because
+  * no video codec ships with the JDK. Everything Spark-side is real
+  * for both — the binary schema, the mapPartitions batching shape (one
+  * codec init per partition, reused across rows, exactly how a JNI/FFI
+  * decoder would be held), and the pruned-column flow.
   */
 object Multimodal {
 
@@ -25,9 +28,11 @@ object Multimodal {
       height: Long,
       frames: Long)
 
-  /** STUB codec: deterministic fake decode. A real deployment swaps
-    * this object for the FFI decoder; the call shape (init once,
-    * decode per payload) is the contract. */
+  /** STUB codec for the VIDEO-shaped path (frame counts): the JDK
+    * ships no video decoder, so metadata is derived deterministically
+    * from the bytes. A real deployment swaps this object for the FFI
+    * decoder; the call shape (init once, decode per payload) is the
+    * contract. Image payloads use the real [[PngCodec]] instead. */
   object FakeCodec {
     def sniffMagic(bytes: Array[Byte]): String =
       bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
@@ -67,37 +72,162 @@ object Multimodal {
       explode(sequence(lit(0L), col("frames") - 1, lit(every.toLong)))
         .as("frame_idx"))
 
-  /** Resized-asset metadata row. */
-  case class ResizeMeta(
+  /** REAL image codec over the JDK's own `javax.imageio` — zero
+    * external dependencies. Payload dims and pixel values derive
+    * deterministically from the source document, so a SQL oracle can
+    * predict exactly what a CORRECT decode must return (width, height,
+    * and a pixel checksum); PNG is lossless, so one wrong pixel fails
+    * the gate. */
+  object PngCodec {
+    /** PNG signature, first 4 bytes as lowercase hex. */
+    val Magic = "89504e47"
+
+    /** Deterministic asset geometry from the payload's byte length:
+      * small images (8..31 px a side) keep per-row encode cost flat.
+      * Mirrored by the DuckDB oracle (MultimodalQueries). */
+    def dims(n: Long): (Int, Int, Int) =
+      ((8 + n % 24).toInt, (8 + (n * 7) % 24).toInt, (n % 251).toInt)
+
+    /** Deterministic pixel: integer polynomials mod 256 per channel —
+      * SQL-replicable, and varied enough that a stride/endianness bug
+      * in the decode path breaks the checksum. */
+    def rgb(x: Int, y: Int, seed: Int): Int = {
+      val r = (x * 7 + y * 13 + seed) % 256
+      val g = (x * 3 + y * 5 + seed * 11) % 256
+      val b = (x + y + seed * 17) % 256
+      (r << 16) | (g << 8) | b
+    }
+
+    /** Render + encode one REAL PNG. ImageIO's disk cache is off —
+      * a temp-file write per encode would put filesystem latency on
+      * the per-row path. */
+    def encode(w: Int, h: Int, seed: Int): Array[Byte] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb(x, y, seed)); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      javax.imageio.ImageIO.setUseCache(false)
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    }
+
+    /** Checksum over decoded pixels: Σ (r + 2g + 3b). The weights keep
+      * channel swaps from cancelling out. */
+    def pixSum(img: java.awt.image.BufferedImage): Long = {
+      var s = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          s += ((p >> 16) & 0xff) + 2L * ((p >> 8) & 0xff) + 3L * (p & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      s
+    }
+  }
+
+  /** Wrap a text table as a REAL-PNG asset table: each document
+    * becomes (asset_id, payload) where payload is an actual encoded
+    * PNG whose geometry and pixels derive deterministically from the
+    * document ([[PngCodec.dims]]/[[PngCodec.rgb]]) — so decode results
+    * are oracle-predictable without the oracle decoding anything.
+    * Partition-batched like every codec stage. */
+  def asImageAssets(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("asset_id"),
+        length(col(textCol)).cast("long").as("__n"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, n) =>
+          val (w, h, seed) = PngCodec.dims(n)
+          (id, PngCodec.encode(w, h, seed))
+        }
+      }
+      .toDF("asset_id", "payload")
+  }
+
+  /** Decoded-image metadata row: real dims + pixel checksum. */
+  case class ImageMeta(
+      asset_id: Long,
+      magic: String,
+      width: Long,
+      height: Long,
+      pix_sum: Long)
+
+  /** REAL partition-batched image decode: `javax.imageio` parses the
+    * PNG bytes and the checksum covers every decoded pixel. Selecting
+    * only (asset_id, payload) keeps column pruning intact. */
+  def decodeImages(spark: SparkSession,
+      assets: DataFrame): Dataset[ImageMeta] = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = PngCodec.decode(bytes)
+          ImageMeta(id, FakeCodec.sniffMagic(bytes),
+            img.getWidth.toLong, img.getHeight.toLong,
+            PngCodec.pixSum(img))
+        }
+      }
+  }
+
+  /** Resized-image metadata row: input dims and re-decoded output
+    * dims. */
+  case class ImageResizeMeta(
       asset_id: Long,
       width: Long,
       height: Long,
       out_w: Long,
-      out_h: Long,
-      out_bytes: Long)
+      out_h: Long)
 
-  /** STUB resize: aspect-preserving downscale to fit maxDim, integer
-    * math only (deterministic, oracle-replicable). out_bytes models an
-    * uncompressed RGB buffer — the real codec would return the encoded
-    * size. */
-  def fakeResize(m: MediaMeta, maxDim: Long): ResizeMeta = {
-    val longest = math.max(m.width, m.height)
-    val (ow, oh) =
-      if (longest <= maxDim) (m.width, m.height)
-      else (m.width * maxDim / longest, m.height * maxDim / longest)
-    ResizeMeta(m.asset_id, m.width, m.height, ow, oh, ow * oh * 3L)
-  }
-
-  /** Partition-batched resize over decoded metadata: the per-asset
-    * stage a real pipeline runs against the decoded buffer. Same
-    * batching shape as [[decodeMeta]] — one codec per partition. */
-  def resize(spark: SparkSession, meta: Dataset[MediaMeta],
-      maxDim: Long): Dataset[ResizeMeta] = {
+  /** REAL resize: decode the PNG, aspect-preserving integer downscale
+    * to fit `maxDim` (floor division — the oracle replays it), render
+    * through Graphics2D, re-encode, then RE-DECODE the output so the
+    * reported out dims come from actual produced bytes, not the
+    * arithmetic. Interpolated pixel values are encoder-dependent, so
+    * only geometry is surfaced for oracle comparison; the decode
+    * checksum gate lives in [[decodeImages]]. */
+  def resizeImages(spark: SparkSession, assets: DataFrame,
+      maxDim: Long): Dataset[ImageResizeMeta] = {
     import spark.implicits._
-    meta.mapPartitions { rows =>
-      // real impl: init the native scaler here, once per partition
-      rows.map(m => fakeResize(m, maxDim))
-    }
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = PngCodec.decode(bytes)
+          val (w, h) = (img.getWidth.toLong, img.getHeight.toLong)
+          val longest = math.max(w, h)
+          val (tw, th) =
+            if (longest <= maxDim) (w, h)
+            else (w * maxDim / longest, h * maxDim / longest)
+          val scaled = new java.awt.image.BufferedImage(tw.toInt, th.toInt,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = scaled.createGraphics()
+          try g.drawImage(img, 0, 0, tw.toInt, th.toInt, null)
+          finally g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(scaled, "png", out)
+          val redecoded = PngCodec.decode(out.toByteArray)
+          ImageResizeMeta(id, w, h,
+            redecoded.getWidth.toLong, redecoded.getHeight.toLong)
+        }
+      }
   }
 
   /** Per-asset feature row: byte stats + content hash + a 4-bin byte

@@ -5,30 +5,51 @@ import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 import QHelp._
 
-/** Multimodal (binary-payload) plumbing queries. The codec is a
-  * deterministic STUB (see Multimodal.FakeCodec) — the oracle verifies
-  * the real Spark-side plumbing: binary encode, partition-batched
-  * decode shape, metadata schema, and the frame-sampling fan-out.
+/** Multimodal (binary-payload) plumbing queries. The IMAGE queries run
+  * a REAL codec — actual PNG bytes encoded and decoded with the JDK's
+  * `javax.imageio` — gated by an oracle that predicts what a correct
+  * decode must return (dims + full pixel checksum; payload geometry
+  * and pixels derive deterministically from the document, see
+  * Multimodal.PngCodec). The frame-sampling query keeps the
+  * deterministic VIDEO stub (no video codec ships with the JDK).
   */
 object MultimodalQueries extends QueryPack {
 
   override def queries: Map[String, Q] = Map(
 
+    // real PNG decode: javax.imageio parses bytes it has never seen
+    // as formulas — width/height come from the parsed header and
+    // pix_sum covers every decoded pixel (PNG is lossless, so one
+    // wrong pixel, swapped channel, or stride bug fails the hash)
     "q_multimodal_decode_meta" -> Q(
       (s, d) => {
-        val assets = Multimodal.asAssets(t(s, d, "documents"),
+        val assets = Multimodal.asImageAssets(t(s, d, "documents"),
           "doc_id", "text")
-        Multimodal.decodeMeta(s, assets).toDF()
+        Multimodal.decodeImages(s, assets).toDF()
       },
-      Some("""SELECT doc_id AS asset_id,
-             |  octet_length(encode(text)) AS byte_len,
-             |  lower(substr(hex(encode(text)), 1, 8)) AS magic,
-             |  64 + octet_length(encode(text)) % 1024 AS width,
-             |  64 + (octet_length(encode(text)) * 7) % 1024 AS height,
-             |  1 + octet_length(encode(text)) % 30 AS frames
-             |FROM documents
+      // text is ASCII (verified), so length == byte length
+      Some("""WITH d AS (SELECT doc_id, length(text) AS n FROM documents),
+             |g AS (
+             |  SELECT doc_id, 8 + n % 24 AS w, 8 + (n * 7) % 24 AS h,
+             |         n % 251 AS seed
+             |  FROM d),
+             |px AS (
+             |  SELECT doc_id, w, h, seed, unnest(range(w * h)) AS i
+             |  FROM g),
+             |v AS (
+             |  SELECT doc_id, w, h, seed, (i % w) AS x, (i // w) AS y
+             |  FROM px)
+             |SELECT doc_id AS asset_id, '89504e47' AS magic,
+             |  w AS width, h AS height,
+             |  CAST(sum(((x * 7 + y * 13 + seed) % 256)
+             |     + 2 * ((x * 3 + y * 5 + seed * 11) % 256)
+             |     + 3 * ((x + y + seed * 17) % 256)) AS BIGINT) AS pix_sum
+             |FROM v GROUP BY 1, 2, 3, 4
              |""".stripMargin)),
 
+    // VIDEO-shaped path: frame counts from the deterministic stub
+    // codec (the JDK ships no video decoder); the fan-out plumbing is
+    // the real thing
     "q_multimodal_frame_sample" -> Q(
       (s, d) => {
         val assets = Multimodal.asAssets(t(s, d, "documents"),
@@ -45,30 +66,25 @@ object MultimodalQueries extends QueryPack {
              |FROM meta
              |""".stripMargin)),
 
-    // aspect-preserving resize plumbing over decoded metadata —
-    // integer math end to end, so the oracle replays it exactly
+    // REAL resize: decode the PNG, Graphics2D downscale, re-encode,
+    // re-decode — reported out dims come from produced bytes, and the
+    // aspect-preserving integer target math is what the oracle replays
     "q_multimodal_resize" -> Q(
       (s, d) => {
-        val assets = Multimodal.asAssets(t(s, d, "documents"),
+        val assets = Multimodal.asImageAssets(t(s, d, "documents"),
           "doc_id", "text")
-        val meta = Multimodal.decodeMeta(s, assets)
-        Multimodal.resize(s, meta, maxDim = 256L).toDF()
+        Multimodal.resizeImages(s, assets, maxDim = 16L).toDF()
       },
-      Some("""WITH meta AS (
-             |  SELECT doc_id AS asset_id,
-             |    64 + octet_length(encode(text)) % 1024 AS w,
-             |    64 + (octet_length(encode(text)) * 7) % 1024 AS h
-             |  FROM documents),
-             |r AS (
-             |  SELECT asset_id, w AS width, h AS height,
-             |    CASE WHEN greatest(w, h) <= 256 THEN w
-             |         ELSE w * 256 // greatest(w, h) END AS out_w,
-             |    CASE WHEN greatest(w, h) <= 256 THEN h
-             |         ELSE h * 256 // greatest(w, h) END AS out_h
-             |  FROM meta)
-             |SELECT asset_id, width, height, out_w, out_h,
-             |       out_w * out_h * 3 AS out_bytes
-             |FROM r
+      Some("""WITH d AS (SELECT doc_id, length(text) AS n FROM documents),
+             |m AS (
+             |  SELECT doc_id, 8 + n % 24 AS w, 8 + (n * 7) % 24 AS h
+             |  FROM d)
+             |SELECT doc_id AS asset_id, w AS width, h AS height,
+             |  CASE WHEN greatest(w, h) <= 16 THEN w
+             |       ELSE w * 16 // greatest(w, h) END AS out_w,
+             |  CASE WHEN greatest(w, h) <= 16 THEN h
+             |       ELSE h * 16 // greatest(w, h) END AS out_h
+             |FROM m
              |""".stripMargin)),
 
     // feature extraction over raw payload bytes: byte stats, rolling
