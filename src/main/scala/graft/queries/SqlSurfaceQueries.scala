@@ -121,6 +121,24 @@ object SqlSurfaceQueries extends QueryPack {
              |GROUP BY user_id
              |""".stripMargin)),
 
+    // the reference's GROUP BY window knob
+    // (samza.sql.groupby.window.ms, SamzaSqlApplicationConfig.java:91;
+    // default 300 000 at :99): with the knob set, SQL GROUP BY buckets
+    // into tumbling windows of the configured duration — here the
+    // 5-minute default, making this the SQL-surface twin of
+    // q_tumbling_count_5m's DSL plan
+    "q_sql_groupby_windowed" -> Q(
+      (s, d) => SamzaSql.run(s, d,
+        """INSERT INTO windowed_counts
+          |SELECT event_type, COUNT(*) AS cnt
+          |FROM events GROUP BY event_type""".stripMargin,
+        config = Map(SamzaSql.CfgGroupByWindowMs -> "300000")),
+      Some("""SELECT make_timestamp(CAST(floor(epoch(ts)/300)*300*1000000
+             |                           AS BIGINT)) AS window_start,
+             |  event_type, count(*) AS cnt
+             |FROM events GROUP BY 1, 2
+             |""".stripMargin)),
+
     // collection ops: ITEM (a[i]), DOT (record.field), CARDINALITY,
     // ARRAY/ROW constructors
     "q_collections" -> Q(

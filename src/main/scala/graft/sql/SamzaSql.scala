@@ -19,6 +19,28 @@ object SamzaSql {
 
   final case class Statement(sink: String, select: String)
 
+  /** The reference's GROUP BY window knob, same key
+    * (SamzaSqlApplicationConfig.java:91; default 300 000 ms at :99):
+    * Samza SQL turns every GROUP BY into a tumbling window of this
+    * duration, because an unbounded stream can never finish a global
+    * aggregate. When the key is present in `config`, graft does the
+    * same — the statement's GROUP BY additionally buckets by
+    * window(<tsCol>, duration) and the window start is surfaced as
+    * `window_start` (the reference leaves the window implicit in
+    * emission time; surfacing it is what makes the result a checkable
+    * relation). Absent the key, GROUP BY is a plain bounded aggregate
+    * — equivalent to the reference at EOS-drain. */
+  val CfgGroupByWindowMs = "samza.sql.groupby.window.ms"
+
+  /** Default duration when [[CfgGroupByWindowMs]] is present with no
+    * value — the reference's DEFAULT_GROUPBY_WINDOW_DURATION_MS. */
+  val DefaultGroupByWindowMs = 300000L
+
+  /** graft extension: which event-time column the GROUP BY window
+    * buckets (the reference windows on arrival time, which no oracle
+    * can replay; event time is the deterministic analog). */
+  val CfgGroupByWindowTsCol = "graft.sql.groupby.window.tscol"
+
   private val InsertInto =
     """(?is)\s*insert\s+into\s+([A-Za-z_][A-Za-z0-9_.]*)\s+(select\s.+)""".r
 
@@ -30,22 +52,55 @@ object SamzaSql {
       s"Only INSERT INTO <sink> SELECT … statements are supported, got: $sql")
   }
 
+  /** Rewrite the statement's outermost GROUP BY into a tumbling-window
+    * GROUP BY: `SELECT p FROM … GROUP BY k` becomes
+    * `SELECT window.start AS window_start, p FROM … GROUP BY
+    * window(ts, 'D milliseconds'), k`. Applies to the Samza SQL
+    * surface (single SELECT whose statement ends in its GROUP BY
+    * clause — the shape SamzaSqlQueryParser accepts); a nested
+    * aggregate's inner GROUP BY is left untouched because the LAST
+    * "group by" in statement order is the outer one. */
+  private[graft] def windowedGroupBy(select: String, ms: Long,
+      tsCol: String): String = {
+    val lower = select.toLowerCase(java.util.Locale.ROOT)
+    val gb = lower.lastIndexOf("group by")
+    require(gb >= 0,
+      s"$CfgGroupByWindowMs configured but the statement has no GROUP BY")
+    val selIdx = lower.indexOf("select")
+    val body = select.substring(selIdx + "select".length, gb)
+    val keys = select.substring(gb + "group by".length)
+    select.substring(0, selIdx) +
+      s"SELECT window.start AS window_start, " + body.trim + " " +
+      s"GROUP BY window($tsCol, '$ms milliseconds'), " + keys.trim
+  }
+
   /** Run one statement against the sf tables: registers sources + UDFs,
-    * executes the SELECT (remote-table joins, if any are registered via
+    * applies the GROUP BY window rewrite when configured, executes the
+    * SELECT (remote-table joins, if any are registered via
     * RemoteSql.registerRemote, plan through the per-message lookup
     * stage), registers the result as the sink view, and returns it. */
-  def run(spark: SparkSession, sfDir: String, sql: String): DataFrame = {
+  def run(spark: SparkSession, sfDir: String, sql: String,
+      config: Map[String, String] = Map.empty): DataFrame = {
     Tables.registerAll(spark, sfDir)
     Udfs.register(spark)
     val stmt = parse(sql)
-    val out = RemoteSql.select(spark, stmt.select)
+    val select = config.get(CfgGroupByWindowMs) match {
+      case Some(ms) =>
+        val dur = if (ms.trim.isEmpty) DefaultGroupByWindowMs else ms.toLong
+        windowedGroupBy(stmt.select, dur,
+          config.getOrElse(CfgGroupByWindowTsCol, "ts"))
+      case None => stmt.select
+    }
+    val out = RemoteSql.select(spark, select)
     out.createOrReplaceTempView(stmt.sink)
     out
   }
 
   /** Run a multi-statement job in order; returns sink → result. Later
     * statements can reference earlier sinks (intermediate streams). */
-  def runAll(spark: SparkSession, sfDir: String,
-      sqls: Seq[String]): Map[String, DataFrame] =
-    sqls.map { s => val st = parse(s); st.sink -> run(spark, sfDir, s) }.toMap
+  def runAll(spark: SparkSession, sfDir: String, sqls: Seq[String],
+      config: Map[String, String] = Map.empty): Map[String, DataFrame] =
+    sqls.map { s =>
+      val st = parse(s); st.sink -> run(spark, sfDir, s, config)
+    }.toMap
 }

@@ -304,6 +304,45 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getInt(3) == 1)
   }
 
+  test("GROUP BY window knob: tumbling rewrite, inner GROUP BY untouched") {
+    // rewrite shape: window key prepended to GROUP BY, window_start
+    // surfaced in the projection
+    val rewritten = SamzaSql.windowedGroupBy(
+      "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type",
+      300000L, "ts")
+    assert(rewritten ==
+      "SELECT window.start AS window_start, event_type, COUNT(*) AS cnt " +
+        "FROM events GROUP BY window(ts, '300000 milliseconds'), event_type")
+    // the LAST group by is rewritten: a windowed outer aggregate over a
+    // subquery keeps the inner GROUP BY as written
+    val nested = SamzaSql.windowedGroupBy(
+      "SELECT lang, COUNT(*) AS n FROM " +
+        "(SELECT doc_id, lang FROM documents GROUP BY doc_id, lang) " +
+        "GROUP BY lang",
+      60000L, "ts")
+    assert(nested.contains("GROUP BY doc_id, lang"))
+    assert(nested.endsWith("GROUP BY window(ts, '60000 milliseconds'), lang"))
+    // no GROUP BY at all → loud failure, not silent pass-through
+    intercept[IllegalArgumentException] {
+      SamzaSql.windowedGroupBy("SELECT 1 FROM events", 1000L, "ts")
+    }
+    // end-to-end: windowed counts sum to the unwindowed counts
+    val out = SamzaSql.run(spark, sf0001,
+      "INSERT INTO wc SELECT event_type, COUNT(*) AS cnt " +
+        "FROM events GROUP BY event_type",
+      config = Map(SamzaSql.CfgGroupByWindowMs -> "300000"))
+    assert(out.columns.toSeq ==
+      Seq("window_start", "event_type", "cnt"))
+    val plain = SamzaSql.run(spark, sf0001,
+      "INSERT INTO pc SELECT event_type, COUNT(*) AS cnt " +
+        "FROM events GROUP BY event_type")
+    val summed = out.groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+    assert(summed.join(plain, Seq("event_type"))
+      .filter(summed("cnt") =!= plain("cnt")).isEmpty)
+    assert(out.count() > plain.count()) // windows actually split groups
+  }
+
   test("GetNestedField traverses dotted paths in SQL") {
     SamzaSql.run(spark, sf0001,
       "INSERT INTO y SELECT doc_id FROM documents")
