@@ -127,16 +127,24 @@ object Similarity {
     * (The previous shape ran row_number windows over corpus×nlist
     * rows: a corpus-sized shuffle that exists only to pick a max.)
     *
-    * Centroids are a deterministic pseudo-random sample: the nlist
-    * vectors with the smallest md5(id) — computed by a DISTRIBUTED
-    * TakeOrdered, not a global row_number window (which would pull the
-    * whole corpus into one task). A production pipeline would run
-    * k-means refinement behind the same contract. Returns (q_id, nn_id,
-    * rank, cos); approximate — recall vs [[bruteForceTopK]] is
-    * spec-tested. */
+    * Centroid seeds are a deterministic pseudo-random sample: the
+    * nlist vectors with the smallest md5(id) — computed by a
+    * DISTRIBUTED TakeOrdered, not a global row_number window (which
+    * would pull the whole corpus into one task). `refine` Lloyd
+    * iterations then replace each seed with its cell's mean vector
+    * (k-means), which balances cells and raises recall. The means are
+    * CROSS-ENGINE EXACT so the oracle replays them: per-dimension
+    * decimal(30,6)-exact sums (order-free) rounded to 6dp, divided in
+    * double; a cell that ends up empty (possible when duplicate
+    * vectors are both seeded — ties assign to the smaller cent_id) or
+    * whose mean has zero norm keeps its seed vector. Each iteration's
+    * (cell, dim) mean table is bounded at nlist×dim rows by
+    * construction — the same driver-resident codebook shape as the
+    * seeds. Returns (q_id, nn_id, rank, cos); approximate — recall vs
+    * [[bruteForceTopK]] is spec-tested. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int, nprobe: Int,
-      scale: Int = 6): DataFrame = {
+      scale: Int = 6, refine: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
       .withColumn("nn_nrm", norm(col("nn_vec")))
       .filter(col("nn_nrm") > 0) // zero-norm → NaN cosine; exclude
@@ -160,35 +168,70 @@ object Similarity {
         .select(col("q_id"), col("nn_id"), lit(0L).as("rank"),
           lit(0.0).as("cos"))
     }
-    val vecLit: Any => Column = corpus.schema(vecCol).dataType match {
-      case org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType, _) =>
-        v => typedLit(v.asInstanceOf[Seq[Double]])
-      case _ => v => typedLit(v.asInstanceOf[Seq[Float]])
+    // centroids as doubles everywhere (float→double widening is exact,
+    // and the dot kernel scores per-element in double regardless), so
+    // seed and refined centroids flow through one literal shape
+    val toDouble: Any => Double = {
+      case f: java.lang.Float => f.toDouble
+      case d: java.lang.Double => d.doubleValue
     }
-    val centArr = array(centRows.map { r =>
-      struct(lit(r.get(0)).as("cent_id"),
-        vecLit(r.getSeq[Any](1)).as("cent_vec"),
-        lit(r.getAs[Double]("cent_nrm")).as("cent_nrm"))
-    }: _*)
+    var cents: Seq[(Any, Seq[Double], Double)] = centRows.toSeq.map { r =>
+      (r.get(0), r.getSeq[Any](1).map(toDouble).toSeq,
+        r.getAs[Double]("cent_nrm"))
+    }
+    def centArrOf(cs: Seq[(Any, Seq[Double], Double)]): Column =
+      array(cs.map { case (id, v, nrm) =>
+        struct(lit(id).as("cent_id"), typedLit(v).as("cent_vec"),
+          lit(nrm).as("cent_nrm"))
+      }: _*)
     // per-row centroid scores with the array index as tie-break: the
     // lambda only captures plain attributes (vec, nrm), so interpreted
     // HOF evaluation costs one method dispatch per centroid — the dot
     // product itself runs the DotProduct kernel. negidx is unique per
     // element, so the cent_id field never participates in struct
     // comparisons.
-    def cellScores(vec: Column, nrm: Column): Column =
-      transform(centArr, (cs, i) => struct(
+    def cellScores(arr: Column)(vec: Column, nrm: Column): Column =
+      transform(arr, (cs, i) => struct(
         (dot(vec, cs.getField("cent_vec")) /
           (nrm * cs.getField("cent_nrm"))).as("s"),
         (-i).as("negidx"),
         cs.getField("cent_id").as("cent_id")))
     // argmax by (score desc, cent_id asc) == array_max of
     // struct(score, -index)
-    val assigned = c
-      .withColumn("__best", array_max(cellScores(col("nn_vec"), col("nn_nrm"))))
+    def assignCells(arr: Column): DataFrame = c
+      .withColumn("__best", array_max(cellScores(arr)(col("nn_vec"),
+        col("nn_nrm"))))
       .select(col("nn_id"), col("nn_vec"), col("nn_nrm"),
         col("__best.cent_id").as("cell"))
+    // Lloyd iterations: each replaces a centroid with its cell's mean.
+    // Per-dimension sums are decimal(30,6)-exact (order-free — the same
+    // cross-engine trick as QHelp.sumDec), the division runs in double,
+    // and empty/zero-norm cells keep their previous centroid; the
+    // collect is bounded at nlist × dim rows by construction.
+    for (_ <- 0 until refine) {
+      val means = assignCells(centArrOf(cents))
+        .select(col("cell"), posexplode(col("nn_vec")).as(Seq("j", "x")))
+        .groupBy(col("cell"), col("j"))
+        .agg((sum(col("x").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast("double") / count(lit(1))).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.get(0)).map { case (cell, rs) =>
+        cell -> rs.sortBy(_.getAs[Int]("j")).map(_.getAs[Double]("m")).toSeq
+      }
+      cents = cents.map { case (id, v, nrm) =>
+        byCell.get(id) match {
+          case Some(m) =>
+            var s = 0.0
+            m.foreach(x => s += x * x)
+            val n = math.sqrt(s)
+            if (n > 0) (id, m, n) else (id, v, nrm)
+          case None => (id, v, nrm)
+        }
+      }
+    }
+    val centArr = centArrOf(cents)
+    val assigned = assignCells(centArr)
     // each query's nprobe nearest cells: sort the nlist scores
     // (asc by (-score, index)) and take the first nprobe
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
@@ -196,7 +239,7 @@ object Similarity {
       .filter(col("q_nrm") > 0)
     val probes = q
       .withColumn("__probe", explode(slice(array_sort(
-        transform(cellScores(col("q_vec"), col("q_nrm")), cs => struct(
+        transform(cellScores(centArr)(col("q_vec"), col("q_nrm")), cs => struct(
           (-cs.getField("s")).as("negs"),
           (-cs.getField("negidx")).as("idx"),
           cs.getField("cent_id").as("cent_id")))),

@@ -82,14 +82,51 @@ object SimilarityQueries extends QueryPack {
           idCol = "vec_id", vecCol = "embedding",
           k = 5, nlist = 16, nprobe = 4)
       },
+      // the oracle replays the ONE Lloyd refinement iteration the
+      // engine runs: seed centroids by md5 order, assign, per-cell
+      // decimal-exact dimension means (empty/zero-norm cells keep
+      // their seed), then the refined assignment/probe stages
       Some(s"""WITH n AS (
               |  SELECT vec_id, embedding,
               |         sqrt(${oDot("embedding", "embedding")}) AS nrm
               |  FROM embeddings),
-              |cent AS (
-              |  SELECT vec_id AS cent_id, embedding AS cent_vec,
+              |cent0 AS (
+              |  SELECT vec_id AS cent_id,
+              |         list_transform(embedding,
+              |                        v -> CAST(v AS DOUBLE)) AS cent_vec,
               |         nrm AS cent_nrm
               |  FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+              |a0 AS (
+              |  SELECT nn_id, nn_vec, cell FROM (
+              |    SELECT c.vec_id AS nn_id, c.embedding AS nn_vec,
+              |           cent_id AS cell,
+              |      row_number() OVER (PARTITION BY c.vec_id
+              |        ORDER BY ${oDot("c.embedding", "cent_vec")} /
+              |                 (c.nrm * cent_nrm) DESC, cent_id ASC) AS r
+              |    FROM n c, cent0)
+              |  WHERE r = 1),
+              |pe AS (
+              |  SELECT cell, unnest(range(1, 65)) AS j,
+              |         unnest(nn_vec) AS x
+              |  FROM a0),
+              |mu AS (
+              |  SELECT cell, j,
+              |    CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,6)))
+              |         AS DOUBLE) / count(*) AS m
+              |  FROM pe GROUP BY cell, j),
+              |newv AS (
+              |  SELECT cell AS cent_id, list(m ORDER BY j) AS mvec
+              |  FROM mu GROUP BY cell),
+              |cent AS (
+              |  SELECT c0.cent_id,
+              |    CASE WHEN nv.mvec IS NOT NULL
+              |           AND sqrt(${oDot("nv.mvec", "nv.mvec")}) > 0
+              |         THEN nv.mvec ELSE c0.cent_vec END AS cent_vec,
+              |    CASE WHEN nv.mvec IS NOT NULL
+              |           AND sqrt(${oDot("nv.mvec", "nv.mvec")}) > 0
+              |         THEN sqrt(${oDot("nv.mvec", "nv.mvec")})
+              |         ELSE c0.cent_nrm END AS cent_nrm
+              |  FROM cent0 c0 LEFT JOIN newv nv USING (cent_id)),
               |assigned AS (
               |  SELECT nn_id, nn_vec, nn_nrm, cell FROM (
               |    SELECT c.vec_id AS nn_id, c.embedding AS nn_vec,

@@ -32,7 +32,7 @@ class SimilaritySpec extends SparkSpec {
     df.select(col("q_id"), col("nn_id")).as[(Long, Long)].collect().toSet
   }
 
-  test("IVF top-k recalls most of brute-force top-k") {
+  test("IVF top-k recalls most of brute-force top-k; Lloyd refinement helps") {
     val s = spark
     import s.implicits._
     val emb = Tables.load(s, sf001, "embeddings")
@@ -42,7 +42,16 @@ class SimilaritySpec extends SparkSpec {
     val approx = topkPairs(Similarity.ivfTopK(queries, emb,
       "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8))
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall $recall below floor")
+    // floor tightened from 0.5 after the Lloyd iteration landed
+    // (measured 0.80 refined vs 0.74 seeds-only — deterministic
+    // algorithm + data, so these are fixed points, not averages)
+    assert(recall >= 0.7, s"IVF recall $recall below floor")
+    val seedOnly = topkPairs(Similarity.ivfTopK(queries, emb,
+      "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8, refine = 0))
+    val seedRecall = (exact & seedOnly).size.toDouble / exact.size
+    assert(recall > seedRecall,
+      s"refinement should beat seeds-only on this corpus " +
+        s"($recall vs $seedRecall)")
     // every IVF result must be a genuine corpus pair, ranked 1..k
     assert(approx.forall { case (q, n) => q != n })
   }
