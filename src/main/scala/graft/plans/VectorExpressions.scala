@@ -66,17 +66,24 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val getA = if (isFloat(left)) s"(double) $a.getFloat(i)"
-                 else s"$a.getDouble(i)"
-      val getB = if (isFloat(right)) s"(double) $b.getFloat(i)"
-                 else s"$b.getDouble(i)"
+      // fresh names, NOT literals: two dot products collapsed into one
+      // codegen function (e.g. a norm and a cosine in one Project)
+      // would otherwise redefine the locals — Janino rejects the class
+      // and the whole stage silently drops to interpreted execution
+      val n = ctx.freshName("dotN")
+      val s = ctx.freshName("dotS")
+      val i = ctx.freshName("dotI")
+      val getA = if (isFloat(left)) s"(double) $a.getFloat($i)"
+                 else s"$a.getDouble($i)"
+      val getB = if (isFloat(right)) s"(double) $b.getFloat($i)"
+                 else s"$b.getDouble($i)"
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += $getA * $getB;
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $getA * $getB;
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 
