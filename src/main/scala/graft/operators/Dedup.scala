@@ -80,36 +80,63 @@ object Dedup {
     * applied with an effective threshold tEff = t - 1e-4 so that pairs
     * whose RAW jaccard is just below t but ROUNDS to t are never
     * pruned — the final verification uses the rounded value):
-    *  1. prefix filter: under any global total order on shingles (we
-    *     use lexicographic — the sorted ShingleSet contract), two sets
-    *     with J >= t share an element within their first
+    *  1. prefix filter: under any global total order on shingles, two
+    *     sets with J >= t share an element within their first
     *     |x| - ceil(t·|x|) + 1 elements, so only prefixes enter the
-    *     inverted index;
+    *     inverted index. The order used is ASCENDING DOCUMENT
+    *     FREQUENCY (ties broken lexicographically) — the classic
+    *     PPJoin choice: prefixes then hold each document's RAREST
+    *     shingles, so the posting lists that get joined are the short
+    *     ones. Under a lexicographic order a corpus-common shingle
+    *     that sorts early lands its whole posting list in the index
+    *     and the candidate join pays Σ|postings|² on it (measured at
+    *     sf10: 628 s lex vs the frequency order's collapse of the
+    *     same join — BASELINE.md §2 sf10 notes); frequency order
+    *     makes hot shingles sort LAST, where prefixes never reach.
+    *     Costs one df aggregation plus one per-doc re-sort shuffle —
+    *     corpus-linear, the price of making candidate volume track
+    *     rare-shingle postings instead of hot ones.
     *  2. length filter: J >= t forces min(sz)/max(sz) >= t;
     *  3. positional filter: prefixes are downward-closed in the sort
     *     order, so the smallest MATCHING shingle of a pair is its
-    *     smallest COMMON element; every common element sorts at or
-    *     after it, hence overlap <= min(sz_a - pos_a, sz_b - pos_b)
-    *     (0-based positions in the sorted sets). Pairs whose bound
-    *     cannot reach the required overlap t(sz_a+sz_b)/(1+t) skip
-    *     verification entirely.
+    *     smallest COMMON element (in the global order); every common
+    *     element sorts at or after it, hence
+    *     overlap <= min(sz_a - pos_a, sz_b - pos_b) (0-based positions
+    *     in the frequency-ordered sets). Pairs whose bound cannot
+    *     reach the required overlap t(sz_a+sz_b)/(1+t) skip
+    *     verification entirely. The argument is order-agnostic, so it
+    *     survives the frequency order unchanged.
     * Each surviving candidate is verified with the true Jaccard over
-    * the full sets. */
+    * the full (lexicographically sorted) sets. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxPostings: Int = 0): DataFrame = {
     val tEff = threshold - 1e-4
-    // persisted: feeds both prefix-index sides and the verify joins.
-    // Lifecycle note: the cache outlives this call (the result
-    // DataFrame references it); callers that loop over many corpora
-    // should spark.catalog.clearCache() between runs, as Verify/Bench
-    // do.
-    val docs = shingleSets(df, idCol, textCol, n)
-      .withColumn("prefix", slice(col("sh_set"), lit(1),
+    // persisted: docs feeds the verify joins, prefixes feeds both
+    // index sides. Lifecycle note: the caches outlive this call (the
+    // result DataFrame references them); callers that loop over many
+    // corpora should spark.catalog.clearCache() between runs, as
+    // Verify/Bench do.
+    val docs = shingleSets(df, idCol, textCol, n).persist()
+    val exploded = docs.select(col(idCol), col("sz"),
+      explode(col("sh_set")).as("shingle"))
+    val dfreq = exploded.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+    // per-doc shingles re-sorted by the global (df, shingle) order;
+    // prefix = the first |d| - ceil(t·|d|) + 1 of THAT order. The
+    // array_sort of struct(__df, shingle) IS the total order (shingle
+    // uniqueness within a doc makes it strict).
+    val prefixes = exploded.join(dfreq, "shingle")
+      .groupBy(col(idCol), col("sz"))
+      .agg(collect_list(struct(col("__df"), col("shingle"))).as("__all"))
+      .withColumn("prefix", slice(
+        transform(array_sort(col("__all")), e => e.getField("shingle")),
+        lit(1),
         (col("sz") - ceil(col("sz") * lit(tEff)) + lit(1)).cast("int")))
+      .select(col(idCol), col("sz"), col("prefix"))
       .persist()
-    val pa = docs.select(col(idCol).as("id_a"), col("sz").as("psz_a"),
+    val pa = prefixes.select(col(idCol).as("id_a"), col("sz").as("psz_a"),
       posexplode(col("prefix")).as(Seq("pos_a", "shingle")))
-    val pb = docs.select(col(idCol).as("id_b"), col("sz").as("psz_b"),
+    val pb = prefixes.select(col(idCol).as("id_b"), col("sz").as("psz_b"),
       posexplode(col("prefix")).as(Seq("pos_b", "shingle")))
     // Optional stop-shingle guard: prefix filtering bounds TOTAL join
     // work, but a single near-universal shingle still lands its whole
