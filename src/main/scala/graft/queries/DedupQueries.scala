@@ -191,9 +191,14 @@ object DedupQueries extends QueryPack {
     // Jaccard may be low. k=6 makes random collisions vanish in this
     // corpus (every surviving pair is a seeded near-dup), minShared=2
     // guards the residual single-collision noise at larger SFs.
+    // maxPostings ON for the same reason as q_dedup_jaccard: shared-
+    // span counting has no prefix filter (every gram match must be
+    // counted), so a near-universal gram would otherwise put its whole
+    // posting square on one reduce key; sub-bucketing spreads it and
+    // preserves counts (every pair still meets exactly once per gram).
     "q_dedup_spans" -> Q(
       (s, d) => Dedup.sharedSpanPairs(t(s, d, "documents"), "doc_id",
-        "text", k = 6, minShared = 2L),
+        "text", k = 6, minShared = 2L, maxPostings = 256),
       Some("""WITH w AS (
              |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
              |  FROM documents),
