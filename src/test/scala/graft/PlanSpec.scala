@@ -39,4 +39,41 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_partition_by")
     assert("Exchange".r.findAllIn(p).length <= 1, p)
   }
+
+  test("multimodal decode reads only the payload columns it needs") {
+    // the partition-batched decode stage must not drag the full
+    // documents schema through the scan: only doc_id + text feed the
+    // asset wrapper
+    val p = plan("q_multimodal_decode_meta")
+    assert(!p.contains("source"), "unpruned column in multimodal scan")
+    assert(!p.contains("lang"), "unpruned column in multimodal scan")
+  }
+
+  test("exact jaccard never plans a cartesian product or a window") {
+    val p = plan("q_dedup_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("IVF probe stage: no window and no corpus-sized nested loop") {
+    // centroid assignment and probe selection are NARROW (array
+    // argmax over a literal codebook); the only joins are the probe
+    // equi-join on cell id and the top-k's aggregation — never a
+    // row_number window or a nested-loop corpus scan
+    val p = plan("q_ann_ivf_topk")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ObjectHashAggregate"),
+      "bounded-heap top-k should run as ObjectHashAggregate\n" + p)
+  }
+
+  test("per-group top-k queries aggregate, never window-sort") {
+    for (q <- Seq("q_text_top_terms", "q_source_cap", "q_sample_exact_k")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q plans a window\n$p")
+      assert(p.contains("ObjectHashAggregate"), s"$q lost the heap agg\n$p")
+    }
+  }
 }
