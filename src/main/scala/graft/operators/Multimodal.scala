@@ -230,6 +230,118 @@ object Multimodal {
       }
   }
 
+  /** REAL audio codec over the JDK's own `javax.sound.sampled` — zero
+    * external dependencies, same design as [[PngCodec]]: payload PCM
+    * samples derive deterministically from the source document, so a
+    * SQL oracle predicts what a CORRECT decode must return (sample
+    * rate, channel count, frame count, and an amplitude checksum);
+    * 16-bit PCM WAV is lossless, so one wrong sample, byte-order slip,
+    * or header misparse fails the gate. */
+  object WavCodec {
+    /** RIFF signature ("RIFF"), first 4 bytes as lowercase hex. */
+    val Magic = "52494646"
+
+    val SampleRate = 8000f
+
+    /** Deterministic sample count / seed from the payload's byte
+      * length (small clips keep per-row encode cost flat). Mirrored by
+      * the DuckDB oracle (MultimodalQueries). */
+    def params(n: Long): (Int, Int) =
+      ((64 + n % 256).toInt, (n % 251).toInt)
+
+    /** Deterministic 16-bit sample: integer polynomial, range
+      * [-1001, 1001] — SQL-replicable, byte-order-sensitive. */
+    def sample(i: Int, seed: Int): Int = (i * seed + 7) % 2003 - 1001
+
+    /** Render + encode one REAL mono 16-bit PCM WAV. */
+    def encode(nSamples: Int, seed: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1,
+        true, false) // signed, little-endian
+      val data = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val s = sample(i, seed)
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decoded-clip metadata: format fields from the parsed header,
+      * amplitude checksum Σ|sample| over the decoded PCM stream. */
+    def decode(bytes: Array[Byte]): (Float, Int, Long, Long) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val pcm = in.readAllBytes()
+        var s = 0L
+        var i = 0
+        while (i + 1 < pcm.length) {
+          // little-endian signed 16-bit
+          val v = ((pcm(i + 1).toInt << 8) | (pcm(i) & 0xff)).toShort
+          s += math.abs(v.toInt)
+          i += 2
+        }
+        (fmt.getSampleRate, fmt.getChannels, frames, s)
+      } finally in.close()
+    }
+  }
+
+  /** Wrap a text table as a REAL-WAV asset table — the audio twin of
+    * [[asImageAssets]]: (asset_id, payload) where payload is an actual
+    * RIFF/WAVE clip whose PCM samples derive deterministically from
+    * the document. Partition-batched like every codec stage. */
+  def asAudioAssets(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("asset_id"),
+        length(col(textCol)).cast("long").as("__n"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, n) =>
+          val (len, seed) = WavCodec.params(n)
+          (id, WavCodec.encode(len, seed))
+        }
+      }
+      .toDF("asset_id", "payload")
+  }
+
+  /** Decoded-audio metadata row: parsed header fields + amplitude
+    * checksum over the decoded samples. */
+  case class AudioMeta(
+      asset_id: Long,
+      magic: String,
+      sample_rate: Long,
+      channels: Long,
+      n_samples: Long,
+      amp_sum: Long)
+
+  /** REAL partition-batched audio decode: `javax.sound.sampled`
+    * parses the RIFF/WAVE header and streams the PCM frames; the
+    * checksum covers every decoded sample. */
+  def decodeAudio(spark: SparkSession,
+      assets: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (rate, channels, frames, ampSum) = WavCodec.decode(bytes)
+          AudioMeta(id, FakeCodec.sniffMagic(bytes), rate.toLong,
+            channels.toLong, frames, ampSum)
+        }
+      }
+  }
+
   /** Per-asset feature row: byte stats + content hash + a 4-bin byte
     * histogram (the fixed-dim "embedding" a real extractor would emit). */
   case class MediaFeatures(

@@ -47,6 +47,33 @@ object MultimodalQueries extends QueryPack {
              |FROM v GROUP BY 1, 2, 3, 4
              |""".stripMargin)),
 
+    // real WAV decode: javax.sound.sampled parses actual RIFF/WAVE
+    // clips — sample rate / channels / frame count come from the
+    // parsed header and amp_sum covers every decoded 16-bit PCM
+    // sample (lossless, so a byte-order slip or header misparse
+    // fails the hash)
+    "q_multimodal_audio_meta" -> Q(
+      (s, d) => {
+        val assets = Multimodal.asAudioAssets(t(s, d, "documents"),
+          "doc_id", "text")
+        Multimodal.decodeAudio(s, assets).toDF()
+      },
+      Some("""WITH d AS (SELECT doc_id, length(text) AS n FROM documents),
+             |p AS (
+             |  SELECT doc_id, 64 + n % 256 AS len, n % 251 AS seed
+             |  FROM d),
+             |sm AS (
+             |  SELECT doc_id, len, seed, unnest(range(len)) AS i
+             |  FROM p)
+             |SELECT doc_id AS asset_id, '52494646' AS magic,
+             |  CAST(8000 AS BIGINT) AS sample_rate,
+             |  CAST(1 AS BIGINT) AS channels,
+             |  len AS n_samples,
+             |  CAST(sum(abs((i * seed + 7) % 2003 - 1001)) AS BIGINT)
+             |    AS amp_sum
+             |FROM sm GROUP BY 1, 2, 3, 4, 5
+             |""".stripMargin)),
+
     // VIDEO-shaped path: frame counts from the deterministic stub
     // codec (the JDK ships no video decoder); the fan-out plumbing is
     // the real thing

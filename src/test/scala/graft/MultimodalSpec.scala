@@ -53,6 +53,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV round trip: encode -> sound API decode reproduces every sample") {
+    val (n, seed) = (200, 42)
+    val bytes = Multimodal.WavCodec.encode(n, seed)
+    assert(Multimodal.FakeCodec.sniffMagic(bytes) == Multimodal.WavCodec.Magic)
+    val (rate, channels, frames, ampSum) = Multimodal.WavCodec.decode(bytes)
+    assert(rate == Multimodal.WavCodec.SampleRate)
+    assert(channels == 1 && frames == n)
+    val expect = (0 until n)
+      .map(i => math.abs(Multimodal.WavCodec.sample(i, seed)).toLong).sum
+    assert(ampSum == expect, "PCM samples corrupted by the codec round trip")
+  }
+
+  test("decodeAudio: real decode matches oracle-predictable stats") {
+    val s = spark
+    import s.implicits._
+    val audio = Multimodal.asAudioAssets(
+      Tables.load(s, sf001, "documents").limit(100), "doc_id", "text")
+    val metas = Multimodal.decodeAudio(s, audio).collect()
+    val lens = Tables.load(s, sf001, "documents").limit(100)
+      .select(col("doc_id"), length(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(metas.length == lens.size)
+    metas.foreach { m =>
+      val (len, seed) = Multimodal.WavCodec.params(lens(m.asset_id))
+      assert(m.magic == Multimodal.WavCodec.Magic)
+      assert(m.sample_rate == 8000 && m.channels == 1)
+      assert(m.n_samples == len)
+      val expect = (0 until len)
+        .map(i => math.abs(Multimodal.WavCodec.sample(i, seed)).toLong).sum
+      assert(m.amp_sum == expect)
+    }
+  }
+
   test("resizeImages: re-decoded output dims follow integer aspect math") {
     val s = spark
     import s.implicits._
