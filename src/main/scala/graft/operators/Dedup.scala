@@ -289,14 +289,16 @@ object Dedup {
     * id_b = existing-side id, jaccard >= threshold). Ids must be
     * unique across BOTH frames (one corpus id namespace).
     *
-    * Cache lifecycle (same contract as [[jaccardPairs]]): BOTH
-    * signature frames stay persisted — the returned plan reads each
-    * on every action (band join + verify union), so unpersisting here
-    * would silently recompute signatures per action instead. Callers
-    * running repeated ingest batches release them with
-    * spark.catalog.clearCache() between runs, as Verify/Bench do; a
-    * production deployment persists the CORPUS band table once and
-    * reuses it across ingests.
+    * Cache lifecycle (same contract as [[jaccardPairs]]): the corpus
+    * index frames and the batch signature frame stay persisted — the
+    * returned plan reads them on every action (band join + verify
+    * union), so unpersisting here would silently recompute signatures
+    * per action instead. Callers running repeated ingest batches
+    * release them with spark.catalog.clearCache() between runs, as
+    * Verify/Bench do — or better, hold a [[MinhashIndex]] built once
+    * via [[minhashIndex]] and feed each batch to
+    * [[minhashLshPairsAgainstIndex]], which is this method's
+    * implementation and the production shape.
     *
     * Scale shape: the existing corpus contributes one signature pass
     * (narrow, zero pre-candidate shuffles — in production you persist
@@ -307,25 +309,73 @@ object Dedup {
   def minhashLshPairsAgainst(newDf: DataFrame, existingDf: DataFrame,
       idCol: String, textCol: String, n: Int, numHashes: Int,
       rowsPerBand: Int, threshold: Double): DataFrame = {
-    require(numHashes % rowsPerBand == 0, "bands must tile the signature")
+    val idx = minhashIndex(existingDf, idCol, textCol, n, numHashes,
+      rowsPerBand)
+    idx.bands.persist()
+    idx.docs.persist()
+    minhashLshPairsAgainstIndex(newDf, idx, threshold)
+  }
+
+  /** A corpus's precomputed MinHash-LSH index: `bands` = (idCol,
+    * band_key) rows for the candidate join, `docs` = (idCol, sh_set,
+    * sz) for Jaccard verification. This is the state a production
+    * ingest pipeline keeps BETWEEN batches — build it once with
+    * [[minhashIndex]], persist (or write) both frames, and run every
+    * arriving batch through [[minhashLshPairsAgainstIndex]]; the
+    * corpus is never re-shingled, re-signed, or re-banded per ingest.
+    * Parameters ride along so a batch cannot be joined against an
+    * index built under a different banding scheme. */
+  final case class MinhashIndex(bands: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, n: Int, numHashes: Int,
+      rowsPerBand: Int)
+
+  private def bandArrayCol(numHashes: Int, rowsPerBand: Int): Column = {
     val numBands = numHashes / rowsPerBand
-    def sigs(df: DataFrame) = shingleSets(df, idCol, textCol, n)
-      .withColumn("sig", minhashSigCol(col("sh_set"), numHashes))
-    val bandArray = array((0 until numBands).map { b =>
+    array((0 until numBands).map { b =>
       val cols = (0 until rowsPerBand)
         .map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
       concat_ws("|", lit(b.toString) +: cols: _*)
     }: _*)
-    val newDocs = sigs(newDf).persist()
-    val exDocs = sigs(existingDf).persist()
-    def bands(docs: DataFrame, as: String) = docs
-      .select(col(idCol).as(as), explode(bandArray).as("band_key"))
-    val candidates = bands(newDocs, "id_a")
-      .join(bands(exDocs, "id_b"), "band_key")
+  }
+
+  /** Build a [[MinhashIndex]] for a corpus: one narrow pass computes
+    * shingle sets + signatures, the band explode is narrow too — no
+    * shuffle at all. Persistence is the CALLER's choice (persist for
+    * a session, write to storage for daily ingests); the frames are
+    * plain DataFrames either way. */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, rowsPerBand: Int): MinhashIndex = {
+    require(numHashes % rowsPerBand == 0, "bands must tile the signature")
+    val signed = shingleSets(df, idCol, textCol, n)
+      .withColumn("sig", minhashSigCol(col("sh_set"), numHashes))
+    MinhashIndex(
+      bands = signed.select(col(idCol),
+        explode(bandArrayCol(numHashes, rowsPerBand)).as("band_key")),
+      docs = signed.select(col(idCol), col("sh_set"), col("sz")),
+      idCol = idCol, textCol = textCol, n = n, numHashes = numHashes,
+      rowsPerBand = rowsPerBand)
+  }
+
+  /** [[minhashLshPairsAgainst]] against a prebuilt corpus index: the
+    * arriving batch pays one narrow signature pass; the corpus
+    * contributes its stored band table to the candidate join and its
+    * stored shingle sets to verification. Returns (id_a = batch id,
+    * id_b = corpus id, jaccard >= threshold). */
+  def minhashLshPairsAgainstIndex(newDf: DataFrame, index: MinhashIndex,
+      threshold: Double): DataFrame = {
+    val newDocs = shingleSets(newDf, index.idCol, index.textCol, index.n)
+      .withColumn("sig", minhashSigCol(col("sh_set"), index.numHashes))
+      .persist()
+    val newBands = newDocs.select(col(index.idCol).as("id_a"),
+      explode(bandArrayCol(index.numHashes, index.rowsPerBand))
+        .as("band_key"))
+    val candidates = newBands
+      .join(index.bands.select(col(index.idCol).as("id_b"),
+        col("band_key")), "band_key")
       .select("id_a", "id_b").distinct()
-    val docs = newDocs.select(col(idCol), col("sh_set"), col("sz"))
-      .union(exDocs.select(col(idCol), col("sh_set"), col("sz")))
-    verifyJaccard(candidates, docs, idCol, threshold)
+    val docs = newDocs.select(col(index.idCol), col("sh_set"), col("sz"))
+      .union(index.docs)
+    verifyJaccard(candidates, docs, index.idCol, threshold)
   }
 
   /** Connected components over duplicate pairs: every document that

@@ -308,6 +308,30 @@ class TextKernelsSpec extends SparkSpec {
     assert(incr.nonEmpty)
   }
 
+  test("prebuilt minhash index: two batches against one index, no rebuild") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.sources.Tables.load(s, sf001, "documents")
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) >= 2)
+    // the production shape: build + persist ONCE, feed every batch
+    val idx = graft.operators.Dedup.minhashIndex(
+      corpus, "doc_id", "text", 3, 16, 4)
+    idx.bands.persist(); idx.docs.persist()
+    def viaIndex(batch: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.minhashLshPairsAgainstIndex(batch, idx, 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+    def direct(batch: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.minhashLshPairsAgainst(
+          batch, corpus, "doc_id", "text", 3, 16, 4, 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+    val batch0 = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    val batch1 = docs.filter(pmod($"doc_id", lit(10)) === 1)
+    assert(viaIndex(batch0) == direct(batch0))
+    assert(viaIndex(batch1) == direct(batch1))
+    assert(viaIndex(batch0).nonEmpty)
+    s.catalog.clearCache()
+  }
+
   test("repetition profile matches hand-computed signals") {
     val s = spark
     import s.implicits._
