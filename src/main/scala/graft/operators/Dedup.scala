@@ -311,23 +311,31 @@ object Dedup {
       rowsPerBand: Int, threshold: Double): DataFrame = {
     val idx = minhashIndex(existingDf, idCol, textCol, n, numHashes,
       rowsPerBand)
-    idx.bands.persist()
-    idx.docs.persist()
+    idx.signed.persist()
     minhashLshPairsAgainstIndex(newDf, idx, threshold)
   }
 
-  /** A corpus's precomputed MinHash-LSH index: `bands` = (idCol,
-    * band_key) rows for the candidate join, `docs` = (idCol, sh_set,
-    * sz) for Jaccard verification. This is the state a production
-    * ingest pipeline keeps BETWEEN batches — build it once with
-    * [[minhashIndex]], persist (or write) both frames, and run every
-    * arriving batch through [[minhashLshPairsAgainstIndex]]; the
-    * corpus is never re-shingled, re-signed, or re-banded per ingest.
-    * Parameters ride along so a batch cannot be joined against an
-    * index built under a different banding scheme. */
-  final case class MinhashIndex(bands: DataFrame, docs: DataFrame,
-      idCol: String, textCol: String, n: Int, numHashes: Int,
-      rowsPerBand: Int)
+  /** A corpus's precomputed MinHash-LSH index. `signed` is the ONE
+    * frame that matters — (idCol, sh_set, sz, sig), the output of the
+    * corpus's single narrow shingle+signature pass; `bands` (candidate
+    * join side) and `docs` (verification side) are cheap projections
+    * of it, so persisting or storing `signed` alone makes every
+    * downstream read hit one materialization (persisting the two
+    * projections separately would run the signature pass once EACH).
+    * This is the state a production ingest pipeline keeps BETWEEN
+    * batches — build once with [[minhashIndex]], persist (or write)
+    * `signed`, and run every arriving batch through
+    * [[minhashLshPairsAgainstIndex]]; the corpus is never
+    * re-shingled, re-signed, or re-banded per ingest. Parameters ride
+    * along so a batch cannot be joined against an index built under a
+    * different banding scheme. */
+  final case class MinhashIndex(signed: DataFrame, idCol: String,
+      textCol: String, n: Int, numHashes: Int, rowsPerBand: Int) {
+    def bands: DataFrame = signed.select(col(idCol),
+      explode(bandArrayCol(numHashes, rowsPerBand)).as("band_key"))
+    def docs: DataFrame = signed.select(col(idCol), col("sh_set"),
+      col("sz"))
+  }
 
   private def bandArrayCol(numHashes: Int, rowsPerBand: Int): Column = {
     val numBands = numHashes / rowsPerBand
@@ -340,18 +348,14 @@ object Dedup {
 
   /** Build a [[MinhashIndex]] for a corpus: one narrow pass computes
     * shingle sets + signatures, the band explode is narrow too — no
-    * shuffle at all. Persistence is the CALLER's choice (persist for
-    * a session, write to storage for daily ingests); the frames are
-    * plain DataFrames either way. */
+    * shuffle at all. Persistence is the CALLER's choice (persist
+    * `signed` for a session, write it to storage for daily ingests). */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int): MinhashIndex = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
-    val signed = shingleSets(df, idCol, textCol, n)
-      .withColumn("sig", minhashSigCol(col("sh_set"), numHashes))
     MinhashIndex(
-      bands = signed.select(col(idCol),
-        explode(bandArrayCol(numHashes, rowsPerBand)).as("band_key")),
-      docs = signed.select(col(idCol), col("sh_set"), col("sz")),
+      signed = shingleSets(df, idCol, textCol, n)
+        .withColumn("sig", minhashSigCol(col("sh_set"), numHashes)),
       idCol = idCol, textCol = textCol, n = n, numHashes = numHashes,
       rowsPerBand = rowsPerBand)
   }

@@ -213,9 +213,13 @@ object Multimodal {
           val img = PngCodec.decode(bytes)
           val (w, h) = (img.getWidth.toLong, img.getHeight.toLong)
           val longest = math.max(w, h)
+          // clamp to 1 px: integer floor division can zero the short
+          // side for extreme aspect ratios / tiny maxDim, and a
+          // 0-width BufferedImage throws
           val (tw, th) =
             if (longest <= maxDim) (w, h)
-            else (w * maxDim / longest, h * maxDim / longest)
+            else (math.max(1L, w * maxDim / longest),
+              math.max(1L, h * maxDim / longest))
           val scaled = new java.awt.image.BufferedImage(tw.toInt, th.toInt,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
           val g = scaled.createGraphics()

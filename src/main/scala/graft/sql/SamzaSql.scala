@@ -52,24 +52,31 @@ object SamzaSql {
       s"Only INSERT INTO <sink> SELECT … statements are supported, got: $sql")
   }
 
+  private val GroupByClause = "(?is)\\bgroup\\s+by\\b".r
+  private val SelectKeyword = "(?is)\\bselect\\b".r
+
   /** Rewrite the statement's outermost GROUP BY into a tumbling-window
     * GROUP BY: `SELECT p FROM … GROUP BY k` becomes
     * `SELECT window.start AS window_start, p FROM … GROUP BY
-    * window(ts, 'D milliseconds'), k`. Applies to the Samza SQL
-    * surface (single SELECT whose statement ends in its GROUP BY
-    * clause — the shape SamzaSqlQueryParser accepts); a nested
-    * aggregate's inner GROUP BY is left untouched because the LAST
-    * "group by" in statement order is the outer one. */
+    * window(ts, 'D milliseconds'), k`. A statement with NO GROUP BY is
+    * returned unchanged — the reference's knob windows aggregates
+    * only; passthrough statements in a multi-statement job are
+    * untouched. Applies to the Samza SQL surface (single SELECT whose
+    * statement ends in its GROUP BY clause — the shape
+    * SamzaSqlQueryParser accepts); a nested aggregate's inner GROUP BY
+    * is left untouched because the LAST "group by" in statement order
+    * is the outer one. Keyword matching is whitespace-insensitive
+    * (`GROUP   BY` / newlines between the words are valid SQL). */
   private[graft] def windowedGroupBy(select: String, ms: Long,
       tsCol: String): String = {
-    val lower = select.toLowerCase(java.util.Locale.ROOT)
-    val gb = lower.lastIndexOf("group by")
-    require(gb >= 0,
-      s"$CfgGroupByWindowMs configured but the statement has no GROUP BY")
-    val selIdx = lower.indexOf("select")
-    val body = select.substring(selIdx + "select".length, gb)
-    val keys = select.substring(gb + "group by".length)
-    select.substring(0, selIdx) +
+    val gbs = GroupByClause.findAllMatchIn(select).toSeq
+    if (gbs.isEmpty) return select
+    val gb = gbs.last
+    val sel = SelectKeyword.findFirstMatchIn(select).getOrElse(
+      throw new IllegalArgumentException(s"no SELECT in: $select"))
+    val body = select.substring(sel.end, gb.start)
+    val keys = select.substring(gb.end)
+    select.substring(0, sel.start) +
       s"SELECT window.start AS window_start, " + body.trim + " " +
       s"GROUP BY window($tsCol, '$ms milliseconds'), " + keys.trim
   }
@@ -86,7 +93,8 @@ object SamzaSql {
     val stmt = parse(sql)
     val select = config.get(CfgGroupByWindowMs) match {
       case Some(ms) =>
-        val dur = if (ms.trim.isEmpty) DefaultGroupByWindowMs else ms.toLong
+        val dur =
+          if (ms.trim.isEmpty) DefaultGroupByWindowMs else ms.trim.toLong
         windowedGroupBy(stmt.select, dur,
           config.getOrElse(CfgGroupByWindowTsCol, "ts"))
       case None => stmt.select

@@ -30,29 +30,43 @@ object StreamHarness {
 
   private val nameCounter = new AtomicInteger(0)
 
-  /** Checkpoint scratch root: every micro-batch fsyncs offset/commit
-    * logs and state-store deltas into the checkpoint dir, so a
-    * disk-backed temp dir puts rotational/overlay-fs latency on the
-    * per-batch floor. A tmpfs mount (when present) takes it off —
-    * these are throwaway parity-run checkpoints, not durable state;
-    * production jobs point checkpointLocation at durable storage. */
-  private val scratchBase: java.nio.file.Path = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val base =
-      if (java.nio.file.Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    java.nio.file.Files.createDirectories(base.resolve("graft_ckpt"))
-  }
-
-  private def freshCheckpoint(name: String): java.nio.file.Path =
-    scratchBase.resolve(name)
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+  /** Throwaway-checkpoint scratch dirs, shared by the parity harness
+    * and StreamJobs.drainToTable: every micro-batch fsyncs
+    * offset/commit logs and state-store deltas into the checkpoint
+    * dir, so a disk-backed temp dir puts rotational/overlay-fs
+    * latency on the per-batch floor. A tmpfs mount (when present)
+    * takes it off — these are throwaway run-scoped checkpoints, not
+    * durable state; production jobs point checkpointLocation at
+    * durable storage. Dir names carry a UUID so a crashed run's
+    * leftovers or a concurrently-running JVM can never collide into
+    * the same checkpoint (Spark would attempt recovery against a
+    * foreign run's offsets). */
+  private[streaming] object CheckpointScratch {
+    private val base: java.nio.file.Path = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val root =
+        if (java.nio.file.Files.isWritable(shm)) shm
+        else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      java.nio.file.Files.createDirectories(root.resolve("graft_ckpt"))
     }
+
+    def fresh(prefix: String): java.nio.file.Path = base.resolve(
+      prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+
+    /** Best-effort recursive delete; the walk stream is closed (it
+      * holds directory descriptors) and failures never mask a
+      * successful run — the data already reached the memory sink. */
+    def delete(p: java.nio.file.Path): Unit =
+      try {
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          } finally walk.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Stateful-operator partition count for harness queries. Every
@@ -91,7 +105,7 @@ object StreamHarness {
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[T]
       val name = s"graft_stream_parity_${nameCounter.incrementAndGet()}"
-      val ckpt = freshCheckpoint(name)
+      val ckpt = CheckpointScratch.fresh(name)
       val q = build(input.toDS()).writeStream.outputMode("append")
         .option("checkpointLocation", ckpt.toString)
         .format("memory").queryName(name).start()
@@ -101,7 +115,7 @@ object StreamHarness {
           input.addData(batch)
           q.processAllAvailable()
         }
-      } finally { q.stop(); deleteRecursively(ckpt) }
+      } finally { q.stop(); CheckpointScratch.delete(ckpt) }
       spark.table(name)
     }
 
@@ -151,7 +165,7 @@ object StreamHarness {
         .withWatermark("_2", "0 milliseconds")
         .filter(_._3) // typed on purpose — see scaladoc
       val name = s"graft_stream_parity_${nameCounter.incrementAndGet()}"
-      val ckpt = freshCheckpoint(name)
+      val ckpt = CheckpointScratch.fresh(name)
       val q = build(data).writeStream.outputMode("append")
         .option("checkpointLocation", ckpt.toString)
         .format("memory").queryName(name).start()
@@ -161,7 +175,7 @@ object StreamHarness {
           input.addData(batch.map(v => (t, true, v)) :+ ((t, false, sentinel)))
           q.processAllAvailable()
         }
-      } finally { q.stop(); deleteRecursively(ckpt) }
+      } finally { q.stop(); CheckpointScratch.delete(ckpt) }
       spark.table(name)
     }
 }

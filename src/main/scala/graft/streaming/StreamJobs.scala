@@ -128,29 +128,19 @@ object StreamJobs {
   def drainToTable(spark: SparkSession, df: DataFrame,
       outputMode: String = "append"): DataFrame = {
     val name = "sink_" + UUID.randomUUID().toString.replace("-", "")
-    // tmpfs checkpoint when available (same rationale as
-    // StreamHarness.scratchBase): throwaway drain-run state, and the
-    // per-batch offset/commit/state fsyncs are the drain's floor
-    val ckptBase =
-      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
-        "/dev/shm/graft_ckpt"
-      else sys.props("java.io.tmpdir")
-    val ckpt = s"$ckptBase/$name"
+    // tmpfs checkpoint when available (StreamHarness.CheckpointScratch
+    // rationale): throwaway drain-run state, and the per-batch
+    // offset/commit/state fsyncs are the drain's floor
+    val ckpt = StreamHarness.CheckpointScratch.fresh(name)
     val q = df.writeStream
       .outputMode(outputMode)
       .format("memory")
       .queryName(name)
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    try {
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(ckpt)
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-    } catch { case _: java.io.IOException => () }
+    StreamHarness.CheckpointScratch.delete(ckpt)
     spark.table(name)
   }
 }

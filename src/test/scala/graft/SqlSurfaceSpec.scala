@@ -322,10 +322,17 @@ class SqlSurfaceSpec extends SparkSpec {
       60000L, "ts")
     assert(nested.contains("GROUP BY doc_id, lang"))
     assert(nested.endsWith("GROUP BY window(ts, '60000 milliseconds'), lang"))
-    // no GROUP BY at all → loud failure, not silent pass-through
-    intercept[IllegalArgumentException] {
-      SamzaSql.windowedGroupBy("SELECT 1 FROM events", 1000L, "ts")
-    }
+    // no GROUP BY → untouched (the reference's knob windows
+    // aggregates only; passthrough statements in a multi-statement
+    // job must not be rejected)
+    assert(SamzaSql.windowedGroupBy("SELECT 1 FROM events", 1000L, "ts")
+      == "SELECT 1 FROM events")
+    // whitespace-insensitive keyword matching (GROUP\n  BY is valid SQL)
+    val spaced = SamzaSql.windowedGroupBy(
+      "SELECT event_type, COUNT(*) AS cnt FROM events GROUP\n  BY event_type",
+      300000L, "ts")
+    assert(spaced.endsWith(
+      "GROUP BY window(ts, '300000 milliseconds'), event_type"), spaced)
     // end-to-end: windowed counts sum to the unwindowed counts
     val out = SamzaSql.run(spark, sf0001,
       "INSERT INTO wc SELECT event_type, COUNT(*) AS cnt " +

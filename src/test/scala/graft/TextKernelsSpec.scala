@@ -316,7 +316,7 @@ class TextKernelsSpec extends SparkSpec {
     // the production shape: build + persist ONCE, feed every batch
     val idx = graft.operators.Dedup.minhashIndex(
       corpus, "doc_id", "text", 3, 16, 4)
-    idx.bands.persist(); idx.docs.persist()
+    idx.signed.persist()
     def viaIndex(batch: org.apache.spark.sql.DataFrame) =
       graft.operators.Dedup.minhashLshPairsAgainstIndex(batch, idx, 0.5)
         .as[(Long, Long, Double)].collect().toSet
