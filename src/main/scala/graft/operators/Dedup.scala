@@ -258,19 +258,16 @@ object Dedup {
       n: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
-    val numBands = numHashes / rowsPerBand
     val docs = shingleSets(df, idCol, textCol, n)
       .withColumn("sig", minhashSigCol(col("sh_set"), numHashes))
       .persist()
-    // one pass computes every band key (explode of an array literal);
+    // one pass computes every band key (explode of the shared
+    // bandArrayCol literal — the SAME key scheme the incremental-index
+    // path uses, so self-join and index-based pairs can never drift);
     // building each band as its own select would recompute the
     // signature once per band per join side
-    val bandArray = array((0 until numBands).map { b =>
-      val cols = (0 until rowsPerBand)
-        .map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
-      concat_ws("|", lit(b.toString) +: cols: _*)
-    }: _*)
-    val bands = docs.select(col(idCol), explode(bandArray).as("band_key"))
+    val bands = docs.select(col(idCol),
+      explode(bandArrayCol(numHashes, rowsPerBand)).as("band_key"))
     val l = bands.select(col(idCol).as("id_a"), col("band_key"))
     val r = bands.select(col(idCol).as("id_b"), col("band_key"))
     val candidates = l.join(r, "band_key")
@@ -331,6 +328,12 @@ object Dedup {
     * different banding scheme. */
   final case class MinhashIndex(signed: DataFrame, idCol: String,
       textCol: String, n: Int, numHashes: Int, rowsPerBand: Int) {
+    // checked HERE, not only in the builder: the documented reload
+    // path constructs the case class directly over a stored signed
+    // frame, and a non-tiling band width would silently drop trailing
+    // signature rows from every band key
+    require(numHashes % rowsPerBand == 0, "bands must tile the signature")
+
     def bands: DataFrame = signed.select(col(idCol),
       explode(bandArrayCol(numHashes, rowsPerBand)).as("band_key"))
     def docs: DataFrame = signed.select(col(idCol), col("sh_set"),

@@ -197,7 +197,8 @@ object Multimodal {
       out_h: Long)
 
   /** REAL resize: decode the PNG, aspect-preserving integer downscale
-    * to fit `maxDim` (floor division — the oracle replays it), render
+    * to fit `maxDim` (floor division clamped to 1 px — the oracle
+    * replays both), render
     * through Graphics2D, re-encode, then RE-DECODE the output so the
     * reported out dims come from actual produced bytes, not the
     * arithmetic. Interpolated pixel values are encoder-dependent, so

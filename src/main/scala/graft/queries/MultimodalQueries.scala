@@ -108,9 +108,9 @@ object MultimodalQueries extends QueryPack {
              |  FROM d)
              |SELECT doc_id AS asset_id, w AS width, h AS height,
              |  CASE WHEN greatest(w, h) <= 16 THEN w
-             |       ELSE w * 16 // greatest(w, h) END AS out_w,
+             |       ELSE greatest(1, w * 16 // greatest(w, h)) END AS out_w,
              |  CASE WHEN greatest(w, h) <= 16 THEN h
-             |       ELSE h * 16 // greatest(w, h) END AS out_h
+             |       ELSE greatest(1, h * 16 // greatest(w, h)) END AS out_h
              |FROM m
              |""".stripMargin)),
 

@@ -47,7 +47,24 @@ object StreamHarness {
       val root =
         if (java.nio.file.Files.isWritable(shm)) shm
         else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-      java.nio.file.Files.createDirectories(root.resolve("graft_ckpt"))
+      val dir = java.nio.file.Files.createDirectories(
+        root.resolve("graft_ckpt"))
+      // UUID names never get revisited, so a crashed run's leftovers
+      // would otherwise accumulate in RAM-backed tmpfs forever. Sweep
+      // stale entries once per JVM; the age guard keeps a concurrent
+      // run's LIVE checkpoints safe (nothing legitimate runs for 6h).
+      try {
+        val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+        val ls = java.nio.file.Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala.toSeq
+            .filter(p => java.nio.file.Files
+              .getLastModifiedTime(p).toMillis < cutoff)
+            .foreach(delete)
+        } finally ls.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+      dir
     }
 
     def fresh(prefix: String): java.nio.file.Path = base.resolve(

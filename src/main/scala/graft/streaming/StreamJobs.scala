@@ -131,7 +131,7 @@ object StreamJobs {
     // tmpfs checkpoint when available (StreamHarness.CheckpointScratch
     // rationale): throwaway drain-run state, and the per-batch
     // offset/commit/state fsyncs are the drain's floor
-    val ckpt = StreamHarness.CheckpointScratch.fresh(name)
+    val ckpt = StreamHarness.CheckpointScratch.fresh("sink")
     val q = df.writeStream
       .outputMode(outputMode)
       .format("memory")
