@@ -58,6 +58,41 @@ object TextProfile {
         bp(col("__dup_occ"), col("n_bigrams")).as("dup2_bp"))
   }
 
+  /** Per-document token-commonness profile — the CCNet-family quality
+    * signal (corpus-LM perplexity's oracle-exact integer cousin): a
+    * document whose token occurrences have LOW corpus document
+    * frequency is rare-vocabulary text (boilerplate ids, codes,
+    * misspellings, other-language fragments), high mean frequency is
+    * common fluent vocabulary. Returns (idCol, n_tok, mean_df_bp,
+    * hapax):
+    *  - mean_df_bp: mean over token OCCURRENCES of
+    *    floor(10000·df(term)/ndocs), floored — all-integer, so both
+    *    engines agree bit-for-bit (an ln-based perplexity diverges in
+    *    the last ulp across libm implementations);
+    *  - hapax: occurrences of corpus-hapax terms (df = 1), the
+    *    classic noise count.
+    *
+    * Scale shape: same budget as [[topTerms]] — the (doc, term)
+    * explode shuffles token volume to compute df (distinct-doc count
+    * per term, vocab-sized), the join back shuffles on term, the
+    * per-doc aggregate shuffles on id; all linear, map-side partials
+    * everywhere. ndocs is a single driver scalar (one count), not a
+    * collected relation. */
+  def tokenRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ndocs = df.count()
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val dfreq = tok.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    tok.join(dfreq, "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        // integral DIV end to end: a double division then truncate
+        // can land at .99999… and floor one off
+        expr(s"CAST(sum(__df * 10000 DIV ${ndocs}L) DIV count(1) " +
+          "AS BIGINT)").as("mean_df_bp"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("hapax"))
+  }
+
   /** Top-k discriminative terms per document — keyword extraction in
     * the tf-idf family, with an INTEGER ordering so every engine
     * agrees bit-for-bit: rank by term frequency desc, then document

@@ -201,6 +201,29 @@ object TextQueries extends QueryPack {
              |WHERE alpha >= 0.7 AND n_tok >= 8 AND lang_pred = 'en'
              |""".stripMargin)),
 
+    // CCNet-family token-commonness signal: mean per-occurrence corpus
+    // document frequency in basis points + hapax occurrences — the
+    // oracle-exact integer cousin of LM-perplexity quality filtering
+    "q_text_rarity" -> Q(
+      (s, d) => graft.operators.TextProfile.tokenRarity(
+        t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |nd AS (SELECT count(*) AS n FROM documents),
+             |dfq AS (
+             |  SELECT term, count(DISTINCT doc_id) AS dfr
+             |  FROM tok GROUP BY term)
+             |SELECT doc_id, count(*) AS n_tok,
+             |  CAST(sum(dfr * 10000 // (SELECT n FROM nd)) // count(*)
+             |       AS BIGINT) AS mean_df_bp,
+             |  CAST(sum(CASE WHEN dfr = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS hapax
+             |FROM tok JOIN dfq USING (term)
+             |GROUP BY doc_id
+             |""".stripMargin)),
+
     // Gopher-style repetition signals: type-token ratio, top-bigram
     // share, duplicate-bigram share — all integer basis points
     // (floor), so the comparison is bit-exact on both engines

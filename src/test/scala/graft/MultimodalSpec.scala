@@ -31,6 +31,28 @@ class MultimodalSpec extends SparkSpec {
         s"pixel ($x,$y) corrupted by the codec round trip")
   }
 
+  test("codec round trips hold across the full parameter envelope") {
+    // every geometry the deterministic generators can produce, plus
+    // degenerate 1-px edges the clamp path can reach
+    for (w <- Seq(1, 2, 8, 17, 31); h <- Seq(1, 9, 24, 31);
+         seed <- Seq(0, 1, 127, 250)) {
+      val img = Multimodal.PngCodec.decode(
+        Multimodal.PngCodec.encode(w, h, seed))
+      assert(img.getWidth == w && img.getHeight == h, s"($w,$h,$seed)")
+      assert((img.getRGB(w - 1, h - 1) & 0xffffff) ==
+        Multimodal.PngCodec.rgb(w - 1, h - 1, seed), s"($w,$h,$seed)")
+    }
+    for (n <- Seq(1, 2, 64, 319); seed <- Seq(0, 1, 250)) {
+      val (rate, ch, frames, amp) =
+        Multimodal.WavCodec.decode(Multimodal.WavCodec.encode(n, seed))
+      assert(rate == Multimodal.WavCodec.SampleRate && ch == 1)
+      assert(frames == n, s"($n,$seed)")
+      val expect = (0 until n)
+        .map(i => math.abs(Multimodal.WavCodec.sample(i, seed)).toLong).sum
+      assert(amp == expect, s"($n,$seed)")
+    }
+  }
+
   test("decodeImages: real decode matches oracle-predictable geometry") {
     val s = spark
     import s.implicits._

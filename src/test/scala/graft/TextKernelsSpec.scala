@@ -332,6 +332,21 @@ class TextKernelsSpec extends SparkSpec {
     s.catalog.clearCache()
   }
 
+  test("token rarity matches hand-computed df/hapax signals") {
+    val s = spark
+    import s.implicits._
+    // df: a in 2 docs, b/c/d in 1 -> bp(a)=6666, bp(others)=3333 (n=3)
+    val df = docsDf(Seq("a b a", "a c", "d"))
+    val got = graft.operators.TextProfile.tokenRarity(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc0: occurrences a,b,a -> sum 16665 DIV 3 = 5555, hapax {b}
+    assert(got(0L) == ((0L, 3L, 5555L, 1L)))
+    // doc1: a,c -> 9999 DIV 2 = 4999, hapax {c}
+    assert(got(1L) == ((1L, 2L, 4999L, 1L)))
+    // doc2: d -> 3333, hapax {d}
+    assert(got(2L) == ((2L, 1L, 3333L, 1L)))
+  }
+
   test("repetition profile matches hand-computed signals") {
     val s = spark
     import s.implicits._
