@@ -75,15 +75,42 @@ object StreamJobs {
     * (StreamingSpec pins this).
     *
     * At scale: dropDuplicates state grows with distinct fingerprints;
-    * a production deployment bounds it with
-    * dropDuplicatesWithinWatermark (dedup horizon = the watermark
-    * delay) — same plan otherwise. */
+    * [[corpusCleanStreamBounded]] is the production form that bounds
+    * it with dropDuplicatesWithinWatermark (dedup horizon = the
+    * watermark delay) — same plan otherwise. */
   def corpusCleanStream(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions._
     docs
       .withColumn("ntext", normalizeText(col("text")))
       .withColumn("fp", md5(col("ntext")))
       .dropDuplicates("fp")
+      .withColumn("alpha", alphaRatio(col("ntext")))
+      .withColumn("n_tok", tokenCount(col("ntext")))
+      .withColumn("lang_pred", langIdHeuristic(col("ntext")))
+      .filter(col("alpha") >= 0.7 && col("n_tok") >= 8 &&
+        col("lang_pred") === "en")
+      .select(col("doc_id"), col("fp"), col("lang_pred"), col("n_tok"),
+        col("alpha"))
+  }
+
+  /** [[corpusCleanStream]] with BOUNDED dedup state — the production
+    * form its docstring promises: the state store holds only
+    * fingerprints younger than `dedupHorizon` in event time
+    * (dropDuplicatesWithinWatermark evicts entries the watermark has
+    * passed), so state size tracks the ingest rate × horizon instead
+    * of the all-time distinct-document count. The semantic trade is
+    * explicit and spec-pinned: a duplicate arriving MORE than the
+    * horizon after its twin is re-admitted (its state was evicted) —
+    * the same contract as the reference's TTL'd RocksDB dedup stores.
+    * Rows must carry an event-time column. */
+  def corpusCleanStreamBounded(docs: DataFrame, eventTimeCol: String,
+      dedupHorizon: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    docs
+      .withWatermark(eventTimeCol, dedupHorizon)
+      .withColumn("ntext", normalizeText(col("text")))
+      .withColumn("fp", md5(col("ntext")))
+      .dropDuplicatesWithinWatermark("fp")
       .withColumn("alpha", alphaRatio(col("ntext")))
       .withColumn("n_tok", tokenCount(col("ntext")))
       .withColumn("lang_pred", langIdHeuristic(col("ntext")))

@@ -57,6 +57,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("bounded corpus-clean: dedup inside the horizon, re-admit beyond it") {
+    val s = spark
+    import s.implicits._
+    val t0 = 1700000000000L
+    val hour = 3600000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // same fingerprint, different raw forms (case/whitespace variants)
+    val a1 = (1L, "the cat and the dog of the house is happy today", ts(t0))
+    val a2 = (2L, "The cat and the dog  of the house is happy today",
+      ts(t0 + 60000))
+    val a3 = (3L, "the cat and the dog of the house is happy today",
+      ts(t0 + hour / 2))
+    val b = (4L, "the bird and the fish of the lake is quiet now",
+      ts(t0 + 3 * hour))
+    val a4 = (5L, "the cat and the dog of the house is happy today",
+      ts(t0 + 3 * hour + hour / 2))
+    val out = graft.streaming.StreamHarness.run(s, Seq(
+      (0L, Seq(a1, a2)), // intra-batch duplicate: one survivor
+      (1L, Seq(a3)),     // within the 1h horizon: dropped
+      (2L, Seq(b)),      // advances the watermark past A's expiry
+      (3L, Seq(a4)))     // beyond the horizon: state evicted, re-admitted
+    ) { ds =>
+      graft.streaming.StreamJobs.corpusCleanStreamBounded(
+        ds.toDF("doc_id", "text", "ing_ts"), "ing_ts", "1 hour").as[
+        (Long, String, String, Long, Double)]
+    }
+    val byFp = out.select("fp", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byFp.size == 2, s"expected 2 fingerprints, got $byFp")
+    val aFp = byFp.values.find(_.contains(5L)).get
+    // A: one survivor from the first epoch, plus the re-admission —
+    // the within-horizon duplicate (id 3) must NOT appear
+    assert(!aFp.contains(3L), s"within-horizon duplicate re-admitted: $byFp")
+    assert(aFp.size == 2 && (aFp - 5L).subsetOf(Set(1L, 2L)), s"$byFp")
+    assert(byFp.values.find(_.contains(4L)).get == Set(4L))
+  }
+
   test("streaming session windows produce per-user sessions") {
     val events = StreamJobs.eventsStream(spark, sf0001)
     val streamed = StreamJobs
