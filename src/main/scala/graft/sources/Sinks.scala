@@ -31,4 +31,25 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(BucketCol)
       .parquet(s"$outDir/$jobName")
+
+  /** Write `df` as a HASH-BUCKETED catalog table: rows land in
+    * `numBuckets` files per partition by `hash(keys) % numBuckets`,
+    * sorted by the keys within each bucket. This is the CO-LOCATED
+    * JOIN route at real scale — two tables bucketed the same way join
+    * WITHOUT a shuffle on either side (SortMergeJoin with zero
+    * Exchange; SinksSpec pins the plan), which is how a 100 TB fact
+    * table joins a 10 TB fact table without moving either: the
+    * "shuffle" was paid once at write time and amortizes over every
+    * subsequent join. The reference's analog is Kafka's key
+    * partitioning, which Samza relies on for co-partitioned
+    * stream-stream joins (same contract: producer-side partitioning
+    * buys consumer-side join locality). */
+  def writeBucketedTable(df: DataFrame, table: String, keys: Seq[String],
+      numBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

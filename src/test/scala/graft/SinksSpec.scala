@@ -44,4 +44,43 @@ class SinksSpec extends SparkSpec {
     assert(s.read.parquet(s"$out/job-a").count() == 2 * events.count())
     events.unpersist()
   }
+
+  test("co-bucketed tables join with ZERO exchanges") {
+    val s = spark
+    import s.implicits._
+    val orders = Tables.load(s, sf0001, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val lineitem = Tables.load(s, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    Sinks.writeBucketedTable(orders, "orders_b", Seq("o_orderkey"), 8)
+    Sinks.writeBucketedTable(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", Seq("o_orderkey"), 8)
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBc = s.conf.get(bcKey)
+    try {
+      // at this test size Catalyst would just broadcast (correct, but
+      // it exercises nothing); disable broadcast to plan the join the
+      // way a 100 TB x 10 TB pair would — where bucketing is the only
+      // alternative to shuffling both sides
+      s.conf.set(bcKey, "-1")
+      val joined = s.table("lineitem_b")
+        .join(s.table("orders_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // the whole point: both sides arrive pre-partitioned by the
+      // write-time bucketing, so the join plans with NO shuffle at all
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must be shuffle-free:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      // and it is still the right answer
+      val expected = lineitem
+        .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+        .count()
+      assert(joined.count() == expected)
+    } finally {
+      s.conf.set(bcKey, prevBc)
+      s.sql("DROP TABLE IF EXISTS orders_b")
+      s.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
 }
