@@ -355,7 +355,7 @@ object Dedup {
     * `signed` for a session, write it to storage for daily ingests). */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int): MinhashIndex = {
-    require(numHashes % rowsPerBand == 0, "bands must tile the signature")
+    // tiling validated by the MinhashIndex constructor itself
     MinhashIndex(
       signed = shingleSets(df, idCol, textCol, n)
         .withColumn("sig", minhashSigCol(col("sh_set"), numHashes)),

@@ -65,32 +65,38 @@ object TextProfile {
     * misspellings, other-language fragments), high mean frequency is
     * common fluent vocabulary. Returns (idCol, n_tok, mean_df_bp,
     * hapax):
-    *  - mean_df_bp: mean over token OCCURRENCES of
-    *    floor(10000·df(term)/ndocs), floored — all-integer, so both
+    *  - mean_df_bp: floor(10000 · mean-over-occurrences(df(term)) /
+    *    ndocs). ONE floor, applied last — flooring each occurrence's
+    *    ratio first would quantize every term with df < ndocs/10000
+    *    to 0 and erase exactly the rare-vocabulary tail the signal
+    *    measures. All-integer (sum·10000 DIV (ndocs·n_tok)), so both
     *    engines agree bit-for-bit (an ln-based perplexity diverges in
     *    the last ulp across libm implementations);
     *  - hapax: occurrences of corpus-hapax terms (df = 1), the
     *    classic noise count.
     *
-    * Scale shape: same budget as [[topTerms]] — the (doc, term)
-    * explode shuffles token volume to compute df (distinct-doc count
-    * per term, vocab-sized), the join back shuffles on term, the
-    * per-doc aggregate shuffles on id; all linear, map-side partials
-    * everywhere. ndocs is a single driver scalar (one count), not a
-    * collected relation. */
+    * Scale shape: same budget as [[topTerms]], literally — the
+    * (doc, term) explode reduces to per-doc term frequencies FIRST
+    * (map-side partials over token volume), so the term-keyed df join
+    * carries distinct (doc, term) pairs, never raw occurrences (a
+    * "spam"×10k document contributes one tf-weighted row, not 10k
+    * join rows); the per-doc aggregate then shuffles on id. ndocs is
+    * a single driver scalar (one count), not a collected relation. */
   def tokenRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ndocs = df.count()
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
-    val dfreq = tok.distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
-    tok.join(dfreq, "term")
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    tf.join(dfreq, "term")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tok"),
+      .agg(sum(col("__tf")).as("n_tok"),
         // integral DIV end to end: a double division then truncate
         // can land at .99999… and floor one off
-        expr(s"CAST(sum(__df * 10000 DIV ${ndocs}L) DIV count(1) " +
-          "AS BIGINT)").as("mean_df_bp"),
-        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("hapax"))
+        expr(s"CAST(sum(__tf * __df) * 10000 DIV " +
+          s"(${ndocs}L * sum(__tf)) AS BIGINT)").as("mean_df_bp"),
+        sum(when(col("__df") === 1, col("__tf")).otherwise(0L))
+          .as("hapax"))
   }
 
   /** Top-k discriminative terms per document — keyword extraction in

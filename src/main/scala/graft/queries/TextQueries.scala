@@ -216,7 +216,7 @@ object TextQueries extends QueryPack {
              |  SELECT term, count(DISTINCT doc_id) AS dfr
              |  FROM tok GROUP BY term)
              |SELECT doc_id, count(*) AS n_tok,
-             |  CAST(sum(dfr * 10000 // (SELECT n FROM nd)) // count(*)
+             |  CAST(sum(dfr) * 10000 // ((SELECT n FROM nd) * count(*))
              |       AS BIGINT) AS mean_df_bp,
              |  CAST(sum(CASE WHEN dfr = 1 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS hapax

@@ -51,16 +51,26 @@ object StreamHarness {
         root.resolve("graft_ckpt"))
       // UUID names never get revisited, so a crashed run's leftovers
       // would otherwise accumulate in RAM-backed tmpfs forever. Sweep
-      // stale entries once per JVM; the age guard keeps a concurrent
-      // run's LIVE checkpoints safe (nothing legitimate runs for 6h).
+      // stale entries once per JVM. Staleness is judged by the NEWEST
+      // mtime anywhere under the entry, not the top-level dir's (which
+      // never advances past creation): a live query commits offset/
+      // state files every micro-batch, so even a multi-hour run in a
+      // concurrent JVM always looks fresh and is never reaped.
       try {
         val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+        def newestMtime(p: java.nio.file.Path): Long = {
+          val walk = java.nio.file.Files.walk(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.map(f => java.nio.file.Files
+              .getLastModifiedTime(f).toMillis).maxOption.getOrElse(0L)
+          } finally walk.close()
+        }
         val ls = java.nio.file.Files.list(dir)
         try {
           import scala.jdk.CollectionConverters._
           ls.iterator().asScala.toSeq
-            .filter(p => java.nio.file.Files
-              .getLastModifiedTime(p).toMillis < cutoff)
+            .filter(p => newestMtime(p) < cutoff)
             .foreach(delete)
         } finally ls.close()
       } catch { case scala.util.control.NonFatal(_) => () }

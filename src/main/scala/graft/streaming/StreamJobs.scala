@@ -80,10 +80,19 @@ object StreamJobs {
     * watermark delay) — same plan otherwise. */
   def corpusCleanStream(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions._
-    docs
+    cleanGates(docs
       .withColumn("ntext", normalizeText(col("text")))
       .withColumn("fp", md5(col("ntext")))
-      .dropDuplicates("fp")
+      .dropDuplicates("fp"))
+  }
+
+  /** The quality/language gate + projection shared by both corpus-clean
+    * forms — ONE definition so the bounded and unbounded pipelines can
+    * never drift apart (their fp-set parity claim depends on identical
+    * gates). Expects `ntext`/`fp` columns (the dedup stage's output). */
+  private def cleanGates(deduped: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions._
+    deduped
       .withColumn("alpha", alphaRatio(col("ntext")))
       .withColumn("n_tok", tokenCount(col("ntext")))
       .withColumn("lang_pred", langIdHeuristic(col("ntext")))
@@ -106,18 +115,11 @@ object StreamJobs {
   def corpusCleanStreamBounded(docs: DataFrame, eventTimeCol: String,
       dedupHorizon: String): DataFrame = {
     import graft.functions.TextFunctions._
-    docs
+    cleanGates(docs
       .withWatermark(eventTimeCol, dedupHorizon)
       .withColumn("ntext", normalizeText(col("text")))
       .withColumn("fp", md5(col("ntext")))
-      .dropDuplicatesWithinWatermark("fp")
-      .withColumn("alpha", alphaRatio(col("ntext")))
-      .withColumn("n_tok", tokenCount(col("ntext")))
-      .withColumn("lang_pred", langIdHeuristic(col("ntext")))
-      .filter(col("alpha") >= 0.7 && col("n_tok") >= 8 &&
-        col("lang_pred") === "en")
-      .select(col("doc_id"), col("fp"), col("lang_pred"), col("n_tok"),
-        col("alpha"))
+      .dropDuplicatesWithinWatermark("fp"))
   }
 
   /** Event-time tumbling window counts with watermark — the streaming
@@ -166,8 +168,8 @@ object StreamJobs {
       .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    StreamHarness.CheckpointScratch.delete(ckpt)
+    try q.awaitTermination()
+    finally StreamHarness.CheckpointScratch.delete(ckpt)
     spark.table(name)
   }
 }

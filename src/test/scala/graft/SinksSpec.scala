@@ -52,13 +52,15 @@ class SinksSpec extends SparkSpec {
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
     val lineitem = Tables.load(s, sf0001, "lineitem")
       .select($"l_orderkey", $"l_quantity")
-    Sinks.writeBucketedTable(orders, "orders_b", Seq("o_orderkey"), 8)
-    Sinks.writeBucketedTable(
-      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
-      "lineitem_b", Seq("o_orderkey"), 8)
     val bcKey = "spark.sql.autoBroadcastJoinThreshold"
     val prevBc = s.conf.get(bcKey)
     try {
+      // inside the try so a failed second write still drops the first
+      // table in the finally (DROP IF EXISTS tolerates the missing one)
+      Sinks.writeBucketedTable(orders, "orders_b", Seq("o_orderkey"), 8)
+      Sinks.writeBucketedTable(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", Seq("o_orderkey"), 8)
       // at this test size Catalyst would just broadcast (correct, but
       // it exercises nothing); disable broadcast to plan the join the
       // way a 100 TB x 10 TB pair would — where bucketing is the only

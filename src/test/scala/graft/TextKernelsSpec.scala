@@ -335,15 +335,16 @@ class TextKernelsSpec extends SparkSpec {
   test("token rarity matches hand-computed df/hapax signals") {
     val s = spark
     import s.implicits._
-    // df: a in 2 docs, b/c/d in 1 -> bp(a)=6666, bp(others)=3333 (n=3)
+    // df: a in 2 docs, b/c/d in 1; single final floor of
+    // sum(df)*10000 / (ndocs * n_tok), ndocs = 3
     val df = docsDf(Seq("a b a", "a c", "d"))
     val got = graft.operators.TextProfile.tokenRarity(df, "doc_id", "text")
       .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
-    // doc0: occurrences a,b,a -> sum 16665 DIV 3 = 5555, hapax {b}
+    // doc0: occurrences a,b,a -> (2+1+2)*10000 DIV (3*3) = 5555, hapax {b}
     assert(got(0L) == ((0L, 3L, 5555L, 1L)))
-    // doc1: a,c -> 9999 DIV 2 = 4999, hapax {c}
-    assert(got(1L) == ((1L, 2L, 4999L, 1L)))
-    // doc2: d -> 3333, hapax {d}
+    // doc1: a,c -> 3*10000 DIV (3*2) = 5000, hapax {c}
+    assert(got(1L) == ((1L, 2L, 5000L, 1L)))
+    // doc2: d -> 10000 DIV 3 = 3333, hapax {d}
     assert(got(2L) == ((2L, 1L, 3333L, 1L)))
   }
 
