@@ -30,7 +30,12 @@ object Bench {
         spark.catalog.clearCache()
         name -> secs
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // compact: 3-decimal seconds. Full-precision doubles made the line
+    // ~2x longer and round 6's driver capture truncated it to 60/74
+    // queries (BENCH_r06 parsed:null); millisecond precision is below
+    // run-to-run noise anyway.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
@@ -55,7 +60,11 @@ object Bench {
         -1.0
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","throughput_rows_per_sec":${throughput.toLong}}""")
+    // stop Spark BEFORE printing so the JSON line is the last stdout
+    // write of the process — nothing (shutdown logs included) can land
+    // after it inside the driver's capture window
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","throughput_rows_per_sec":${throughput.toLong}}""")
+    System.out.flush()
   }
 }

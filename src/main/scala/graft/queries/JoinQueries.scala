@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import QHelp._
 
@@ -211,14 +210,14 @@ object JoinQueries extends QueryPack {
       (s, d) => {
         import s.implicits._
         val e = t(s, d, "events")
-        def latest(tpe: String, idCol: String, valCol: String) = {
-          val w = Window.partitionBy($"user_id")
-            .orderBy($"ts".desc, $"event_id".desc)
-          e.filter($"event_type" === tpe)
-            .withColumn("rn", row_number().over(w))
-            .filter($"rn" === 1)
+        // latest row per key via the bounded-heap aggregate, not a
+        // row_number window (repo convention, operators/Latest.scala)
+        def latest(tpe: String, idCol: String, valCol: String) =
+          graft.operators.Latest.latestBy(
+            e.filter($"event_type" === tpe),
+            Seq("user_id"), Seq($"ts", $"event_id"),
+            Seq("event_id", "value"))
             .select($"user_id", $"event_id".as(idCol), $"value".as(valCol))
-        }
         latest("click", "click_id", "click_value")
           .join(latest("view", "view_id", "view_value"), Seq("user_id"))
           .select($"user_id", $"click_id", $"click_value",
@@ -244,11 +243,9 @@ object JoinQueries extends QueryPack {
     "q_table_upsert" -> Q(
       (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"user_id")
-          .orderBy($"ts".desc, $"event_id".desc)
-        t(s, d, "events")
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" === 1)
+        graft.operators.Latest.latestBy(t(s, d, "events"),
+          Seq("user_id"), Seq($"ts", $"event_id"),
+          Seq("event_id", "event_type", "value"))
           .select($"user_id", $"event_id".as("last_event"),
             $"event_type".as("last_type"), $"value".as("last_value"))
       },

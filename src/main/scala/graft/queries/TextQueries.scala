@@ -140,13 +140,13 @@ object TextQueries extends QueryPack {
       (s, d) => {
         import s.implicits._
         val docs = t(s, d, "documents")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"fp").orderBy($"doc_id") // min-id survivor
-        val deduped = docs
-          .withColumn("ntext", normalizeText($"text"))
-          .withColumn("fp", md5($"ntext"))
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" === 1)
+        // min-id survivor per fingerprint via the bounded-heap latest
+        // aggregate (negated id = earliest wins), not a row_number
+        // window (repo convention, operators/Latest.scala)
+        val deduped = graft.operators.Latest.latestBy(
+          docs.withColumn("ntext", normalizeText($"text"))
+            .withColumn("fp", md5($"ntext")),
+          Seq("fp"), Seq(-$"doc_id"), Seq("doc_id", "ntext"))
         deduped
           .withColumn("alpha", alphaRatio($"ntext"))
           .withColumn("n_tok", tokenCount($"ntext"))

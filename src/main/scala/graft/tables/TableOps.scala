@@ -1,7 +1,6 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table write-side operators: upsert, delete-on-null (tombstones) and
@@ -10,9 +9,9 @@ import org.apache.spark.sql.functions._
   * UpdateOptions.java).
   *
   * Materialization is merge-into-parquet per batch (foreachBatch in
-  * streaming). The merge itself is expressed as union + window-rank so
-  * it shuffles once on the key — the same plan a Delta MERGE produces
-  * for whole-row upserts. `__op__ = DELETE` maps to null-value
+  * streaming). The merge itself is union + bounded-heap latest-row
+  * aggregation, so it shuffles once on the key with map-side partial
+  * aggregation and never sorts. `__op__ = DELETE` maps to null-value
   * tombstones exactly like the SQL sink
   * (QueryTranslator.sendToOutputStream:145-150).
   */
@@ -21,16 +20,20 @@ object TableOps {
   /** Upsert semantics: rows in `updates` win over `base` per key;
     * within `updates`, `seqCol` breaks ties (highest wins — arrival
     * order analog). Null `valueCols` markers are honored by
-    * [[applyTombstones]]. */
+    * [[applyTombstones]].
+    *
+    * Winner selection is the bounded-heap latest-row aggregate
+    * ([[graft.operators.Latest]]), not a row_number window: one
+    * hash-aggregate pass with map-side partials instead of a full
+    * per-key shuffle+sort — the shape that holds on a 100 TB table. */
   def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
       seqCol: String): DataFrame = {
     val tagged = base.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)))
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__src").desc, col(seqCol).desc)
-    tagged.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__src", "__rn")
+    val valueCols = base.columns.filterNot(keyCols.contains).toSeq
+    graft.operators.Latest.latestBy(tagged, keyCols,
+      Seq(col("__src"), col(seqCol)), valueCols)
+      .select(base.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Delete-on-tombstone: a row whose `tombstoneCol` is true is a

@@ -76,4 +76,16 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("ObjectHashAggregate"), s"$q lost the heap agg\n$p")
     }
   }
+
+  test("latest-row queries aggregate, never window-sort") {
+    // last-write-wins selection runs as the bounded-heap k=1 aggregate
+    // (operators/Latest.scala), so no per-key shuffle+sort survives in
+    // the plan
+    for (q <- Seq("q_table_upsert", "q_join_stream_stream_ttl",
+        "q_pipeline_corpus_clean")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q plans a window\n$p")
+      assert(p.contains("ObjectHashAggregate"), s"$q lost the heap agg\n$p")
+    }
+  }
 }
