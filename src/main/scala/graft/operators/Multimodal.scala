@@ -285,6 +285,15 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
+        // the checksum loop below assumes this exact sample layout; a
+        // foreign WAV (8-bit, big-endian, stereo, float) must fail
+        // loudly, not produce a silently wrong amp_sum
+        require(fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getChannels == 1,
+          s"WavCodec.decode supports 16-bit little-endian signed mono " +
+            s"PCM only, got $fmt")
         val frames = in.getFrameLength
         val pcm = in.readAllBytes()
         var s = 0L

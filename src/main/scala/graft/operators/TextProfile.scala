@@ -92,8 +92,11 @@ object TextProfile {
       .groupBy(col(idCol))
       .agg(sum(col("__tf")).as("n_tok"),
         // integral DIV end to end: a double division then truncate
-        // can land at .99999… and floor one off
-        expr(s"CAST(sum(__tf * __df) * 10000 DIV " +
+        // can land at .99999… and floor one off. The numerator
+        // accumulates in DECIMAL(38,0): Σ(tf·df)·10000 can reach
+        // ~n_tok·ndocs·10⁴ ≈ 10¹⁹ on a 10¹⁰-doc corpus — past int64.
+        // (DuckDB's oracle side already sums BIGINT into HUGEINT.)
+        expr(s"CAST(sum(CAST(__tf AS DECIMAL(38,0)) * __df) * 10000 DIV " +
           s"(${ndocs}L * sum(__tf)) AS BIGINT)").as("mean_df_bp"),
         sum(when(col("__df") === 1, col("__tf")).otherwise(0L))
           .as("hapax"))

@@ -55,25 +55,60 @@ object SamzaSql {
   private val GroupByClause = "(?is)\\bgroup\\s+by\\b".r
   private val SelectKeyword = "(?is)\\bselect\\b".r
 
+  /** Character positions that sit at parenthesis depth 0 AND outside
+    * single-quoted string literals — the only places the statement's
+    * OUTER clause keywords can live. ('' quote-escaping falls out of
+    * the close-then-reopen state machine.) */
+  private def topLevelMask(sql: String): Array[Boolean] = {
+    val mask = new Array[Boolean](sql.length)
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; mask(i) = false }
+      else {
+        c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ => ()
+        }
+        mask(i) = depth == 0 && !inStr
+      }
+      i += 1
+    }
+    mask
+  }
+
   /** Rewrite the statement's outermost GROUP BY into a tumbling-window
     * GROUP BY: `SELECT p FROM … GROUP BY k` becomes
     * `SELECT window.start AS window_start, p FROM … GROUP BY
-    * window(ts, 'D milliseconds'), k`. A statement with NO GROUP BY is
-    * returned unchanged — the reference's knob windows aggregates
-    * only; passthrough statements in a multi-statement job are
-    * untouched. Applies to the Samza SQL surface (single SELECT whose
-    * statement ends in its GROUP BY clause — the shape
-    * SamzaSqlQueryParser accepts); a nested aggregate's inner GROUP BY
-    * is left untouched because the LAST "group by" in statement order
-    * is the outer one. Keyword matching is whitespace-insensitive
-    * (`GROUP   BY` / newlines between the words are valid SQL). */
+    * window(ts, 'D milliseconds'), k`. A statement with NO outer
+    * GROUP BY is returned unchanged — the reference's knob windows
+    * aggregates only; passthrough statements (including ones whose
+    * only GROUP BY is inside a subquery or a string literal) are
+    * untouched. The outer clause is found at PARENTHESIS DEPTH 0
+    * outside string literals, so a trailing subquery's GROUP BY (in
+    * HAVING, or a scalar subquery after the outer clause) is never
+    * mistaken for the outer one. More than one depth-0 GROUP BY
+    * (set-operation branches) is outside the Samza SQL surface
+    * (SamzaSqlQueryParser accepts a single SELECT) and is rejected.
+    * Keyword matching is whitespace-insensitive (`GROUP   BY` /
+    * newlines between the words are valid SQL). */
   private[graft] def windowedGroupBy(select: String, ms: Long,
       tsCol: String): String = {
+    val mask = topLevelMask(select)
     val gbs = GroupByClause.findAllMatchIn(select).toSeq
+      .filter(m => mask(m.start))
     if (gbs.isEmpty) return select
-    val gb = gbs.last
-    val sel = SelectKeyword.findFirstMatchIn(select).getOrElse(
-      throw new IllegalArgumentException(s"no SELECT in: $select"))
+    if (gbs.length > 1) throw new IllegalArgumentException(
+      "more than one top-level GROUP BY (set operations are outside " +
+        s"the Samza SQL surface): $select")
+    val gb = gbs.head
+    val sel = SelectKeyword.findAllMatchIn(select)
+      .find(m => mask(m.start)).getOrElse(
+        throw new IllegalArgumentException(s"no SELECT in: $select"))
     val body = select.substring(sel.end, gb.start)
     val keys = select.substring(gb.end)
     select.substring(0, sel.start) +

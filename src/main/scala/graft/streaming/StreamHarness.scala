@@ -51,13 +51,23 @@ object StreamHarness {
         root.resolve("graft_ckpt"))
       // UUID names never get revisited, so a crashed run's leftovers
       // would otherwise accumulate in RAM-backed tmpfs forever. Sweep
-      // stale entries once per JVM. Staleness is judged by the NEWEST
-      // mtime anywhere under the entry, not the top-level dir's (which
-      // never advances past creation): a live query commits offset/
-      // state files every micro-batch, so even a multi-hour run in a
-      // concurrent JVM always looks fresh and is never reaped.
+      // stale entries once per JVM. Entries carry their owner PID
+      // ("p<pid>-…"), and an entry whose owner is STILL ALIVE
+      // (/proc/<pid> exists) is never reaped regardless of age — an
+      // idle-but-live streaming query in a concurrent JVM must not
+      // lose its checkpoint mid-run. For dead owners (and legacy
+      // unprefixed names) staleness is judged by the NEWEST mtime
+      // anywhere under the entry, not the top-level dir's (which
+      // never advances past creation).
       try {
         val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+        val OwnerPid = "^p(\\d+)-.*$".r
+        def ownerAlive(p: java.nio.file.Path): Boolean =
+          p.getFileName.toString match {
+            case OwnerPid(pid) => java.nio.file.Files.exists(
+              java.nio.file.Paths.get("/proc", pid))
+            case _ => false
+          }
         def newestMtime(p: java.nio.file.Path): Long = {
           val walk = java.nio.file.Files.walk(p)
           try {
@@ -70,7 +80,7 @@ object StreamHarness {
         try {
           import scala.jdk.CollectionConverters._
           ls.iterator().asScala.toSeq
-            .filter(p => newestMtime(p) < cutoff)
+            .filter(p => !ownerAlive(p) && newestMtime(p) < cutoff)
             .foreach(delete)
         } finally ls.close()
       } catch { case scala.util.control.NonFatal(_) => () }
@@ -78,7 +88,8 @@ object StreamHarness {
     }
 
     def fresh(prefix: String): java.nio.file.Path = base.resolve(
-      prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      "p" + ProcessHandle.current().pid() + "-" + prefix + "_" +
+        java.util.UUID.randomUUID().toString.replace("-", ""))
 
     /** Best-effort recursive delete; the walk stream is closed (it
       * holds directory descriptors) and failures never mask a

@@ -87,6 +87,25 @@ class MultimodalSpec extends SparkSpec {
     assert(ampSum == expect, "PCM samples corrupted by the codec round trip")
   }
 
+  test("WAV decode rejects foreign sample layouts instead of mis-summing") {
+    // stereo 16-bit and mono 8-bit clips parse as valid WAVs but break
+    // the checksum loop's layout assumption — decode must fail loudly
+    for ((bits, channels) <- Seq((16, 2), (8, 1))) {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        Multimodal.WavCodec.SampleRate, bits, channels, true, false)
+      val frameBytes = (bits / 8) * channels
+      val data = new Array[Byte](50 * frameBytes)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, 50L)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      intercept[IllegalArgumentException] {
+        Multimodal.WavCodec.decode(out.toByteArray)
+      }
+    }
+  }
+
   test("decodeAudio: real decode matches oracle-predictable stats") {
     val s = spark
     import s.implicits._

@@ -313,8 +313,8 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(rewritten ==
       "SELECT window.start AS window_start, event_type, COUNT(*) AS cnt " +
         "FROM events GROUP BY window(ts, '300000 milliseconds'), event_type")
-    // the LAST group by is rewritten: a windowed outer aggregate over a
-    // subquery keeps the inner GROUP BY as written
+    // the DEPTH-0 group by is rewritten: a windowed outer aggregate
+    // over a subquery keeps the inner GROUP BY as written
     val nested = SamzaSql.windowedGroupBy(
       "SELECT lang, COUNT(*) AS n FROM " +
         "(SELECT doc_id, lang FROM documents GROUP BY doc_id, lang) " +
@@ -333,6 +333,39 @@ class SqlSurfaceSpec extends SparkSpec {
       300000L, "ts")
     assert(spaced.endsWith(
       "GROUP BY window(ts, '300000 milliseconds'), event_type"), spaced)
+    // a GROUP BY inside a TRAILING subquery (after the outer clause,
+    // e.g. in HAVING) is not the outer one — the depth-0 scan must
+    // still pick the real outer GROUP BY, not the textually-last one
+    val having = SamzaSql.windowedGroupBy(
+      "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type " +
+        "HAVING COUNT(*) > (SELECT COUNT(*) FROM events GROUP BY user_id " +
+        "ORDER BY 1 LIMIT 1)",
+      300000L, "ts")
+    assert(having.contains(
+      "GROUP BY window(ts, '300000 milliseconds'), event_type HAVING"),
+      having)
+    assert(having.contains("GROUP BY user_id"), having)
+    // 'group by' inside a string literal is data, not a clause
+    val literal = SamzaSql.windowedGroupBy(
+      "SELECT count(*) AS n FROM events WHERE event_type = ' group by '",
+      1000L, "ts")
+    assert(literal ==
+      "SELECT count(*) AS n FROM events WHERE event_type = ' group by '",
+      literal)
+    // only a NESTED GROUP BY → no outer aggregate to window → untouched
+    val innerOnly = SamzaSql.windowedGroupBy(
+      "SELECT n FROM (SELECT COUNT(*) AS n FROM events GROUP BY user_id)",
+      1000L, "ts")
+    assert(innerOnly ==
+      "SELECT n FROM (SELECT COUNT(*) AS n FROM events GROUP BY user_id)",
+      innerOnly)
+    // two depth-0 GROUP BYs (set operation) are outside the Samza SQL
+    // surface: reject loudly rather than corrupt the statement
+    intercept[IllegalArgumentException] {
+      SamzaSql.windowedGroupBy(
+        "SELECT a FROM t GROUP BY a UNION ALL SELECT b FROM u GROUP BY b",
+        1000L, "ts")
+    }
     // end-to-end: windowed counts sum to the unwindowed counts
     val out = SamzaSql.run(spark, sf0001,
       "INSERT INTO wc SELECT event_type, COUNT(*) AS cnt " +
