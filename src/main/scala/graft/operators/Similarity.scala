@@ -142,12 +142,30 @@ object Similarity {
     * construction — the same driver-resident codebook shape as the
     * seeds. Returns (q_id, nn_id, rank, cos); approximate — recall vs
     * [[bruteForceTopK]] is spec-tested. */
+  /** Size-derived IVF codebook width: nlist ≈ √N keeps the per-query
+    * work (score nlist centroids + scan ~nprobe/nlist of the corpus)
+    * balanced as N grows — the classic IVF sizing rule. A fixed nlist
+    * carried to 100× the data scans 100× per probe; deriving from the
+    * corpus count closes that trap while explicit args still win. */
+  def derivedNlist(n: Long): Int =
+    math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
+
+  /** Companion probe width: nlist/4 preserves the benched
+    * recall/cost point (nlist=16, nprobe=4) as a ratio rather than a
+    * pair of constants. */
+  def derivedNprobe(nlist: Int): Int = math.max(1, nlist / 4)
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int, nprobe: Int,
+      vecCol: String, k: Int, nlist: Int = 0, nprobe: Int = 0,
       scale: Int = 6, refine: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
       .withColumn("nn_nrm", norm(col("nn_vec")))
       .filter(col("nn_nrm") > 0) // zero-norm → NaN cosine; exclude
+    // nlist ≤ 0 → size-derived default (one corpus count — a narrow
+    // scan, run only when deriving); nprobe ≤ 0 → derived from the
+    // effective nlist. Explicit positive args always win.
+    val nl = if (nlist > 0) nlist else derivedNlist(c.count())
+    val np = if (nprobe > 0) nprobe else derivedNprobe(nl)
     // centroid table → driver (nlist rows — the IVF index's codebook),
     // sorted engine-side by cent_id (id-type generic) so ARRAY POSITION
     // gives deterministic tie-breaks (score desc, cent_id asc — matches
@@ -155,7 +173,7 @@ object Similarity {
     val centRows = c
       .withColumn("__h", md5(col("nn_id").cast("string")))
       .orderBy(col("__h")) // TakeOrderedAndProject with the limit below
-      .limit(nlist)
+      .limit(nl)
       .select(col("nn_id").as("cent_id"), col("nn_vec").as("cent_vec"),
         col("nn_nrm").as("cent_nrm"))
       .orderBy(col("cent_id"))
@@ -243,7 +261,7 @@ object Similarity {
           (-cs.getField("s")).as("negs"),
           (-cs.getField("negidx")).as("idx"),
           cs.getField("cent_id").as("cent_id")))),
-        1, nprobe)))
+        1, np)))
       .select(col("q_id"), col("q_vec"), col("q_nrm"),
         col("__probe.cent_id").as("cell"))
     // score only vectors in probed cells; bounded-heap top-k (no
@@ -297,15 +315,36 @@ object Similarity {
       }
   }
 
+  /** Size-derived SRP plane count: enough hyperplanes that the
+    * EXPECTED bucket occupancy is ~[[SrpTargetOccupancy]] rows
+    * (2^planes buckets), so the within-bucket quadratic verify stays
+    * bounded as N grows. A fixed plane count carried to 100× the data
+    * squares the per-bucket work — the measured trap (sf10, 200k
+    * vectors: planes=4 ≈ 1.2B candidate pairs vs planes=10 = this
+    * rule's pick, 24.7 s). Floor 4 keeps tiny corpora from collapsing
+    * into one bucket; cap 30 keeps the bucket id in int range. */
+  def derivedPlanes(n: Long): Int = {
+    val buckets =
+      math.ceil(math.log(math.max(1.0, n.toDouble / SrpTargetOccupancy)) /
+        math.log(2.0)).toInt
+    math.min(30, math.max(4, buckets))
+  }
+
+  /** Target expected rows per SRP bucket for [[derivedPlanes]]. */
+  val SrpTargetOccupancy = 256L
+
   /** Approximate near-dup via SRP-LSH blocking: same output contract as
     * [[blockedNearDup]] but candidates come from SRP buckets — the
     * 100 TB path when no natural blocking column exists. Misses pairs
     * that straddle buckets (tunable via `planes`; fewer planes = bigger
-    * buckets = higher recall & cost). */
+    * buckets = higher recall & cost). `planes` ≤ 0 derives the count
+    * from the corpus size ([[derivedPlanes]] — one narrow count);
+    * explicit positive values win. */
   def lshNearDup(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, planes: Int, threshold: Double): DataFrame = {
+      dim: Int, planes: Int = 0, threshold: Double): DataFrame = {
+    val p = if (planes > 0) planes else derivedPlanes(df.count())
     val bucketed = df.withColumn("bucket",
-      srpBucket(col(vecCol), dim, planes))
+      srpBucket(col(vecCol), dim, p))
     blockedNearDup(bucketed, idCol, vecCol, "bucket", threshold)
   }
 }

@@ -133,4 +133,41 @@ class SimilaritySpec extends SparkSpec {
       if (x == y) assert(math.abs(ab - 1.0) < 1e-9)
     }
   }
+
+  test("size-derived blocking defaults follow the measured scale rules") {
+    // IVF: nlist ≈ √N with a floor of 16 (the benched small-scale pick)
+    assert(Similarity.derivedNlist(100) == 16)
+    assert(Similarity.derivedNlist(500) == 22)        // √500 ≈ 22.4
+    assert(Similarity.derivedNlist(200000) == 447)    // sf10 embeddings
+    assert(Similarity.derivedNlist(10000000000L) == 100000)
+    // nprobe keeps the benched nlist=16/nprobe=4 ratio
+    assert(Similarity.derivedNprobe(16) == 4)
+    assert(Similarity.derivedNprobe(447) == 111)
+    // SRP planes: ~256 rows per expected bucket. At sf10 (200k
+    // vectors) the rule lands on planes=10 — the MEASURED good side
+    // (ProfileNearDup: planes 10 = 24.7 s vs planes 8 = 39.8 s;
+    // planes 4 ≈ 1.2B candidate pairs). Floor 4, cap 30.
+    assert(Similarity.derivedPlanes(2000) == 4)       // sf0.1
+    assert(Similarity.derivedPlanes(200000) == 10)    // sf10
+    assert(Similarity.derivedPlanes(100000000000L) == 29)
+    assert(Similarity.derivedPlanes(0) == 4)
+  }
+
+  test("IVF and SRP derive their knobs when none are passed") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sf001, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    // no nlist/nprobe: derives nlist=22 (500 vectors), nprobe=5 —
+    // must still produce a full top-k per query
+    val top = Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(top.groupBy(_._1).forall(_._2.length == 3), top.length.toString)
+    // no planes: derives planes=4 (floor) at this size; output keeps
+    // the blockedNearDup contract (id_a < id_b, cos >= threshold)
+    val nd = Similarity.lshNearDup(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    nd.foreach { case (a, b) => assert(a < b) }
+  }
 }
