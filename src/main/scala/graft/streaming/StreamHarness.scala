@@ -30,6 +30,15 @@ object StreamHarness {
 
   private val nameCounter = new AtomicInteger(0)
 
+  /** Dev-profiling hook: when set, receives every finished harness
+    * query's recentProgress just before stop — the per-batch
+    * durationMs breakdown behind BASELINE.md's micro-batch-floor
+    * analysis (tools/ProfileStreamFloor). Never set in production or
+    * test paths. */
+  @volatile private[graft] var progressProbe:
+    Array[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit =
+    null
+
   /** Throwaway-checkpoint scratch dirs, shared by the parity harness
     * and StreamJobs.drainToTable: every micro-batch fsyncs
     * offset/commit logs and state-store deltas into the checkpoint
@@ -153,7 +162,10 @@ object StreamHarness {
           input.addData(batch)
           q.processAllAvailable()
         }
-      } finally { q.stop(); CheckpointScratch.delete(ckpt) }
+      } finally {
+        if (progressProbe != null) progressProbe(q.recentProgress)
+        q.stop(); CheckpointScratch.delete(ckpt)
+      }
       spark.table(name)
     }
 
@@ -213,7 +225,10 @@ object StreamHarness {
           input.addData(batch.map(v => (t, true, v)) :+ ((t, false, sentinel)))
           q.processAllAvailable()
         }
-      } finally { q.stop(); CheckpointScratch.delete(ckpt) }
+      } finally {
+        if (progressProbe != null) progressProbe(q.recentProgress)
+        q.stop(); CheckpointScratch.delete(ckpt)
+      }
       spark.table(name)
     }
 }

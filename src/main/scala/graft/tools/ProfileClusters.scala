@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev tool: exercise BOTH dupClusters branches — driver union-find
+  * (edges under the cap) and distributed min-label propagation
+  * (edges over the cap, forced here with localEdgeThreshold=0) — on
+  * the SAME real pair set, assert their outputs are identical, and
+  * time them. The distributed branch is the >2M-edge scale path; this
+  * gives it a measured bar on real candidate-pair volume instead of
+  * spec toys. Usage: runMain graft.tools.ProfileClusters <sfDir>
+  */
+object ProfileClusters {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession("graft-clusters-profile",
+      master = Some(s"local[$cpus]"), shufflePartitions = Some(cpus.toInt))
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    // the q_dedup_clusters pair generation, materialized once so both
+    // branches cluster the identical edge set
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs, "doc_id",
+      "text", n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+      .persist()
+    val nPairs = pairs.count()
+    println(s"[clusters] pairs=$nPairs")
+
+    // order-free content digest: count + xor of per-row hashes
+    def digest(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("doc_id"), col("cluster_id"))),
+          lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def timed(label: String, localEdgeThreshold: Long): (Long, Long) = {
+      val t0 = System.nanoTime()
+      val out = graft.operators.Dedup.dupClusters(pairs,
+        localEdgeThreshold = localEdgeThreshold)
+      val d = digest(out)
+      println(f"[clusters] $label rows=${d._1} " +
+        f"secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+      d
+    }
+
+    val local = timed("union-find", 2000000L)
+    spark.catalog.clearCache()
+    pairs.persist(); pairs.count() // re-pin the shared input
+    val dist = timed("distributed", 0L)
+    require(local == dist,
+      s"branch outputs diverge: union-find=$local distributed=$dist")
+    println("[clusters] branch outputs identical")
+    spark.stop()
+  }
+}
