@@ -248,6 +248,41 @@ object Multimodal {
 
     val SampleRate = 8000f
 
+    /** The JDK's WAVE providers, resolved ONCE per JVM. Every
+      * `AudioSystem.write`/`getAudioInputStream` call re-scans the SPI
+      * registry under a global class lock
+      * (`JDK13Services.getProviders` synchronizes on
+      * `JSSecurityManager.class`), which serializes all executor
+      * threads: jstack during an sf10 run showed 14 of 15 decode
+      * threads BLOCKED on that monitor, and the per-clip cost read
+      * ~8 ms for a few-hundred-byte clip. Resolving the providers here
+      * and invoking them directly keeps the hot path lock-free; the
+      * probe WAV below picks the WAVE reader by behavior (public SPI
+      * only, no com.sun class names). */
+    private lazy val (wavWriter, wavReader): (
+        javax.sound.sampled.spi.AudioFileWriter,
+        javax.sound.sampled.spi.AudioFileReader) = {
+      import scala.jdk.CollectionConverters._
+      val wtype = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      val writer = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter],
+          classOf[javax.sound.sampled.spi.AudioFileWriter].getClassLoader)
+        .asScala.find(_.isFileTypeSupported(wtype))
+        .getOrElse(sys.error("no WAVE AudioFileWriter provider in JDK"))
+      val probe = encodeVia(writer, 64, 1)
+      val reader = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader],
+          classOf[javax.sound.sampled.spi.AudioFileReader].getClassLoader)
+        .asScala.find { r =>
+          try {
+            r.getAudioInputStream(
+              new java.io.ByteArrayInputStream(probe)).close(); true
+          } catch { case _: Exception => false }
+        }
+        .getOrElse(sys.error("no WAVE AudioFileReader provider in JDK"))
+      (writer, reader)
+    }
+
     /** Deterministic sample count / seed from the payload's byte
       * length (small clips keep per-row encode cost flat). Mirrored by
       * the DuckDB oracle (MultimodalQueries). */
@@ -259,7 +294,12 @@ object Multimodal {
     def sample(i: Int, seed: Int): Int = (i * seed + 7) % 2003 - 1001
 
     /** Render + encode one REAL mono 16-bit PCM WAV. */
-    def encode(nSamples: Int, seed: Int): Array[Byte] = {
+    def encode(nSamples: Int, seed: Int): Array[Byte] =
+      encodeVia(wavWriter, nSamples, seed)
+
+    private def encodeVia(
+        writer: javax.sound.sampled.spi.AudioFileWriter,
+        nSamples: Int, seed: Int): Array[Byte] = {
       val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1,
         true, false) // signed, little-endian
       val data = new Array[Byte](nSamples * 2)
@@ -273,7 +313,7 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
       val out = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
+      writer.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
       out.toByteArray
     }
@@ -281,7 +321,7 @@ object Multimodal {
     /** Decoded-clip metadata: format fields from the parsed header,
       * amplitude checksum Σ|sample| over the decoded PCM stream. */
     def decode(bytes: Array[Byte]): (Float, Int, Long, Long) = {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val in = wavReader.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
