@@ -62,8 +62,13 @@ object Bench {
 
     // stop Spark BEFORE printing so the JSON line is the last stdout
     // write of the process — nothing (shutdown logs included) can land
-    // after it inside the driver's capture window
-    spark.stop()
+    // after it inside the driver's capture window. A failing stop()
+    // must not cost the completed run its result line.
+    try spark.stop()
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] spark.stop failed: $e")
+    }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","throughput_rows_per_sec":${throughput.toLong}}""")
     System.out.flush()
   }

@@ -31,9 +31,14 @@ object Latest {
   def latestBy(df: DataFrame, keyCols: Seq[String], ordCols: Seq[Column],
       valueCols: Seq[String]): DataFrame = {
     val score = struct(ordCols: _*)
+    // tie-break is a constant: the full ordering already lives in the
+    // score struct, and duplicating it as the tie field would carry
+    // the ordering payload twice through every map-side heap and the
+    // shuffle. Exact score ties stay partition-order dependent — same
+    // as the row_number window form this replaces.
     df.groupBy(keyCols.map(col): _*)
       .agg(graft.plans.GraftCall(graft.plans.VectorExpressions.TopKName,
-        struct(score.as("__ord"), score.as("__tie"),
+        struct(score.as("__ord"), lit(0).as("__tie"),
           struct(valueCols.map(col): _*).as("__v")),
         lit(1)).as("__top"))
       .select(keyCols.map(col) :+ col("__top").getItem(0)

@@ -114,6 +114,22 @@ object Similarity {
     graft.plans.GraftCall(graft.plans.VectorExpressions.SrpName, vec,
       lit(dim), lit(planes))
 
+  /** Size-derived IVF codebook width: nlist ≈ √N keeps the per-query
+    * work (score nlist centroids + scan ~nprobe/nlist of the corpus)
+    * balanced as N grows — the classic IVF sizing rule. A fixed nlist
+    * carried to 100× the data scans 100× per probe; deriving from the
+    * corpus count closes that trap while explicit args still win. */
+  def derivedNlist(n: Long): Int =
+    math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
+
+  /** Companion probe width: nlist/4 preserves the benched
+    * recall/cost point (nlist=16, nprobe=4) as a ratio rather than a
+    * pair of constants — constant scanned fraction, so the query-side
+    * asymptotics never degrade; measured at sf10 (ProfileIvf) the
+    * ratio is what keeps recall at the floor while fixed (16,4)
+    * decays to 0.65. */
+  def derivedNprobe(nlist: Int): Int = math.max(1, nlist / 4)
+
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned
     * into `nlist` cells by nearest centroid; a query scores only the
     * `nprobe` cells whose centroids it is closest to. At 100 TB this is
@@ -141,20 +157,9 @@ object Similarity {
     * (cell, dim) mean table is bounded at nlist×dim rows by
     * construction — the same driver-resident codebook shape as the
     * seeds. Returns (q_id, nn_id, rank, cos); approximate — recall vs
-    * [[bruteForceTopK]] is spec-tested. */
-  /** Size-derived IVF codebook width: nlist ≈ √N keeps the per-query
-    * work (score nlist centroids + scan ~nprobe/nlist of the corpus)
-    * balanced as N grows — the classic IVF sizing rule. A fixed nlist
-    * carried to 100× the data scans 100× per probe; deriving from the
-    * corpus count closes that trap while explicit args still win. */
-  def derivedNlist(n: Long): Int =
-    math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
-
-  /** Companion probe width: nlist/4 preserves the benched
-    * recall/cost point (nlist=16, nprobe=4) as a ratio rather than a
-    * pair of constants. */
-  def derivedNprobe(nlist: Int): Int = math.max(1, nlist / 4)
-
+    * [[bruteForceTopK]] is spec-tested. `nlist`/`nprobe` ≤ 0 derive
+    * from the corpus size ([[derivedNlist]]/[[derivedNprobe]]);
+    * explicit positive args win. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 0, nprobe: Int = 0,
       scale: Int = 6, refine: Int = 1): DataFrame = {

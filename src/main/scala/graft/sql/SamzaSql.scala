@@ -55,26 +55,36 @@ object SamzaSql {
   private val GroupByClause = "(?is)\\bgroup\\s+by\\b".r
   private val SelectKeyword = "(?is)\\bselect\\b".r
 
-  /** Character positions that sit at parenthesis depth 0 AND outside
-    * single-quoted string literals — the only places the statement's
-    * OUTER clause keywords can live. ('' quote-escaping falls out of
-    * the close-then-reopen state machine.) */
+  /** Character positions that sit at parenthesis depth 0, outside
+    * single-quoted string literals and outside `--` line comments —
+    * the only places the statement's OUTER clause keywords can live.
+    * ('' quote-escaping falls out of the close-then-reopen state
+    * machine; Spark's default `\'` escape is consumed explicitly so
+    * an escaped quote can't desynchronize the literal state; an
+    * apostrophe inside a comment can't open a phantom literal.) */
   private def topLevelMask(sql: String): Array[Boolean] = {
     val mask = new Array[Boolean](sql.length)
     var depth = 0
     var inStr = false
+    var inComment = false
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false; mask(i) = false }
-      else {
+      if (inComment) { if (c == '\n') inComment = false; mask(i) = false }
+      else if (inStr) {
+        if (c == '\\' && i + 1 < sql.length) { mask(i + 1) = false; i += 1 }
+        else if (c == '\'') inStr = false
+        mask(i) = false
+      } else {
         c match {
           case '\'' => inStr = true
+          case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+            inComment = true
           case '(' => depth += 1
           case ')' => depth -= 1
           case _ => ()
         }
-        mask(i) = depth == 0 && !inStr
+        mask(i) = depth == 0 && !inStr && !inComment
       }
       i += 1
     }

@@ -39,6 +39,17 @@ object StreamHarness {
     Array[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit =
     null
 
+  /** Invoke the probe (if set) without letting a probe failure skip
+    * the query stop / checkpoint cleanup that follows in the caller's
+    * finally, or mask the body's own exception. Reads the volatile
+    * once — a concurrent clear can't NPE between check and call. */
+  private def probeProgress(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val probe = progressProbe
+    if (probe != null)
+      try probe(q.recentProgress)
+      catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   /** Throwaway-checkpoint scratch dirs, shared by the parity harness
     * and StreamJobs.drainToTable: every micro-batch fsyncs
     * offset/commit logs and state-store deltas into the checkpoint
@@ -61,20 +72,31 @@ object StreamHarness {
       // UUID names never get revisited, so a crashed run's leftovers
       // would otherwise accumulate in RAM-backed tmpfs forever. Sweep
       // stale entries once per JVM. Entries carry their owner PID
-      // ("p<pid>-…"), and an entry whose owner is STILL ALIVE
-      // (/proc/<pid> exists) is never reaped regardless of age — an
-      // idle-but-live streaming query in a concurrent JVM must not
-      // lose its checkpoint mid-run. For dead owners (and legacy
-      // unprefixed names) staleness is judged by the NEWEST mtime
-      // anywhere under the entry, not the top-level dir's (which
-      // never advances past creation).
+      // ("p<pid>-…"), and an entry whose owner is STILL ALIVE is
+      // never reaped regardless of age — an idle-but-live streaming
+      // query in a concurrent JVM must not lose its checkpoint
+      // mid-run. "Alive" means a process with that PID exists AND
+      // started no later than the entry was created: an OS-recycled
+      // PID belonging to some unrelated long-lived process must not
+      // shield a dead run's leftovers in RAM-backed tmpfs forever.
+      // For dead owners (and legacy unprefixed names) staleness is
+      // judged by the NEWEST mtime anywhere under the entry, not the
+      // top-level dir's (which never advances past the last
+      // checkpoint-subdir creation).
       try {
         val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
         val OwnerPid = "^p(\\d+)-.*$".r
         def ownerAlive(p: java.nio.file.Path): Boolean =
           p.getFileName.toString match {
-            case OwnerPid(pid) => java.nio.file.Files.exists(
-              java.nio.file.Paths.get("/proc", pid))
+            case OwnerPid(pid) =>
+              val ph = ProcessHandle.of(pid.toLong)
+              ph.isPresent && {
+                val started = ph.get.info.startInstant
+                // no start time available → be conservative, keep
+                !started.isPresent ||
+                  started.get.toEpochMilli <= java.nio.file.Files
+                    .getLastModifiedTime(p).toMillis
+              }
             case _ => false
           }
         def newestMtime(p: java.nio.file.Path): Long = {
@@ -163,7 +185,7 @@ object StreamHarness {
           q.processAllAvailable()
         }
       } finally {
-        if (progressProbe != null) progressProbe(q.recentProgress)
+        probeProgress(q)
         q.stop(); CheckpointScratch.delete(ckpt)
       }
       spark.table(name)
@@ -226,7 +248,7 @@ object StreamHarness {
           q.processAllAvailable()
         }
       } finally {
-        if (progressProbe != null) progressProbe(q.recentProgress)
+        probeProgress(q)
         q.stop(); CheckpointScratch.delete(ckpt)
       }
       spark.table(name)

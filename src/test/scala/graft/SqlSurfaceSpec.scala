@@ -366,6 +366,30 @@ class SqlSurfaceSpec extends SparkSpec {
         "SELECT a FROM t GROUP BY a UNION ALL SELECT b FROM u GROUP BY b",
         1000L, "ts")
     }
+    // a backslash-escaped quote (Spark's default literal escape) must
+    // not desynchronize the in-string state — the literal's 'group by'
+    // text stays data and the real outer clause is still found
+    val escaped = SamzaSql.windowedGroupBy(
+      "SELECT count(*) AS n FROM events " +
+        "WHERE note = 'don\\'t group by me' GROUP BY event_type",
+      1000L, "ts")
+    assert(escaped.endsWith(
+      "GROUP BY window(ts, '1000 milliseconds'), event_type"), escaped)
+    assert(escaped.contains("'don\\'t group by me'"), escaped)
+    // an apostrophe inside a -- comment must not open a phantom
+    // literal that swallows the real outer GROUP BY
+    val commented = SamzaSql.windowedGroupBy(
+      "SELECT event_type, COUNT(*) AS cnt FROM events -- user's clicks\n" +
+        "GROUP BY event_type",
+      1000L, "ts")
+    assert(commented.endsWith(
+      "GROUP BY window(ts, '1000 milliseconds'), event_type"), commented)
+    // 'group by' inside a comment is not a clause
+    val commentGb = SamzaSql.windowedGroupBy(
+      "SELECT count(*) AS n FROM events -- group by nothing\n",
+      1000L, "ts")
+    assert(commentGb ==
+      "SELECT count(*) AS n FROM events -- group by nothing\n", commentGb)
     // end-to-end: windowed counts sum to the unwindowed counts
     val out = SamzaSql.run(spark, sf0001,
       "INSERT INTO wc SELECT event_type, COUNT(*) AS cnt " +

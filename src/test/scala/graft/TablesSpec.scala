@@ -87,6 +87,22 @@ class TablesSpec extends SparkSpec {
     assert(merged == Map(1L -> "a", 2L -> "b3", 3L -> "c"))
   }
 
+  test("upsert: null sequence loses to non-null (window-form parity)") {
+    // the bounded-heap latest aggregate must keep the row_number
+    // window's desc NULLS LAST semantics: within-struct comparison
+    // orders null fields smallest, so under struct-DESC a null seq
+    // loses — pinned so a future ordering change can't silently
+    // invert last-write-wins for rows missing a sequence
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "old", Some(1L))).toDF("k", "v", "seq")
+    val updates = Seq((1L, "withseq", Some(5L)), (1L, "noseq", None: Option[Long]))
+      .toDF("k", "v", "seq")
+    val merged = TableOps.upsert(base, updates, Seq("k"), "seq")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(merged == Map(1L -> "withseq"))
+  }
+
   test("tombstones delete rows") {
     val s = spark
     import s.implicits._
