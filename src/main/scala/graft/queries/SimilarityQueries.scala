@@ -165,9 +165,16 @@ object SimilarityQueries extends QueryPack {
     // so the oracle replays the identical signature: same coefficient
     // formula, same left-fold projection order, same bucket bit-pack —
     // then the same verified-cosine filter as the blocked variant.
+    // The query takes the SIZE-DERIVED plane count (the shipped
+    // default): derivedPlanes(n) = 4 for any corpus ≤ 4096 vectors,
+    // which covers every oracle/bench scale (200 / 2k rows), so the
+    // oracle's 4 hardcoded bucket bits replay it exactly — while at
+    // sf10 (200k rows) the same query derives 10 planes and stays in
+    // the measured-good envelope (~25 s) instead of the planes=4 trap
+    // (185 s measured, 28M pairs).
     "q_embed_neardup_lsh" -> Q(
       (s, d) => Similarity.lshNearDup(t(s, d, "embeddings"),
-        idCol = "vec_id", vecCol = "embedding", dim = 64, planes = 4,
+        idCol = "vec_id", vecCol = "embedding", dim = 64,
         threshold = 0.3),
       Some {
         // proj_p(v) = Σ_i coef(p,i)·v[i], left fold in index order;
