@@ -201,7 +201,15 @@ object Dedup {
     // broadcast) a several-hundred-thousand-entry hash table per
     // action. shuffle_hash rather than broadcast: at corpus scale the
     // document table outgrows any broadcast threshold, and a
-    // shuffled hash join on id keeps working.
+    // shuffled hash join on id keeps working. Memory envelope (a
+    // shuffled hash join must FIT its build partition — the wall
+    // q_join_composite_key measured at sf10 and moved to sort-merge
+    // over): build here is |docs|/shufflePartitions rows × set bytes
+    // (~16 MB/partition at sf10's 500k docs / 32 partitions), and
+    // partition count scales with the cluster, so the fit is a
+    // configuration invariant, not a data-size one. Sort-merge is the
+    // wrong trade on THIS join: it would sort the wide shingle-set
+    // payloads; the sets ride the build side untouched under hash.
     val aSide = docs.select(col(idCol).as("id_a"),
       col("sh_set").as("set_a"), col("sz").as("sz_a")).hint("shuffle_hash")
     val bSide = docs.select(col(idCol).as("id_b"),

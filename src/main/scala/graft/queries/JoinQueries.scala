@@ -101,18 +101,24 @@ object JoinQueries extends QueryPack {
     // composite (multi-column) equi-join key — the reference builds a
     // composite RocksDB table key (JoinTranslator.java:176-196); here the
     // shuffle key is the column pair. The aggregated side's cardinality
-    // scales WITH the fact table (~591k groups per 600k rows at sf0.1),
-    // so it must never be broadcast — shuffle_hash keeps the join a
-    // shuffled hash join, which is also what survives a 100× scale-up
-    // (without the hint, AQE sees a small byte size and builds a
-    // fact-table-sized broadcast hash table on the driver).
+    // scales WITH the fact table (~591k groups per 600k rows at sf0.1,
+    // 59M per 60M at sf10), so it must never be broadcast (without a
+    // hint, AQE sees a small byte size at low sf and builds a
+    // fact-table-sized broadcast hash table on the driver). The hint is
+    // MERGE, not shuffle_hash: a shuffled hash join must FIT its build
+    // partition in executor memory, and the sf10 sweep measured that
+    // wall directly (SparkOutOfMemoryError "not enough memory to build
+    // hash map" at 59M groups / 32 partitions, graft.tools.ProfileJoin)
+    // — sort-merge spills instead, costs the same warm at sf0.1
+    // (0.86 s vs 0.81 s) and 12.3 s at sf10, and is the only hinted
+    // shape that survives an arbitrary scale-up.
     "q_join_composite_key" -> Q(
       (s, d) => {
         import s.implicits._
         val li = t(s, d, "lineitem")
         val ps = li.groupBy($"l_partkey".as("ps_partkey"),
             $"l_suppkey".as("ps_suppkey"))
-          .agg(count(lit(1)).as("ps_lines")).hint("shuffle_hash")
+          .agg(count(lit(1)).as("ps_lines")).hint("merge")
         li.join(ps, $"l_partkey" === $"ps_partkey" &&
             $"l_suppkey" === $"ps_suppkey")
           .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"ps_lines")

@@ -43,22 +43,33 @@ object ProfileJoin {
         .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"ps_lines")
     }
 
-    def shj = {
+    def hinted(h: String) = {
       val ps = li.groupBy($"l_partkey".as("ps_partkey"),
           $"l_suppkey".as("ps_suppkey"))
-        .agg(count(lit(1)).as("ps_lines")).hint("shuffle_hash")
+        .agg(count(lit(1)).as("ps_lines")).hint(h)
       li.join(ps, $"l_partkey" === $"ps_partkey" &&
           $"l_suppkey" === $"ps_suppkey")
         .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"ps_lines")
     }
+    def shj = hinted("shuffle_hash")
+    def smj = hinted("merge")
 
     println("  n_groups=" + li.select($"l_partkey", $"l_suppkey")
       .distinct().count())
     current.count() // warm
     time("current broadcast")(println("  n=" + current.count()))
     time("current broadcast 2")(println("  n=" + current.count()))
-    time("shuffle_hash")(println("  n=" + shj.count()))
-    time("shuffle_hash 2")(println("  n=" + shj.count()))
+    time("merge")(println("  n=" + smj.count()))
+    time("merge 2")(println("  n=" + smj.count()))
+    try {
+      time("shuffle_hash")(println("  n=" + shj.count()))
+      time("shuffle_hash 2")(println("  n=" + shj.count()))
+    } catch {
+      case e: Exception =>
+        println("[profile] shuffle_hash FAILED: " +
+          Option(e.getMessage).getOrElse(e.toString).linesIterator
+            .next())
+    }
     time("repartitioned")(println("  n=" + repartitioned.count()))
     spark.stop()
   }

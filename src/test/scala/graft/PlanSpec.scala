@@ -49,6 +49,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("lang"), "unpruned column in multimodal scan")
   }
 
+  test("composite-key join is sort-merge: spillable at any scale") {
+    // the aggregated side's cardinality scales with the fact table, so
+    // broadcast would build a fact-sized driver hash table and a
+    // shuffled hash join must fit its build partition in executor
+    // memory (measured OOM wall at sf10: 59M groups / 32 partitions,
+    // ProfileJoin). Sort-merge is the only shape that spills.
+    val p = plan("q_join_composite_key")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+  }
+
   test("exact jaccard never plans a cartesian product or a window") {
     val p = plan("q_dedup_jaccard")
     assert(!p.contains("CartesianProduct"), p)
