@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{DenseRank, Rank, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.Cross
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, Join, LogicalPlan, Sort, Window}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Plan linter for the properties that decide whether a query survives
+  * a 100× scale-up. The repo's PlanSpec asserts these per-query by
+  * hand; `lint` automates the same audit for ANY DataFrame so a
+  * pipeline author can gate on it before pointing a job at a 100 TB
+  * table — the anti-patterns it flags are precisely the ones this
+  * codebase measured walls for (cartesian candidate generation,
+  * row_number-latest shuffling+sorting every row of a key, a global
+  * window or an unbounded global sort single-tasking the dataset,
+  * filters that never reach the parquet scan).
+  *
+  * Heuristic by design: findings are evidence to read, not proofs.
+  * `errors` (the CI-gate subset) carries only the patterns that are
+  * wrong at scale in every known use — each `warn`/`info` documents
+  * the legitimate uses it can't see.
+  */
+object ScaleLint {
+
+  /** One finding. `severity` ∈ error | warn | info. */
+  case class Finding(code: String, severity: String, detail: String)
+
+  /** Lint a DataFrame's plans. Safe on any analyzable frame; does not
+    * execute the query (reads the optimized logical plan and the
+    * pre-execution physical plan only). */
+  def lint(df: DataFrame): Seq[Finding] = {
+    val out = Seq.newBuilder[Finding]
+    val optimized = df.queryExecution.optimizedPlan
+    val physical = df.queryExecution.executedPlan.toString()
+
+    // --- joins that degenerate to all-pairs -------------------------
+    optimized.foreach {
+      case j: Join if j.condition.isEmpty || j.joinType == Cross =>
+        out += Finding("CARTESIAN", "error",
+          "join with no condition (all-pairs): at N rows this is N² — " +
+            "block/bucket the candidate space (LSH bands, prefix index, " +
+            "range buckets) before pairing")
+      case _ => ()
+    }
+    // AQE/codegen can hide the logical shape; catch the physical
+    // operators too (BroadcastNestedLoopJoin is how a conditionless or
+    // non-equi join actually executes)
+    if (physical.contains("CartesianProduct"))
+      out += Finding("CARTESIAN_PHYSICAL", "error",
+        "physical plan contains CartesianProduct")
+    if (physical.contains("BroadcastNestedLoopJoin"))
+      out += Finding("NESTED_LOOP_JOIN", "warn",
+        "BroadcastNestedLoopJoin: every task scans the broadcast side " +
+          "per row — fine for a tiny constant side, quadratic otherwise")
+
+    // --- windows ----------------------------------------------------
+    optimized.foreach {
+      case w: Window =>
+        if (w.partitionSpec.isEmpty)
+          out += Finding("GLOBAL_WINDOW", "error",
+            "window with no PARTITION BY: every row shuffles into ONE " +
+              "task — partition the window or use an aggregate")
+        else {
+          val ranking = w.windowExpressions.exists(_.exists {
+            case we: WindowExpression => we.windowFunction match {
+              case _: RowNumber | _: Rank | _: DenseRank => true
+              case _ => false
+            }
+            case _ => false
+          })
+          if (ranking)
+            out += Finding("WINDOW_TOPK", "info",
+              "row_number/rank window: if this feeds a rank<=k filter, " +
+                "a bounded-heap aggregate (graft_topk / max_by) keeps " +
+                "k rows per key through map-side partials instead of " +
+                "shuffling and sorting every row of the key " +
+                "(operators/Latest.scala; measured 2× at sf10, worse " +
+                "with skew)")
+        }
+      case _ => ()
+    }
+
+    // --- global sorts -----------------------------------------------
+    // Sort(global=true) without a limit above it sorts the entire
+    // dataset through a range exchange. With a limit, Spark plans
+    // TakeOrderedAndProject (bounded); without, the full sort runs.
+    // Legitimate when producing globally-ordered output files — the
+    // warn severity says "check", not "wrong".
+    def underLimit(p: LogicalPlan, inLimit: Boolean): Unit = p match {
+      case s: Sort if s.global && !inLimit =>
+        out += Finding("GLOBAL_SORT", "warn",
+          "global ORDER BY with no LIMIT: full-dataset range-partition " +
+            "sort; at 100 TB prefer sortWithinPartitions, a bounded " +
+            "top-k, or accept the cost knowingly")
+        s.children.foreach(underLimit(_, inLimit = false))
+      case l: GlobalLimit => l.children.foreach(underLimit(_, inLimit = true))
+      case other =>
+        // a limit bounds only the sort it directly tops: crossing a
+        // join/aggregate/window resets the guard (their inputs run in
+        // full regardless of the outer limit)
+        val breaksGuard = other.isInstanceOf[Join] ||
+          other.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate] ||
+          other.isInstanceOf[Window]
+        other.children.foreach(underLimit(_, inLimit = inLimit && !breaksGuard))
+    }
+    underLimit(optimized, inLimit = false)
+
+    // --- filters that never reach the scan --------------------------
+    // A Filter sitting directly on a file relation whose scan pushed
+    // nothing means every row is read and filtered post-scan (UDF or
+    // non-convertible predicate). Partial pushdown shows a non-empty
+    // PushedFilters and is not flagged.
+    val residualOnScan = optimized.collect {
+      case Filter(_, _: LogicalRelation) => true
+    }.nonEmpty
+    if (residualOnScan && physical.contains("PushedFilters: []"))
+      out += Finding("FILTER_NOT_PUSHED", "info",
+        "filter directly above a file scan pushed nothing into the " +
+          "reader (UDF or non-convertible predicate?): the scan reads " +
+          "every row — rewrite the predicate on raw columns or accept " +
+          "the full read")
+
+    // --- shuffle inventory ------------------------------------------
+    val shuffles = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)"
+      .r.findAllIn(physical).length
+    if (shuffles > 0)
+      out += Finding("SHUFFLES", "info",
+        s"$shuffles exchange(s) in the physical plan — each is a full " +
+          "materialize+transfer of its input; verify none is avoidable " +
+          "(broadcast a small side, reuse a partitioning, bucket the table)")
+
+    out.result()
+  }
+
+  /** The findings a CI gate should fail on. */
+  def errors(df: DataFrame): Seq[Finding] =
+    lint(df).filter(_.severity == "error")
+
+  /** Human-readable report. */
+  def report(df: DataFrame): String = {
+    val fs = lint(df)
+    if (fs.isEmpty) "clean: no scale findings"
+    else fs.map(f => s"[${f.severity}] ${f.code}: ${f.detail}")
+      .mkString("\n")
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.plans.ScaleLint
+import graft.queries.Registry
+
+class ScaleLintSpec extends SparkSpec {
+
+  private def codes(df: org.apache.spark.sql.DataFrame): Set[String] =
+    ScaleLint.lint(df).map(_.code).toSet
+
+  test("flags conditionless joins as cartesian") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq(4, 5).toDF("y")
+    val cs = codes(a.crossJoin(b))
+    assert(cs.contains("CARTESIAN") || cs.contains("CARTESIAN_PHYSICAL") ||
+      cs.contains("NESTED_LOOP_JOIN"), cs)
+    // an equi-join is not flagged
+    val joined = a.join(b.withColumnRenamed("y", "x"), "x")
+    assert(!codes(joined).exists(_.startsWith("CARTESIAN")), codes(joined))
+  }
+
+  test("flags a global window as error, keyed ranking as info") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, 10), (1, 20), (2, 30)).toDF("k", "v")
+    val global = df.withColumn("rn",
+      row_number().over(Window.orderBy($"v")))
+    assert(codes(global).contains("GLOBAL_WINDOW"), codes(global))
+    val keyed = df.withColumn("rn",
+      row_number().over(Window.partitionBy($"k").orderBy($"v")))
+    val ck = codes(keyed)
+    assert(!ck.contains("GLOBAL_WINDOW"), ck)
+    assert(ck.contains("WINDOW_TOPK"), ck)
+    // a windowed sum (no ranking function) is not the latest-row
+    // anti-pattern
+    val summed = df.withColumn("s",
+      sum($"v").over(Window.partitionBy($"k")))
+    assert(!codes(summed).contains("WINDOW_TOPK"), codes(summed))
+  }
+
+  test("flags an unbounded global sort; a limited one is bounded") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(3, 1, 2).toDF("x")
+    assert(codes(df.orderBy($"x")).contains("GLOBAL_SORT"))
+    assert(!codes(df.orderBy($"x").limit(2)).contains("GLOBAL_SORT"))
+    // the limit does not reach through an aggregate: the sort below
+    // still runs in full
+    val through = df.orderBy($"x").groupBy($"x").count().limit(2)
+    // (optimizer may eliminate the useless pre-aggregate sort — accept
+    // either, but a plan that KEEPS the sort must flag it)
+    val kept = through.queryExecution.optimizedPlan.toString()
+      .contains("Sort")
+    if (kept) assert(codes(through).contains("GLOBAL_SORT"))
+  }
+
+  test("flags a filter a UDF keeps out of the parquet scan") {
+    val s = spark
+    import s.implicits._
+    val li = graft.sources.Tables.load(spark, sf0001, "lineitem")
+    // plain predicate pushes → clean
+    val pushed = li.filter($"l_quantity" > 10).select("l_orderkey")
+    assert(!codes(pushed).contains("FILTER_NOT_PUSHED"), codes(pushed))
+    // a UDF predicate pushes nothing → flagged
+    val f = udf((d: Double) => d > 10)
+    val unpushed = li.filter(f($"l_quantity")).select("l_orderkey")
+    assert(codes(unpushed).contains("FILTER_NOT_PUSHED"), codes(unpushed))
+  }
+
+  test("reports the shuffle inventory") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, 2)).toDF("k", "v").groupBy("k").count()
+    val shuffles = ScaleLint.lint(df).filter(_.code == "SHUFFLES")
+    assert(shuffles.nonEmpty && shuffles.head.detail.startsWith("1 "),
+      shuffles)
+  }
+
+  test("every registry query lints clean of error-severity findings") {
+    // the automated form of the per-query PlanSpec audits: no benched
+    // query may plan a cartesian or a global window. The one documented
+    // exception is the brute-force ANN baseline, whose corpus×queries
+    // cross join IS the operator's definition (the recall oracle IVF
+    // is measured against — Similarity.scala).
+    val allowed = Map(
+      "q_ann_bruteforce_topk" -> Set("CARTESIAN", "CARTESIAN_PHYSICAL",
+        "NESTED_LOOP_JOIN"))
+    val bad = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val errs = ScaleLint.errors(q.run(spark, sf0001))
+        .filterNot(f => allowed.getOrElse(name, Set.empty).contains(f.code))
+      if (errs.isEmpty) None else Some(name -> errs.map(_.code))
+    }
+    assert(bad.isEmpty, s"queries with scale errors: $bad")
+  }
+}
