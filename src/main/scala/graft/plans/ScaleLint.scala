@@ -33,16 +33,21 @@ object ScaleLint {
     val out = Seq.newBuilder[Finding]
     val optimized = df.queryExecution.optimizedPlan
     val physical = df.queryExecution.executedPlan.toString()
+    // logical checks must also see plans nested inside subquery
+    // expressions (a cartesian inside a scalar/IN subquery is just as
+    // quadratic, and the physical string prints it as an opaque
+    // `scalar-subquery#N`)
+    val logicalPlans = optimized +: optimized.subqueriesAll
 
     // --- joins that degenerate to all-pairs -------------------------
-    optimized.foreach {
+    logicalPlans.foreach(_.foreach {
       case j: Join if j.condition.isEmpty || j.joinType == Cross =>
         out += Finding("CARTESIAN", "error",
           "join with no condition (all-pairs): at N rows this is N² — " +
             "block/bucket the candidate space (LSH bands, prefix index, " +
             "range buckets) before pairing")
       case _ => ()
-    }
+    })
     // AQE/codegen can hide the logical shape; catch the physical
     // operators too (BroadcastNestedLoopJoin is how a conditionless or
     // non-equi join actually executes)
@@ -55,7 +60,7 @@ object ScaleLint {
           "per row — fine for a tiny constant side, quadratic otherwise")
 
     // --- windows ----------------------------------------------------
-    optimized.foreach {
+    logicalPlans.foreach(_.foreach {
       case w: Window =>
         if (w.partitionSpec.isEmpty)
           out += Finding("GLOBAL_WINDOW", "error",
@@ -79,7 +84,7 @@ object ScaleLint {
                 "with skew)")
         }
       case _ => ()
-    }
+    })
 
     // --- global sorts -----------------------------------------------
     // Sort(global=true) without a limit above it sorts the entire
@@ -96,25 +101,34 @@ object ScaleLint {
         s.children.foreach(underLimit(_, inLimit = false))
       case l: GlobalLimit => l.children.foreach(underLimit(_, inLimit = true))
       case other =>
-        // a limit bounds only the sort it directly tops: crossing a
-        // join/aggregate/window resets the guard (their inputs run in
-        // full regardless of the outer limit)
-        val breaksGuard = other.isInstanceOf[Join] ||
-          other.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate] ||
-          other.isInstanceOf[Window]
-        other.children.foreach(underLimit(_, inLimit = inLimit && !breaksGuard))
+        // a limit bounds only the sort it directly tops. ALLOWLIST,
+        // not denylist: TakeOrderedAndProject matches only
+        // Limit(Sort), Limit(Project(Sort)) (with LocalLimit in
+        // between) — any other node (Generate, a non-pushable Filter,
+        // a join/aggregate/window) keeps the full sort executing
+        // below the limit, so the guard resets.
+        val keepsGuard =
+          other.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project] ||
+          other.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalLimit]
+        other.children.foreach(underLimit(_, inLimit = inLimit && keepsGuard))
     }
-    underLimit(optimized, inLimit = false)
+    logicalPlans.foreach(underLimit(_, inLimit = false))
 
     // --- filters that never reach the scan --------------------------
     // A Filter sitting directly on a file relation whose scan pushed
     // nothing means every row is read and filtered post-scan (UDF or
     // non-convertible predicate). Partial pushdown shows a non-empty
-    // PushedFilters and is not flagged.
+    // PushedFilters and is not flagged. SINGLE-SCAN plans only: the
+    // plan string doesn't say which scan a `PushedFilters: []` belongs
+    // to, and a logical Filter remains above its relation even after a
+    // full pushdown — so on a multi-scan join an unfiltered side's
+    // empty pushdown would flag a fully-pushed filter on the other.
     val residualOnScan = optimized.collect {
       case Filter(_, _: LogicalRelation) => true
     }.nonEmpty
-    if (residualOnScan && physical.contains("PushedFilters: []"))
+    val scanCount = "PushedFilters:".r.findAllIn(physical).length
+    if (residualOnScan && scanCount == 1 &&
+        physical.contains("PushedFilters: []"))
       out += Finding("FILTER_NOT_PUSHED", "info",
         "filter directly above a file scan pushed nothing into the " +
           "reader (UDF or non-convertible predicate?): the scan reads " +
@@ -122,8 +136,15 @@ object ScaleLint {
           "the full read")
 
     // --- shuffle inventory ------------------------------------------
-    val shuffles = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)"
-      .r.findAllIn(physical).length
+    // line-based: a ReusedExchange row echoes its target's `Exchange
+    // hashpartitioning(…)` text on the same line but re-executes
+    // nothing; RoundRobinPartitioning (repartition(n)) is a real
+    // shuffle and counts
+    val shuffleKinds = Seq("Exchange hashpartitioning",
+      "Exchange rangepartitioning", "Exchange SinglePartition",
+      "Exchange RoundRobinPartitioning")
+    val shuffles = physical.linesIterator.count(l =>
+      !l.contains("ReusedExchange") && shuffleKinds.exists(l.contains))
     if (shuffles > 0)
       out += Finding("SHUFFLES", "info",
         s"$shuffles exchange(s) in the physical plan — each is a full " +

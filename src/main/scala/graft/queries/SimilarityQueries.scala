@@ -189,11 +189,21 @@ object SimilarityQueries extends QueryPack {
         val oBucket = (0 until 4).map { p =>
           s"(CASE WHEN ${oProj(p, "embedding")} >= 0 THEN ${1L << p} ELSE 0 END)"
         }.mkString(" +\n      ")
-        s"""WITH n AS (
+        s"""WITH guard AS (
+           |  -- this oracle packs exactly 4 bucket bits; the Spark side
+           |  -- DERIVES its plane count, which is 4 only while the
+           |  -- corpus stays <= 4096 vectors (derivedPlanes' floor). If
+           |  -- a future gate scale crosses that, fail LOUDLY here
+           |  -- instead of silently hash-mismatching.
+           |  SELECT CASE WHEN count(*) > 4096 THEN error(
+           |    'neardup oracle hardcodes 4 SRP planes but corpus > 4096: '
+           |    || 'regenerate the bucket expression for derivedPlanes(n)')
+           |    ELSE 1 END AS ok FROM embeddings),
+           |n AS (
            |  SELECT vec_id, embedding,
            |         sqrt(${oDot("embedding", "embedding")}) AS nrm,
            |         $oBucket AS bucket
-           |  FROM embeddings)
+           |  FROM embeddings, guard)
            |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |  round(${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm),
            |        6) AS cos

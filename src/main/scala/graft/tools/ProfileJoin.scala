@@ -68,7 +68,7 @@ object ProfileJoin {
       case e: Exception =>
         println("[profile] shuffle_hash FAILED: " +
           Option(e.getMessage).getOrElse(e.toString).linesIterator
-            .next())
+            .nextOption().getOrElse(e.getClass.getName))
     }
     time("repartitioned")(println("  n=" + repartitioned.count()))
     spark.stop()
