@@ -3,8 +3,9 @@ package graft.plans
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{DenseRank, Rank, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.Cross
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, Join, LogicalPlan, Sort, Window}
-import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join, LogicalPlan, Sort, Window}
+import org.apache.spark.sql.execution.{FileSourceScanLike, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Plan linter for the properties that decide whether a query survives
   * a 100× scale-up. The repo's PlanSpec asserts these per-query by
@@ -115,25 +116,47 @@ object ScaleLint {
     logicalPlans.foreach(underLimit(_, inLimit = false))
 
     // --- filters that never reach the scan --------------------------
-    // A Filter sitting directly on a file relation whose scan pushed
-    // nothing means every row is read and filtered post-scan (UDF or
-    // non-convertible predicate). Partial pushdown shows a non-empty
-    // PushedFilters and is not flagged. SINGLE-SCAN plans only: the
-    // plan string doesn't say which scan a `PushedFilters: []` belongs
-    // to, and a logical Filter remains above its relation even after a
-    // full pushdown — so on a multi-scan join an unfiltered side's
-    // empty pushdown would flag a fully-pushed filter on the other.
-    val residualOnScan = optimized.collect {
-      case Filter(_, _: LogicalRelation) => true
-    }.nonEmpty
-    val scanCount = "PushedFilters:".r.findAllIn(physical).length
-    if (residualOnScan && scanCount == 1 &&
-        physical.contains("PushedFilters: []"))
-      out += Finding("FILTER_NOT_PUSHED", "info",
-        "filter directly above a file scan pushed nothing into the " +
-          "reader (UDF or non-convertible predicate?): the scan reads " +
-          "every row — rewrite the predicate on raw columns or accept " +
-          "the full read")
+    // Per-scan, per-predicate attribution via the physical tree: each
+    // FileSourceScanLike carries ITS OWN dataFilters (the deterministic
+    // predicates FileSourceStrategy attributed to that scan); running
+    // each through DataSourceStrategy.translateFilter — the exact
+    // function the scan itself uses to build PushedFilters — says
+    // which predicates execute post-read (UDF or non-convertible).
+    // This attributes correctly in multi-scan join plans, which the
+    // pre-round-8 plan-string heuristic could not (an empty
+    // `PushedFilters: []` in the string doesn't say which scan it
+    // belongs to — and a join side never even shows one, because the
+    // join's derived IsNotNull(key) always pushes). A non-deterministic
+    // filter never enters dataFilters and is invisible here; DSv2
+    // BatchScanExec is out of scope (parquet reads plan v1 scans under
+    // the default useV1SourceList).
+    def scans(p: SparkPlan): Seq[FileSourceScanLike] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: FileSourceScanLike => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+      here ++ p.subqueries.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan).foreach { s =>
+      // metadata can evaluate scalar subqueries pre-execution; a
+      // throwing scan is skipped rather than failing the lint
+      scala.util.Try {
+        val unpushed = s.dataFilters.filter(e =>
+          org.apache.spark.sql.graftbridge.PlanBridge
+            .translateFilter(e).isEmpty)
+        if (unpushed.nonEmpty) {
+          val loc = s.metadata.getOrElse("Location", "?").take(120)
+          out += Finding("FILTER_NOT_PUSHED", "info",
+            s"scan of $loc evaluates ${unpushed.size} of " +
+              s"${s.dataFilters.size} filter(s) post-read (UDF or " +
+              "non-convertible predicate: " +
+              unpushed.map(_.sql).mkString("; ").take(160) + ") — the " +
+              "scan reads every row for them; rewrite on raw columns " +
+              "or accept the full read")
+        }
+      }
+    }
 
     // --- shuffle inventory ------------------------------------------
     // line-based: a ReusedExchange row echoes its target's `Exchange

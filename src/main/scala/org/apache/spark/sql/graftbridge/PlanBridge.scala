@@ -13,4 +13,13 @@ object PlanBridge {
       plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** `DataSourceStrategy.translateFilter` is protected[sql]; graft's
+    * ScaleLint runs each scan's dataFilters through the SAME translator
+    * the scan used, to attribute unpushed predicates per-scan. */
+  def translateFilter(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
 }

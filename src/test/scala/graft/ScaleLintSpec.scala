@@ -72,6 +72,30 @@ class ScaleLintSpec extends SparkSpec {
     assert(codes(unpushed).contains("FILTER_NOT_PUSHED"), codes(unpushed))
   }
 
+  test("attributes an unpushed filter to its scan inside a join plan") {
+    // the round-7 string heuristic went blind on any multi-scan plan;
+    // the per-scan walk (FileSourceScanLike.dataFilters vs
+    // pushedDownFilters) must flag exactly the UDF-filtered side
+    val s = spark
+    import s.implicits._
+    val f = udf((d: Double) => d > 10)
+    val li = graft.sources.Tables.load(spark, sf0001, "lineitem")
+      .filter(f($"l_quantity"))                     // unpushed side
+    val ord = graft.sources.Tables.load(spark, sf0001, "orders")
+      .filter($"o_totalprice" > 1000)               // pushed side
+    val joined = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select("l_orderkey", "o_totalprice")
+    val findings = ScaleLint.lint(joined).filter(_.code == "FILTER_NOT_PUSHED")
+    assert(findings.size == 1, findings)
+    assert(findings.head.detail.contains("lineitem"), findings.head.detail)
+    // both sides pushed → clean
+    val clean = graft.sources.Tables.load(spark, sf0001, "lineitem")
+      .filter($"l_quantity" > 10)
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .select("l_orderkey", "o_totalprice")
+    assert(!codes(clean).contains("FILTER_NOT_PUSHED"), codes(clean))
+  }
+
   test("reports the shuffle inventory") {
     val s = spark
     import s.implicits._
