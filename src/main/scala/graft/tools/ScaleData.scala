@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
   * Output is NOT for the correctness gate (Verify runs on the
   * driver's own sf0.01 data only); it exists to measure the bench
   * scaling slope BASELINE.md records. Usage:
-  * ScaleData <srcDir> <destDir> [copies].
+  * ScaleData <srcDir> <destDir> [copies] [tables-csv]
+  * (tables-csv limits generation, e.g. "documents" for the sf20
+  * clustering profile — writing 120M lineitem rows nobody reads is
+  * just disk).
   */
 object ScaleData {
 
@@ -43,6 +46,8 @@ object ScaleData {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dest = args.lift(1).getOrElse("/root/repo/benchdata/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val only: Option[Set[String]] =
+      args.lift(3).map(_.split(',').map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession("graft-scale-data",
       master = Some(s"local[$cpus]"), shufflePartitions = Some(cpus.toInt))
@@ -58,10 +63,11 @@ object ScaleData {
       spark.read.parquet(s"$src/$t.parquet")
     }
 
-    def write(df: DataFrame, t: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dest/$t.parquet")
-      println(s"[scale] wrote $t")
-    }
+    def write(df: => DataFrame, t: String): Unit =
+      if (only.forall(_.contains(t))) {
+        df.write.mode("overwrite").parquet(s"$dest/$t.parquet")
+        println(s"[scale] wrote $t")
+      } else println(s"[scale] skipped $t (not in tables filter)")
 
     // dimensions: fixed regardless of scale factor
     write(read("region"), "region")
