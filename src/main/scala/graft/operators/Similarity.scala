@@ -130,16 +130,104 @@ object Similarity {
     * decays to 0.65. */
   def derivedNprobe(nlist: Int): Int = math.max(1, nlist / 4)
 
-  /** IVF (inverted-file) approximate top-k: the corpus is partitioned
-    * into `nlist` cells by nearest centroid; a query scores only the
-    * `nprobe` cells whose centroids it is closest to. At 100 TB this is
-    * the difference between scanning the corpus per query and scanning
-    * nprobe/nlist of it.
+  // ------------------------------------------------------------------
+  // IVF internals shared by build / probe / append
+
+  /** Corpus prep: (nn_id, nn_vec, nn_nrm); zero-norm rows excluded
+    * (zero-norm → NaN cosine). */
+  private def ivfPrep(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+      .withColumn("nn_nrm", norm(col("nn_vec")))
+      .filter(col("nn_nrm") > 0)
+
+  // centroids as doubles everywhere (float→double widening is exact,
+  // and the dot kernel scores per-element in double regardless), so
+  // seed, refined, and RELOADED centroids flow through one literal
+  // shape
+  private val ivfToDouble: Any => Double = {
+    case f: java.lang.Float => f.toDouble
+    case d: java.lang.Double => d.doubleValue
+  }
+
+  private def ivfCents(rows: Seq[org.apache.spark.sql.Row])
+      : Seq[(Any, Seq[Double], Double)] =
+    rows.map { r =>
+      (r.get(0), r.getSeq[Any](1).map(ivfToDouble).toSeq,
+        ivfToDouble(r.get(2)))
+    }
+
+  private def centArrOf(cs: Seq[(Any, Seq[Double], Double)]): Column =
+    array(cs.map { case (id, v, nrm) =>
+      struct(lit(id).as("cent_id"), typedLit(v).as("cent_vec"),
+        lit(nrm).as("cent_nrm"))
+    }: _*)
+
+  // per-row centroid scores with the array index as tie-break: the
+  // lambda only captures plain attributes (vec, nrm), so interpreted
+  // HOF evaluation costs one method dispatch per centroid — the dot
+  // product itself runs the DotProduct kernel. negidx is unique per
+  // element, so the cent_id field never participates in struct
+  // comparisons.
+  private def cellScores(arr: Column)(vec: Column, nrm: Column): Column =
+    transform(arr, (cs, i) => struct(
+      (dot(vec, cs.getField("cent_vec")) /
+        (nrm * cs.getField("cent_nrm"))).as("s"),
+      (-i).as("negidx"),
+      cs.getField("cent_id").as("cent_id")))
+
+  // argmax by (score desc, cent_id asc) == array_max of
+  // struct(score, -index)
+  private def assignCells(c: DataFrame, arr: Column): DataFrame = c
+    .withColumn("__best", array_max(cellScores(arr)(col("nn_vec"),
+      col("nn_nrm"))))
+    .select(col("nn_id"), col("nn_vec"), col("nn_nrm"),
+      col("__best.cent_id").as("cell"))
+
+  // empty-codebook assignment frame: right schema, zero rows (cell
+  // typed like the id column)
+  private def emptyAssigned(c: DataFrame): DataFrame =
+    c.limit(0).select(col("nn_id"), col("nn_vec"), col("nn_nrm"),
+      col("nn_id").as("cell"))
+
+  /** A corpus's prebuilt IVF index — the persistence unit the 100 TB
+    * serving shape needs. Build cost is O(N·nlist) and DOMINATES the
+    * query (ProfileIvf at sf10: ~15.1 s of the 15.6 s total is
+    * build), so the codebook and cell assignments are built ONCE and
+    * probed by every query batch. Mirrors
+    * [[graft.operators.Dedup.MinhashIndex]]'s discipline: two frames
+    * ARE the state — `codebook` (cent_id, cent_vec double[],
+    * cent_nrm; nlist rows) and `assigned` (nn_id, nn_vec, nn_nrm,
+    * cell; one row per corpus vector) — persist or [[IvfIndex.write]]
+    * them and every probe reads stored state instead of
+    * re-clustering. Reference analog: the changelog-backed store that
+    * outlives the job that built it
+    * (samza-kv/src/main/scala/org/apache/samza/storage/kv/LoggedStore.scala:1). */
+  final case class IvfIndex(codebook: DataFrame, assigned: DataFrame,
+      idCol: String, vecCol: String) {
+    /** Persist both frames as parquet under `dir` (the reload side is
+      * [[readIvfIndex]]). */
+    def write(dir: String): Unit = {
+      codebook.write.mode("overwrite").parquet(s"$dir/codebook.parquet")
+      assigned.write.mode("overwrite").parquet(s"$dir/assigned.parquet")
+    }
+  }
+
+  /** Reload a stored [[IvfIndex]]. The column params must match the
+    * ones the index was built with — same contract as constructing a
+    * MinhashIndex directly over a stored signed frame. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, vecCol: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$dir/codebook.parquet"),
+      spark.read.parquet(s"$dir/assigned.parquet"), idCol, vecCol)
+
+  /** Build an [[IvfIndex]]: deterministic md5-rank centroid seeds,
+    * `refine` Lloyd iterations, one narrow argmax assignment pass.
     *
     * The centroid table (nlist rows) is collected to the driver and
     * embedded as an array literal, so cell assignment and probe
     * selection are NARROW per-row argmax/top-n over that array — no
-    * shuffle touches the corpus until the final probe join on cell id.
+    * shuffle touches the corpus until the probe join on cell id.
     * (The previous shape ran row_number windows over corpus×nlist
     * rows: a corpus-sized shuffle that exists only to pick a max.)
     *
@@ -156,25 +244,18 @@ object Similarity {
     * whose mean has zero norm keeps its seed vector. Each iteration's
     * (cell, dim) mean table is bounded at nlist×dim rows by
     * construction — the same driver-resident codebook shape as the
-    * seeds. Returns (q_id, nn_id, rank, cos); approximate — recall vs
-    * [[bruteForceTopK]] is spec-tested. `nlist`/`nprobe` ≤ 0 derive
-    * from the corpus size ([[derivedNlist]]/[[derivedNprobe]]);
-    * explicit positive args win. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 0, nprobe: Int = 0,
-      scale: Int = 6, refine: Int = 1): DataFrame = {
-    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
-      .withColumn("nn_nrm", norm(col("nn_vec")))
-      .filter(col("nn_nrm") > 0) // zero-norm → NaN cosine; exclude
-    // nlist ≤ 0 → size-derived default (one corpus count — a narrow
-    // scan, run only when deriving); nprobe ≤ 0 → derived from the
-    // effective nlist. Explicit positive args always win.
+    * seeds. `nlist` ≤ 0 derives from the corpus size
+    * ([[derivedNlist]] — one narrow count action, run only when
+    * deriving; pass the known nlist to skip it). */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 0, refine: Int = 1): IvfIndex = {
+    val c = ivfPrep(corpus, idCol, vecCol)
     val nl = if (nlist > 0) nlist else derivedNlist(c.count())
-    val np = if (nprobe > 0) nprobe else derivedNprobe(nl)
-    // centroid table → driver (nlist rows — the IVF index's codebook),
-    // sorted engine-side by cent_id (id-type generic) so ARRAY POSITION
-    // gives deterministic tie-breaks (score desc, cent_id asc — matches
-    // the oracle's row_number ordering) without arithmetic on the id
+    // centroid table → driver (nlist rows — the index's codebook),
+    // sorted engine-side by cent_id (id-type generic) so ARRAY
+    // POSITION gives deterministic tie-breaks (score desc, cent_id
+    // asc — matches the oracle's row_number ordering) without
+    // arithmetic on the id
     val centRows = c
       .withColumn("__h", md5(col("nn_id").cast("string")))
       .orderBy(col("__h")) // TakeOrderedAndProject with the limit below
@@ -183,56 +264,14 @@ object Similarity {
         col("nn_nrm").as("cent_nrm"))
       .orderBy(col("cent_id"))
       .collect()
-    if (centRows.isEmpty) {
-      // empty corpus → empty result; q_id typed from the queries side,
-      // nn_id from the corpus side (they may differ), like the normal path
-      return queries.limit(0).select(col(idCol).as("q_id"))
-        .crossJoin(corpus.limit(0).select(col(idCol).as("nn_id")))
-        .select(col("q_id"), col("nn_id"), lit(0L).as("rank"),
-          lit(0.0).as("cos"))
-    }
-    // centroids as doubles everywhere (float→double widening is exact,
-    // and the dot kernel scores per-element in double regardless), so
-    // seed and refined centroids flow through one literal shape
-    val toDouble: Any => Double = {
-      case f: java.lang.Float => f.toDouble
-      case d: java.lang.Double => d.doubleValue
-    }
-    var cents: Seq[(Any, Seq[Double], Double)] = centRows.toSeq.map { r =>
-      (r.get(0), r.getSeq[Any](1).map(toDouble).toSeq,
-        r.getAs[Double]("cent_nrm"))
-    }
-    def centArrOf(cs: Seq[(Any, Seq[Double], Double)]): Column =
-      array(cs.map { case (id, v, nrm) =>
-        struct(lit(id).as("cent_id"), typedLit(v).as("cent_vec"),
-          lit(nrm).as("cent_nrm"))
-      }: _*)
-    // per-row centroid scores with the array index as tie-break: the
-    // lambda only captures plain attributes (vec, nrm), so interpreted
-    // HOF evaluation costs one method dispatch per centroid — the dot
-    // product itself runs the DotProduct kernel. negidx is unique per
-    // element, so the cent_id field never participates in struct
-    // comparisons.
-    def cellScores(arr: Column)(vec: Column, nrm: Column): Column =
-      transform(arr, (cs, i) => struct(
-        (dot(vec, cs.getField("cent_vec")) /
-          (nrm * cs.getField("cent_nrm"))).as("s"),
-        (-i).as("negidx"),
-        cs.getField("cent_id").as("cent_id")))
-    // argmax by (score desc, cent_id asc) == array_max of
-    // struct(score, -index)
-    def assignCells(arr: Column): DataFrame = c
-      .withColumn("__best", array_max(cellScores(arr)(col("nn_vec"),
-        col("nn_nrm"))))
-      .select(col("nn_id"), col("nn_vec"), col("nn_nrm"),
-        col("__best.cent_id").as("cell"))
+    var cents = ivfCents(centRows.toSeq)
     // Lloyd iterations: each replaces a centroid with its cell's mean.
     // Per-dimension sums are decimal(30,6)-exact (order-free — the same
     // cross-engine trick as QHelp.sumDec), the division runs in double,
     // and empty/zero-norm cells keep their previous centroid; the
     // collect is bounded at nlist × dim rows by construction.
-    for (_ <- 0 until refine) {
-      val means = assignCells(centArrOf(cents))
+    for (_ <- 0 until refine if cents.nonEmpty) {
+      val means = assignCells(c, centArrOf(cents))
         .select(col("cell"), posexplode(col("nn_vec")).as(Seq("j", "x")))
         .groupBy(col("cell"), col("j"))
         .agg((sum(col("x").cast("double")
@@ -253,30 +292,105 @@ object Similarity {
         }
       }
     }
+    // codebook as a FRAME (exploded from the same literal shape the
+    // probe embeds) so the index is storable; empty corpus → empty
+    // typed frames
+    val codebook =
+      if (cents.isEmpty)
+        c.limit(0).select(col("nn_id").as("cent_id"),
+          transform(col("nn_vec"), x => x.cast("double")).as("cent_vec"),
+          col("nn_nrm").as("cent_nrm"))
+      else corpus.sparkSession.range(1)
+        .select(explode(centArrOf(cents)).as("c"))
+        .select(col("c.cent_id"), col("c.cent_vec"), col("c.cent_nrm"))
+    val assigned =
+      if (cents.isEmpty) emptyAssigned(c)
+      else assignCells(c, centArrOf(cents))
+    IvfIndex(codebook, assigned, idCol, vecCol)
+  }
+
+  /** Incremental ingest: assign `newCorpus`'s vectors to the EXISTING
+    * cells (codebook unchanged — the standard IVF append; periodic
+    * re-train is a rebuild with [[ivfIndex]]) and extend `assigned`.
+    * One narrow argmax pass over the batch — the corpus is never
+    * touched. [[IvfIndex.write]] the result (or append the new
+    * assignment rows to the stored assigned parquet) to persist the
+    * ingest. */
+  def ivfIndexAppend(index: IvfIndex, newCorpus: DataFrame): IvfIndex = {
+    val cents = ivfCents(
+      index.codebook.orderBy(col("cent_id")).collect().toSeq)
+    val c = ivfPrep(newCorpus, index.idCol, index.vecCol)
+    val extra =
+      if (cents.isEmpty) emptyAssigned(c)
+      else assignCells(c, centArrOf(cents))
+    index.copy(assigned = index.assigned.unionByName(extra))
+  }
+
+  /** Probe a prebuilt [[IvfIndex]]: score the nlist centroids per
+    * query (bounded nlist-row codebook collect → driver literal),
+    * probe the `nprobe` best cells, bounded-heap top-k. Per query
+    * batch this touches nprobe/nlist of the corpus and NONE of the
+    * build chain — the amortized serving cost ProfileIvf measures.
+    * `nprobe` ≤ 0 derives from the codebook size ([[derivedNprobe]]);
+    * identical results to [[ivfTopK]] with the same parameters
+    * (oracle-asserted: q_ann_ivf_index hash-matches q_ann_ivf_topk's
+    * SQL). Returns (q_id, nn_id, rank, cos). */
+  def ivfTopKWithIndex(queries: DataFrame, index: IvfIndex, k: Int,
+      nprobe: Int = 0, scale: Int = 6): DataFrame = {
+    val cents = ivfCents(
+      index.codebook.orderBy(col("cent_id")).collect().toSeq)
+    if (cents.isEmpty) {
+      // empty corpus → empty result; q_id typed from the queries side,
+      // nn_id from the corpus side (they may differ)
+      return queries.limit(0).select(col(index.idCol).as("q_id"))
+        .crossJoin(index.assigned.limit(0).select(col("nn_id")))
+        .select(col("q_id"), col("nn_id"), lit(0L).as("rank"),
+          lit(0.0).as("cos"))
+    }
+    val np = if (nprobe > 0) nprobe else derivedNprobe(cents.length)
     val centArr = centArrOf(cents)
-    val assigned = assignCells(centArr)
-    // each query's nprobe nearest cells: sort the nlist scores
-    // (asc by (-score, index)) and take the first nprobe
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val q = queries.select(col(index.idCol).as("q_id"),
+        col(index.vecCol).as("q_vec"))
       .withColumn("q_nrm", norm(col("q_vec")))
       .filter(col("q_nrm") > 0)
+    // each query's nprobe nearest cells: sort the nlist scores
+    // (asc by (-score, index)) and take the first nprobe
     val probes = q
       .withColumn("__probe", explode(slice(array_sort(
-        transform(cellScores(centArr)(col("q_vec"), col("q_nrm")), cs => struct(
-          (-cs.getField("s")).as("negs"),
-          (-cs.getField("negidx")).as("idx"),
-          cs.getField("cent_id").as("cent_id")))),
+        transform(cellScores(centArr)(col("q_vec"), col("q_nrm")),
+          cs => struct(
+            (-cs.getField("s")).as("negs"),
+            (-cs.getField("negidx")).as("idx"),
+            cs.getField("cent_id").as("cent_id")))),
         1, np)))
       .select(col("q_id"), col("q_vec"), col("q_nrm"),
         col("__probe.cent_id").as("cell"))
     // score only vectors in probed cells; bounded-heap top-k (no
     // per-query window shuffle — see topKRank)
-    val scored = probes.join(assigned, "cell")
+    val scored = probes.join(index.assigned, "cell")
       .filter(col("q_id") =!= col("nn_id"))
       .withColumn("cos",
         dot(col("q_vec"), col("nn_vec")) / (col("q_nrm") * col("nn_nrm")))
     topKRank(scored, k, scale)
   }
+
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned
+    * into `nlist` cells by nearest centroid; a query scores only the
+    * `nprobe` cells whose centroids it is closest to. At 100 TB this is
+    * the difference between scanning the corpus per query and scanning
+    * nprobe/nlist of it. One-shot form of [[ivfIndex]] +
+    * [[ivfTopKWithIndex]] — build amortization across query batches
+    * (and across sessions, via [[IvfIndex.write]]/[[readIvfIndex]])
+    * is the production shape, since build dominates. Returns
+    * (q_id, nn_id, rank, cos); approximate — recall vs
+    * [[bruteForceTopK]] is spec-tested. `nlist`/`nprobe` ≤ 0 derive
+    * from the corpus size ([[derivedNlist]]/[[derivedNprobe]]);
+    * explicit positive args win. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 0, nprobe: Int = 0,
+      scale: Int = 6, refine: Int = 1): DataFrame =
+    ivfTopKWithIndex(queries,
+      ivfIndex(corpus, idCol, vecCol, nlist, refine), k, nprobe, scale)
 
   /** Per-vector int8 quantization summary row. */
   case class QuantStats(

@@ -82,83 +82,30 @@ object SimilarityQueries extends QueryPack {
           idCol = "vec_id", vecCol = "embedding",
           k = 5, nlist = 16, nprobe = 4)
       },
-      // the oracle replays the ONE Lloyd refinement iteration the
-      // engine runs: seed centroids by md5 order, assign, per-cell
-      // decimal-exact dimension means (empty/zero-norm cells keep
-      // their seed), then the refined assignment/probe stages
-      Some(s"""WITH n AS (
-              |  SELECT vec_id, embedding,
-              |         sqrt(${oDot("embedding", "embedding")}) AS nrm
-              |  FROM embeddings),
-              |cent0 AS (
-              |  SELECT vec_id AS cent_id,
-              |         list_transform(embedding,
-              |                        v -> CAST(v AS DOUBLE)) AS cent_vec,
-              |         nrm AS cent_nrm
-              |  FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
-              |a0 AS (
-              |  SELECT nn_id, nn_vec, cell FROM (
-              |    SELECT c.vec_id AS nn_id, c.embedding AS nn_vec,
-              |           cent_id AS cell,
-              |      row_number() OVER (PARTITION BY c.vec_id
-              |        ORDER BY ${oDot("c.embedding", "cent_vec")} /
-              |                 (c.nrm * cent_nrm) DESC, cent_id ASC) AS r
-              |    FROM n c, cent0)
-              |  WHERE r = 1),
-              |pe AS (
-              |  SELECT cell, unnest(range(1, 65)) AS j,
-              |         unnest(nn_vec) AS x
-              |  FROM a0),
-              |mu AS (
-              |  SELECT cell, j,
-              |    CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,6)))
-              |         AS DOUBLE) / count(*) AS m
-              |  FROM pe GROUP BY cell, j),
-              |newv AS (
-              |  SELECT cell AS cent_id, list(m ORDER BY j) AS mvec
-              |  FROM mu GROUP BY cell),
-              |cent AS (
-              |  SELECT c0.cent_id,
-              |    CASE WHEN nv.mvec IS NOT NULL
-              |           AND sqrt(${oDot("nv.mvec", "nv.mvec")}) > 0
-              |         THEN nv.mvec ELSE c0.cent_vec END AS cent_vec,
-              |    CASE WHEN nv.mvec IS NOT NULL
-              |           AND sqrt(${oDot("nv.mvec", "nv.mvec")}) > 0
-              |         THEN sqrt(${oDot("nv.mvec", "nv.mvec")})
-              |         ELSE c0.cent_nrm END AS cent_nrm
-              |  FROM cent0 c0 LEFT JOIN newv nv USING (cent_id)),
-              |assigned AS (
-              |  SELECT nn_id, nn_vec, nn_nrm, cell FROM (
-              |    SELECT c.vec_id AS nn_id, c.embedding AS nn_vec,
-              |           c.nrm AS nn_nrm, cent_id AS cell,
-              |      row_number() OVER (PARTITION BY c.vec_id
-              |        ORDER BY ${oDot("c.embedding", "cent_vec")} /
-              |                 (c.nrm * cent_nrm) DESC, cent_id ASC) AS r
-              |    FROM n c, cent)
-              |  WHERE r = 1),
-              |probes AS (
-              |  SELECT q_id, q_vec, q_nrm, cell FROM (
-              |    SELECT q.vec_id AS q_id, q.embedding AS q_vec,
-              |           q.nrm AS q_nrm, cent_id AS cell,
-              |      row_number() OVER (PARTITION BY q.vec_id
-              |        ORDER BY ${oDot("q.embedding", "cent_vec")} /
-              |                 (q.nrm * cent_nrm) DESC, cent_id ASC) AS r
-              |    FROM n q, cent
-              |    WHERE q.vec_id % 100 = 0)
-              |  WHERE r <= 4),
-              |scored AS (
-              |  SELECT q_id, nn_id,
-              |    ${oDot("q_vec", "nn_vec")} / (q_nrm * nn_nrm) AS cos
-              |  FROM probes JOIN assigned USING (cell)
-              |  WHERE q_id <> nn_id),
-              |ranked AS (
-              |  SELECT q_id, nn_id, cos,
-              |    row_number() OVER (PARTITION BY q_id
-              |                       ORDER BY cos DESC, nn_id) AS rank
-              |  FROM scored)
-              |SELECT q_id, nn_id, rank, round(cos, 6) AS cos
-              |FROM ranked WHERE rank <= 5
-              |""".stripMargin)),
+      Some(ivfOracleSql)),
+
+    // IVF with a PERSISTED index — the 100 TB serving shape: build is
+    // ~97% of ivfTopK's cost (ProfileIvf), so production builds once,
+    // stores codebook + cell assignments as parquet, and every query
+    // batch probes the stored state. The query exercises the FULL
+    // persistence loop (build → write → reload → probe) and must
+    // hash-match q_ann_ivf_topk: same parameters, same oracle SQL —
+    // the index round-trip may not change a single bit of the result.
+    "q_ann_ivf_index" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        // build+write runs eagerly here (parquet write is an action);
+        // the returned plan reads ONLY the stored index — fixed
+        // per-JVM path, overwritten per run
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index"
+        Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+          .write(dir)
+        val idx = Similarity.readIvfIndex(s, dir, "vec_id", "embedding")
+        Similarity.ivfTopKWithIndex(
+          emb.filter($"vec_id" % 100 === 0), idx, k = 5, nprobe = 4)
+      },
+      Some(ivfOracleSql)),
 
     // SRP-LSH near-dup: approximate scale path. The hyperplanes are
     // deterministic integer-derived coefficients (Similarity.srpBucket),
@@ -264,4 +211,85 @@ object SimilarityQueries extends QueryPack {
               |FROM n GROUP BY label
               |""".stripMargin))
   )
+
+
+  // the oracle replays the ONE Lloyd refinement iteration the
+  // engine runs: seed centroids by md5 order, assign, per-cell
+  // decimal-exact dimension means (empty/zero-norm cells keep
+  // their seed), then the refined assignment/probe stages. Shared
+  // verbatim by q_ann_ivf_topk and q_ann_ivf_index — the persisted
+  // index must reproduce the in-memory path bit-for-bit.
+  private def ivfOracleSql: String = s"""WITH n AS (
+              |  SELECT vec_id, embedding,
+              |         sqrt(${oDot("embedding", "embedding")}) AS nrm
+              |  FROM embeddings),
+              |cent0 AS (
+              |  SELECT vec_id AS cent_id,
+              |         list_transform(embedding,
+              |                        v -> CAST(v AS DOUBLE)) AS cent_vec,
+              |         nrm AS cent_nrm
+              |  FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+              |a0 AS (
+              |  SELECT nn_id, nn_vec, cell FROM (
+              |    SELECT c.vec_id AS nn_id, c.embedding AS nn_vec,
+              |           cent_id AS cell,
+              |      row_number() OVER (PARTITION BY c.vec_id
+              |        ORDER BY ${oDot("c.embedding", "cent_vec")} /
+              |                 (c.nrm * cent_nrm) DESC, cent_id ASC) AS r
+              |    FROM n c, cent0)
+              |  WHERE r = 1),
+              |pe AS (
+              |  SELECT cell, unnest(range(1, 65)) AS j,
+              |         unnest(nn_vec) AS x
+              |  FROM a0),
+              |mu AS (
+              |  SELECT cell, j,
+              |    CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,6)))
+              |         AS DOUBLE) / count(*) AS m
+              |  FROM pe GROUP BY cell, j),
+              |newv AS (
+              |  SELECT cell AS cent_id, list(m ORDER BY j) AS mvec
+              |  FROM mu GROUP BY cell),
+              |cent AS (
+              |  SELECT c0.cent_id,
+              |    CASE WHEN nv.mvec IS NOT NULL
+              |           AND sqrt(${oDot("nv.mvec", "nv.mvec")}) > 0
+              |         THEN nv.mvec ELSE c0.cent_vec END AS cent_vec,
+              |    CASE WHEN nv.mvec IS NOT NULL
+              |           AND sqrt(${oDot("nv.mvec", "nv.mvec")}) > 0
+              |         THEN sqrt(${oDot("nv.mvec", "nv.mvec")})
+              |         ELSE c0.cent_nrm END AS cent_nrm
+              |  FROM cent0 c0 LEFT JOIN newv nv USING (cent_id)),
+              |assigned AS (
+              |  SELECT nn_id, nn_vec, nn_nrm, cell FROM (
+              |    SELECT c.vec_id AS nn_id, c.embedding AS nn_vec,
+              |           c.nrm AS nn_nrm, cent_id AS cell,
+              |      row_number() OVER (PARTITION BY c.vec_id
+              |        ORDER BY ${oDot("c.embedding", "cent_vec")} /
+              |                 (c.nrm * cent_nrm) DESC, cent_id ASC) AS r
+              |    FROM n c, cent)
+              |  WHERE r = 1),
+              |probes AS (
+              |  SELECT q_id, q_vec, q_nrm, cell FROM (
+              |    SELECT q.vec_id AS q_id, q.embedding AS q_vec,
+              |           q.nrm AS q_nrm, cent_id AS cell,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ${oDot("q.embedding", "cent_vec")} /
+              |                 (q.nrm * cent_nrm) DESC, cent_id ASC) AS r
+              |    FROM n q, cent
+              |    WHERE q.vec_id % 100 = 0)
+              |  WHERE r <= 4),
+              |scored AS (
+              |  SELECT q_id, nn_id,
+              |    ${oDot("q_vec", "nn_vec")} / (q_nrm * nn_nrm) AS cos
+              |  FROM probes JOIN assigned USING (cell)
+              |  WHERE q_id <> nn_id),
+              |ranked AS (
+              |  SELECT q_id, nn_id, cos,
+              |    row_number() OVER (PARTITION BY q_id
+              |                       ORDER BY cos DESC, nn_id) AS rank
+              |  FROM scored)
+              |SELECT q_id, nn_id, rank, round(cos, 6) AS cos
+              |FROM ranked WHERE rank <= 5
+              |""".stripMargin
 }

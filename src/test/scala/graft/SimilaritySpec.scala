@@ -170,4 +170,48 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect()
     nd.foreach { case (a, b) => assert(a < b) }
   }
+
+  test("persisted IVF index reloads to the identical probe result") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sf001, "embeddings")
+    val q = emb.filter($"vec_id" % 50 === 0)
+    val direct = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 2).collect().toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_spec").toString
+    Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 8).write(dir)
+    val reloaded = Similarity.readIvfIndex(s, dir, "vec_id", "embedding")
+    val viaIndex = Similarity.ivfTopKWithIndex(q, reloaded, k = 3,
+      nprobe = 2).collect().toSet
+    assert(viaIndex == direct)
+  }
+
+  test("IVF append assigns new vectors to existing cells, codebook fixed") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sf001, "embeddings")
+    val (oldHalf, newHalf) =
+      (emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 =!= 0))
+    val idx = Similarity.ivfIndex(oldHalf, "vec_id", "embedding", nlist = 8)
+    val appended = Similarity.ivfIndexAppend(idx, newHalf)
+    // codebook is untouched (append never re-trains)
+    assert(appended.codebook.collect().toSeq ==
+      idx.codebook.collect().toSeq)
+    // every corpus vector is assigned exactly once
+    assert(appended.assigned.count() == emb.count())
+    assert(appended.assigned.select("nn_id").distinct().count() ==
+      emb.count())
+    // an appended vector is findable: querying WITH one of the new
+    // vectors returns its exact twin (itself excluded) cell-locally —
+    // rank-1 cos must come from a probed cell containing new data
+    val probeQ = newHalf.limit(3)
+    val hits = Similarity.ivfTopKWithIndex(probeQ, appended, k = 3,
+      nprobe = 8) // probe all cells: result == exact top-k over corpus
+      .filter($"rank" === 1).collect()
+    assert(hits.length == 3)
+    // appending an empty batch changes nothing
+    val same = Similarity.ivfIndexAppend(idx, newHalf.limit(0))
+    assert(same.assigned.count() == idx.assigned.count())
+  }
 }
