@@ -245,12 +245,16 @@ object Similarity {
     * (cell, dim) mean table is bounded at nlist×dim rows by
     * construction — the same driver-resident codebook shape as the
     * seeds. `nlist` ≤ 0 derives from the corpus size
-    * ([[derivedNlist]] — one narrow count action, run only when
-    * deriving; pass the known nlist to skip it). */
+    * ([[derivedNlist]]) — NOTE that deriving runs one extra count
+    * action over the corpus, so a non-materialized upstream pipeline
+    * executes twice; pass an explicit `nlist` or `knownCount` (or
+    * persist the corpus) to skip it. */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 0, refine: Int = 1): IvfIndex = {
+      nlist: Int = 0, refine: Int = 1, knownCount: Long = -1L): IvfIndex = {
     val c = ivfPrep(corpus, idCol, vecCol)
-    val nl = if (nlist > 0) nlist else derivedNlist(c.count())
+    val nl =
+      if (nlist > 0) nlist
+      else derivedNlist(if (knownCount >= 0) knownCount else c.count())
     // centroid table → driver (nlist rows — the index's codebook),
     // sorted engine-side by cent_id (id-type generic) so ARRAY
     // POSITION gives deterministic tie-breaks (score desc, cent_id
@@ -388,9 +392,10 @@ object Similarity {
     * explicit positive args win. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 0, nprobe: Int = 0,
-      scale: Int = 6, refine: Int = 1): DataFrame =
+      scale: Int = 6, refine: Int = 1, knownCount: Long = -1L): DataFrame =
     ivfTopKWithIndex(queries,
-      ivfIndex(corpus, idCol, vecCol, nlist, refine), k, nprobe, scale)
+      ivfIndex(corpus, idCol, vecCol, nlist, refine, knownCount),
+      k, nprobe, scale)
 
   /** Per-vector int8 quantization summary row. */
   case class QuantStats(
@@ -457,11 +462,17 @@ object Similarity {
     * 100 TB path when no natural blocking column exists. Misses pairs
     * that straddle buckets (tunable via `planes`; fewer planes = bigger
     * buckets = higher recall & cost). `planes` ≤ 0 derives the count
-    * from the corpus size ([[derivedPlanes]] — one narrow count);
-    * explicit positive values win. */
+    * from the corpus size ([[derivedPlanes]]) — NOTE that deriving
+    * runs one extra count action over `df`, so a non-materialized
+    * upstream pipeline executes twice; a caller with an expensive
+    * upstream passes `knownCount` (or persists `df`) to skip it.
+    * Explicit positive `planes` never counts. */
   def lshNearDup(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, planes: Int = 0, threshold: Double): DataFrame = {
-    val p = if (planes > 0) planes else derivedPlanes(df.count())
+      dim: Int, planes: Int = 0, threshold: Double,
+      knownCount: Long = -1L): DataFrame = {
+    val p =
+      if (planes > 0) planes
+      else derivedPlanes(if (knownCount >= 0) knownCount else df.count())
     val bucketed = df.withColumn("bucket",
       srpBucket(col(vecCol), dim, p))
     blockedNearDup(bucketed, idCol, vecCol, "bucket", threshold)

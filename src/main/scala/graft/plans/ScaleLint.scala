@@ -33,12 +33,26 @@ object ScaleLint {
   def lint(df: DataFrame): Seq[Finding] = {
     val out = Seq.newBuilder[Finding]
     val optimized = df.queryExecution.optimizedPlan
-    val physical = df.queryExecution.executedPlan.toString()
     // logical checks must also see plans nested inside subquery
     // expressions (a cartesian inside a scalar/IN subquery is just as
-    // quadratic, and the physical string prints it as an opaque
+    // quadratic, and the physical plan hides it behind an opaque
     // `scalar-subquery#N`)
     val logicalPlans = optimized +: optimized.subqueriesAll
+    // physical checks match NODE TYPES, not plan-string markers (which
+    // shift across Spark versions and go quiet silently — round-8
+    // hardening; ScaleLintSpec's positive-detection tests stay the
+    // canaries). The walk descends through the AQE wrapper and any
+    // materialized query stages, and into physical subquery plans.
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(q.plan)
+        case other => other.children.flatMap(allNodes)
+      }
+      (p +: below) ++ p.subqueries.flatMap(allNodes)
+    }
+    val physNodes = allNodes(df.queryExecution.executedPlan)
 
     // --- joins that degenerate to all-pairs -------------------------
     logicalPlans.foreach(_.foreach {
@@ -52,10 +66,12 @@ object ScaleLint {
     // AQE/codegen can hide the logical shape; catch the physical
     // operators too (BroadcastNestedLoopJoin is how a conditionless or
     // non-equi join actually executes)
-    if (physical.contains("CartesianProduct"))
+    if (physNodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
       out += Finding("CARTESIAN_PHYSICAL", "error",
         "physical plan contains CartesianProduct")
-    if (physical.contains("BroadcastNestedLoopJoin"))
+    if (physNodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]))
       out += Finding("NESTED_LOOP_JOIN", "warn",
         "BroadcastNestedLoopJoin: every task scans the broadcast side " +
           "per row — fine for a tiny constant side, quadratic otherwise")
@@ -130,15 +146,7 @@ object ScaleLint {
     // filter never enters dataFilters and is invisible here; DSv2
     // BatchScanExec is out of scope (parquet reads plan v1 scans under
     // the default useV1SourceList).
-    def scans(p: SparkPlan): Seq[FileSourceScanLike] = {
-      val here = p match {
-        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-        case s: FileSourceScanLike => Seq(s)
-        case other => other.children.flatMap(scans)
-      }
-      here ++ p.subqueries.flatMap(scans)
-    }
-    scans(df.queryExecution.executedPlan).foreach { s =>
+    physNodes.collect { case s: FileSourceScanLike => s }.foreach { s =>
       // metadata can evaluate scalar subqueries pre-execution; a
       // throwing scan is skipped rather than failing the lint
       scala.util.Try {
@@ -159,15 +167,12 @@ object ScaleLint {
     }
 
     // --- shuffle inventory ------------------------------------------
-    // line-based: a ReusedExchange row echoes its target's `Exchange
-    // hashpartitioning(…)` text on the same line but re-executes
-    // nothing; RoundRobinPartitioning (repartition(n)) is a real
-    // shuffle and counts
-    val shuffleKinds = Seq("Exchange hashpartitioning",
-      "Exchange rangepartitioning", "Exchange SinglePartition",
-      "Exchange RoundRobinPartitioning")
-    val shuffles = physical.linesIterator.count(l =>
-      !l.contains("ReusedExchange") && shuffleKinds.exists(l.contains))
+    // node-typed: every ShuffleExchangeExec (hash / range / single /
+    // round-robin partitioning) is a real shuffle; a ReusedExchangeExec
+    // is a LEAF pointing at an exchange counted where it really runs,
+    // so the walk never double-counts it
+    val shuffles = physNodes.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
     if (shuffles > 0)
       out += Finding("SHUFFLES", "info",
         s"$shuffles exchange(s) in the physical plan — each is a full " +

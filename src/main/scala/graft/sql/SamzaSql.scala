@@ -61,7 +61,19 @@ object SamzaSql {
     * ('' quote-escaping falls out of the close-then-reopen state
     * machine; Spark's default `\'` escape is consumed explicitly so
     * an escaped quote can't desynchronize the literal state; an
-    * apostrophe inside a comment can't open a phantom literal.) */
+    * apostrophe inside a comment can't open a phantom literal.)
+    *
+    * DIALECT NOTE: the backslash branch matches the parser that
+    * EXECUTES these statements — Spark's default (escapedStringLiterals
+    * off). The reference's Calcite dialect escapes quotes only by
+    * doubling and treats backslash literally
+    * (samza-sql/src/main/java/org/apache/samza/sql/translator/
+    * QueryTranslator.java parses via Calcite), so a literal ending in
+    * a lone backslash ('C:\') would tokenize differently there; since
+    * the rewritten text is always handed to Spark, Spark's rules are
+    * the correct ones here. If a deployment enables
+    * spark.sql.parser.escapedStringLiterals=false-equivalent legacy
+    * mode, this branch would need gating on that setting. */
   private def topLevelMask(sql: String): Array[Boolean] = {
     val mask = new Array[Boolean](sql.length)
     var depth = 0
