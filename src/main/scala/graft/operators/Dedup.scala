@@ -357,10 +357,33 @@ object Dedup {
     }: _*)
   }
 
+  /** Write a [[MinhashIndex]]'s state to parquet under `dir` — the
+    * cross-session form of the persist-`signed` discipline (and the
+    * text-side mirror of `Similarity.IvfIndex.write`): the signature
+    * pass runs once per corpus LIFETIME, not once per session. Append
+    * an ingest batch by writing its own signed frame into the same
+    * dir (parquet append) after pairing it via
+    * [[minhashLshPairsAgainstIndex]]. */
+  def writeMinhashIndex(index: MinhashIndex, dir: String): Unit =
+    index.signed.write.mode("overwrite")
+      .parquet(s"$dir/signed.parquet")
+
+  /** Reload a stored [[MinhashIndex]]. The params must match the ones
+    * the index was built with — the constructor re-validates band
+    * tiling, and a mismatched `n`/`numHashes` would silently produce
+    * disjoint band keys, which is why they ride along in the case
+    * class in the first place. */
+  def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String, textCol: String, n: Int,
+      numHashes: Int, rowsPerBand: Int): MinhashIndex =
+    MinhashIndex(spark.read.parquet(s"$dir/signed.parquet"), idCol,
+      textCol, n, numHashes, rowsPerBand)
+
   /** Build a [[MinhashIndex]] for a corpus: one narrow pass computes
     * shingle sets + signatures, the band explode is narrow too — no
     * shuffle at all. Persistence is the CALLER's choice (persist
-    * `signed` for a session, write it to storage for daily ingests). */
+    * `signed` for a session, [[writeMinhashIndex]] for daily
+    * ingests). */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, rowsPerBand: Int): MinhashIndex = {
     // tiling validated by the MinhashIndex constructor itself

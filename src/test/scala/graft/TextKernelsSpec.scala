@@ -329,6 +329,18 @@ class TextKernelsSpec extends SparkSpec {
     assert(viaIndex(batch0) == direct(batch0))
     assert(viaIndex(batch1) == direct(batch1))
     assert(viaIndex(batch0).nonEmpty)
+
+    // cross-session form: the parquet round-trip must not change a
+    // pair (float-free schema — ids, shingle hashes, sizes, sig longs)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_minhash_spec").toString
+    graft.operators.Dedup.writeMinhashIndex(idx, dir)
+    val reloaded = graft.operators.Dedup.readMinhashIndex(
+      s, dir, "doc_id", "text", 3, 16, 4)
+    val viaStored = graft.operators.Dedup
+      .minhashLshPairsAgainstIndex(batch0, reloaded, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaStored == viaIndex(batch0))
     s.catalog.clearCache()
   }
 
