@@ -75,6 +75,21 @@ object ScaleLint {
       out += Finding("NESTED_LOOP_JOIN", "warn",
         "BroadcastNestedLoopJoin: every task scans the broadcast side " +
           "per row — fine for a tiny constant side, quadratic otherwise")
+    // the measured sf10 wall: a ShuffledHashJoin BUILDS a hash map of
+    // one partition of the build side in executor memory — unlike
+    // sort-merge it cannot spill the build, so data growth turns it
+    // into an OOM, not a slowdown (q_join_composite_key died exactly
+    // this way at 59M groups and is pinned to merge since). Info, not
+    // error: legitimate when the build side is config-bounded (the
+    // jaccard verify join's docs×partitions build — documented at its
+    // hint site).
+    if (physNodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]))
+      out += Finding("SHUFFLE_HASH_JOIN", "info",
+        "ShuffledHashJoin: the build side's partition must FIT executor " +
+          "memory (no spill, unlike sort-merge) — at 100× keys this is " +
+          "an OOM, not a slowdown; keep only if the build side is " +
+          "provably bounded, else hint merge")
 
     // --- windows ----------------------------------------------------
     logicalPlans.foreach(_.foreach {

@@ -96,6 +96,17 @@ class ScaleLintSpec extends SparkSpec {
     assert(!codes(clean).contains("FILTER_NOT_PUSHED"), codes(clean))
   }
 
+  test("flags a shuffled-hash join; sort-merge stays quiet") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1, "x"), (2, "y")).toDF("k", "va")
+    val b = Seq((1, "p"), (2, "q")).toDF("k", "vb")
+    val shj = a.hint("shuffle_hash").join(b, "k")
+    assert(codes(shj).contains("SHUFFLE_HASH_JOIN"), codes(shj))
+    val smj = a.hint("merge").join(b, "k")
+    assert(!codes(smj).contains("SHUFFLE_HASH_JOIN"), codes(smj))
+  }
+
   test("reports the shuffle inventory") {
     val s = spark
     import s.implicits._
