@@ -52,4 +52,37 @@ object Sinks {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Write `df` as parquet aiming for `targetFileBytes` per output
+    * file — the output-hygiene pass a 100 TB pipeline needs: a job
+    * whose last stage ran at shuffle-partition width otherwise writes
+    * thousands of KB-sized files (NameNode pressure, per-file open
+    * cost on every downstream scan), and a coalesced single writer is
+    * one task doing all the IO. File count comes from CATALYST'S OWN
+    * size estimate (`optimizedPlan.stats.sizeInBytes` — no extra
+    * action, no sampling job; for a plain scan-transform plan this is
+    * file-size-based and conservative vs parquet's re-encoding, so
+    * files land at-or-under target). repartition(n) (round-robin)
+    * balances rows across writers; the `sortCols` variant instead
+    * range-partitions + sorts so each file covers a tight key range —
+    * the layout that makes downstream min/max row-group skipping on
+    * those columns effective. Returns the file count it chose. */
+  def writeSizedParquet(df: DataFrame, path: String,
+      targetFileBytes: Long = 128L << 20,
+      sortCols: Seq[String] = Nil): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val estBytes =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes.max(BigInt(1))
+    // ceil(est/target), capped at 1M files (a 128 MB target at that
+    // cap is 128 TB of output — past it, raise the target instead)
+    val n = ((estBytes + targetFileBytes - 1) / targetFileBytes)
+      .min(BigInt(1 << 20)).toInt.max(1)
+    val shaped =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(n, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(n)
+    shaped.write.mode(SaveMode.Overwrite).parquet(path)
+    n
+  }
 }

@@ -116,6 +116,24 @@ class ScaleLintSpec extends SparkSpec {
       shuffles)
   }
 
+  test("findings survive execution (AQE-materialized query stages)") {
+    // after an action, AQE replaces exchanges with materialized
+    // QueryStageExec wrappers; the walk must descend into them so a
+    // post-hoc lint (e.g. a QueryExecutionListener) sees the same
+    // plan facts as a pre-execution one
+    val s = spark
+    import s.implicits._
+    val f = udf((d: Double) => d > 10)
+    val df = graft.sources.Tables.load(spark, sf0001, "lineitem")
+      .filter(f($"l_quantity")).groupBy("l_returnflag").count()
+    val before = codes(df)
+    df.collect()
+    val after = codes(df)
+    assert(after.contains("FILTER_NOT_PUSHED"), after)
+    assert(after.contains("SHUFFLES"), after)
+    assert(before == after, s"pre=$before post=$after")
+  }
+
   test("every registry query lints clean of error-severity findings") {
     // the automated form of the per-query PlanSpec audits: no benched
     // query may plan a cartesian or a global window. The one documented

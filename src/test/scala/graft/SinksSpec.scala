@@ -85,4 +85,40 @@ class SinksSpec extends SparkSpec {
       s.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("sized parquet write picks file count from plan stats, keeps rows") {
+    val s = spark
+    val li = Tables.load(s, sf001, "lineitem")
+    val est = li.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = (est / 4).toLong.max(1L)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sized_write").toString
+    val n = Sinks.writeSizedParquet(li, s"$out/flat", target)
+    // ceil(est/target) with est ~= 4*target → 4 or 5 files chosen
+    assert(n >= 4 && n <= 5, n.toString)
+    val files = new java.io.File(s"$out/flat").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == n, files.length.toString)
+    assert(s.read.parquet(s"$out/flat").count() == li.count())
+
+    // sorted variant: files cover disjoint key ranges (range
+    // partitioning), the layout row-group skipping needs
+    val n2 = Sinks.writeSizedParquet(li, s"$out/sorted", target,
+      sortCols = Seq("l_orderkey"))
+    val perFile = s.read.parquet(s"$out/sorted")
+      .select(org.apache.spark.sql.functions
+        .input_file_name().as("f"), org.apache.spark.sql.functions
+        .col("l_orderkey"))
+      .groupBy("f")
+      .agg(org.apache.spark.sql.functions.min("l_orderkey").as("lo"),
+        org.apache.spark.sql.functions.max("l_orderkey").as("hi"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.length == n2)
+    perFile.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, "ranges overlap")
+      case _ => ()
+    }
+    assert(s.read.parquet(s"$out/sorted").count() == li.count())
+  }
 }
