@@ -43,13 +43,19 @@ object Bench {
         spark.catalog.clearCache()
         name -> secs
     }
-    // compact: 2-decimal seconds. The driver's capture window is 2,000
-    // bytes and the round-7 line (3-decimal, with "unit") measured
-    // ~2,010 — truncated by exactly the leading ~10 bytes, third
-    // parsed:null round. 10 ms precision is far below the box's
-    // documented ±1.5 s noise; with "unit" dropped the line lands
-    // ~1,930 bytes with margin.
-    def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // compact: 2-decimal seconds, trailing zeros stripped ("0.50"→
+    // "0.5", "1.00"→"1" — lossless, still valid JSON numbers). The
+    // driver's capture window is 2,000 bytes and the round-7 line
+    // (3-decimal, with "unit") measured ~2,010 — truncated by exactly
+    // the leading ~10 bytes, third parsed:null round. 10 ms precision
+    // is far below the box's documented ±1.5 s noise; with "unit"
+    // dropped and zeros stripped the 75-query line lands ~1,920 bytes,
+    // leaving headroom for future inventory growth (~24 bytes/query).
+    def fmt(v: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
