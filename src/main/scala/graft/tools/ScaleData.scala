@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
   * noise) and embeddings are cyclically shifted per copy (cosine
   * between a vector and its shifted copy ≈ random).
   *
+  * KNOWN LIMIT of the rotation: there are only 26 distinct rotation
+  * classes, so at copies > 26 the classes wrap and same-rotation
+  * copies are exact cross-copy duplicates (different ids, identical
+  * text). Dedup pair counts therefore grow ~quadratically in
+  * copies/26 past that point (measured: 819k pairs at 100 copies →
+  * 3.75M at 200 — C(c/26, 2) within-class growth), while within-copy
+  * structure stays exact. For the sf20 clustering evidence this is
+  * DELIBERATE — the organic >2M-edge corpus leverages it — but pair
+  * counts at >26 copies measure duplicate-class growth, not pure
+  * corpus scale-up; non-dedup queries are unaffected (keys still
+  * shift per copy). The embedding shift has dim=64 distinct phases,
+  * so the same wrap applies past 64 copies there.
+  *
   * Output is NOT for the correctness gate (Verify runs on the
   * driver's own sf0.01 data only); it exists to measure the bench
   * scaling slope BASELINE.md records. Usage:
