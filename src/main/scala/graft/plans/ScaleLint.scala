@@ -30,9 +30,16 @@ object ScaleLint {
   /** Lint a DataFrame's plans. Safe on any analyzable frame; does not
     * execute the query (reads the optimized logical plan and the
     * pre-execution physical plan only). */
-  def lint(df: DataFrame): Seq[Finding] = {
+  def lint(df: DataFrame): Seq[Finding] = lintExecution(df.queryExecution)
+
+  /** Same checks over an existing QueryExecution — the listener path
+    * ([[attach]]) lints the very execution that ran, not a re-planned
+    * copy. ScaleLintSpec pins that findings are identical before and
+    * after AQE materializes query stages. */
+  def lintExecution(
+      qe: org.apache.spark.sql.execution.QueryExecution): Seq[Finding] = {
     val out = Seq.newBuilder[Finding]
-    val optimized = df.queryExecution.optimizedPlan
+    val optimized = qe.optimizedPlan
     // logical checks must also see plans nested inside subquery
     // expressions (a cartesian inside a scalar/IN subquery is just as
     // quadratic, and the physical plan hides it behind an opaque
@@ -52,7 +59,7 @@ object ScaleLint {
       }
       (p +: below) ++ p.subqueries.flatMap(allNodes)
     }
-    val physNodes = allNodes(df.queryExecution.executedPlan)
+    val physNodes = allNodes(qe.executedPlan)
 
     // --- joins that degenerate to all-pairs -------------------------
     logicalPlans.foreach(_.foreach {
@@ -207,5 +214,51 @@ object ScaleLint {
     if (fs.isEmpty) "clean: no scale findings"
     else fs.map(f => s"[${f.severity}] ${f.code}: ${f.detail}")
       .mkString("\n")
+  }
+
+  /** Lint findings from already-executed plans, as a
+    * QueryExecutionListener would hand them over ([[attach]]). */
+  private final class Listener(onFindings: (String, Seq[Finding]) => Unit)
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    private def run(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+      // a throwing lint must never fail the user's action — the
+      // listener manager swallows exceptions but logs them noisily
+      try {
+        val fs = lintExecution(qe)
+        if (fs.nonEmpty) onFindings(funcName, fs)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit = run(funcName, qe)
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = run(funcName, qe)
+  }
+
+  /** Opt-in runtime audit: every action on `spark` runs the linter
+    * over its executed plan and hands non-empty findings to
+    * `onFindings(actionName, findings)` (default: one WARN-style line
+    * per finding on stderr). This is the production form of the CI
+    * gate — a pipeline author sees CARTESIAN/GLOBAL_WINDOW/
+    * FILTER_NOT_PUSHED findings the first time a job runs, not after
+    * it has burned a cluster-day at 100 TB. Returns the registered
+    * listener; pass it to [[detach]] to stop auditing. NOT registered
+    * by default — Verify/Bench gates run listener-free. */
+  def attach(spark: org.apache.spark.sql.SparkSession,
+      onFindings: (String, Seq[Finding]) => Unit = (name, fs) =>
+        fs.foreach(f => System.err.println(
+          s"[scalelint] $name [${f.severity}] ${f.code}: ${f.detail}")))
+      : AnyRef = {
+    val l = new Listener(onFindings)
+    spark.listenerManager.register(l)
+    l
+  }
+
+  /** Unregister a listener returned by [[attach]]. */
+  def detach(spark: org.apache.spark.sql.SparkSession,
+      listener: AnyRef): Unit = listener match {
+    case l: Listener => spark.listenerManager.unregister(l)
+    case _ => ()
   }
 }

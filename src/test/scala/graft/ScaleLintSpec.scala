@@ -134,6 +134,29 @@ class ScaleLintSpec extends SparkSpec {
     assert(before == after, s"pre=$before post=$after")
   }
 
+  test("attached listener audits every action, detach stops it") {
+    val s = spark
+    import s.implicits._
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Set[String])]
+    val l = ScaleLint.attach(s, (name, fs) =>
+      seen.synchronized { seen += name -> fs.map(_.code).toSet })
+    try {
+      Seq((1, 2), (1, 3)).toDF("k", "v").groupBy("k").count().collect()
+      // listener callbacks are delivered asynchronously on the
+      // listener bus; wait for the finding to arrive
+      val deadline = System.nanoTime() + 10000000000L
+      while (seen.synchronized(seen.isEmpty) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      val codes0 = seen.synchronized(seen.toList).flatMap(_._2).toSet
+      assert(codes0.contains("SHUFFLES"), codes0)
+    } finally ScaleLint.detach(s, l)
+    val before = seen.synchronized(seen.size)
+    Seq(1).toDF("x").groupBy("x").count().collect()
+    Thread.sleep(500) // listener bus drains asynchronously
+    assert(seen.synchronized(seen.size) == before, "detach did not stop audits")
+  }
+
   test("every registry query lints clean of error-severity findings") {
     // the automated form of the per-query PlanSpec audits: no benched
     // query may plan a cartesian or a global window. The one documented
