@@ -360,13 +360,41 @@ object Dedup {
   /** Write a [[MinhashIndex]]'s state to parquet under `dir` — the
     * cross-session form of the persist-`signed` discipline (and the
     * text-side mirror of `Similarity.IvfIndex.write`): the signature
-    * pass runs once per corpus LIFETIME, not once per session. Append
-    * an ingest batch by writing its own signed frame into the same
-    * dir (parquet append) after pairing it via
-    * [[minhashLshPairsAgainstIndex]]. */
-  def writeMinhashIndex(index: MinhashIndex, dir: String): Unit =
+    * pass runs once per corpus LIFETIME, not once per session.
+    * Stage-then-swap like the IVF side, so writing an index whose
+    * `signed` lazily reads `dir` back to the same `dir` is safe. To
+    * append an ingest batch use [[appendToMinhashIndex]] (O(batch)
+    * parquet append, no corpus rewrite) — THIS function always
+    * replaces the stored corpus wholesale. */
+  def writeMinhashIndex(index: MinhashIndex, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val hconf =
+      index.signed.sparkSession.sparkContext.hadoopConfiguration
+    val target = new Path(dir)
+    val fs = target.getFileSystem(hconf)
+    val parent = Option(target.getParent).getOrElse(new Path("."))
+    val staging = new Path(parent,
+      s".${target.getName}-staging-${java.util.UUID.randomUUID}")
     index.signed.write.mode("overwrite")
-      .parquet(s"$dir/signed.parquet")
+      .parquet(new Path(staging, "signed.parquet").toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.mkdirs(parent)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(
+        s"writeMinhashIndex: rename $staging -> $target failed")
+  }
+
+  /** Append an ingest batch's signatures to a STORED index dir: one
+    * narrow signature pass over the batch, parquet-append of just
+    * those rows — the daily-ingest path whose cost is O(batch) while
+    * the corpus-sized file set is never rewritten. The batch MUST be
+    * signed with the same (n, numHashes, rowsPerBand) the stored
+    * index was built with (construct it via [[minhashIndex]] with the
+    * stored params); a mismatch would silently produce disjoint band
+    * keys on reload. Typical loop: pair the batch first via
+    * [[minhashLshPairsAgainstIndex]], then append its survivors. */
+  def appendToMinhashIndex(batch: MinhashIndex, dir: String): Unit =
+    batch.signed.write.mode("append").parquet(s"$dir/signed.parquet")
 
   /** Reload a stored [[MinhashIndex]]. The params must match the ones
     * the index was built with — the constructor re-validates band

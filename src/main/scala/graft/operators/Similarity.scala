@@ -206,11 +206,56 @@ object Similarity {
   final case class IvfIndex(codebook: DataFrame, assigned: DataFrame,
       idCol: String, vecCol: String) {
     /** Persist both frames as parquet under `dir` (the reload side is
-      * [[readIvfIndex]]). */
+      * [[readIvfIndex]]). Stage-then-swap: both frames are fully
+      * written to a hidden sibling dir BEFORE the target is replaced,
+      * so writing an index back to the dir its own frames lazily read
+      * from (the natural [[ivfIndexAppend]] round-trip) is safe — a
+      * plain overwrite-mode write would delete the target before the
+      * write job scans it. Concurrent READERS of `dir` still race the
+      * final swap; cross-process sharing should write to a fresh dir
+      * and repoint, or append via [[ivfAppendToStored]]. */
     def write(dir: String): Unit = {
-      codebook.write.mode("overwrite").parquet(s"$dir/codebook.parquet")
-      assigned.write.mode("overwrite").parquet(s"$dir/assigned.parquet")
+      import org.apache.hadoop.fs.Path
+      val hconf =
+        codebook.sparkSession.sparkContext.hadoopConfiguration
+      val target = new Path(dir)
+      val fs = target.getFileSystem(hconf)
+      val parent =
+        Option(target.getParent).getOrElse(new Path("."))
+      val staging = new Path(parent,
+        s".${target.getName}-staging-${java.util.UUID.randomUUID}")
+      codebook.write.mode("overwrite")
+        .parquet(new Path(staging, "codebook.parquet").toString)
+      assigned.write.mode("overwrite")
+        .parquet(new Path(staging, "assigned.parquet").toString)
+      // both frames are on disk now; any plan reading the old target
+      // has been fully drained, so the swap can't starve this write
+      if (fs.exists(target)) fs.delete(target, true)
+      fs.mkdirs(parent)
+      if (!fs.rename(staging, target))
+        throw new java.io.IOException(
+          s"IvfIndex.write: rename $staging -> $target failed")
     }
+  }
+
+  /** Persist an ingest batch in place: assign `newCorpus` to `index`'s
+    * EXISTING cells and parquet-APPEND only those rows to the stored
+    * `assigned` table — the durable twin of [[ivfIndexAppend]]. The
+    * corpus-sized file set is never rewritten (daily ingest cost is
+    * O(batch), not O(corpus)) and nothing reads `dir` while writing,
+    * so there is no overwrite-while-read hazard at all. Returns the
+    * extended in-memory index (stored codebook unchanged — the
+    * standard IVF append; periodic re-train is a rebuild). */
+  def ivfAppendToStored(index: IvfIndex, newCorpus: DataFrame,
+      dir: String): IvfIndex = {
+    val cents = ivfCents(
+      index.codebook.orderBy(col("cent_id")).collect().toSeq)
+    val c = ivfPrep(newCorpus, index.idCol, index.vecCol)
+    val extra =
+      if (cents.isEmpty) emptyAssigned(c)
+      else assignCells(c, centArrOf(cents))
+    extra.write.mode("append").parquet(s"$dir/assigned.parquet")
+    index.copy(assigned = index.assigned.unionByName(extra))
   }
 
   /** Reload a stored [[IvfIndex]]. The column params must match the
@@ -317,9 +362,11 @@ object Similarity {
     * cells (codebook unchanged — the standard IVF append; periodic
     * re-train is a rebuild with [[ivfIndex]]) and extend `assigned`.
     * One narrow argmax pass over the batch — the corpus is never
-    * touched. [[IvfIndex.write]] the result (or append the new
-    * assignment rows to the stored assigned parquet) to persist the
-    * ingest. */
+    * touched. To persist the ingest prefer [[ivfAppendToStored]]
+    * (appends only the batch rows, no corpus rewrite); writing THIS
+    * result back with [[IvfIndex.write]] also works — its
+    * stage-then-swap materializes the union before touching the
+    * source dir — but re-writes the whole corpus-sized table. */
   def ivfIndexAppend(index: IvfIndex, newCorpus: DataFrame): IvfIndex = {
     val cents = ivfCents(
       index.codebook.orderBy(col("cent_id")).collect().toSeq)

@@ -96,9 +96,13 @@ object SimilarityQueries extends QueryPack {
         import s.implicits._
         val emb = t(s, d, "embeddings")
         // build+write runs eagerly here (parquet write is an action);
-        // the returned plan reads ONLY the stored index — fixed
-        // per-JVM path, overwritten per run
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index"
+        // the returned plan reads ONLY the stored index. The dir is
+        // pid- and sfDir-scoped: Verify and Bench share /tmp on this
+        // box, and a fixed path would let two concurrent JVMs race
+        // overwrite-against-read on each other's index
+        val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_ivf_index_p${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)
         Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
           .write(dir)
         val idx = Similarity.readIvfIndex(s, dir, "vec_id", "embedding")

@@ -71,8 +71,28 @@ object Sinks {
       targetFileBytes: Long = 128L << 20,
       sortCols: Seq[String] = Nil): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val estBytes =
+    val statsEst =
       df.queryExecution.optimizedPlan.stats.sizeInBytes.max(BigInt(1))
+    // Plans over stats-less leaves (LogicalRDD, some views) report
+    // spark.sql.defaultSizeInBytes (Long.MaxValue) and the product
+    // poisons the whole estimate — ceil would hit the file cap and
+    // write ~1M tiny files, the exact pathology this helper exists to
+    // avoid. Detect the sentinel regime (anything within 1000x of the
+    // conf value is a poisoned product, not a real size) and fall
+    // back to rows x schema width (one count job — the honest price
+    // of a stats-less input).
+    val sentinel = BigInt(
+      df.sparkSession.sessionState.conf.defaultSizeInBytes) / 1000
+    val estBytes =
+      if (statsEst < sentinel) statsEst
+      else {
+        val rowBytes = math.max(df.schema.defaultSize, 1)
+        val fallback = BigInt(df.count()) * rowBytes
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"writeSizedParquet: plan stats unusable ($statsEst); " +
+            s"fell back to rowCount*defaultSize=$fallback for $path")
+        fallback.max(BigInt(1))
+      }
     // ceil(est/target), capped at 1M files (a 128 MB target at that
     // cap is 128 TB of output — past it, raise the target instead)
     val n = ((estBytes + targetFileBytes - 1) / targetFileBytes)

@@ -72,8 +72,10 @@ object SamzaSql {
     * a lone backslash ('C:\') would tokenize differently there; since
     * the rewritten text is always handed to Spark, Spark's rules are
     * the correct ones here. If a deployment enables
-    * spark.sql.parser.escapedStringLiterals=false-equivalent legacy
-    * mode, this branch would need gating on that setting. */
+    * spark.sql.parser.escapedStringLiterals=true (the legacy mode in
+    * which backslash IS literal, like Calcite), this branch would
+    * need gating on that setting — the default (false) is the
+    * escape-interpreting mode this code matches. */
   private def topLevelMask(sql: String): Array[Boolean] = {
     val mask = new Array[Boolean](sql.length)
     var depth = 0

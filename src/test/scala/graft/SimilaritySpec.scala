@@ -214,4 +214,39 @@ class SimilaritySpec extends SparkSpec {
     val same = Similarity.ivfIndexAppend(idx, newHalf.limit(0))
     assert(same.assigned.count() == idx.assigned.count())
   }
+
+  test("index write back to its own source dir is safe (stage+swap)") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sf001, "embeddings")
+    val (oldHalf, newHalf) =
+      (emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 =!= 0))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_swap").toString + "/idx"
+    Similarity.ivfIndex(oldHalf, "vec_id", "embedding", nlist = 8)
+      .write(dir)
+    // the ADVICE trap: reload (frames lazily read `dir`), append, and
+    // write the result BACK to the same dir — a plain overwrite would
+    // delete the files the union's own scan still needs
+    val stored = Similarity.readIvfIndex(s, dir, "vec_id", "embedding")
+    Similarity.ivfIndexAppend(stored, newHalf).write(dir)
+    val after = Similarity.readIvfIndex(s, dir, "vec_id", "embedding")
+    assert(after.assigned.count() == emb.count())
+    assert(after.assigned.select("nn_id").distinct().count() ==
+      emb.count())
+
+    // durable O(batch) append: appends only the new rows in place
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_ivf_appstore").toString + "/idx"
+    val idx2 = Similarity.ivfIndex(oldHalf, "vec_id", "embedding",
+      nlist = 8)
+    idx2.write(dir2)
+    Similarity.ivfAppendToStored(
+      Similarity.readIvfIndex(s, dir2, "vec_id", "embedding"),
+      newHalf, dir2)
+    val grown = Similarity.readIvfIndex(s, dir2, "vec_id", "embedding")
+    assert(grown.assigned.count() == emb.count())
+    assert(grown.codebook.collect().toSeq ==
+      idx2.codebook.collect().toSeq)
+  }
 }

@@ -121,4 +121,24 @@ class SinksSpec extends SparkSpec {
     }
     assert(s.read.parquet(s"$out/sorted").count() == li.count())
   }
+
+  test("sized write over a stats-less plan falls back, not 1M files") {
+    val s = spark
+    // LogicalRDD leaf: stats report spark.sql.defaultSizeInBytes
+    // (Long.MaxValue) — without the sentinel fallback ceil(est/target)
+    // hits the 1M-file cap on 1000 rows
+    val rdd = s.sparkContext.parallelize(
+      (0 until 1000).map(i => org.apache.spark.sql.Row(i.toLong)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val df = s.createDataFrame(rdd, schema)
+    assert(df.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(Long.MaxValue) / 2000, "premise: stats are the sentinel")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sized_rdd").toString
+    val n = Sinks.writeSizedParquet(df, s"$out/flat")
+    assert(n == 1, s"fallback should size 1000 longs into 1 file, got $n")
+    assert(s.read.parquet(s"$out/flat").count() == 1000)
+  }
 }

@@ -341,6 +341,30 @@ class TextKernelsSpec extends SparkSpec {
       .minhashLshPairsAgainstIndex(batch0, reloaded, 0.5)
       .as[(Long, Long, Double)].collect().toSet
     assert(viaStored == viaIndex(batch0))
+
+    // ingest append: sign the batch with the SAME params, append only
+    // its rows; the grown index pairs a later batch against old+new
+    graft.operators.Dedup.appendToMinhashIndex(
+      graft.operators.Dedup.minhashIndex(batch0, "doc_id", "text",
+        3, 16, 4), dir)
+    val grown = graft.operators.Dedup.readMinhashIndex(
+      s, dir, "doc_id", "text", 3, 16, 4)
+    assert(grown.signed.count() == corpus.count() + batch0.count())
+    val vsGrown = graft.operators.Dedup
+      .minhashLshPairsAgainstIndex(batch1, grown, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val vsUnion = graft.operators.Dedup.minhashLshPairsAgainst(
+        batch1, corpus.unionByName(batch0), "doc_id", "text",
+        3, 16, 4, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(vsGrown == vsUnion)
+
+    // write-back-to-source-dir round-trip (stage+swap): reload, then
+    // write the reloaded index to the dir its frames lazily read
+    graft.operators.Dedup.writeMinhashIndex(grown, dir)
+    assert(graft.operators.Dedup.readMinhashIndex(
+      s, dir, "doc_id", "text", 3, 16, 4).signed.count() ==
+      corpus.count() + batch0.count())
     s.catalog.clearCache()
   }
 
