@@ -372,40 +372,83 @@ object Dedup {
       index.signed.sparkSession.sparkContext.hadoopConfiguration
     val target = new Path(dir)
     val fs = target.getFileSystem(hconf)
-    val parent = Option(target.getParent).getOrElse(new Path("."))
-    val staging = new Path(parent,
-      s".${target.getName}-staging-${java.util.UUID.randomUUID}")
-    index.signed.write.mode("overwrite")
-      .parquet(new Path(staging, "signed.parquet").toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.mkdirs(parent)
-    if (!fs.rename(staging, target))
-      throw new java.io.IOException(
-        s"writeMinhashIndex: rename $staging -> $target failed")
+    graft.core.FsUtil.swapInto(fs, target) { staging =>
+      index.signed.write.mode("overwrite")
+        .parquet(new Path(staging, "signed.parquet").toString)
+      graft.core.FsUtil.writeSidecar(fs,
+        new Path(staging, ParamsSidecar), paramsJson(index))
+    }
   }
+
+  /** Params manifest filename stored next to `signed.parquet` — lets
+    * [[appendToMinhashIndex]]/[[readMinhashIndex]] fail fast on a
+    * banding-scheme mismatch instead of silently producing disjoint
+    * band keys. */
+  val ParamsSidecar = "params.json"
+
+  private def paramsJson(i: MinhashIndex): String =
+    s"""{"n":${i.n},"numHashes":${i.numHashes},""" +
+      s""""rowsPerBand":${i.rowsPerBand}}"""
+
+  // Returns the stored (n, numHashes, rowsPerBand) if the sidecar
+  // exists; indexes written before the sidecar shipped have none and
+  // are accepted as-is (the caller's params remain the contract).
+  private def readParams(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[(Int, Int, Int)] =
+    graft.core.FsUtil.readSidecar(fs,
+      new org.apache.hadoop.fs.Path(dir, ParamsSidecar)).map { s =>
+      def f(k: String): Int = {
+        val m = s""""$k":(\\d+)""".r.findFirstMatchIn(s)
+        m.getOrElse(throw new java.io.IOException(
+          s"minhash index $dir: malformed $ParamsSidecar: $s"))
+          .group(1).toInt
+      }
+      (f("n"), f("numHashes"), f("rowsPerBand"))
+    }
+
+  private def requireParamsMatch(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, n: Int, numHashes: Int, rowsPerBand: Int): Unit =
+    readParams(fs, dir).foreach { case stored =>
+      val given = (n, numHashes, rowsPerBand)
+      require(stored == given,
+        s"minhash index $dir was built with (n,numHashes,rowsPerBand)=" +
+          s"$stored but the caller supplied $given — a mismatch would " +
+          "silently produce disjoint band keys")
+    }
 
   /** Append an ingest batch's signatures to a STORED index dir: one
     * narrow signature pass over the batch, parquet-append of just
     * those rows — the daily-ingest path whose cost is O(batch) while
-    * the corpus-sized file set is never rewritten. The batch MUST be
-    * signed with the same (n, numHashes, rowsPerBand) the stored
-    * index was built with (construct it via [[minhashIndex]] with the
-    * stored params); a mismatch would silently produce disjoint band
-    * keys on reload. Typical loop: pair the batch first via
-    * [[minhashLshPairsAgainstIndex]], then append its survivors. */
-  def appendToMinhashIndex(batch: MinhashIndex, dir: String): Unit =
+    * the corpus-sized file set is never rewritten. The batch's
+    * (n, numHashes, rowsPerBand) are validated against the stored
+    * index's params sidecar and a mismatch FAILS FAST — appending
+    * under a different banding scheme would silently corrupt the
+    * store with disjoint band keys. Typical loop: pair the batch
+    * first via [[minhashLshPairsAgainstIndex]], then append its
+    * survivors. */
+  def appendToMinhashIndex(batch: MinhashIndex, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      batch.signed.sparkSession.sparkContext.hadoopConfiguration)
+    requireParamsMatch(fs, dir, batch.n, batch.numHashes,
+      batch.rowsPerBand)
     batch.signed.write.mode("append").parquet(s"$dir/signed.parquet")
+  }
 
   /** Reload a stored [[MinhashIndex]]. The params must match the ones
-    * the index was built with — the constructor re-validates band
-    * tiling, and a mismatched `n`/`numHashes` would silently produce
+    * the index was built with — validated against the stored params
+    * sidecar (when present), and the constructor re-validates band
+    * tiling; a mismatched `n`/`numHashes` would silently produce
     * disjoint band keys, which is why they ride along in the case
     * class in the first place. */
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, idCol: String, textCol: String, n: Int,
-      numHashes: Int, rowsPerBand: Int): MinhashIndex =
+      numHashes: Int, rowsPerBand: Int): MinhashIndex = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    requireParamsMatch(fs, dir, n, numHashes, rowsPerBand)
     MinhashIndex(spark.read.parquet(s"$dir/signed.parquet"), idCol,
       textCol, n, numHashes, rowsPerBand)
+  }
 
   /** Build a [[MinhashIndex]] for a corpus: one narrow pass computes
     * shingle sets + signatures, the band explode is narrow too — no

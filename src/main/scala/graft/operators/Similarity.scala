@@ -206,35 +206,29 @@ object Similarity {
   final case class IvfIndex(codebook: DataFrame, assigned: DataFrame,
       idCol: String, vecCol: String) {
     /** Persist both frames as parquet under `dir` (the reload side is
-      * [[readIvfIndex]]). Stage-then-swap: both frames are fully
-      * written to a hidden sibling dir BEFORE the target is replaced,
-      * so writing an index back to the dir its own frames lazily read
+      * [[readIvfIndex]]). Stage-then-swap via
+      * [[graft.core.FsUtil.swapInto]]: both frames are fully written
+      * to a hidden sibling dir BEFORE the target is replaced, so
+      * writing an index back to the dir its own frames lazily read
       * from (the natural [[ivfIndexAppend]] round-trip) is safe — a
       * plain overwrite-mode write would delete the target before the
-      * write job scans it. Concurrent READERS of `dir` still race the
-      * final swap; cross-process sharing should write to a fresh dir
-      * and repoint, or append via [[ivfAppendToStored]]. */
+      * write job scans it — and a crash mid-swap restores the OLD
+      * index instead of leaving none. Concurrent READERS of `dir`
+      * still race the final swap; cross-process sharing should write
+      * to a fresh dir and repoint, or append via
+      * [[ivfAppendToStored]]. */
     def write(dir: String): Unit = {
       import org.apache.hadoop.fs.Path
       val hconf =
         codebook.sparkSession.sparkContext.hadoopConfiguration
       val target = new Path(dir)
       val fs = target.getFileSystem(hconf)
-      val parent =
-        Option(target.getParent).getOrElse(new Path("."))
-      val staging = new Path(parent,
-        s".${target.getName}-staging-${java.util.UUID.randomUUID}")
-      codebook.write.mode("overwrite")
-        .parquet(new Path(staging, "codebook.parquet").toString)
-      assigned.write.mode("overwrite")
-        .parquet(new Path(staging, "assigned.parquet").toString)
-      // both frames are on disk now; any plan reading the old target
-      // has been fully drained, so the swap can't starve this write
-      if (fs.exists(target)) fs.delete(target, true)
-      fs.mkdirs(parent)
-      if (!fs.rename(staging, target))
-        throw new java.io.IOException(
-          s"IvfIndex.write: rename $staging -> $target failed")
+      graft.core.FsUtil.swapInto(fs, target) { staging =>
+        codebook.write.mode("overwrite")
+          .parquet(new Path(staging, "codebook.parquet").toString)
+        assigned.write.mode("overwrite")
+          .parquet(new Path(staging, "assigned.parquet").toString)
+      }
     }
   }
 

@@ -99,10 +99,14 @@ object SimilarityQueries extends QueryPack {
         // the returned plan reads ONLY the stored index. The dir is
         // pid- and sfDir-scoped: Verify and Bench share /tmp on this
         // box, and a fixed path would let two concurrent JVMs race
-        // overwrite-against-read on each other's index
-        val dir = s"${System.getProperty("java.io.tmpdir")}/" +
-          s"graft_ivf_index_p${ProcessHandle.current().pid()}_" +
-          java.lang.Integer.toHexString(d.hashCode)
+        // overwrite-against-read on each other's index. deleteOnExit
+        // reaps the dir when THIS JVM ends — a pid-scoped name is
+        // unique per run, so without it every Verify/Bench JVM left a
+        // corpus-sized parquet tree in /tmp forever.
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_ivf_index_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
         Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
           .write(dir)
         val idx = Similarity.readIvfIndex(s, dir, "vec_id", "embedding")

@@ -74,23 +74,48 @@ object Sinks {
     val statsEst =
       df.queryExecution.optimizedPlan.stats.sizeInBytes.max(BigInt(1))
     // Plans over stats-less leaves (LogicalRDD, some views) report
-    // spark.sql.defaultSizeInBytes (Long.MaxValue) and the product
-    // poisons the whole estimate — ceil would hit the file cap and
-    // write ~1M tiny files, the exact pathology this helper exists to
-    // avoid. Detect the sentinel regime (anything within 1000x of the
-    // conf value is a poisoned product, not a real size) and fall
-    // back to rows x schema width (one count job — the honest price
-    // of a stats-less input).
-    val sentinel = BigInt(
-      df.sparkSession.sessionState.conf.defaultSizeInBytes) / 1000
+    // spark.sql.defaultSizeInBytes and the product poisons the whole
+    // estimate — ceil would hit the file cap and write ~1M tiny
+    // files, the exact pathology this helper exists to avoid. Detect
+    // the regime STRUCTURALLY: a leaf whose own size estimate equals
+    // the conf default has no real stats (comparing the product
+    // against the live conf value broke when a deployment lowered
+    // defaultSizeInBytes for broadcast tuning — a 10 GB setting made
+    // nearly every sized write pay the fallback). A fixed
+    // Long.MaxValue-scale guard stays as a belt for overflow-level
+    // products of multiple defaults.
+    val confDefault = BigInt(
+      df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    val statsless =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .exists(_.stats.sizeInBytes == confDefault) ||
+        statsEst >= BigInt(Long.MaxValue) / 1000
     val estBytes =
-      if (statsEst < sentinel) statsEst
+      if (!statsless) statsEst
       else {
-        val rowBytes = math.max(df.schema.defaultSize, 1)
+        // rows x measured row width: rowCount is one count job (the
+        // honest price of a stats-less input); width comes from
+        // sampling UnsafeRow sizes off the first partitions rather
+        // than schema.defaultSize, which badly under-counts
+        // variable-width data (StringType counts 20 B flat and
+        // ArrayType one element — a 64-dim embedding array of ~512 B
+        // real counted ~8 B, blowing files far past target).
+        val schemaWidth = math.max(df.schema.defaultSize, 1).toLong
+        val sampled = df.queryExecution.toRdd.mapPartitions { it =>
+          it.take(64).map {
+            case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+              u.getSizeInBytes.toLong
+            case _ => schemaWidth
+          }
+        }.take(256)
+        val rowBytes =
+          if (sampled.isEmpty) schemaWidth
+          else math.max(sampled.sum / sampled.length, 1L)
         val fallback = BigInt(df.count()) * rowBytes
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"writeSizedParquet: plan stats unusable ($statsEst); " +
-            s"fell back to rowCount*defaultSize=$fallback for $path")
+            s"fell back to rowCount*sampledWidth($rowBytes)=$fallback " +
+            s"for $path")
         fallback.max(BigInt(1))
       }
     // ceil(est/target), capped at 1M files (a 128 MB target at that

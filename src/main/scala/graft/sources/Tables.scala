@@ -25,15 +25,28 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read the raw int64 and convert ns→µs with
-      // integer division (ns-since-epoch ≈ 1.7e18 exceeds double's 2^53
-      // exact range, so a floating-point path would corrupt timestamps).
-      // DuckDB (the oracle) truncates ns→µs the same way.
+      // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (which
+      // Spark's vectorized reader rejects — read as raw int64 nanos
+      // via the legacy flag and divide; integer division because
+      // ns-since-epoch ≈ 1.7e18 exceeds double's 2^53 exact range)
+      // AND as TIMESTAMP(MICROS) without UTC adjustment (reads as
+      // TIMESTAMP_NTZ). Branch on the type actually read: the round-9
+      // regeneration switched the writer to micros and every
+      // events-reading query died at analysis on the nanos-only
+      // conversion (21 of 75 correctness entries vanished). The
+      // session timezone is pinned to UTC (GraftSession), so casting
+      // NTZ→TIMESTAMP yields the same instants DuckDB computes with
+      // epoch_ms(ts) over the same file.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions
-          .expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr}
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw // already TIMESTAMP — nothing to normalize
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
@@ -51,6 +64,14 @@ object Tables {
     * dirs within a session re-registers so views never point at stale
     * data. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    if (registeredDir.put(spark, sfDir) != sfDir)
-      all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    // synchronized on the map, and the memo entry lands only AFTER the
+    // views exist: with concurrent callers (Verify's parallel phase) a
+    // bare put-then-register let a second thread see the memo hit and
+    // run its SQL before the first thread had registered the views
+    registeredDir.synchronized {
+      if (registeredDir.get(spark) != sfDir) {
+        all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+        registeredDir.put(spark, sfDir)
+      }
+    }
 }

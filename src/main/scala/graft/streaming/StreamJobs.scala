@@ -34,13 +34,21 @@ object StreamJobs {
       d.toFile.deleteOnExit()
       d
     })
-    // same ns→µs rewrite as the batch loader (Tables.load)
+    // same schema-adaptive ts normalization as the batch loader
+    // (Tables.load): int64-nanos regime divides, NTZ regime casts
+    // (session tz is UTC), TIMESTAMP passes through
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream.schema(raw)
+    val stream = spark.readStream.schema(raw)
       .options(startpoint.map(_.fileOptions).getOrElse(Map.empty))
       .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    raw("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => stream
+    }
   }
 
   /** The documents table as a STREAM — the ingest shape of a

@@ -66,11 +66,11 @@ object ScaleData {
       master = Some(s"local[$cpus]"), shufflePartitions = Some(cpus.toInt))
 
     def read(t: String): DataFrame = {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-      // rejects; read it as a raw int64 and KEEP it that way — the
-      // written copy is plain INT64 ns-since-epoch, which
-      // graft.sources.Tables.load converts ns→µs exactly as it does
-      // for the driver's original file
+      // events.ts has shipped as TIMESTAMP(NANOS) (which Spark's
+      // reader rejects without the legacy int64 flag) and later as
+      // TIMESTAMP(MICROS)/NTZ. Read raw and KEEP whatever the source
+      // had — graft.sources.Tables.load normalizes either regime on
+      // load, so the scaled copy stays bit-faithful to its source.
       if (t == "events")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$src/$t.parquet")
