@@ -13,7 +13,8 @@ object Registry {
     DedupQueries,
     CurationQueries,
     SimilarityQueries,
-    MultimodalQueries)
+    MultimodalQueries,
+    LayoutQueries)
 
   lazy val all: Map[String, Q] = {
     val entries = packs.flatMap(_.queries)

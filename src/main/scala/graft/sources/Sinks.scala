@@ -70,6 +70,23 @@ object Sinks {
   def writeSizedParquet(df: DataFrame, path: String,
       targetFileBytes: Long = 128L << 20,
       sortCols: Seq[String] = Nil): Int = {
+    val n = plannedFileCount(df, targetFileBytes)
+    val shaped =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(n, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(n)
+    shaped.write.mode(SaveMode.Overwrite).parquet(path)
+    n
+  }
+
+  /** The output file count a sized write should use for `df` at
+    * `targetFileBytes` per file — the estimation half of
+    * [[writeSizedParquet]], shared with layout passes
+    * (`operators.Layout.zorderWrite`) that shape the partitioning
+    * themselves. */
+  def plannedFileCount(df: DataFrame,
+      targetFileBytes: Long = 128L << 20): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val statsEst =
       df.queryExecution.optimizedPlan.stats.sizeInBytes.max(BigInt(1))
@@ -113,21 +130,13 @@ object Sinks {
           else math.max(sampled.sum / sampled.length, 1L)
         val fallback = BigInt(df.count()) * rowBytes
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"writeSizedParquet: plan stats unusable ($statsEst); " +
-            s"fell back to rowCount*sampledWidth($rowBytes)=$fallback " +
-            s"for $path")
+          s"plannedFileCount: plan stats unusable ($statsEst); " +
+            s"fell back to rowCount*sampledWidth($rowBytes)=$fallback")
         fallback.max(BigInt(1))
       }
     // ceil(est/target), capped at 1M files (a 128 MB target at that
     // cap is 128 TB of output — past it, raise the target instead)
-    val n = ((estBytes + targetFileBytes - 1) / targetFileBytes)
+    ((estBytes + targetFileBytes - 1) / targetFileBytes)
       .min(BigInt(1 << 20)).toInt.max(1)
-    val shaped =
-      if (sortCols.nonEmpty)
-        df.repartitionByRange(n, sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.map(col): _*)
-      else df.repartition(n)
-    shaped.write.mode(SaveMode.Overwrite).parquet(path)
-    n
   }
 }

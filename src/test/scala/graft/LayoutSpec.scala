@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+/** Z-order clustered writes: z-value bit interleaving, content
+  * preservation, and the layout benefit itself — per-file min/max
+  * spans tight on EVERY clustered column, vs a single-column sort
+  * which is tight on one and useless on the rest. */
+class LayoutSpec extends SparkSpec {
+
+  test("zValue interleaves rank bits in Morton order") {
+    val s = spark
+    import s.implicits._
+    // two numeric cols with known bounds [0, 15]; 16 bits/col, but
+    // values 0..15 occupy buckets spread across the 2^16 range —
+    // use the EXTREMES, which have exact ranks: min → bucket 0,
+    // max → bucket 2^16-1
+    val df = Seq((0.0, 0.0), (15.0, 15.0), (0.0, 15.0))
+      .toDF("x", "y")
+    val bounds = Map("x" -> (0.0, 15.0), "y" -> (0.0, 15.0))
+    val z = df.select(
+      Layout.zValue(df, Seq("x", "y"), bounds).as("z"))
+      .as[Long].collect()
+    // (min,min) → all-zero ranks → z=0
+    assert(z(0) == 0L)
+    // (max,max) → both ranks 0xFFFF → every bit of the low 32 set
+    assert(z(1) == 0xFFFFFFFFL)
+    // (min,max) → x rank 0 (even bit positions), y rank 0xFFFF (odd
+    // positions) → alternating bits 0xAAAAAAAA
+    assert(z(2) == 0xAAAAAAAAL)
+  }
+
+  test("zorderWrite preserves content exactly") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft-zorder").toString + "/t"
+    val df = (0 until 5000)
+      .map(i => (i.toLong, (i % 97).toLong, s"s${i % 13}"))
+      .toDF("id", "k", "tag")
+    Layout.zorderWrite(df, out, Seq("k", "tag"), numFiles = 4)
+    val back = s.read.parquet(out)
+    assert(back.count() == 5000)
+    val a = df.orderBy("id").collect().toSeq
+    val b = back.orderBy("id").select("id", "k", "tag").collect().toSeq
+    assert(a == b)
+  }
+
+  test("z-order keeps per-file spans tight on BOTH columns; " +
+      "single-column sort does not") {
+    val s = spark
+    import s.implicits._
+    // full 100x100 grid: x and y independent and uniform
+    val grid = s.range(10000)
+      .select((col("id") % 100).as("x"),
+        (col("id") / 100).cast("long").as("y"))
+    val zDir = Files.createTempDirectory("graft-z").toString + "/z"
+    val xDir = Files.createTempDirectory("graft-x").toString + "/x"
+    Layout.zorderWrite(grid, zDir, Seq("x", "y"), numFiles = 16)
+    // control: the classic single-column layout
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(xDir)
+
+    def avgSpan(dir: String, c: String): Double = {
+      val spans = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = s.read.parquet(f.getPath)
+            .agg(min(col(c)), max(col(c))).head()
+          (r.getLong(1) - r.getLong(0)).toDouble
+        }
+      spans.sum / spans.length
+    }
+
+    // x-sorted: perfect on x, blind on y (every file spans ~all of y)
+    assert(avgSpan(xDir, "x") < 15.0)
+    assert(avgSpan(xDir, "y") > 80.0)
+    // z-order: BOTH columns' per-file spans far below the full range —
+    // 16 files over a 100x100 grid give 4x4 curve tiles, span ≈ 25-ish
+    // per column; assert well under half the range
+    assert(avgSpan(zDir, "x") < 50.0, s"x span ${avgSpan(zDir, "x")}")
+    assert(avgSpan(zDir, "y") < 50.0, s"y span ${avgSpan(zDir, "y")}")
+  }
+
+  test("string columns rank by hash: equal values colocate") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 2000)
+      .map(i => (i.toLong, s"src${i % 7}"))
+      .toDF("id", "src")
+    val out = Files.createTempDirectory("graft-zs").toString + "/t"
+    Layout.zorderWrite(df, out, Seq("src"), numFiles = 7)
+    // each distinct src value should appear in few files (hash rank
+    // clusters equal values along the curve): count distinct files
+    // per src via input_file_name
+    val filesPerSrc = s.read.parquet(out)
+      .select(col("src"), input_file_name().as("f"))
+      .groupBy("src").agg(countDistinct("f").as("nf"))
+      .agg(max("nf")).head().getLong(0)
+    assert(filesPerSrc <= 2, s"a src value spread over $filesPerSrc files")
+  }
+}
