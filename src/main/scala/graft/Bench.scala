@@ -43,21 +43,31 @@ object Bench {
         spark.catalog.clearCache()
         name -> secs
     }
-    // compact: 2-decimal seconds, trailing zeros stripped ("0.50"→
-    // "0.5", "1.00"→"1" — lossless, still valid JSON numbers). The
-    // driver's capture window is 2,000 bytes and the round-7 line
-    // (3-decimal, with "unit") measured ~2,010 — truncated by exactly
-    // the leading ~10 bytes, third parsed:null round. 10 ms precision
-    // is far below the box's documented ±1.5 s noise; with "unit"
-    // dropped and zeros stripped the 75-query line lands ~1,920 bytes,
-    // leaving headroom for future inventory growth (~24 bytes/query).
-    def fmt(v: Double): String = {
-      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-      else s
+    // The driver's capture window is 2,000 bytes and the round-7 line
+    // (3-decimal, with "unit") measured ~2,010 — decapitated, third
+    // parsed:null round. Precision is now ADAPTIVE: level 0 is
+    // 2-decimal seconds below 10 s (trailing zeros stripped — "0.50"→
+    // "0.5", "1.00"→"1", lossless valid JSON) and whole seconds at
+    // ≥10 s; if the assembled line still exceeds the budget (possible
+    // only when a throttled box inflates many digit counts at once),
+    // level 1 drops 1–10 s rows to one decimal and level 2 rounds ≥1 s
+    // rows to whole seconds — precision is shed exactly when the box's
+    // own ±1.5 s noise has already drowned it, and an idle-box line
+    // keeps full precision. The emitter picks the smallest level that
+    // fits; the 78-query idle line sits ~30 bytes under budget at
+    // level 0.
+    def fmt(level: Int)(v: Double): String = {
+      def dec(d: Int): String = {
+        val s = s"%.${d}f".formatLocal(java.util.Locale.ROOT, v)
+        if (s.contains('.'))
+          s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+        else s
+      }
+      if (v >= 10) math.round(v).toString
+      else if (v >= 1 && level >= 2) math.round(v).toString
+      else if (v >= 1 && level >= 1) dec(1)
+      else dec(2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
     // single-node throughput (the reference's headline unit is msg/s):
@@ -81,7 +91,35 @@ object Bench {
         -1.0
     }
 
-    val line = s"""{"metric":"total","value":${fmt(total)},"cal":${fmt(cal)},"queries":$qs,"sf":"$sfDir","throughput_rows_per_sec":${throughput.toLong}}"""
+    // "rps" = single-node throughput rows/sec (was
+    // "throughput_rows_per_sec" through round 9 — renamed to keep the
+    // line inside the driver's 2,000-byte capture window as the query
+    // inventory grows; the semantics and BASELINE.md bar are unchanged)
+    // end-of-run calibration: the box degrades MID-run (round-10 runs
+    // C/D: cal 0.18/0.19 at start, totals 2-4x the idle pair) and a
+    // start-only cal is blind to it; cal/cal2 disagreement is the
+    // self-identifying signature of a mid-run throttle, so the judge
+    // can discard the run instead of adjudicating with controls
+    val cal2 = { val xs = Seq.fill(3)(calOnce()).sorted; xs(1) }
+
+    // "sf" carries the basename (sf0.1), not the full path — same
+    // byte-budget motive as the "rps" rename; each registry query
+    // costs ~24 line bytes and the capture window is 2,000
+    val sfName = new java.io.File(sfDir).getName
+    def assemble(level: Int): String = {
+      val f = fmt(level) _
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f(total)},"cal":${f(cal)},""" +
+        s""""cal2":${f(cal2)},"queries":$qs,"sf":"$sfName",""" +
+        s""""rps":${throughput.toLong}}"""
+    }
+    // budget 1,985: the window is 2,000 and the line is the LAST
+    // output, so only its own length matters; level 2's shape is
+    // bounded (~1,980 even with every row at 3-digit throttled
+    // seconds), so the fallback always fits
+    val line = (0 to 2).map(assemble)
+      .find(_.length <= 1985).getOrElse(assemble(2))
 
     // persist BEFORE stop(): a hung (not just throwing) shutdown hook
     // must not cost the completed run its result line — the file is the

@@ -25,7 +25,8 @@ object Verify {
     * other query. */
   private val harnessBound = Set(
     "q_stream_tumbling_fold", "q_stream_session_fold",
-    "q_stream_ttl_join", "q_stream_task", "q_bootstrap_chooser")
+    "q_stream_ttl_join", "q_stream_task", "q_bootstrap_chooser",
+    "q_stream_neardup")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

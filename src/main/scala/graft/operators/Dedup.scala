@@ -348,7 +348,10 @@ object Dedup {
       col("sz"))
   }
 
-  private def bandArrayCol(numHashes: Int, rowsPerBand: Int): Column = {
+  // private[graft]: streaming.StreamDedup shares the SAME band-key
+  // scheme so streaming-detected pairs can never drift from the batch
+  // index's
+  private[graft] def bandArrayCol(numHashes: Int, rowsPerBand: Int): Column = {
     val numBands = numHashes / rowsPerBand
     array((0 until numBands).map { b =>
       val cols = (0 until rowsPerBand)

@@ -38,6 +38,33 @@ object LayoutQueries extends QueryPack {
       },
       Some("""SELECT l_orderkey, l_partkey, l_returnflag, l_quantity
              |FROM lineitem
+             |""".stripMargin)),
+
+    // Avro container-file round-trip (AvroDataFileHdfsWriter analog,
+    // sources.AvroFiles): events → executor-side Avro data files →
+    // distributed reload. Content identity including the
+    // timestamp-micros logical type (ts) proves the format path under
+    // the same oracle gate as every other operator — the reference's
+    // primary HDFS output format, not just its schema bridge.
+    "q_avro_roundtrip" -> Q(
+      (s, d) => {
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_avro_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        val ev = t(s, d, "events")
+        graft.sources.AvroFiles.write(ev.repartition(8), dir)
+        // ts surfaces as NTZ: the result parquet then holds naive
+        // micros exactly like DuckDB's view of the source (the session
+        // is UTC, so instant→wall-clock is the identity); a tz-aware
+        // column would flap the comparator's dtype, not the values
+        graft.sources.AvroFiles.read(s, dir)
+          .select(col("event_id"),
+            col("ts").cast("timestamp_ntz").as("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+      },
+      Some("""SELECT event_id, ts, user_id, event_type, value, props
+             |FROM events
              |""".stripMargin))
   )
 }

@@ -293,6 +293,34 @@ object StreamParityQueries extends QueryPack {
              |             ORDER BY (event_type <> 'view'),
              |                      epoch_ms(ts), event_id
              |             ROWS UNBOUNDED PRECEDING)
-             |""".stripMargin))
+             |""".stripMargin)),
+
+    // streaming near-dup detection at ingest (StreamDedup): MinHash
+    // band buckets as operator state, pairs verified and emitted the
+    // micro-batch the duplicate ARRIVES. Documents feed in id order
+    // over 8 batches, so cross-batch state is exercised and the
+    // emitted set equals the batch LSH pair set exactly — the oracle
+    // IS q_dedup_minhash_lsh's oracle (same signatures, same bands,
+    // same verification; the minimal-band rule dedups across bands
+    // without a second stateful stage).
+    "q_stream_neardup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val rows = t(s, d, "documents")
+          .select($"doc_id".cast("long"), $"text")
+          .as[(Long, String)].collect().sortBy(_._1)
+        val chunk = math.max(1, rows.length / 8)
+        val steps = rows.grouped(chunk).zipWithIndex
+          .map { case (c, i) => (i * 60000L, c.toSeq) }.toSeq
+        val out = StreamHarness.run(s, steps) { ds =>
+          graft.streaming.StreamDedup.nearDupPairs(
+            ds.toDF("doc_id", "text"), "doc_id", "text",
+            n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+        }
+        out.select($"id_a", $"id_b", $"jaccard")
+      },
+      Some(s"""WITH ${DedupQueries.oMinhashCtes}
+              |SELECT id_a, id_b, jaccard FROM jp
+              |""".stripMargin))
   )
 }
