@@ -518,4 +518,156 @@ object Similarity {
       srpBucket(col(vecCol), dim, p))
     blockedNearDup(bucketed, idCol, vecCol, "bucket", threshold)
   }
+
+  // ───────────────────────── Product quantization ──────────────────────
+  // IVF answers WHICH vectors to score; PQ answers how to score them
+  // WITHOUT holding the floats: the vector splits into m subvectors,
+  // each quantized to one of ksub per-subspace centroids, so a 64-dim
+  // float vector (256 B) becomes m code bytes (m=4 → 64×). At 100 TB
+  // the codes + codebook fit where the floats never could, and
+  // asymmetric-distance scoring (query floats vs reconstructed
+  // centroids) ranks candidates without touching the original
+  // embeddings. Scoring here goes through explicit reconstruction —
+  // cos(q, recon(x)) — which IS asymmetric-distance computation for
+  // inner-product metrics (the per-subspace table lookup form is the
+  // same sum reassociated; reconstruction keeps the fold order
+  // identical to the brute-force kernel so the DuckDB oracle replays
+  // it bit-for-bit).
+
+  /** One per-subspace codebook entry: code ordinal (0-based, ordered
+    * by seed id — the tie-break contract), centroid subvector, and
+    * 0.5·‖c‖² (the constant that turns L2-argmin into a single
+    * dot-and-subtract: argmin‖v−c‖² = argmax v·c − ½‖c‖²). */
+  private type PqCents = Seq[(Int, Seq[Double], Double)]
+
+  private def pqCentArr(cents: PqCents): Column =
+    array(cents.map { case (code, v, chalf) =>
+      struct(lit(code).as("code"), typedLit(v).as("cvec"),
+        lit(chalf).as("chalf"))
+    }: _*)
+
+  // per-row best codebook entry for one subspace: argmax of
+  // (v·c − ½‖c‖²) with the array index as tie-break (codes are stored
+  // ascending, so greater -i == smaller code — the oracle's
+  // row_number(score DESC, code ASC)). cvec rides in the struct but
+  // never participates in comparisons (negidx is unique).
+  private def pqBest(subVec: Column, arr: Column): Column =
+    array_max(transform(arr, (c, i) => struct(
+      (dot(subVec, c.getField("cvec")) - c.getField("chalf")).as("s"),
+      (-i).as("negidx"),
+      c.getField("code").as("code"),
+      c.getField("cvec").as("cvec"))))
+
+  private def halfSq(v: Seq[Double]): Double = {
+    var s = 0.0; v.foreach(x => s += x * x); 0.5 * s
+  }
+
+  /** Train per-subspace PQ codebooks: seeds are the `ksub` corpus
+    * vectors with smallest md5(id) (one distributed TakeOrdered — the
+    * SAME seed discipline as [[ivfIndex]]), split into m subvectors;
+    * `refine` Lloyd iterations replace each (sub, code) centroid with
+    * its cell's per-dimension decimal-exact mean (empty cells keep
+    * their seed). Returns one PqCents per subspace. The collect is
+    * bounded at ksub rows + m·ksub·dsub mean cells by construction. */
+  private def pqTrain(c: DataFrame, dim: Int, m: Int, ksub: Int,
+      refine: Int): Seq[PqCents] = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val seedRows = c
+      .withColumn("__h", md5(col("nn_id").cast("string")))
+      .orderBy(col("__h"))
+      .limit(ksub)
+      .select(col("nn_id"), col("nn_vec"))
+      .orderBy(col("nn_id"))
+      .collect()
+    if (seedRows.isEmpty) return Seq.fill(m)(Seq.empty)
+    val seedVecs: Seq[Seq[Double]] =
+      seedRows.toSeq.map(_.getSeq[Any](1).map(ivfToDouble).toSeq)
+    var cbs: Seq[PqCents] = (0 until m).map { s =>
+      seedVecs.zipWithIndex.map { case (v, code) =>
+        val sv = v.slice(s * dsub, (s + 1) * dsub)
+        (code, sv, halfSq(sv))
+      }
+    }
+    for (_ <- 0 until refine) {
+      // one narrow pass per subspace: assign, explode dims, exact means
+      val means = (0 until m).map { s =>
+        c.select(lit(s).as("sub"),
+            slice(col("nn_vec"), s * dsub + 1, dsub).as("sv"))
+          .withColumn("code", pqBest(col("sv"), pqCentArr(cbs(s)))
+            .getField("code"))
+          .select(col("sub"), col("code"),
+            posexplode(col("sv")).as(Seq("j", "x")))
+      }.reduce(_ unionByName _)
+        .groupBy(col("sub"), col("code"), col("j"))
+        .agg((sum(col("x").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast("double") / count(lit(1))).as("mv"))
+        .collect()
+      val bySubCode = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k, rs) =>
+          k -> rs.sortBy(_.getAs[Int]("j")).map(_.getAs[Double]("mv")).toSeq
+        }
+      cbs = cbs.zipWithIndex.map { case (cb, s) =>
+        cb.map { case (code, sv, ch) =>
+          bySubCode.get((s, code)) match {
+            case Some(mv) => (code, mv, halfSq(mv))
+            case None => (code, sv, ch) // empty cell keeps its seed
+          }
+        }
+      }
+    }
+    cbs
+  }
+
+  /** PQ-compressed approximate top-k: train per-subspace codebooks,
+    * encode the corpus to m codes per vector, and rank by
+    * cos(query, reconstruction) — asymmetric-distance scoring through
+    * the same bounded-heap top-k as [[bruteForceTopK]] (queries
+    * broadcast, corpus never shuffled, ≤ k rows retained per query
+    * per task). Zero-norm reconstructions are excluded exactly as
+    * zero-norm vectors are in the brute-force path. Returns
+    * (q_id, nn_id, rank, cos) with cos rounded to `scale`.
+    *
+    * Self-pairs are excluded by ID — the query's own reconstruction
+    * scores like any other candidate, as in a real PQ index. */
+  /** Encode the corpus to its PQ codes: (id, codes array<int>,
+    * length m) — the storable compression artifact (m bytes-ish per
+    * vector vs 4·dim; persist next to the codebook frames with the
+    * same FsUtil.swapInto discipline as [[IvfIndex.write]]). Codes
+    * are per-subspace argmax ordinals under the same deterministic
+    * training as [[pqTopK]]. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 4, ksub: Int = 16, refine: Int = 1): DataFrame = {
+    val c = ivfPrep(corpus, idCol, vecCol)
+    val cbs = pqTrain(c, dim, m, ksub, refine)
+    val dsub = dim / m
+    if (cbs.head.isEmpty)
+      return c.limit(0).select(col("nn_id").as(idCol),
+        array().cast("array<int>").as("codes"))
+    val codes = (0 until m).map { s =>
+      pqBest(slice(col("nn_vec"), s * dsub + 1, dsub), pqCentArr(cbs(s)))
+        .getField("code")
+    }
+    c.select(col("nn_id").as(idCol), array(codes: _*).as("codes"))
+  }
+
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int = 4, ksub: Int = 16, k: Int = 5,
+      refine: Int = 1, scale: Int = 6): DataFrame = {
+    val c = ivfPrep(corpus, idCol, vecCol)
+    val cbs = pqTrain(c, dim, m, ksub, refine)
+    val dsub = dim / m
+    if (cbs.head.isEmpty)
+      return queries.limit(0).select(col(idCol).as("q_id"),
+        col(idCol).as("nn_id"), lit(0L).as("rank"),
+        lit(0.0).as("cos"))
+    val bests = (0 until m).map { s =>
+      pqBest(slice(col("nn_vec"), s * dsub + 1, dsub), pqCentArr(cbs(s)))
+        .getField("cvec")
+    }
+    val recon = c.select(col("nn_id").as(idCol),
+      flatten(array(bests: _*)).as(vecCol))
+    bruteForceTopK(queries, recon, idCol, vecCol, k, scale)
+  }
 }

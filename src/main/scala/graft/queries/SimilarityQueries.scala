@@ -196,6 +196,23 @@ object SimilarityQueries extends QueryPack {
              |FROM sc
              |""".stripMargin)),
 
+    // product-quantization ADC top-k (Similarity.pqTopK): the
+    // 100 TB-memory ANN shape — 64-dim floats become m=4 codes
+    // against per-subspace codebooks (64x compression) and queries
+    // rank by cos(query, reconstruction). The oracle replays the
+    // ENTIRE pipeline: md5-ordered seeds, one decimal-exact Lloyd
+    // iteration per subspace, argmax encode with the smaller-code
+    // tie-break, concatenated reconstruction, brute-force ranking —
+    // every double folds in index order on both engines.
+    "q_ann_pq_topk" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.pqTopK(
+          emb.filter(col("vec_id") % 100 === 0), emb,
+          "vec_id", "embedding", dim = 64, m = 4, ksub = 16, k = 5)
+      },
+      Some(pqOracleSql)),
+
     // stream-table join against an embedding-derived feature table:
     // per-label centroid norm lookup (join of a computed dim table)
     "q_embed_label_stats" -> Q(
@@ -220,6 +237,102 @@ object SimilarityQueries extends QueryPack {
               |""".stripMargin))
   )
 
+
+  /** Length-parameterized [[oDot]] (subvector dot products). Both
+    * operands pass through CAST AS DOUBLE — exact for the float
+    * inputs, a no-op for already-double centroid lists, and the same
+    * left-fold index order the Spark kernel uses. */
+  private def oDotN(a: String, b: String, n: Int): String =
+    s"""list_reduce(list_transform(range(1, ${n + 1}),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+       |  (x, y) -> x + y)""".stripMargin
+
+  // PQ oracle: per-subspace codebooks (seeds = the ksub smallest-md5
+  // vectors' subvector slices, codes 0.. ordered by seed id), ONE
+  // decimal-exact Lloyd iteration with empty cells keeping their
+  // seed, argmax encode (score = v·c − ½‖c‖², tie → smaller code —
+  // the same transform that makes L2-argmin a single dot), flatten
+  // reconstruction, then the brute-force ranking stage with zero-norm
+  // reconstructions excluded exactly as Similarity.bruteForceTopK
+  // excludes zero-norm vectors.
+  private def pqOracleSql: String = {
+    val m = 4; val dsub = 16; val ksub = 16; val k = 5
+    def score(sv: String, cv: String) =
+      s"(${oDotN(sv, cv, dsub)} - 0.5 * ${oDotN(cv, cv, dsub)})"
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding FROM embeddings),
+       |seedsel AS (
+       |  SELECT vec_id, embedding FROM n
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $ksub),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+       |         embedding
+       |  FROM seedsel),
+       |subs AS (SELECT unnest(range(0, $m)) AS sub),
+       |cent0 AS (
+       |  SELECT sub, code,
+       |    list_transform(embedding[sub*$dsub+1 : sub*$dsub+$dsub],
+       |                   v -> CAST(v AS DOUBLE)) AS cvec
+       |  FROM seeds, subs),
+       |sv AS (
+       |  SELECT vec_id, sub,
+       |    list_transform(embedding[sub*$dsub+1 : sub*$dsub+$dsub],
+       |                   v -> CAST(v AS DOUBLE)) AS sv
+       |  FROM n, subs),
+       |a0 AS (
+       |  SELECT vec_id, sub, code, sv FROM (
+       |    SELECT s.vec_id, s.sub, c.code, s.sv,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |        ORDER BY ${score("s.sv", "c.cvec")} DESC, c.code ASC) AS r
+       |    FROM sv s JOIN cent0 c USING (sub))
+       |  WHERE r = 1),
+       |pe AS (
+       |  SELECT sub, code, unnest(range(1, ${dsub + 1})) AS j,
+       |         unnest(sv) AS x
+       |  FROM a0),
+       |mu AS (
+       |  SELECT sub, code, j,
+       |    CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS mvx
+       |  FROM pe GROUP BY sub, code, j),
+       |newv AS (
+       |  SELECT sub, code, list(mvx ORDER BY j) AS mvec
+       |  FROM mu GROUP BY sub, code),
+       |cent AS (
+       |  SELECT c0.sub, c0.code,
+       |    CASE WHEN nv.mvec IS NOT NULL THEN nv.mvec
+       |         ELSE c0.cvec END AS cvec
+       |  FROM cent0 c0 LEFT JOIN newv nv USING (sub, code)),
+       |enc AS (
+       |  SELECT vec_id, sub, cvec FROM (
+       |    SELECT s.vec_id, s.sub, c.cvec,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |        ORDER BY ${score("s.sv", "c.cvec")} DESC, c.code ASC) AS r
+       |    FROM sv s JOIN cent c USING (sub))
+       |  WHERE r = 1),
+       |recon AS (
+       |  SELECT vec_id, flatten(list(cvec ORDER BY sub)) AS rv
+       |  FROM enc GROUP BY vec_id),
+       |rn AS (
+       |  SELECT vec_id, rv, sqrt(${oDot("rv", "rv")}) AS rnrm
+       |  FROM recon),
+       |qn AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${oDot("embedding", "embedding")}) AS qnrm
+       |  FROM n WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, x.vec_id AS nn_id,
+       |    ${oDot("q.embedding", "x.rv")} / (q.qnrm * x.rnrm) AS cos
+       |  FROM qn q, rn x
+       |  WHERE q.vec_id <> x.vec_id AND x.rnrm > 0 AND q.qnrm > 0),
+       |ranked AS (
+       |  SELECT q_id, nn_id, cos,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY cos DESC, nn_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, nn_id, rank, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= $k
+       |""".stripMargin
+  }
 
   // the oracle replays the ONE Lloyd refinement iteration the
   // engine runs: seed centroids by md5 order, assign, per-cell

@@ -159,12 +159,18 @@ class ScaleLintSpec extends SparkSpec {
 
   test("every registry query lints clean of error-severity findings") {
     // the automated form of the per-query PlanSpec audits: no benched
-    // query may plan a cartesian or a global window. The one documented
-    // exception is the brute-force ANN baseline, whose corpus×queries
-    // cross join IS the operator's definition (the recall oracle IVF
-    // is measured against — Similarity.scala).
+    // query may plan a cartesian or a global window. Two documented
+    // exceptions, both ANN scoring stages whose corpus×queries cross
+    // join IS the operator's definition: the brute-force baseline
+    // (the recall oracle IVF is measured against) and the PQ ADC
+    // ranker, which scores RECONSTRUCTIONS through the same
+    // broadcast-queries stage — its scale lever is code-size
+    // compression (and composing with IVF probe pruning), not join
+    // shape (Similarity.scala).
     val allowed = Map(
       "q_ann_bruteforce_topk" -> Set("CARTESIAN", "CARTESIAN_PHYSICAL",
+        "NESTED_LOOP_JOIN"),
+      "q_ann_pq_topk" -> Set("CARTESIAN", "CARTESIAN_PHYSICAL",
         "NESTED_LOOP_JOIN"))
     val bad = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val errs = ScaleLint.errors(q.run(spark, sf0001))
