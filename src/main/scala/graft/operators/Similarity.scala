@@ -393,14 +393,27 @@ object Similarity {
           lit(0.0).as("cos"))
     }
     val np = if (nprobe > 0) nprobe else derivedNprobe(cents.length)
+    // score only vectors in probed cells; bounded-heap top-k (no
+    // per-query window shuffle — see topKRank)
+    val scored = ivfProbes(queries, index.idCol, index.vecCol, cents, np)
+      .join(index.assigned, "cell")
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("cos",
+        dot(col("q_vec"), col("nn_vec")) / (col("q_nrm") * col("nn_nrm")))
+    topKRank(scored, k, scale)
+  }
+
+  /** Each query's `np` nearest cells: (q_id, q_vec, q_nrm, cell) —
+    * sort the nlist scores (asc by (-score, index)) and take the
+    * first np. Shared by the float-scoring IVF probe and the
+    * PQ-scoring [[ivfPqTopK]]. */
+  private def ivfProbes(queries: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[(Any, Seq[Double], Double)],
+      np: Int): DataFrame = {
     val centArr = centArrOf(cents)
-    val q = queries.select(col(index.idCol).as("q_id"),
-        col(index.vecCol).as("q_vec"))
+    queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("q_nrm", norm(col("q_vec")))
       .filter(col("q_nrm") > 0)
-    // each query's nprobe nearest cells: sort the nlist scores
-    // (asc by (-score, index)) and take the first nprobe
-    val probes = q
       .withColumn("__probe", explode(slice(array_sort(
         transform(cellScores(centArr)(col("q_vec"), col("q_nrm")),
           cs => struct(
@@ -410,13 +423,6 @@ object Similarity {
         1, np)))
       .select(col("q_id"), col("q_vec"), col("q_nrm"),
         col("__probe.cent_id").as("cell"))
-    // score only vectors in probed cells; bounded-heap top-k (no
-    // per-query window shuffle — see topKRank)
-    val scored = probes.join(index.assigned, "cell")
-      .filter(col("q_id") =!= col("nn_id"))
-      .withColumn("cos",
-        dot(col("q_vec"), col("nn_vec")) / (col("q_nrm") * col("nn_nrm")))
-    topKRank(scored, k, scale)
   }
 
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned
@@ -669,5 +675,51 @@ object Similarity {
     val recon = c.select(col("nn_id").as(idCol),
       flatten(array(bests: _*)).as(vecCol))
     bruteForceTopK(queries, recon, idCol, vecCol, k, scale)
+  }
+
+  /** The IVF-PQ serving stack — the two halves composed: the coarse
+    * quantizer ([[ivfIndex]]) answers WHICH cells to scan (nprobe of
+    * nlist), PQ answers how to score their members WITHOUT the
+    * floats (cos against the m-code reconstruction). Per query the
+    * work is nlist centroid scores + ~nprobe/nlist of the corpus at
+    * code-compressed width — at 100 TB that is the only shape where
+    * both the candidate count AND the bytes-per-candidate are
+    * sublinear. Both quantizers train with the deterministic
+    * discipline their standalone oracles pin (md5 seeds,
+    * decimal-exact Lloyd), so the composed oracle is their CTE
+    * chains joined. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, nlist: Int = 0, nprobe: Int = 0,
+      m: Int = 4, ksub: Int = 16, refine: Int = 1,
+      scale: Int = 6): DataFrame = {
+    val index = ivfIndex(corpus, idCol, vecCol, nlist, refine)
+    val cents = ivfCents(
+      index.codebook.orderBy(col("cent_id")).collect().toSeq)
+    val c = ivfPrep(corpus, idCol, vecCol)
+    val cbs = pqTrain(c, dim, m, ksub, refine)
+    if (cents.isEmpty || cbs.head.isEmpty)
+      return queries.limit(0).select(col(idCol).as("q_id"),
+        col(idCol).as("nn_id"), lit(0L).as("rank"),
+        lit(0.0).as("cos"))
+    val np = if (nprobe > 0) nprobe else derivedNprobe(cents.length)
+    val dsub = dim / m
+    val bests = (0 until m).map { s =>
+      pqBest(slice(col("nn_vec"), s * dsub + 1, dsub), pqCentArr(cbs(s)))
+        .getField("cvec")
+    }
+    // the assigned table at PQ width: cell from the coarse quantizer,
+    // vector replaced by its reconstruction (zero-norm recons drop,
+    // as in pqTopK's ranking stage)
+    val reconAssigned = index.assigned
+      .select(col("nn_id"), col("cell"),
+        flatten(array(bests: _*)).as("nn_vec"))
+      .withColumn("nn_nrm", norm(col("nn_vec")))
+      .filter(col("nn_nrm") > 0)
+    val scored = ivfProbes(queries, idCol, vecCol, cents, np)
+      .join(reconAssigned, "cell")
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("cos",
+        dot(col("q_vec"), col("nn_vec")) / (col("q_nrm") * col("nn_nrm")))
+    topKRank(scored, k, scale)
   }
 }

@@ -213,6 +213,21 @@ object SimilarityQueries extends QueryPack {
       },
       Some(pqOracleSql)),
 
+    // the composed IVF-PQ serving stack: coarse probe picks nprobe
+    // cells, PQ reconstruction scores only their members — candidate
+    // count AND bytes-per-candidate both sublinear, the only shape
+    // that serves ANN at 100 TB. Oracle = the two standalone chains
+    // joined; same parameters as their standalone queries.
+    "q_ann_ivfpq_topk" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfPqTopK(
+          emb.filter(col("vec_id") % 100 === 0), emb,
+          "vec_id", "embedding", dim = 64, k = 5,
+          nlist = 16, nprobe = 4, m = 4, ksub = 16)
+      },
+      Some(ivfPqOracleSql)),
+
     // stream-table join against an embedding-derived feature table:
     // per-label centroid norm lookup (join of a computed dim table)
     "q_embed_label_stats" -> Q(
@@ -247,21 +262,20 @@ object SimilarityQueries extends QueryPack {
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
        |  (x, y) -> x + y)""".stripMargin
 
-  // PQ oracle: per-subspace codebooks (seeds = the ksub smallest-md5
-  // vectors' subvector slices, codes 0.. ordered by seed id), ONE
-  // decimal-exact Lloyd iteration with empty cells keeping their
-  // seed, argmax encode (score = v·c − ½‖c‖², tie → smaller code —
-  // the same transform that makes L2-argmin a single dot), flatten
-  // reconstruction, then the brute-force ranking stage with zero-norm
-  // reconstructions excluded exactly as Similarity.bruteForceTopK
-  // excludes zero-norm vectors.
-  private def pqOracleSql: String = {
-    val m = 4; val dsub = 16; val ksub = 16; val k = 5
+  // PQ CTE chain: per-subspace codebooks (seeds = the ksub
+  // smallest-md5 vectors' subvector slices, codes 0.. ordered by seed
+  // id), ONE decimal-exact Lloyd iteration with empty cells keeping
+  // their seed, argmax encode (score = v·c − ½‖c‖², tie → smaller
+  // code — the transform that makes L2-argmin a single dot), flatten
+  // reconstruction. CTE names carry `p` prefixes so the chain
+  // composes with the IVF chain (shared names would collide) —
+  // `prn` ends it with (vec_id, rv, rnrm). Expects a CTE `n`
+  // providing (vec_id, embedding) upstream.
+  private def pqChainCtes: String = {
+    val m = 4; val dsub = 16; val ksub = 16
     def score(sv: String, cv: String) =
       s"(${oDotN(sv, cv, dsub)} - 0.5 * ${oDotN(cv, cv, dsub)})"
-    s"""WITH n AS (
-       |  SELECT vec_id, embedding FROM embeddings),
-       |seedsel AS (
+    s"""seedsel AS (
        |  SELECT vec_id, embedding FROM n
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $ksub),
        |seeds AS (
@@ -269,62 +283,58 @@ object SimilarityQueries extends QueryPack {
        |         embedding
        |  FROM seedsel),
        |subs AS (SELECT unnest(range(0, $m)) AS sub),
-       |cent0 AS (
+       |pcent0 AS (
        |  SELECT sub, code,
        |    list_transform(embedding[sub*$dsub+1 : sub*$dsub+$dsub],
        |                   v -> CAST(v AS DOUBLE)) AS cvec
        |  FROM seeds, subs),
-       |sv AS (
+       |psv AS (
        |  SELECT vec_id, sub,
        |    list_transform(embedding[sub*$dsub+1 : sub*$dsub+$dsub],
        |                   v -> CAST(v AS DOUBLE)) AS sv
        |  FROM n, subs),
-       |a0 AS (
+       |pa0 AS (
        |  SELECT vec_id, sub, code, sv FROM (
        |    SELECT s.vec_id, s.sub, c.code, s.sv,
        |      row_number() OVER (PARTITION BY s.vec_id, s.sub
        |        ORDER BY ${score("s.sv", "c.cvec")} DESC, c.code ASC) AS r
-       |    FROM sv s JOIN cent0 c USING (sub))
+       |    FROM psv s JOIN pcent0 c USING (sub))
        |  WHERE r = 1),
-       |pe AS (
+       |ppe AS (
        |  SELECT sub, code, unnest(range(1, ${dsub + 1})) AS j,
        |         unnest(sv) AS x
-       |  FROM a0),
-       |mu AS (
+       |  FROM pa0),
+       |pmu AS (
        |  SELECT sub, code, j,
        |    CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS mvx
-       |  FROM pe GROUP BY sub, code, j),
-       |newv AS (
+       |  FROM ppe GROUP BY sub, code, j),
+       |pnewv AS (
        |  SELECT sub, code, list(mvx ORDER BY j) AS mvec
-       |  FROM mu GROUP BY sub, code),
-       |cent AS (
+       |  FROM pmu GROUP BY sub, code),
+       |pcent AS (
        |  SELECT c0.sub, c0.code,
        |    CASE WHEN nv.mvec IS NOT NULL THEN nv.mvec
        |         ELSE c0.cvec END AS cvec
-       |  FROM cent0 c0 LEFT JOIN newv nv USING (sub, code)),
-       |enc AS (
+       |  FROM pcent0 c0 LEFT JOIN pnewv nv USING (sub, code)),
+       |penc AS (
        |  SELECT vec_id, sub, cvec FROM (
        |    SELECT s.vec_id, s.sub, c.cvec,
        |      row_number() OVER (PARTITION BY s.vec_id, s.sub
        |        ORDER BY ${score("s.sv", "c.cvec")} DESC, c.code ASC) AS r
-       |    FROM sv s JOIN cent c USING (sub))
+       |    FROM psv s JOIN pcent c USING (sub))
        |  WHERE r = 1),
-       |recon AS (
+       |precon AS (
        |  SELECT vec_id, flatten(list(cvec ORDER BY sub)) AS rv
-       |  FROM enc GROUP BY vec_id),
-       |rn AS (
+       |  FROM penc GROUP BY vec_id),
+       |prn AS (
        |  SELECT vec_id, rv, sqrt(${oDot("rv", "rv")}) AS rnrm
-       |  FROM recon),
-       |qn AS (
-       |  SELECT vec_id, embedding,
-       |         sqrt(${oDot("embedding", "embedding")}) AS qnrm
-       |  FROM n WHERE vec_id % 100 = 0),
-       |scored AS (
-       |  SELECT q.vec_id AS q_id, x.vec_id AS nn_id,
-       |    ${oDot("q.embedding", "x.rv")} / (q.qnrm * x.rnrm) AS cos
-       |  FROM qn q, rn x
-       |  WHERE q.vec_id <> x.vec_id AND x.rnrm > 0 AND q.qnrm > 0),
-       |ranked AS (
+       |  FROM precon)""".stripMargin
+  }
+
+  // the shared ranking tail: top-k by cos DESC with nn_id tie-break,
+  // rounded at emission exactly like topKRank
+  private def oRankTail(k: Int): String =
+    s"""ranked AS (
        |  SELECT q_id, nn_id, cos,
        |    row_number() OVER (PARTITION BY q_id
        |                       ORDER BY cos DESC, nn_id) AS rank
@@ -332,15 +342,30 @@ object SimilarityQueries extends QueryPack {
        |SELECT q_id, nn_id, rank, round(cos, 6) AS cos
        |FROM ranked WHERE rank <= $k
        |""".stripMargin
-  }
+
+  private def pqOracleSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding FROM embeddings),
+       |$pqChainCtes,
+       |qn AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${oDot("embedding", "embedding")}) AS qnrm
+       |  FROM n WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, x.vec_id AS nn_id,
+       |    ${oDot("q.embedding", "x.rv")} / (q.qnrm * x.rnrm) AS cos
+       |  FROM qn q, prn x
+       |  WHERE q.vec_id <> x.vec_id AND x.rnrm > 0 AND q.qnrm > 0),
+       |${oRankTail(5)}""".stripMargin
 
   // the oracle replays the ONE Lloyd refinement iteration the
   // engine runs: seed centroids by md5 order, assign, per-cell
   // decimal-exact dimension means (empty/zero-norm cells keep
   // their seed), then the refined assignment/probe stages. Shared
   // verbatim by q_ann_ivf_topk and q_ann_ivf_index — the persisted
-  // index must reproduce the in-memory path bit-for-bit.
-  private def ivfOracleSql: String = s"""WITH n AS (
+  // index must reproduce the in-memory path bit-for-bit — and, as
+  // [[ivfChainCtes]], by the composed q_ann_ivfpq_topk oracle.
+  private def ivfChainCtes: String = s"""n AS (
               |  SELECT vec_id, embedding,
               |         sqrt(${oDot("embedding", "embedding")}) AS nrm
               |  FROM embeddings),
@@ -399,18 +424,30 @@ object SimilarityQueries extends QueryPack {
               |                 (q.nrm * cent_nrm) DESC, cent_id ASC) AS r
               |    FROM n q, cent
               |    WHERE q.vec_id % 100 = 0)
-              |  WHERE r <= 4),
-              |scored AS (
-              |  SELECT q_id, nn_id,
-              |    ${oDot("q_vec", "nn_vec")} / (q_nrm * nn_nrm) AS cos
-              |  FROM probes JOIN assigned USING (cell)
-              |  WHERE q_id <> nn_id),
-              |ranked AS (
-              |  SELECT q_id, nn_id, cos,
-              |    row_number() OVER (PARTITION BY q_id
-              |                       ORDER BY cos DESC, nn_id) AS rank
-              |  FROM scored)
-              |SELECT q_id, nn_id, rank, round(cos, 6) AS cos
-              |FROM ranked WHERE rank <= 5
-              |""".stripMargin
+              |  WHERE r <= 4)""".stripMargin
+
+  private def ivfOracleSql: String =
+    s"""WITH $ivfChainCtes,
+       |scored AS (
+       |  SELECT q_id, nn_id,
+       |    ${oDot("q_vec", "nn_vec")} / (q_nrm * nn_nrm) AS cos
+       |  FROM probes JOIN assigned USING (cell)
+       |  WHERE q_id <> nn_id),
+       |${oRankTail(5)}""".stripMargin
+
+  // IVF-PQ composed oracle: the coarse chain provides probed cells +
+  // cell membership; the PQ chain provides each member's
+  // reconstruction; scoring is cos(query floats, reconstruction)
+  // restricted to probed cells, with zero-norm reconstructions
+  // excluded exactly as Similarity.ivfPqTopK drops them.
+  private def ivfPqOracleSql: String =
+    s"""WITH $ivfChainCtes,
+       |$pqChainCtes,
+       |scored AS (
+       |  SELECT p.q_id, a.nn_id,
+       |    ${oDot("p.q_vec", "x.rv")} / (p.q_nrm * x.rnrm) AS cos
+       |  FROM probes p JOIN assigned a USING (cell)
+       |       JOIN prn x ON x.vec_id = a.nn_id
+       |  WHERE p.q_id <> a.nn_id AND x.rnrm > 0),
+       |${oRankTail(5)}""".stripMargin
 }
