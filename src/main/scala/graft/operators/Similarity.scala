@@ -677,6 +677,102 @@ object Similarity {
     bruteForceTopK(queries, recon, idCol, vecCol, k, scale)
   }
 
+  /** A corpus's trained PQ state — the third persistence unit next to
+    * [[MinhashIndex]] and [[IvfIndex]]: `codebooks` (sub, code,
+    * cvec double[]; m·ksub rows — always driver-small) and `codes`
+    * (id, codes int[m]; one row per corpus vector at ~m bytes — the
+    * compressed corpus). Build once, store, rank every query batch
+    * against reconstructions WITHOUT the original floats. */
+  final case class PqIndex(codebooks: DataFrame, codes: DataFrame,
+      idCol: String, dim: Int, m: Int, ksub: Int) {
+    /** Persist both frames + a params sidecar under `dir`, with the
+      * same crash-safe staged swap as the other index writers. */
+    def write(dir: String): Unit = {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(dir).getFileSystem(
+        codebooks.sparkSession.sparkContext.hadoopConfiguration)
+      graft.core.FsUtil.swapInto(fs, new Path(dir)) { staging =>
+        codebooks.write.mode("overwrite")
+          .parquet(new Path(staging, "codebooks.parquet").toString)
+        codes.write.mode("overwrite")
+          .parquet(new Path(staging, "codes.parquet").toString)
+        graft.core.FsUtil.writeSidecar(fs,
+          new Path(staging, "params.json"),
+          s"""{"dim":$dim,"m":$m,"ksub":$ksub}""")
+      }
+    }
+  }
+
+  /** Train a [[PqIndex]]: deterministic codebooks ([[pqTrain]]
+    * discipline) + the corpus encoded to codes. */
+  def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 4, ksub: Int = 16, refine: Int = 1): PqIndex = {
+    val c = ivfPrep(corpus, idCol, vecCol)
+    val cbs = pqTrain(c, dim, m, ksub, refine)
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cbFrame = cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.map { case (code, v, _) => (s, code, v) }
+    }.toDF("sub", "code", "cvec")
+    val codes =
+      if (cbs.head.isEmpty)
+        c.limit(0).select(col("nn_id").as(idCol),
+          array().cast("array<int>").as("codes"))
+      else {
+        val cols = (0 until m).map { s =>
+          pqBest(slice(col("nn_vec"), s * dsub + 1, dsub),
+            pqCentArr(cbs(s))).getField("code")
+        }
+        c.select(col("nn_id").as(idCol), array(cols: _*).as("codes"))
+      }
+    PqIndex(cbFrame, codes, idCol, dim, m, ksub)
+  }
+
+  /** Reload a stored [[PqIndex]]; params come from the sidecar. */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String): PqIndex = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val params = graft.core.FsUtil.readSidecar(fs,
+      new Path(dir, "params.json")).getOrElse(throw new java.io.IOException(
+      s"PqIndex at $dir has no params.json — not a PQ index dir"))
+    def p(k: String): Int =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(params)
+        .getOrElse(throw new java.io.IOException(
+          s"PqIndex $dir: malformed params.json: $params")).group(1).toInt
+    PqIndex(spark.read.parquet(s"$dir/codebooks.parquet"),
+      spark.read.parquet(s"$dir/codes.parquet"),
+      idCol, p("dim"), p("m"), p("ksub"))
+  }
+
+  /** Rank `queries` against a stored/trained [[PqIndex]]: the m·ksub
+    * codebook rows collect to the driver (always tiny) and become a
+    * 3-level literal, so reconstruction is a NARROW per-row
+    * element_at chain over the stored codes — no join, no shuffle;
+    * the compressed corpus is the only thing scanned. Output and
+    * ranking contract identical to [[pqTopK]]. */
+  def pqTopKWithIndex(queries: DataFrame, index: PqIndex,
+      vecCol: String, k: Int, scale: Int = 6): DataFrame = {
+    val cb: Seq[Seq[Seq[Double]]] =
+      index.codebooks.orderBy(col("sub"), col("code")).collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map { case (_, rows) =>
+          rows.sortBy(_.getInt(1))
+            .map(_.getSeq[Any](2).map(ivfToDouble).toSeq).toSeq
+        }
+    if (cb.isEmpty)
+      return queries.limit(0).select(col(index.idCol).as("q_id"),
+        col(index.idCol).as("nn_id"), lit(0L).as("rank"),
+        lit(0.0).as("cos"))
+    val cbLit = typedLit(cb)
+    val recon = index.codes.select(col(index.idCol),
+      flatten(transform(col("codes"), (c, s) =>
+        element_at(element_at(cbLit, s + 1), c + 1))).as(vecCol))
+    bruteForceTopK(queries, recon, index.idCol, vecCol, k, scale)
+  }
+
   /** The IVF-PQ serving stack — the two halves composed: the coarse
     * quantizer ([[ivfIndex]]) answers WHICH cells to scan (nprobe of
     * nlist), PQ answers how to score their members WITHOUT the

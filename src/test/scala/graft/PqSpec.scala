@@ -36,6 +36,23 @@ class PqSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("stored index round-trip ranks identically to the fresh build") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq")
+      .toString + "/idx"
+    Similarity.pqIndex(emb, "vec_id", "embedding", dim = 64).write(dir)
+    val idx = Similarity.readPqIndex(s, dir, "vec_id")
+    assert(idx.m == 4 && idx.ksub == 16 && idx.dim == 64)
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val stored = Similarity.pqTopKWithIndex(q, idx, "embedding", k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val fresh = Similarity.pqTopK(q, emb, "vec_id", "embedding",
+      dim = 64, m = 4, ksub = 16, k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(stored == fresh)
+  }
+
   test("PQ ranking overlaps exact brute-force top-k") {
     val s = spark
     import s.implicits._
