@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Dev tool: the PQ-index amortization evidence — one pqIndex
+  * build+write, then repeated reload+probe batches against the
+  * stored codes, plus recall@k of PQ ranking vs exact brute force.
+  * The PQ analog of ProfileIvf's `amortize` mode: training dominates
+  * (seeds + Lloyd + encode scan), probing reads only the compressed
+  * corpus.
+  * Usage: runMain graft.tools.ProfilePq <sfDir> [batches] */
+object ProfilePq {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val batches = args.lift(1).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession("graft-pq-profile",
+      master = Some(s"local[$cpus]"), shufflePartitions = Some(cpus.toInt))
+    import spark.implicits._
+
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .persist()
+    val n = emb.count()
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val dir = graft.core.FsUtil.deleteOnExit(
+      s"${System.getProperty("java.io.tmpdir")}/graft_pq_profile_" +
+        ProcessHandle.current().pid())
+
+    def timed[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[pq-profile] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    println(s"[pq-profile] corpus n=$n")
+    timed("build+write (train + encode + parquet)") {
+      Similarity.pqIndex(emb, "vec_id", "embedding", dim = 64).write(dir)
+    }
+    (1 to batches).foreach { i =>
+      timed(s"reload+probe batch $i (k=5)") {
+        val idx = Similarity.readPqIndex(spark, dir, "vec_id")
+        Similarity.pqTopKWithIndex(q, idx, "embedding", k = 5).count()
+      }
+    }
+    // recall@5 vs exact across code budgets — the m/ksub quality
+    // knob curve. NOTE the corpus here is SYNTHETIC UNIFORM-RANDOM
+    // (PQ's adversarial case: no intrinsic low-dimensional structure
+    // for the codebooks to exploit), so absolute recall is far below
+    // what real embeddings give; the evidence is the MONOTONE climb
+    // with code budget.
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+      k = 5).select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    Seq((4, 16), (8, 64), (16, 256)).foreach { case (m, ksub) =>
+      val pq = Similarity.pqTopK(q, emb, "vec_id", "embedding",
+        dim = 64, m = m, ksub = ksub, k = 5)
+        .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+      val bits = m * (math.log(ksub) / math.log(2)).toInt
+      println(f"[pq-profile] recall@5 m=$m ksub=$ksub ($bits%d-bit codes, " +
+        f"${64 * 32 / bits}%dx compression): " +
+        f"${pq.intersect(exact).size.toDouble / exact.size}%.3f")
+    }
+    spark.stop()
+  }
+}
