@@ -76,6 +76,40 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Exact decontamination on the bloom scale path: the join-free
+    * [[decontaminateBloom]] probe drops the non-matching majority of
+    * corpus grams with ONE codegen'd narrow Filter, and only the
+    * fpp-sized survivor stream meets the exact broadcast gram join —
+    * which kills the bloom's false positives, so the output is
+    * IDENTICAL to [[decontaminate]] (the bloom never false-negatives).
+    * This is the 100 TB composition: the broadcast-join hash probe and
+    * the per-doc hit-count shuffle both run over fpp·|corpus grams|
+    * rows instead of every gram in the corpus, and the bloom bytes
+    * (MBs at 1% fpp) ship once per executor inside the serialized
+    * filter expression. Shares q_decontaminate's DuckDB oracle —
+    * exactness of the two-phase plan is gate-checked, not claimed. */
+  def decontaminateExactViaBloom(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol),
+        explode(array_distinct(shinglesOfTokens(col("__w"), n))).as("gram"))
+    val benchGrams = grams(bench).select("gram").distinct()
+    val hashed = benchGrams.select(xxhash64(col("gram")).as("h"))
+    val expected = math.max(1L, hashed.count())
+    val bf = hashed.stat.bloomFilter("h", expected, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    grams(corpus)
+      .filter(graft.plans.GraftCall(
+        graft.plans.SketchExpressions.BloomContainsName,
+        xxhash64(col("gram")), lit(bos.toByteArray)))
+      .join(broadcast(benchGrams), "gram") // exact pass over survivors only
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Deterministic hash-threshold sampling with per-stratum rates:
     * a row is kept iff the first 4 hex chars of md5(seedCols joined
     * by ':') sort below the stratum's threshold. Rates are quantized
@@ -160,6 +194,78 @@ object Curation {
       .select(col(strataCol), col("__e.__id").as(idCol))
   }
 
+  /** Domain-mixture composer: deterministically subsample each stratum
+    * so the surviving corpus approximates the target `weights` over a
+    * total token budget — the re-weighting step that turns a raw crawl
+    * (whatever proportions the web happened to have) into a designed
+    * training mixture. Per-stratum keep rate:
+    *
+    *   rate_s = min(1.0, totalTokens · w_s / tokens_s)
+    *
+    * i.e. a stratum with more tokens than its budget share is thinned
+    * to it; a stratum with fewer keeps everything (the mixture is then
+    * best-effort for that stratum — no oversampling/duplication here,
+    * epoch repetition is a trainer concern). Row selection reuses
+    * [[sampleStratified]]'s md5-threshold contract, so the sample is
+    * reproducible across reruns, partitionings, and corpus growth, and
+    * the DuckDB oracle replays it exactly.
+    *
+    * Scale shape: one map-side-combined groupBy over the strata (the
+    * ONLY shuffle, `|strata|` rows out), a driver-side rate table of
+    * `|strata|` entries (domains are thousands at 100 TB, never
+    * corpus-sized), then a pure narrow filter over the corpus scan.
+    * Strata absent from `weights` get rate 0 (dropped): a mixture is a
+    * whitelist, silently passing unknown domains would corrupt it. */
+  def mixDomains(df: DataFrame, strataCol: String, textCol: String,
+      weights: Map[String, Double], totalTokens: Long,
+      seedCols: Seq[String]): DataFrame = {
+    val perStratum = df.groupBy(col(strataCol))
+      .agg(sum(bpeTokenCount(col(textCol))).as("__toks"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = weights.map { case (s, w) =>
+      val have = perStratum.getOrElse(s, 0L)
+      s -> (if (have <= 0L) 0.0 else math.min(1.0, totalTokens * w / have))
+    }
+    sampleStratified(df, strataCol, rates, defaultRate = 0.0, seedCols)
+  }
+
+  /** Curriculum / quality bucketing: assign each document a bucket
+    * 1..nBuckets by where its quality score falls among the exact
+    * interpolated quantiles of its stratum — the pass that orders a
+    * corpus for curriculum training or splits it into quality tiers
+    * for per-tier sampling rates.
+    *
+    * Scale shape: the naive form is `ntile() OVER (PARTITION BY
+    * stratum ORDER BY score)` — a full sort of every stratum with each
+    * stratum on ONE task, the exact skew wall the other curation ops
+    * avoid. Instead the quantile THRESHOLDS are computed per stratum
+    * with Spark's exact `percentile` aggregate (map-side partials over
+    * the 4-decimal-quantized score domain — at most 10⁴ distinct
+    * values per task, O(distinct) not O(rows)), and bucket assignment
+    * is a broadcast join of the |strata|-row threshold table plus a
+    * narrow scan: no window, no stratum-wide sort, no skew exposure.
+    * Thresholds are rounded to 6 decimals on both engines before the
+    * strict `>` comparison: scores are 4-decimal quantized, so any
+    * cross-engine ULP wobble in quantile interpolation rounds to the
+    * same 6-decimal value and cannot flip a bucket. Ties at a
+    * threshold fall to the lower bucket (deterministic). */
+  def qualityBuckets(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val scored = df.select(col(idCol), col(strataCol),
+      alphaRatio(col(textCol)).as("score"))
+    val qs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val thresholds = scored.groupBy(col(strataCol))
+      .agg(transform(percentile(col("score"), lit(qs)),
+        t => round(t, 6)).as("__th"))
+    scored.join(broadcast(thresholds), strataCol)
+      .select(col(idCol), col(strataCol), col("score"),
+        aggregate(col("__th"), lit(1L),
+          (acc, t) => acc + when(col("score") > t, 1L).otherwise(0L))
+          .as("bucket"))
+  }
+
   /** Contiguous sequence packing: within each (strataCol, shard)
     * stream ordered by `idCol`, documents fill token-budget bins in
     * order; a document's sequence id is the bin its first token lands
@@ -185,6 +291,32 @@ object Curation {
         bpeTokenCount(col(textCol)).as("n_tok"))
       .withColumn("seq_id",
         floor((sum(col("n_tok")).over(w) - col("n_tok")) / budget))
+  }
+
+  /** Deterministic training-order assignment — the "global shuffle"
+    * stage that decorrelates document order from crawl/source order
+    * before training. Each row gets (shard, pos): shard = id mod
+    * numShards, pos = the rank of its content hash within the shard.
+    * A reader consuming shards round-robin by pos sees a uniform
+    * content-hash-ordered permutation of the corpus; re-running the
+    * pipeline (any partitioning, any retry) reproduces it bit-for-bit
+    * — `rand()`-shuffles can't make that promise, and resumable
+    * training requires it.
+    *
+    * Scale shape: one window sort PER SHARD (explicit id-hash shards,
+    * the packSequences parallelism contract) — numShards parallel
+    * sorts of |corpus|/numShards rows each, never a global sort or a
+    * single-task stratum. Ids are assumed non-negative (pmod == the
+    * oracle's `%` only then). */
+  def trainOrder(df: DataFrame, idCol: String, seedCols: Seq[String],
+      numShards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), pmod(col(idCol), lit(numShards)).as("shard"),
+        md5(concat_ws(":",
+          seedCols.map(c => col(c).cast("string")): _*)).as("__h"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
   }
 
   /** Survivor selection: given the full corpus and a duplicate-cluster

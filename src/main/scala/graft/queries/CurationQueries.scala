@@ -45,6 +45,98 @@ object CurationQueries extends QueryPack {
               |GROUP BY c.doc_id
               |""".stripMargin)),
 
+    // the same decontamination on the 100 TB scale path: bloom-filter
+    // prefilter (join-free codegen'd scan filter) then the exact
+    // broadcast gram join over the fpp-sized survivors only. Output is
+    // identical to q_decontaminate, so it shares the oracle — the
+    // exactness of the two-phase plan is itself what the gate checks.
+    "q_decontaminate_bloom" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Curation.decontaminateExactViaBloom(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 4, fpp = 0.01)
+      },
+      Some(s"""WITH $oGrams4,
+              |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+              |corpus AS (SELECT doc_id, gram FROM g WHERE source <> 'src0')
+              |SELECT c.doc_id, count(*) AS n_hits
+              |FROM corpus c JOIN bench b USING (gram)
+              |GROUP BY c.doc_id
+              |""".stripMargin)),
+
+    // domain-mixture composer: thin each language to its share of a
+    // token budget (half the corpus's weighted-strata token mass),
+    // md5-threshold row selection — the step that turns raw-crawl
+    // proportions into a designed training mixture. One |strata|-row
+    // agg + a narrow filter; rates derive from data, so the oracle
+    // recomputes them from the same tables.
+    "q_mix_domains" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val budget = docs
+          .filter(col("lang").isin("en", "de", "fr", "es"))
+          .agg(sum(graft.functions.TextFunctions.bpeTokenCount(col("text"))))
+          .head.getLong(0) / 2
+        Curation.mixDomains(docs, "lang", "text",
+            weights = Map("en" -> 0.4, "de" -> 0.3, "fr" -> 0.2,
+              "es" -> 0.1),
+            totalTokens = budget, seedCols = Seq("doc_id", "text"))
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang, source, text,
+             |    CAST(len(regexp_extract_all(text,
+             |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |b AS (SELECT CAST(SUM(n_tok) // 2 AS BIGINT) AS budget
+             |      FROM tok WHERE lang IN ('en','de','fr','es')),
+             |rt AS (
+             |  SELECT lang, LEAST(CAST(1 AS DOUBLE),
+             |    CAST(b.budget AS DOUBLE) *
+             |    CAST(CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.3
+             |                   WHEN 'fr' THEN 0.2 WHEN 'es' THEN 0.1
+             |                   ELSE 0.0 END AS DOUBLE) /
+             |    CAST(SUM(n_tok) AS DOUBLE)) AS rate
+             |  FROM tok, b GROUP BY lang, b.budget)
+             |SELECT t.doc_id, t.lang, t.source
+             |FROM tok t JOIN rt USING (lang)
+             |WHERE rt.rate >= 1.0
+             |   OR substr(md5(CAST(t.doc_id AS VARCHAR) || ':' || t.text),
+             |             1, 4)
+             |      < printf('%04x', CAST(floor(rt.rate * 65536) AS INT))
+             |""".stripMargin)),
+
+    // curriculum / quality-tier bucketing: decile of the alpha-ratio
+    // quality score within each language — via per-stratum quantile
+    // THRESHOLDS (exact percentile agg, O(distinct) state) + a
+    // broadcast join + narrow assignment, never an ntile window that
+    // would sort a whole stratum on one task. Thresholds rounded to 6
+    // decimals on both engines so interpolation ULP wobble cannot
+    // flip a 4-decimal-quantized score across a boundary.
+    "q_quality_buckets" -> Q(
+      (s, d) => Curation.qualityBuckets(t(s, d, "documents"),
+        idCol = "doc_id", textCol = "text", strataCol = "lang",
+        nBuckets = 10),
+      Some("""WITH s AS (
+             |  SELECT doc_id, lang,
+             |    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             |      / CAST(length(text) AS DOUBLE), 4) AS score
+             |  FROM documents),
+             |th AS (
+             |  SELECT lang,
+             |    list_transform(
+             |      quantile_cont(score, [0.1,0.2,0.3,0.4,0.5,
+             |                            0.6,0.7,0.8,0.9]),
+             |      x -> round(x, 6)) AS q
+             |  FROM s GROUP BY lang)
+             |SELECT s.doc_id, s.lang, s.score,
+             |  CAST(1 + len(list_filter(th.q, x -> s.score > x))
+             |    AS BIGINT) AS bucket
+             |FROM s JOIN th USING (lang)
+             |""".stripMargin)),
+
     // deterministic stratified sampling: per-language keep rates via
     // an md5 hex-prefix threshold — reproducible under reruns and
     // partitioning changes, exactly replayable by the oracle. Narrow
@@ -162,6 +254,20 @@ object CurationQueries extends QueryPack {
               |    CURRENT ROW) - n_tok) / 256.0) AS BIGINT) AS seq_id
               |FROM tok
               |""".stripMargin)),
+
+    // deterministic training order ("global shuffle"): content-hash
+    // rank within id-hash shards — reproducible across reruns and
+    // partitionings, numShards parallel sorts, never a global sort.
+    "q_train_order" -> Q(
+      (s, d) => Curation.trainOrder(t(s, d, "documents"),
+        idCol = "doc_id", seedCols = Seq("doc_id", "text"),
+        numShards = 8),
+      Some("""SELECT doc_id, doc_id % 8 AS shard,
+             |  CAST(row_number() OVER (PARTITION BY doc_id % 8
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || text),
+             |             doc_id) AS BIGINT) AS pos
+             |FROM documents
+             |""".stripMargin)),
 
     // end-to-end dedup: MinHash+LSH pairs -> clusters -> keep only
     // canonical members. The step that turns near-dup detection into

@@ -72,6 +72,112 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("graft_bloom_contains"), plan)
   }
 
+  test("decontaminateExactViaBloom: identical to exact, filter precedes join") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.load(s, sf001, "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    val exact = Curation.decontaminate(corpus, bench, "doc_id", "text", 4)
+      .as[(Long, Long)].collect().toMap
+    val twoPhase = Curation
+      .decontaminateExactViaBloom(corpus, bench, "doc_id", "text", 4,
+        fpp = 0.01)
+      .as[(Long, Long)].collect().toMap
+    assert(twoPhase == exact, "two-phase bloom+exact must be bit-identical")
+    // plan shape: the bloom probe must sit BELOW the broadcast join,
+    // so the join's stream side is the fpp-sized survivor set
+    val plan = Curation
+      .decontaminateExactViaBloom(corpus, bench, "doc_id", "text", 4)
+      .queryExecution.executedPlan.toString
+    val probeAt = plan.indexOf("graft_bloom_contains")
+    val joinAt = plan.indexOf("BroadcastHashJoin")
+    assert(probeAt >= 0 && joinAt >= 0, plan)
+    assert(probeAt > joinAt, // deeper in the tree prints LATER lines
+      s"bloom probe must be under the join (probe@$probeAt join@$joinAt)")
+  }
+
+  test("mixDomains: whitelist, clamped strata keep all, deterministic") {
+    val s = spark
+    val docs = Tables.load(s, sf001, "documents")
+    val budget = docs.filter(col("lang").isin("en", "de"))
+      .agg(sum(graft.functions.TextFunctions.bpeTokenCount(col("text"))))
+      .head.getLong(0)
+    // de's weight share of the budget exceeds its own token mass
+    // (whole corpus's tokens * 0.9 vs one stratum) -> rate clamps to
+    // 1.0 and the stratum survives complete; en is thinned; every
+    // other lang is dropped (mixtures are whitelists)
+    val out = Curation.mixDomains(docs, "lang", "text",
+      weights = Map("en" -> 0.1, "de" -> 0.9),
+      totalTokens = budget, seedCols = Seq("doc_id", "text"))
+    val langs = out.select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de")), s"unlisted langs leaked: $langs")
+    val deAll = docs.filter(col("lang") === "de").count()
+    assert(out.filter(col("lang") === "de").count() == deAll,
+      "clamped stratum must keep every row")
+    val enKept = out.filter(col("lang") === "en").count()
+    val enAll = docs.filter(col("lang") === "en").count()
+    assert(enKept > 0 && enKept < enAll,
+      s"en should be thinned, kept $enKept of $enAll")
+    // reproducible: the same call selects the same rows
+    val again = Curation.mixDomains(docs, "lang", "text",
+      weights = Map("en" -> 0.1, "de" -> 0.9),
+      totalTokens = budget, seedCols = Seq("doc_id", "text"))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("qualityBuckets: monotone in score, full range, no window sort") {
+    val s = spark
+    val docs = Tables.load(s, sf001, "documents")
+    val out = Curation.qualityBuckets(docs, "doc_id", "text", "lang",
+      nBuckets = 4)
+    val rows = out.select("lang", "score", "bucket").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.forall { case (_, _, b) => b >= 1 && b <= 4 })
+    // monotone: within a stratum, a higher score never gets a lower
+    // bucket
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val byScore = rs.sortBy(_._2)
+      byScore.sliding(2).foreach {
+        case Array((_, s1, b1), (_, s2, b2)) =>
+          assert(b1 <= b2 || s1 == s2, s"$lang: $s1->$b1 vs $s2->$b2")
+        case _ =>
+      }
+      // quantile thresholds spread the stratum across the range
+      assert(rs.map(_._3).distinct.size >= 2, s"$lang collapsed buckets")
+    }
+    // the scale contract: bucket assignment must not be an ntile
+    // window (stratum-wide single-task sort)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("trainOrder: dense per-shard ranks, deterministic permutation") {
+    val s = spark
+    val docs = Tables.load(s, sf001, "documents")
+    val out = Curation.trainOrder(docs, "doc_id",
+      Seq("doc_id", "text"), numShards = 4)
+    val rows = out.collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos"),
+        r.getAs[Long]("doc_id")))
+    // every doc appears exactly once; pos is dense 1..n within a shard
+    assert(rows.map(_._3).distinct.length == rows.length)
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      val ps = rs.map(_._2).sorted
+      assert(ps.toSeq == (1L to rs.length).toSeq, s"shard $shard holes")
+    }
+    // the order is content-derived: a rerun reproduces it bit-for-bit
+    // even from a different input partitioning
+    val again = Curation.trainOrder(docs.repartition(7), "doc_id",
+      Seq("doc_id", "text"), numShards = 4)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pos"),
+        r.getAs[Long]("doc_id"))).toSet
+    assert(again == rows.toSet)
+  }
+
   test("sampleExactK: exact stratum quota, window-equivalent, deterministic") {
     val s = spark
     import s.implicits._
