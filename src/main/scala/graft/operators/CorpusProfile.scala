@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Incremental, persistable corpus statistics — the stats-side mirror
+  * of the persisted dedup/ANN indexes (`Dedup.writeMinhashIndex`,
+  * `Similarity.IvfIndex`): per-stratum document/token/char counts and
+  * the per-token document-frequency table, stored as parquet PARTIALS
+  * that new ingest batches append to in O(batch). A 100 TB corpus's
+  * profile (vocabulary, hapax counts, token mass per language — the
+  * inputs to mixture design and rarity scoring) is then maintained
+  * without ever rescanning the corpus; aggregation over the partial
+  * rows happens at read time, and a periodic [[compact]] collapses the
+  * accumulated partials back to one row per group.
+  *
+  * Exactness contract: every statistic here is an integer count, so
+  * partials merge exactly (unlike sketch-based profiles, a merged
+  * profile is bit-identical to a full recompute — oracle-gated by
+  * q_profile_incremental). Document-frequency additivity requires
+  * ingest batches to be DOC-DISJOINT, which ingest batches are by
+  * construction; re-appending the same documents double-counts, same
+  * as any changelog (reference analog: the append-only changelog
+  * behind a recoverable store,
+  * samza-kv/src/main/scala/org/apache/samza/storage/kv/LoggedStore.scala:1).
+  */
+object CorpusProfile {
+
+  /** A profile over `strataCol`: `strata` rows are
+    * (stratum, docs, tokens, chars) partials; `tokens` rows are
+    * (stratum, token, df, tf) partials — df counts documents
+    * containing the token, tf total occurrences. Frames may hold
+    * multiple partial rows per group (one per appended batch);
+    * [[stats]] and [[compact]] aggregate them. */
+  final case class Profile(strata: DataFrame, tokens: DataFrame,
+      strataCol: String, textCol: String)
+
+  /** One aggregation pass over a corpus (or ingest batch). Scale
+    * shape: the strata frame is one map-side-combined groupBy with
+    * |strata| output rows; the token frame aggregates (stratum, doc,
+    * token) first — map-side combine collapses each document's
+    * repeated tokens before the shuffle — then (stratum, token), so
+    * the only corpus-sized shuffle carries per-doc distinct tokens,
+    * never raw text. */
+  def build(df: DataFrame, idCol: String, strataCol: String,
+      textCol: String): Profile = {
+    val strata = df.groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("docs"),
+        sum(tokenCount(col(textCol))).as("tokens"),
+        sum(length(col(textCol)).cast("long")).as("chars"))
+    val perDoc = df
+      .select(col(strataCol).as("stratum"), col(idCol).as("__id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("stratum"), col("__id"), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+    val tok = perDoc.groupBy(col("stratum"), col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("__tf")).as("tf"))
+    Profile(strata, tok, strataCol, textCol)
+  }
+
+  val ParamsSidecar = "params.json"
+
+  private def paramsJson(p: Profile): String =
+    s"""{"version":1,"strataCol":"${p.strataCol}",""" +
+      s""""textCol":"${p.textCol}"}"""
+
+  private def readParams(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[(String, String)] =
+    graft.core.FsUtil.readSidecar(fs, new Path(dir, ParamsSidecar))
+      .map { s =>
+        def f(k: String): String = {
+          val m = s""""$k":"([^"]*)"""".r.findFirstMatchIn(s)
+          m.getOrElse(throw new java.io.IOException(
+            s"corpus profile $dir: malformed $ParamsSidecar: $s"))
+            .group(1)
+        }
+        (f("strataCol"), f("textCol"))
+      }
+
+  private def requireParamsMatch(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, strataCol: String, textCol: String): Unit =
+    readParams(fs, dir).foreach { stored =>
+      require(stored == ((strataCol, textCol)),
+        s"corpus profile $dir was built over (strataCol,textCol)=" +
+          s"$stored but the caller supplied ($strataCol,$textCol) — " +
+          "merging stats over different columns would silently " +
+          "corrupt every count")
+    }
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Replace the stored profile at `dir` wholesale (stage-then-swap,
+    * crash-safe). For ingest batches use [[append]]. */
+  def write(profile: Profile, dir: String): Unit = {
+    val spark = profile.strata.sparkSession
+    val fs = fsFor(spark, dir)
+    graft.core.FsUtil.swapInto(fs, new Path(dir)) { staging =>
+      profile.strata.write.mode("overwrite")
+        .parquet(new Path(staging, "strata.parquet").toString)
+      profile.tokens.write.mode("overwrite")
+        .parquet(new Path(staging, "tokens.parquet").toString)
+      graft.core.FsUtil.writeSidecar(fs,
+        new Path(staging, ParamsSidecar), paramsJson(profile))
+    }
+  }
+
+  /** Append an ingest batch's profile partials to a stored dir:
+    * O(batch) parquet appends, the corpus-sized file set is never
+    * rewritten. The batch's columns are validated against the stored
+    * params sidecar — a mismatch FAILS FAST instead of corrupting
+    * every downstream count. The batch must be doc-disjoint from what
+    * the store already covers (see the class contract). */
+  def append(batch: Profile, dir: String): Unit = {
+    val spark = batch.strata.sparkSession
+    requireParamsMatch(fsFor(spark, dir), dir, batch.strataCol,
+      batch.textCol)
+    batch.strata.write.mode("append").parquet(s"$dir/strata.parquet")
+    batch.tokens.write.mode("append").parquet(s"$dir/tokens.parquet")
+  }
+
+  /** Reload a stored profile (partials as stored — aggregate via
+    * [[stats]]/[[compact]]). Column names are validated against the
+    * stored sidecar. */
+  def read(spark: SparkSession, dir: String, strataCol: String,
+      textCol: String): Profile = {
+    requireParamsMatch(fsFor(spark, dir), dir, strataCol, textCol)
+    Profile(spark.read.parquet(s"$dir/strata.parquet"),
+      spark.read.parquet(s"$dir/tokens.parquet"), strataCol, textCol)
+  }
+
+  /** Collapse accumulated per-batch partials to one row per group and
+    * swap the compacted frames in — run periodically so read-time
+    * aggregation cost stays bounded by |vocab|, not by batches since
+    * the last compaction. */
+  def compact(spark: SparkSession, dir: String, strataCol: String,
+      textCol: String): Unit =
+    write(aggregated(read(spark, dir, strataCol, textCol)), dir)
+
+  /** The profile with partials collapsed: one row per stratum / per
+    * (stratum, token). */
+  def aggregated(p: Profile): Profile = Profile(
+    p.strata.groupBy(col("stratum"))
+      .agg(sum("docs").as("docs"), sum("tokens").as("tokens"),
+        sum("chars").as("chars")),
+    p.tokens.groupBy(col("stratum"), col("token"))
+      .agg(sum("df").as("df"), sum("tf").as("tf")),
+    p.strataCol, p.textCol)
+
+  /** Per-stratum summary over a (possibly partial-rowed) profile:
+    * (strataCol, docs, tokens, chars, vocab, hapax) — vocab is the
+    * distinct-token count, hapax the tokens appearing in exactly one
+    * document corpus-wide. Both only exist because the profile keeps
+    * the exact df table: they are NOT mergeable as scalars (a token
+    * hapax in two batches is not hapax in their union), which is the
+    * point of storing the table and deriving the scalars at read. */
+  def stats(p: Profile): DataFrame = {
+    val agg = aggregated(p)
+    val vocab = agg.tokens.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("hapax"))
+    agg.strata.join(vocab, Seq("stratum"))
+      .withColumnRenamed("stratum", p.strataCol)
+  }
+}

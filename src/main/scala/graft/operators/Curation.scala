@@ -336,4 +336,34 @@ object Curation {
       .select(col("doc_id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Quality-preferring survivor selection: like [[survivors]], but the
+    * member that survives each duplicate cluster is the one with the
+    * LARGEST `scoreCol` value (ties broken by smallest id) instead of
+    * the smallest id. Near-duplicates are rarely byte-identical — one
+    * copy is the clean original and the others carry boilerplate or
+    * truncation — so a curation pipeline wants to keep the best copy,
+    * not an arbitrary canonical one. `docs` must carry `idCol` and
+    * `scoreCol`; all non-clustered documents survive unchanged.
+    *
+    * Scale shape: cluster membership joins on the id (shuffle keyed by
+    * id — never assumes the cluster set broadcasts; at 50% duplication
+    * it is half the corpus), and the per-cluster argmax runs on the
+    * BoundedTopK k=1 bounded-heap aggregate (map-side partials, one
+    * row per cluster per task into the shuffle) — never a
+    * row_number window that sorts whole clusters on one task. The
+    * winner is deterministic because (score, -id) is unique per row. */
+  def survivorsBest(docs: DataFrame, idCol: String, scoreCol: String,
+      clusters: DataFrame): DataFrame = {
+    val membership = clusters.select(col("doc_id").as(idCol),
+      col("cluster_id"))
+    val clustered = docs.join(membership, Seq(idCol))
+    val winners = Latest.latestBy(clustered, Seq("cluster_id"),
+        ordCols = Seq(col(scoreCol), negate(col(idCol))),
+        valueCols = Seq(idCol))
+      .select(col(idCol))
+    val unclustered = docs.join(membership.select(col(idCol)),
+      Seq(idCol), "left_anti")
+    unclustered.unionByName(docs.join(winners, Seq(idCol)))
+  }
 }

@@ -269,6 +269,56 @@ object CurationQueries extends QueryPack {
              |FROM documents
              |""".stripMargin)),
 
+    // quality-preferring survivor selection: same clusters as
+    // q_dedup_survivors, but each cluster keeps its BEST-quality
+    // member (alpha-ratio score, ties -> smallest id) instead of the
+    // smallest id — near-dups are rarely byte-identical, and the
+    // pipeline should keep the clean copy. Per-cluster argmax on the
+    // bounded-heap k=1 aggregate, never a window sort.
+    "q_dedup_survivors_best" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val scored = docs.select(col("doc_id"), col("lang"),
+          col("source"),
+          graft.functions.TextFunctions.alphaRatio(col("text"))
+            .as("score"))
+        Curation.survivorsBest(scored, "doc_id", "score",
+            Dedup.dupClusters(Dedup.minhashLshPairs(docs, "doc_id",
+              "text", n = 3, numHashes = 16, rowsPerBand = 4,
+              threshold = 0.5)))
+          .select("doc_id", "lang", "source")
+      },
+      Some(s"""WITH RECURSIVE ${DedupQueries.oMinhashCtes},
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM jp
+              |  UNION
+              |  SELECT id_b AS src, id_a AS dst FROM jp),
+              |nodes AS (SELECT DISTINCT src AS id FROM edges),
+              |reach(src, dst) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT r.src, e.dst FROM reach r
+              |  JOIN edges e ON r.dst = e.src),
+              |clusters AS (
+              |  SELECT src AS doc_id, min(dst) AS cluster_id
+              |  FROM reach GROUP BY src),
+              |qsc AS (
+              |  SELECT doc_id,
+              |    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              |      / CAST(length(text) AS DOUBLE), 4) AS score
+              |  FROM documents),
+              |best AS (
+              |  SELECT doc_id FROM (
+              |    SELECT c.doc_id,
+              |      row_number() OVER (PARTITION BY c.cluster_id
+              |        ORDER BY qsc.score DESC, c.doc_id ASC) AS rn
+              |    FROM clusters c JOIN qsc USING (doc_id))
+              |  WHERE rn = 1)
+              |SELECT d.doc_id, d.lang, d.source FROM documents d
+              |WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters)
+              |   OR d.doc_id IN (SELECT doc_id FROM best)
+              |""".stripMargin)),
+
     // end-to-end dedup: MinHash+LSH pairs -> clusters -> keep only
     // canonical members. The step that turns near-dup detection into
     // a deduplicated corpus; anti join on the id (never assumes the

@@ -20,6 +20,50 @@ object SimilarityQueries extends QueryPack {
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
        |  (x, y) -> x + y)""".stripMargin
 
+  /** SRP near-dup CTE chain shared by q_embed_neardup_lsh and
+    * q_embed_dedup: replays Similarity.srpBucket's deterministic
+    * hyperplanes (same coefficient formula, left-fold projection
+    * order, bucket bit-pack), then the verified-cosine pair filter.
+    * Ends with `sp(id_a, id_b, cos)` — the bucket-confirmed pairs at
+    * cosine >= `threshold`.
+    *
+    * proj_p(v) = Σ_i coef(p,i)·v[i], left fold in index order;
+    * coef(p,i) = (((p·2654435761 + i·40503 + 97) % 1000 + 1000)
+    *              % 1000) / 1000.0 - 0.5  (i zero-based) */
+  private[queries] def oSrpPairCtes(threshold: Double): String = {
+    def oProj(p: Int, vec: String) =
+      s"""list_reduce(list_transform(range(1, 65),
+         |    i -> CAST($vec[i] AS DOUBLE) *
+         |         (((($p * 2654435761 + (i-1) * 40503 + 97) % 1000
+         |            + 1000) % 1000) / 1000.0 - 0.5)),
+         |  (x, y) -> x + y)""".stripMargin
+    val oBucket = (0 until 4).map { p =>
+      s"(CASE WHEN ${oProj(p, "embedding")} >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" +\n      ")
+    s"""guard AS (
+       |  -- this oracle packs exactly 4 bucket bits; the Spark side
+       |  -- DERIVES its plane count, which is 4 only while the
+       |  -- corpus stays <= 4096 vectors (derivedPlanes' floor). If
+       |  -- a future gate scale crosses that, fail LOUDLY here
+       |  -- instead of silently hash-mismatching.
+       |  SELECT CASE WHEN count(*) > 4096 THEN error(concat(
+       |    'neardup oracle hardcodes 4 SRP planes but corpus > 4096: ',
+       |    'regenerate the bucket expression for derivedPlanes(n)'))
+       |    ELSE 1 END AS ok FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${oDot("embedding", "embedding")}) AS nrm,
+       |         $oBucket AS bucket
+       |  FROM embeddings, guard),
+       |sp AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm),
+       |          6) AS cos
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE round(${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm),
+       |        6) >= $threshold)""".stripMargin
+  }
+
   override def queries: Map[String, Q] = Map(
 
     // exact brute-force cosine top-k (the ANN baseline): every 100th
@@ -131,42 +175,45 @@ object SimilarityQueries extends QueryPack {
       (s, d) => Similarity.lshNearDup(t(s, d, "embeddings"),
         idCol = "vec_id", vecCol = "embedding", dim = 64,
         threshold = 0.3),
-      Some {
-        // proj_p(v) = Σ_i coef(p,i)·v[i], left fold in index order;
-        // coef(p,i) = (((p·2654435761 + i·40503 + 97) % 1000 + 1000)
-        //              % 1000) / 1000.0 - 0.5  (i zero-based)
-        def oProj(p: Int, vec: String) =
-          s"""list_reduce(list_transform(range(1, 65),
-             |    i -> CAST($vec[i] AS DOUBLE) *
-             |         (((($p * 2654435761 + (i-1) * 40503 + 97) % 1000
-             |            + 1000) % 1000) / 1000.0 - 0.5)),
-             |  (x, y) -> x + y)""".stripMargin
-        val oBucket = (0 until 4).map { p =>
-          s"(CASE WHEN ${oProj(p, "embedding")} >= 0 THEN ${1L << p} ELSE 0 END)"
-        }.mkString(" +\n      ")
-        s"""WITH guard AS (
-           |  -- this oracle packs exactly 4 bucket bits; the Spark side
-           |  -- DERIVES its plane count, which is 4 only while the
-           |  -- corpus stays <= 4096 vectors (derivedPlanes' floor). If
-           |  -- a future gate scale crosses that, fail LOUDLY here
-           |  -- instead of silently hash-mismatching.
-           |  SELECT CASE WHEN count(*) > 4096 THEN error(
-           |    'neardup oracle hardcodes 4 SRP planes but corpus > 4096: '
-           |    || 'regenerate the bucket expression for derivedPlanes(n)')
-           |    ELSE 1 END AS ok FROM embeddings),
-           |n AS (
-           |  SELECT vec_id, embedding,
-           |         sqrt(${oDot("embedding", "embedding")}) AS nrm,
-           |         $oBucket AS bucket
-           |  FROM embeddings, guard)
-           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           |  round(${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm),
-           |        6) AS cos
-           |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-           |WHERE round(${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm),
-           |      6) >= 0.3
-           |""".stripMargin
-      }),
+      Some(s"""WITH ${oSrpPairCtes(0.3)}
+              |SELECT id_a, id_b, cos FROM sp
+              |""".stripMargin)),
+
+    // SemDeDup-style semantic dedup, end to end: SRP near-dup pairs
+    // over the embedding space -> duplicate clusters -> canonical
+    // survivors. The embedding-side analog of q_dedup_survivors: the
+    // step that turns semantic near-dup DETECTION into an actually
+    // deduplicated corpus. Candidate generation is LSH-bucketed (the
+    // q_embed_neardup_lsh scale path — never all-pairs), clustering is
+    // the measured dual-branch dupClusters, survivor selection an
+    // id-keyed anti join.
+    "q_embed_dedup" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.operators.Curation.survivors(
+          emb.select(col("vec_id"), col("label")), "vec_id",
+          graft.operators.Dedup.dupClusters(
+            Similarity.lshNearDup(emb, idCol = "vec_id",
+              vecCol = "embedding", dim = 64, threshold = 0.3)))
+      },
+      Some(s"""WITH RECURSIVE ${oSrpPairCtes(0.3)},
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM sp
+              |  UNION
+              |  SELECT id_b AS src, id_a AS dst FROM sp),
+              |nodes AS (SELECT DISTINCT src AS id FROM edges),
+              |reach(src, dst) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT r.src, e.dst FROM reach r
+              |  JOIN edges e ON r.dst = e.src),
+              |clusters AS (
+              |  SELECT src AS vec_id, min(dst) AS cluster_id
+              |  FROM reach GROUP BY src)
+              |SELECT e.vec_id, e.label FROM embeddings e
+              |WHERE e.vec_id NOT IN (
+              |  SELECT vec_id FROM clusters WHERE vec_id <> cluster_id)
+              |""".stripMargin)),
 
     // int8 embedding quantization stats: the compression pass before
     // storage/ANN. All outputs are integers or order-free IEEE doubles,

@@ -204,6 +204,59 @@ object TextQueries extends QueryPack {
     // CCNet-family token-commonness signal: mean per-occurrence corpus
     // document frequency in basis points + hapax occurrences — the
     // oracle-exact integer cousin of LM-perplexity quality filtering
+    // incremental corpus profile: build persisted stats on half the
+    // corpus, APPEND the other half as an ingest batch (O(batch)
+    // parquet append of partials — no corpus rescan), then read the
+    // merged per-language summary. The oracle computes the same stats
+    // directly over the full table, so the gate checks the merge
+    // itself: partials + append must be bit-identical to a full
+    // recompute. The stats-side mirror of the persisted dedup/ANN
+    // index discipline (q_ann_ivf_index, q_dedup_incremental).
+    "q_profile_incremental" -> Q(
+      (s, d) => {
+        import graft.operators.CorpusProfile
+        val docs = t(s, d, "documents")
+        // pid- and sfDir-scoped for the same concurrent-JVM and
+        // /tmp-leak reasons as the IVF index query
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_profile_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        CorpusProfile.write(CorpusProfile.build(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "lang",
+          "text"), dir)
+        CorpusProfile.append(CorpusProfile.build(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "lang",
+          "text"), dir)
+        CorpusProfile.stats(
+          CorpusProfile.read(s, dir, "lang", "text"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT lang, doc_id,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS token
+             |  FROM documents),
+             |pd AS (
+             |  SELECT lang, doc_id, token FROM tok
+             |  GROUP BY lang, doc_id, token),
+             |tk AS (
+             |  SELECT lang, token, count(*) AS df FROM pd
+             |  GROUP BY lang, token),
+             |v AS (
+             |  SELECT lang, count(*) AS vocab,
+             |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS hapax
+             |  FROM tk GROUP BY lang),
+             |st AS (
+             |  SELECT lang, count(*) AS docs,
+             |    CAST(sum(len(string_split_regex(trim(text), '\s+')))
+             |      AS BIGINT) AS tokens,
+             |    CAST(sum(length(text)) AS BIGINT) AS chars
+             |  FROM documents GROUP BY lang)
+             |SELECT st.lang, st.docs, st.tokens, st.chars, v.vocab,
+             |  v.hapax
+             |FROM st JOIN v USING (lang)
+             |""".stripMargin)),
+
     "q_text_rarity" -> Q(
       (s, d) => graft.operators.TextProfile.tokenRarity(
         t(s, d, "documents"), "doc_id", "text"),

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusProfile
+import graft.sources.Tables
+
+/** Incremental corpus profile: the merge must be EXACT (partials +
+  * append bit-identical to a full recompute), the params sidecar must
+  * fail fast on mismatch, and read-derived scalars (vocab/hapax) must
+  * be correct across batch boundaries — the reason the df TABLE is
+  * stored instead of the scalars. */
+class CorpusProfileSpec extends SparkSpec {
+
+  private def statRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("build + append over split batches == full recompute") {
+    val s = spark
+    val docs = Tables.load(s, sf001, "documents")
+    val dir = Files.createTempDirectory("graft_profile").toString + "/p"
+    CorpusProfile.write(CorpusProfile.build(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "lang", "text"), dir)
+    CorpusProfile.append(CorpusProfile.build(
+      docs.filter(col("doc_id") % 3 === 1), "doc_id", "lang", "text"), dir)
+    CorpusProfile.append(CorpusProfile.build(
+      docs.filter(col("doc_id") % 3 === 2), "doc_id", "lang", "text"), dir)
+    val merged = CorpusProfile.stats(
+      CorpusProfile.read(s, dir, "lang", "text"))
+    val full = CorpusProfile.stats(
+      CorpusProfile.build(docs, "doc_id", "lang", "text"))
+    assert(statRows(merged) == statRows(full))
+  }
+
+  test("hapax/vocab derive at read across batch boundaries") {
+    val s = spark
+    import s.implicits._
+    // "x" appears once in EACH batch: hapax within each, NOT hapax
+    // after the merge — exactly the case scalar merging would get
+    // wrong and the stored df table gets right.
+    val a = Seq((1L, "en", "x alpha")).toDF("doc_id", "lang", "text")
+    val b = Seq((2L, "en", "x beta")).toDF("doc_id", "lang", "text")
+    val dir = Files.createTempDirectory("graft_profile").toString + "/p"
+    CorpusProfile.write(
+      CorpusProfile.build(a, "doc_id", "lang", "text"), dir)
+    CorpusProfile.append(
+      CorpusProfile.build(b, "doc_id", "lang", "text"), dir)
+    val st = CorpusProfile.stats(CorpusProfile.read(s, dir, "lang", "text"))
+      .select("lang", "docs", "tokens", "vocab", "hapax")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // vocab = {x, alpha, beta}; hapax = {alpha, beta} (x has df 2)
+    assert(st == Set(("en", 2L, 4L, 3L, 2L)))
+  }
+
+  test("params sidecar mismatch fails fast on append and read") {
+    val s = spark
+    val docs = Tables.load(s, sf001, "documents").limit(20)
+    val dir = Files.createTempDirectory("graft_profile").toString + "/p"
+    CorpusProfile.write(
+      CorpusProfile.build(docs, "doc_id", "lang", "text"), dir)
+    val batch = CorpusProfile.build(docs, "doc_id", "source", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      CorpusProfile.append(batch, dir)
+    }
+    assert(e1.getMessage.contains("strataCol"))
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusProfile.read(s, dir, "source", "text")
+    }
+    assert(e2.getMessage.contains("strataCol"))
+  }
+
+  test("compact collapses partials without changing stats") {
+    val s = spark
+    val docs = Tables.load(s, sf001, "documents")
+    val dir = Files.createTempDirectory("graft_profile").toString + "/p"
+    CorpusProfile.write(CorpusProfile.build(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "lang", "text"), dir)
+    CorpusProfile.append(CorpusProfile.build(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "lang", "text"), dir)
+    val before = statRows(CorpusProfile.stats(
+      CorpusProfile.read(s, dir, "lang", "text")))
+    CorpusProfile.compact(s, dir, "lang", "text")
+    val compacted = CorpusProfile.read(s, dir, "lang", "text")
+    // partials collapsed: one row per (stratum, token) and per stratum
+    val dupTokens = compacted.tokens
+      .groupBy("stratum", "token").count().filter(col("count") > 1).count()
+    assert(dupTokens == 0)
+    assert(compacted.strata.groupBy("stratum").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(statRows(CorpusProfile.stats(compacted)) == before)
+  }
+}

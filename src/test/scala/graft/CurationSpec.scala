@@ -283,4 +283,25 @@ class CurationSpec extends SparkSpec {
     assert(surv == all -- dropped)
     assert(cl.filter { case (d, c) => d == c }.map(_._1).toSet.subsetOf(surv))
   }
+
+  test("survivorsBest: best score wins its cluster, ties to smallest id, no window") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9), // cluster A: 2 and 3 tie, 2 wins
+      (4L, 0.5), (5L, 0.8),            // cluster B: 5 wins
+      (6L, 0.1)                        // unclustered: kept
+    ).toDF("doc_id", "score")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L)
+    ).toDF("doc_id", "cluster_id")
+    val out = Curation.survivorsBest(docs, "doc_id", "score", clusters)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(2L, 5L, 6L))
+    // repo convention: per-cluster argmax on the bounded-heap
+    // aggregate, never a row_number window sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
 }
