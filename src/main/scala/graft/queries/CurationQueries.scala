@@ -255,6 +255,117 @@ object CurationQueries extends QueryPack {
               |FROM tok
               |""".stripMargin)),
 
+    // the full pretrain curation chain, one query: near-dup dedup
+    // keeping the BEST-quality copy per cluster (survivorsBest) ->
+    // benchmark decontamination (broadcast anti join) -> per-language
+    // quality quartiles, keep the top half -> deterministic training
+    // order. Every stage is the scale-shaped form: bounded-heap
+    // argmax, broadcast gram semi-join, threshold-table bucketing,
+    // per-shard sorts — the end-to-end plan a 100 TB pretrain corpus
+    // job runs.
+    "q_pipeline_pretrain" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val scored = docs.select(col("doc_id"), col("lang"),
+          col("source"), col("text"),
+          graft.functions.TextFunctions.alphaRatio(col("text"))
+            .as("score"))
+        val deduped = Curation.survivorsBest(scored, "doc_id", "score",
+          Dedup.dupClusters(Dedup.minhashLshPairs(docs, "doc_id",
+            "text", n = 3, numHashes = 16, rowsPerBand = 4,
+            threshold = 0.5)))
+        val corpus = deduped.filter(col("source") =!= "src0")
+        val contaminated = Curation.decontaminate(corpus,
+            docs.filter(col("source") === "src0"), "doc_id", "text",
+            n = 4)
+          .select("doc_id")
+        val clean = corpus.join(broadcast(contaminated), Seq("doc_id"),
+          "left_anti")
+        val buckets = Curation.qualityBuckets(clean, "doc_id", "text",
+            "lang", nBuckets = 4)
+          .filter(col("bucket") >= 3)
+          .select(col("doc_id"), col("bucket"))
+        val kept = clean.join(buckets, Seq("doc_id"))
+        Curation.trainOrder(kept, "doc_id", Seq("doc_id", "text"),
+            numShards = 8)
+          .join(kept.select(col("doc_id"), col("lang"), col("bucket")),
+            Seq("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${DedupQueries.oMinhashCtes},
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM jp
+              |  UNION
+              |  SELECT id_b AS src, id_a AS dst FROM jp),
+              |nodes AS (SELECT DISTINCT src AS id FROM edges),
+              |reach(src, dst) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT r.src, e.dst FROM reach r
+              |  JOIN edges e ON r.dst = e.src),
+              |clusters AS (
+              |  SELECT src AS doc_id, min(dst) AS cluster_id
+              |  FROM reach GROUP BY src),
+              |qsc AS (
+              |  SELECT doc_id,
+              |    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              |      / CAST(length(text) AS DOUBLE), 4) AS score
+              |  FROM documents),
+              |best AS (
+              |  SELECT doc_id FROM (
+              |    SELECT c.doc_id,
+              |      row_number() OVER (PARTITION BY c.cluster_id
+              |        ORDER BY qsc.score DESC, c.doc_id ASC) AS rn
+              |    FROM clusters c JOIN qsc USING (doc_id))
+              |  WHERE rn = 1),
+              |corp AS (
+              |  SELECT doc_id, lang, text FROM documents d
+              |  WHERE d.source <> 'src0'
+              |    AND (d.doc_id NOT IN (SELECT doc_id FROM clusters)
+              |      OR d.doc_id IN (SELECT doc_id FROM best))),
+              |gw AS (SELECT doc_id,
+              |         string_split_regex(trim(text), '\\s+') AS wl
+              |       FROM corp),
+              |gg AS (SELECT DISTINCT doc_id, gram FROM (
+              |  SELECT doc_id,
+              |    unnest(list_transform(range(1, len(wl)-2), i ->
+              |      wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] || ' '
+              |        || wl[i+3])) AS gram
+              |  FROM gw WHERE len(wl) >= 4)),
+              |bw AS (SELECT doc_id,
+              |         string_split_regex(trim(text), '\\s+') AS wl
+              |       FROM documents WHERE source = 'src0'),
+              |bg AS (SELECT DISTINCT gram FROM (
+              |  SELECT unnest(list_transform(range(1, len(wl)-2), i ->
+              |      wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] || ' '
+              |        || wl[i+3])) AS gram
+              |  FROM bw WHERE len(wl) >= 4)),
+              |cont AS (SELECT DISTINCT gg.doc_id
+              |         FROM gg JOIN bg USING (gram)),
+              |clean AS (
+              |  SELECT corp.*,
+              |    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              |      / CAST(length(text) AS DOUBLE), 4) AS score
+              |  FROM corp
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+              |th AS (
+              |  SELECT lang,
+              |    list_transform(quantile_cont(score, [0.25,0.5,0.75]),
+              |      x -> round(x, 6)) AS q
+              |  FROM clean GROUP BY lang),
+              |kept AS (
+              |  SELECT clean.doc_id, clean.lang, clean.text,
+              |    CAST(1 + len(list_filter(th.q, x -> clean.score > x))
+              |      AS BIGINT) AS bucket
+              |  FROM clean JOIN th USING (lang)
+              |  WHERE CAST(1 + len(list_filter(th.q,
+              |    x -> clean.score > x)) AS BIGINT) >= 3)
+              |SELECT doc_id, lang, bucket, doc_id % 8 AS shard,
+              |  CAST(row_number() OVER (PARTITION BY doc_id % 8
+              |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || text),
+              |             doc_id) AS BIGINT) AS pos
+              |FROM kept
+              |""".stripMargin)),
+
     // deterministic training order ("global shuffle"): content-hash
     // rank within id-hash shards — reproducible across reruns and
     // partitionings, numShards parallel sorts, never a global sort.
