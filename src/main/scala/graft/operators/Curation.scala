@@ -110,6 +110,33 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Fuzzy benchmark decontamination: corpus documents whose text
+    * NEAR-duplicates any benchmark document at shingle-Jaccard >=
+    * `threshold`. Complements [[decontaminate]] rather than replacing
+    * it: the exact op flags any shared n-gram (span-level, maximally
+    * sensitive — but one shared boilerplate gram is enough to flag),
+    * while this one measures DOCUMENT-level match strength, the
+    * signal a pipeline uses to find wholesale benchmark leakage
+    * (re-crawled, re-wrapped eval documents) with a precision knob:
+    * returns (idCol, n_matches, max_jaccard) — matched benchmark doc
+    * count and strongest match — so callers threshold on strength
+    * instead of dropping every gram-sharer.
+    *
+    * Scale shape: rides the MinHash-LSH incremental machinery with the
+    * BENCHMARK as the probe side — both sides get one narrow
+    * signature pass, the band join's probe side is eval-set-sized
+    * (tiny by definition), and only band-colliding candidates reach
+    * the verify stage. The corpus is never all-pairs'd against the
+    * benchmark and never shuffles its text. */
+  def decontaminateFuzzy(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int, numHashes: Int,
+      rowsPerBand: Int, threshold: Double): DataFrame =
+    Dedup.minhashLshPairsAgainst(bench, corpus, idCol, textCol, n,
+        numHashes, rowsPerBand, threshold)
+      .groupBy(col("id_b").as(idCol))
+      .agg(count(lit(1)).as("n_matches"),
+        max(col("jaccard")).as("max_jaccard"))
+
   /** Deterministic hash-threshold sampling with per-stratum rates:
     * a row is kept iff the first 4 hex chars of md5(seedCols joined
     * by ':') sort below the stratum's threshold. Rates are quantized

@@ -66,6 +66,34 @@ object CurationQueries extends QueryPack {
               |GROUP BY c.doc_id
               |""".stripMargin)),
 
+    // FUZZY decontamination: corpus docs that NEAR-duplicate a src0
+    // benchmark doc at shingle-Jaccard >= 0.5 — document-level match
+    // strength (n_matches, max_jaccard) for wholesale-leakage
+    // detection, complementing q_decontaminate's any-shared-gram
+    // span flag. Rides the MinHash-LSH incremental machinery with
+    // the benchmark as the tiny probe side; the corpus never
+    // all-pairs and never shuffles text.
+    "q_decontaminate_fuzzy" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Curation.decontaminateFuzzy(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 3, numHashes = 16, rowsPerBand = 4,
+          threshold = 0.5)
+      },
+      Some(s"""WITH ${DedupQueries.oMinhashCtesWith(
+                """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+                  |  JOIN documents da ON da.doc_id = a.doc_id
+                  |  JOIN documents db ON db.doc_id = b.doc_id
+                  |  WHERE da.source = 'src0' AND db.source <> 'src0'"""
+                  .stripMargin)}
+              |SELECT id_b AS doc_id, count(*) AS n_matches,
+              |  max(jaccard) AS max_jaccard
+              |FROM jp GROUP BY id_b
+              |""".stripMargin)),
+
     // domain-mixture composer: thin each language to its share of a
     // token budget (half the corpus's weighted-strata token mass),
     // md5-threshold row selection — the step that turns raw-crawl

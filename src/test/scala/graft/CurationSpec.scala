@@ -284,6 +284,31 @@ class CurationSpec extends SparkSpec {
     assert(cl.filter { case (d, c) => d == c }.map(_._1).toSet.subsetOf(surv))
   }
 
+  test("decontaminateFuzzy: per-doc match count and strength, exact identity at 1.0") {
+    val s = spark
+    import s.implicits._
+    // two benchmark docs; corpus doc 10 is a verbatim copy of bench 1
+    // (J = 1.0 against it) and shares most shingles with bench 2;
+    // corpus doc 11 is unrelated
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminateFuzzy(corpus, bench, "doc_id",
+        "text", n = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, m, j) => id -> ((m, j)) }.toMap
+    // doc 10: 6 shingles each side; vs bench1 all 6 shared (J=1.0);
+    // vs bench2 5 shared of 7 union (J=0.7143)
+    assert(out.keySet == Set(10L))
+    assert(out(10L)._1 == 2L)
+    assert(out(10L)._2 == 1.0)
+  }
+
   test("survivorsBest: best score wins its cluster, ties to smallest id, no window") {
     val s = spark
     import s.implicits._
