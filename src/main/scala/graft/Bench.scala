@@ -112,28 +112,52 @@ object Bench {
       // cal/cal2 keep 2 decimals at every level — they are the
       // throttle diagnostic and quantizing them defeats the purpose
       val fc = fmt(0) _
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
-        .mkString("{", ",", "}")
+      // keys drop the uniform "q_" prefix every registry name carries:
+      // at 89 queries the full names alone cost ~270 bytes the 2,000-
+      // byte window no longer has (the round-10 89-query line measured
+      // 2,114 bytes even at the precision floor). "dedup_exact" in a
+      // BENCH line = registry/BASELINE query q_dedup_exact — recorded
+      // in BASELINE.md's header too.
+      val qs = results.map { case (k, v) =>
+        "\"" + (if (k.startsWith("q_")) k.drop(2) else k) + "\":" + f(v)
+      }.mkString("{", ",", "}")
       val rps = if (level >= 3) "" else s""","rps":${throughput.toLong}"""
       s"""{"metric":"total","value":${f(total)},"cal":${fc(cal)},""" +
         s""""cal2":${fc(cal2)},"queries":$qs,"sf":"$sfName"$rps}"""
     }
     // budget 1,985: the window is 2,000 and the line is the LAST
-    // output, so only its own length matters. Level 3 (one-decimal
-    // sub-second rows, rps dropped) is the guaranteed floor: ~17
-    // bytes/query worst-case ≈ 1,450 at the current 80-query
-    // inventory — it ALWAYS fits, and the 80-query level-0 line only
-    // exceeds the budget when most rows are sub-second AND dense
-    // (small-sf dev runs) or the box has inflated mid-range digits.
+    // output, so only its own length matters. With the prefix-free
+    // keys the level-0 89-query idle line measures ~1,850 and the
+    // level-3 floor ~1,845 — ~6 more queries of headroom at ~21
+    // bytes each; the level ladder stays for throttled boxes that
+    // inflate digit counts. If the inventory outgrows even level 3,
+    // the line is emitted anyway (truncated head beats no data) and
+    // bench_last.json keeps the full copy.
     val line = (0 to 3).map(assemble)
       .find(_.length <= 1985).getOrElse(assemble(3))
+
+    // full-fidelity copy, no byte budget: FULL query names, 2-decimal
+    // seconds, rps — the 89-query inventory no longer fits the
+    // 2,000-byte stdout window at this fidelity (the shedding ladder
+    // above exists for exactly that), so the unabridged line lives in
+    // the repo file instead. Git-tracked deliberately: a round-end
+    // commit preserves the per-query numbers of the LAST bench run on
+    // this box at full precision next to the captured stdout tail.
+    val fullLine = {
+      val f = fmt(0) _
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f(total)},"cal":${f(cal)},""" +
+        s""""cal2":${f(cal2)},"queries":$qs,"sf":"$sfName",""" +
+        s""""rps":${throughput.toLong}}"""
+    }
 
     // persist BEFORE stop(): a hung (not just throwing) shutdown hook
     // must not cost the completed run its result line — the file is the
     // recovery copy; stdout stays the driver's channel.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/bench_last.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] persist failed: $e")
