@@ -320,6 +320,35 @@ object Curation {
         floor((sum(col("n_tok")).over(w) - col("n_tok")) / budget))
   }
 
+  /** Split over-budget documents into token-budget chunks — the
+    * complement of [[packSequences]] (which bins short documents
+    * together): a pretrain pipeline packs what fits and SPLITS what
+    * doesn't. Emits one row per chunk: (idCol, n_tok, chunk_id,
+    * tok_start, tok_end) with half-open token spans
+    * [tok_start, tok_end) of width <= budget — the offsets a
+    * downstream tokenizer consumes; chunk count = ceil(n_tok/budget).
+    *
+    * Scale shape: pure narrow projection + explode — no shuffle at
+    * all, output rows ~ corpus token mass / budget. Chunk boundaries
+    * depend only on the document itself, so the op is reproducible
+    * under any partitioning and corpus growth. */
+  def chunkSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    df.select(col(idCol), bpeTokenCount(col(textCol)).as("n_tok"))
+      // zero-token documents produce zero chunks. Guarded explicitly:
+      // Spark's sequence(0, -1) would DESCEND ([0, -1]) and emit two
+      // bogus chunks instead of none
+      .filter(col("n_tok") > 0)
+      .select(col(idCol), col("n_tok"),
+        explode(sequence(lit(0L),
+          floor((col("n_tok") - 1) / budget))).as("chunk_id"))
+      .select(col(idCol), col("n_tok"), col("chunk_id"),
+        (col("chunk_id") * budget).as("tok_start"),
+        least(col("n_tok"), (col("chunk_id") + 1) * budget)
+          .as("tok_end"))
+  }
+
   /** Deterministic training-order assignment — the "global shuffle"
     * stage that decorrelates document order from crawl/source order
     * before training. Each row gets (shard, pos): shard = id mod

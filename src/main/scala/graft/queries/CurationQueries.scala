@@ -217,6 +217,26 @@ object CurationQueries extends QueryPack {
              |WHERE rn <= 10
              |""".stripMargin)),
 
+    // split over-budget docs into 64-token chunks (half-open token
+    // spans): the complement of q_pack_sequences — pack what fits,
+    // split what doesn't. Pure narrow explode, no shuffle.
+    "q_chunk_sequences" -> Q(
+      (s, d) => Curation.chunkSequences(t(s, d, "documents"),
+        idCol = "doc_id", textCol = "text", budget = 64),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text,
+             |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+             |  FROM documents)
+             |SELECT doc_id, n_tok,
+             |  unnest(range(0, (n_tok - 1) // 64 + 1)) AS chunk_id,
+             |  unnest(range(0, (n_tok - 1) // 64 + 1)) * 64 AS tok_start,
+             |  LEAST(n_tok,
+             |    (unnest(range(0, (n_tok - 1) // 64 + 1)) + 1) * 64)
+             |    AS tok_end
+             |FROM tok
+             |""".stripMargin)),
+
     // contiguous sequence packing into 256-token bins, parallel over
     // (lang, doc_id % 8) shards — the explicit-shard shape that keeps
     // packing parallel when one language dominates the corpus.

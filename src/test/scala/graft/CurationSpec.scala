@@ -284,6 +284,25 @@ class CurationSpec extends SparkSpec {
     assert(cl.filter { case (d, c) => d == c }.map(_._1).toSet.subsetOf(surv))
   }
 
+  test("chunkSequences: half-open spans tile the doc, last chunk ragged, no shuffle") {
+    val s = spark
+    import s.implicits._
+    // all-alpha words: each is ONE bpe token (digits would split)
+    def words(n: Int) = Seq.fill(n)("xx").mkString(" ")
+    val docs = Seq((1L, words(130)), (2L, words(64)), (3L, words(1)))
+      .toDF("doc_id", "text")
+    val out = Curation.chunkSequences(docs, "doc_id", "text", budget = 64)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 130L, 0L, 0L, 64L), (1L, 130L, 1L, 64L, 128L),
+      (1L, 130L, 2L, 128L, 130L),
+      (2L, 64L, 0L, 0L, 64L),
+      (3L, 1L, 0L, 0L, 1L)))
+    val plan = Curation.chunkSequences(docs, "doc_id", "text", 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("decontaminateFuzzy: per-doc match count and strength, exact identity at 1.0") {
     val s = spark
     import s.implicits._
