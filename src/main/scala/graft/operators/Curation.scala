@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,14 +28,48 @@ object Curation {
     * the corpus. Grams are distinct per document on both sides, so
     * count(*) after the join IS the distinct shared-gram count.
     */
+  /** (idCol, gram) rows: each document's DISTINCT word n-grams —
+    * the shared first stage of every decontamination form. */
+  private def gramsOf(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = df
+    .select(col(idCol), tokens(col(textCol)).as("__w"))
+    .select(col(idCol),
+      explode(array_distinct(shinglesOfTokens(col("__w"), n))).as("gram"))
+
+  /** Build the benchmark's gram bloom filter (xxhash64 over distinct
+    * word n-grams, distributed treeAggregate build) and return its
+    * serialized bytes — MBs at 1% fpp for millions of grams. The
+    * probe side of every bloom decontamination form, including the
+    * streaming ingest filter (`StreamJobs.decontaminateStream`). */
+  def benchGramBloom(bench: DataFrame, idCol: String, textCol: String,
+      n: Int, fpp: Double): Array[Byte] = {
+    val hashed = gramsOf(bench, idCol, textCol, n)
+      .select(xxhash64(col("gram")).as("h")).distinct()
+    val expected = math.max(1L, hashed.count())
+    val bf = hashed.stat.bloomFilter("h", expected, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Boolean column: does `textCol` share ANY word n-gram with the
+    * bloom's benchmark set? A pure narrow expression (codegen
+    * BloomContains inside a higher-order exists — no explode, no
+    * shuffle), usable as a batch OR STREAMING scan filter. Probable
+    * in the bloom sense: false positives at the build fpp, never a
+    * false negative. */
+  def gramHit(textCol: Column, bloomBytes: Array[Byte],
+      n: Int): Column =
+    exists(array_distinct(shinglesOfTokens(tokens(textCol), n)),
+      g => graft.plans.GraftCall(
+        graft.plans.SketchExpressions.BloomContainsName,
+        xxhash64(g), lit(bloomBytes)))
+
   def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    def grams(df: DataFrame) = df
-      .select(col(idCol), tokens(col(textCol)).as("__w"))
-      .select(col(idCol),
-        explode(array_distinct(shinglesOfTokens(col("__w"), n))).as("gram"))
-    val benchGrams = grams(bench).select("gram").distinct()
-    grams(corpus)
+    val benchGrams = gramsOf(bench, idCol, textCol, n)
+      .select("gram").distinct()
+    gramsOf(corpus, idCol, textCol, n)
       .join(broadcast(benchGrams), "gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
@@ -58,20 +92,11 @@ object Curation {
   def decontaminateBloom(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int,
       fpp: Double = 0.01): DataFrame = {
-    def grams(df: DataFrame) = df
-      .select(col(idCol), tokens(col(textCol)).as("__w"))
-      .select(col(idCol),
-        explode(array_distinct(shinglesOfTokens(col("__w"), n))).as("gram"))
-    val benchHashes = grams(bench)
-      .select(xxhash64(col("gram")).as("h")).distinct()
-    val expected = math.max(1L, benchHashes.count())
-    val bf = benchHashes.stat.bloomFilter("h", expected, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    grams(corpus)
+    val bloom = benchGramBloom(bench, idCol, textCol, n, fpp)
+    gramsOf(corpus, idCol, textCol, n)
       .filter(graft.plans.GraftCall(
         graft.plans.SketchExpressions.BloomContainsName,
-        xxhash64(col("gram")), lit(bos.toByteArray)))
+        xxhash64(col("gram")), lit(bloom)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }
@@ -91,20 +116,20 @@ object Curation {
   def decontaminateExactViaBloom(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int,
       fpp: Double = 0.01): DataFrame = {
-    def grams(df: DataFrame) = df
-      .select(col(idCol), tokens(col(textCol)).as("__w"))
-      .select(col(idCol),
-        explode(array_distinct(shinglesOfTokens(col("__w"), n))).as("gram"))
-    val benchGrams = grams(bench).select("gram").distinct()
+    val benchGrams = gramsOf(bench, idCol, textCol, n)
+      .select("gram").distinct()
+    // bloom built from the SAME distinct-gram frame the exact join
+    // uses — one gram pass over the bench side, not two
     val hashed = benchGrams.select(xxhash64(col("gram")).as("h"))
     val expected = math.max(1L, hashed.count())
     val bf = hashed.stat.bloomFilter("h", expected, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
-    grams(corpus)
+    val bloom = bos.toByteArray
+    gramsOf(corpus, idCol, textCol, n)
       .filter(graft.plans.GraftCall(
         graft.plans.SketchExpressions.BloomContainsName,
-        xxhash64(col("gram")), lit(bos.toByteArray)))
+        xxhash64(col("gram")), lit(bloom)))
       .join(broadcast(benchGrams), "gram") // exact pass over survivors only
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))

@@ -94,6 +94,24 @@ object StreamJobs {
       .dropDuplicates("fp"))
   }
 
+  /** Streaming benchmark decontamination at ingest: drop every
+    * arriving document that shares a word `n`-gram with the benchmark
+    * bloom filter (build it once per benchmark release with
+    * `Curation.benchGramBloom`). The probe is a pure narrow filter —
+    * codegen BloomContains inside a higher-order exists, no explode,
+    * no shuffle, NO STATE — so it composes in front of
+    * [[corpusCleanStream]]/[[corpusCleanStreamBounded]] at ingest
+    * line rate; the bloom bytes ship once per executor inside the
+    * serialized expression. Drop semantics are bloom-probable:
+    * contaminated documents are ALWAYS dropped (no false negatives),
+    * clean ones survive at the build fpp — the safe direction for
+    * decontamination. StreamingSpec pins stream-vs-batch drop-set
+    * parity on the same bloom bytes. */
+  def decontaminateStream(docs: DataFrame, bloomBytes: Array[Byte],
+      n: Int): DataFrame =
+    docs.filter(!graft.operators.Curation.gramHit(col("text"),
+      bloomBytes, n))
+
   /** The quality/language gate + projection shared by both corpus-clean
     * forms — ONE definition so the bounded and unbounded pipelines can
     * never drift apart (their fp-set parity claim depends on identical

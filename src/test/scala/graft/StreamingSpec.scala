@@ -34,6 +34,33 @@ class StreamingSpec extends SparkSpec {
     assert(closed.subsetOf(streamed))
   }
 
+  test("streaming decontamination drops exactly the batch bloom-hit set at ingest") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Curation
+    val docs = graft.sources.Tables.load(s, sf001, "documents")
+    val bench = docs.filter($"source" === "src0")
+    val bloom = Curation.benchGramBloom(bench, "doc_id", "text",
+      n = 4, fpp = 0.01)
+    val streamedIds = StreamJobs.drainToTable(s,
+        StreamJobs.decontaminateStream(
+          StreamJobs.documentsStream(s, sf001), bloom, n = 4))
+      .select("doc_id").as[Long].collect().toSet
+    // parity: the stream filter drops the batch gramHit set on the
+    // SAME bloom bytes — stateless, so no arrival-order caveats
+    val drop = docs.filter(Curation.gramHit($"text", bloom, 4))
+      .select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(streamedIds == all -- drop)
+    // safe direction: every EXACT-contaminated doc is dropped (the
+    // bloom never false-negatives); survivors exist
+    val exact = Curation.decontaminate(docs.filter($"source" =!= "src0"),
+        bench, "doc_id", "text", n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact.subsetOf(drop))
+    assert(streamedIds.nonEmpty)
+  }
+
   test("streaming corpus-clean agrees with the batch pipeline's fingerprint set") {
     val s = spark
     import s.implicits._
