@@ -162,7 +162,11 @@ object CorpusProfile {
     val vocab = agg.tokens.groupBy(col("stratum"))
       .agg(count(lit(1)).as("vocab"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("hapax"))
-    agg.strata.join(vocab, Seq("stratum"))
+    // left join + zero-fill: a stratum whose documents contain no
+    // tokens at all has strata rows but no token rows, and an inner
+    // join would silently drop it from the summary
+    agg.strata.join(vocab, Seq("stratum"), "left")
+      .na.fill(0L, Seq("vocab", "hapax"))
       .withColumnRenamed("stratum", p.strataCol)
   }
 }

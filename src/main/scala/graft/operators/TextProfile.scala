@@ -83,11 +83,41 @@ object TextProfile {
     * join rows); the per-doc aggregate then shuffles on id. ndocs is
     * a single driver scalar (one count), not a collected relation. */
   def tokenRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ndocs = df.count()
-    val tf = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val tf = perDocTf(df, idCol, textCol)
+    rarityAgg(tf, idCol,
+      dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df")),
+      ndocs = df.count())
+  }
+
+  /** [[tokenRarity]] scored against a STORED corpus profile
+    * (`CorpusProfile`) instead of a fresh corpus-wide df pass — the
+    * amortized form: the profile's per-(stratum, token) df table sums
+    * to the corpus document frequency (strata partition the corpus),
+    * so only the per-doc tf pass runs per scoring batch while the
+    * corpus-sized df aggregation is read from the store. Scoring a
+    * batch against a 100 TB corpus profile costs O(batch tokens ⋈
+    * vocab), not a corpus rescan. Output is bit-identical to
+    * [[tokenRarity]] when the profile covers exactly `df` —
+    * q_text_rarity_profile shares q_text_rarity's oracle to gate
+    * that. */
+  def tokenRarityWithProfile(df: DataFrame, idCol: String,
+      textCol: String, profile: CorpusProfile.Profile): DataFrame = {
+    val agg = CorpusProfile.aggregated(profile)
+    rarityAgg(perDocTf(df, idCol, textCol), idCol,
+      dfreq = agg.tokens.groupBy(col("token"))
+        .agg(sum(col("df")).as("__df"))
+        .withColumnRenamed("token", "term"),
+      ndocs = agg.strata.agg(sum(col("docs"))).head.getLong(0))
+  }
+
+  /** Per-document term frequencies — (idCol, term, __tf). */
+  private def perDocTf(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = df
+    .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+
+  private def rarityAgg(tf: DataFrame, idCol: String, dfreq: DataFrame,
+      ndocs: Long): DataFrame =
     tf.join(dfreq, "term")
       .groupBy(col(idCol))
       .agg(sum(col("__tf")).as("n_tok"),
@@ -100,7 +130,6 @@ object TextProfile {
           s"(${ndocs}L * sum(__tf)) AS BIGINT)").as("mean_df_bp"),
         sum(when(col("__df") === 1, col("__tf")).otherwise(0L))
           .as("hapax"))
-  }
 
   /** Top-k discriminative terms per document — keyword extraction in
     * the tf-idf family, with an INTEGER ordering so every engine

@@ -12,6 +12,26 @@ import QHelp._
   */
 object TextQueries extends QueryPack {
 
+  /** Shared by q_text_rarity and q_text_rarity_profile — the profile-
+    * fed path must be bit-identical to the direct pass. */
+  private val oRaritySql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |nd AS (SELECT count(*) AS n FROM documents),
+      |dfq AS (
+      |  SELECT term, count(DISTINCT doc_id) AS dfr
+      |  FROM tok GROUP BY term)
+      |SELECT doc_id, count(*) AS n_tok,
+      |  CAST(sum(dfr) * 10000 // ((SELECT n FROM nd) * count(*))
+      |       AS BIGINT) AS mean_df_bp,
+      |  CAST(sum(CASE WHEN dfr = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hapax
+      |FROM tok JOIN dfq USING (term)
+      |GROUP BY doc_id
+      |""".stripMargin
+
   override def queries: Map[String, Q] = Map(
 
     "q_text_token_count" -> Q(
@@ -260,22 +280,21 @@ object TextQueries extends QueryPack {
     "q_text_rarity" -> Q(
       (s, d) => graft.operators.TextProfile.tokenRarity(
         t(s, d, "documents"), "doc_id", "text"),
-      Some("""WITH tok AS (
-             |  SELECT doc_id,
-             |    unnest(string_split_regex(trim(text), '\s+')) AS term
-             |  FROM documents),
-             |nd AS (SELECT count(*) AS n FROM documents),
-             |dfq AS (
-             |  SELECT term, count(DISTINCT doc_id) AS dfr
-             |  FROM tok GROUP BY term)
-             |SELECT doc_id, count(*) AS n_tok,
-             |  CAST(sum(dfr) * 10000 // ((SELECT n FROM nd) * count(*))
-             |       AS BIGINT) AS mean_df_bp,
-             |  CAST(sum(CASE WHEN dfr = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             |    AS hapax
-             |FROM tok JOIN dfq USING (term)
-             |GROUP BY doc_id
-             |""".stripMargin)),
+      Some(oRaritySql)),
+
+    // the same rarity scoring fed from a STORED corpus profile: the
+    // corpus-wide df table comes from CorpusProfile (per-stratum dfs
+    // sum to corpus df — strata partition the corpus) while only the
+    // per-doc tf pass runs per batch. Shares q_text_rarity's oracle:
+    // the amortized path may not change a single bit of the result.
+    "q_text_rarity_profile" -> Q(
+      (s, d) => {
+        import graft.operators.{CorpusProfile, TextProfile}
+        val docs = t(s, d, "documents")
+        TextProfile.tokenRarityWithProfile(docs, "doc_id", "text",
+          CorpusProfile.build(docs, "doc_id", "lang", "text"))
+      },
+      Some(oRaritySql)),
 
     // Gopher-style repetition signals: type-token ratio, top-bigram
     // share, duplicate-bigram share — all integer basis points
