@@ -400,6 +400,41 @@ object Curation {
       .drop("__h")
   }
 
+  /** Deterministic train/val/test split assignment: each row lands in
+    * exactly one named split, chosen by where its md5(seedCols) 16-bit
+    * prefix falls among the cumulative weight boundaries (quantized to
+    * 1/65536). The [[sampleStratified]] determinism contract applied
+    * to partitioning instead of thinning: a row's split depends only
+    * on its content — stable across reruns, retries, partitionings,
+    * AND corpus growth (adding documents never moves an existing one
+    * across splits, the property that keeps eval sets frozen while
+    * the corpus ingests). Splits are disjoint and total by
+    * construction: boundaries chain and the last split takes the
+    * remainder. Weights must sum to 1.
+    *
+    * Scale shape: pure narrow projection — no shuffle, no state, no
+    * driver data. */
+  def assignSplits(df: DataFrame, seedCols: Seq[String],
+      splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 > 0), s"weights must be positive: $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split weights must sum to 1, got $total")
+    val hash = substring(
+      md5(concat_ws(":", seedCols.map(c => col(c).cast("string")): _*)),
+      1, 4)
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail.init
+      .map(c => f"${(c * 65536).toInt}%04x")
+    val assigned = bounds.zip(splits.map(_._1))
+      .foldRight(lit(splits.last._1): Column) {
+        case ((b, name), acc) => when(hash < lit(b), lit(name))
+          .otherwise(acc)
+      }
+    df.withColumn(splitCol, assigned)
+  }
+
   /** Survivor selection: given the full corpus and a duplicate-cluster
     * assignment (docId -> clusterId, canonical id = cluster minimum,
     * the Dedup.dupClusters contract), keep every document that is not

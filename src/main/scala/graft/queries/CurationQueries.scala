@@ -414,6 +414,25 @@ object CurationQueries extends QueryPack {
               |FROM kept
               |""".stripMargin)),
 
+    // deterministic train/val/test split: content-hash boundaries at
+    // the cumulative weights (80/10/10). Disjoint + total by
+    // construction; adding docs never moves an existing one across
+    // splits (frozen eval sets under corpus growth). Pure narrow.
+    "q_train_split" -> Q(
+      (s, d) => Curation.assignSplits(t(s, d, "documents"),
+          seedCols = Seq("doc_id", "text"),
+          splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("split")),
+      // boundaries: floor(0.8*65536)=0xcccc, floor(0.9*65536)=0xe666
+      Some("""SELECT doc_id, lang,
+             |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+             |         1, 4) < 'cccc' THEN 'train'
+             |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+             |         1, 4) < 'e666' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents
+             |""".stripMargin)),
+
     // deterministic training order ("global shuffle"): content-hash
     // rank within id-hash shards — reproducible across reruns and
     // partitionings, numShards parallel sorts, never a global sort.

@@ -284,6 +284,34 @@ class CurationSpec extends SparkSpec {
     assert(cl.filter { case (d, c) => d == c }.map(_._1).toSet.subsetOf(surv))
   }
 
+  test("assignSplits: disjoint+total, content-keyed (stable under growth), no shuffle") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.load(s, sf001, "documents")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Curation.assignSplits(docs, Seq("doc_id", "text"), splits)
+    // total: every row gets exactly one split; ratios in the ballpark
+    val counts = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == docs.count())
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // content-keyed: the assignment of the first 100 docs is identical
+    // whether or not the rest of the corpus exists
+    val subset = Curation.assignSplits(docs.filter($"doc_id" < 100),
+        Seq("doc_id", "text"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    val fromFull = out.filter($"doc_id" < 100)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(subset == fromFull)
+    // pure narrow
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // invalid weights fail fast
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(docs, Seq("doc_id"), Seq("a" -> 0.5))
+    }
+  }
+
   test("chunkSequences: half-open spans tile the doc, last chunk ragged, no shuffle") {
     val s = spark
     import s.implicits._
