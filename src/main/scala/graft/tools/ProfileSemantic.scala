@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev tool: the semantic-dedup (q_embed_dedup) operating-point sweep.
+  *
+  * The chain is pair-volume-bound: lshNearDup's cost is flat-ish in
+  * the threshold (bucketing is threshold-free; the threshold only
+  * filters verified cosines) but dupClusters' cost tracks the
+  * DUPLICATE GRAPH it is handed. At sf10 the oracle-scale threshold
+  * (0.3) turns the synthetic corpus into a dense graph (6.8M pairs
+  * over 200k vectors, average degree ~68) — that is not a dedup
+  * workload, it is a similarity graph, and min-label propagation over
+  * it is the wrong tool. This sweep records pair volume and
+  * end-to-end survivors cost per threshold so the operating envelope
+  * is a measured table, not advice.
+  *
+  * Usage: runMain graft.tools.ProfileSemantic <sfDir> [t1,t2,...]
+  */
+object ProfileSemantic {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/benchdata/sf10")
+    val ts = args.lift(1).getOrElse("0.9,0.6,0.3").split(",").map(_.toDouble)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession("graft-profile-semantic",
+      master = Some(s"local[$cpus]"), shufflePartitions = Some(cpus.toInt))
+    import graft.operators.{Curation, Dedup, Similarity}
+
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    emb.persist(); emb.count()
+
+    ts.foreach { t =>
+      val t0 = System.nanoTime()
+      val pairs = Similarity.lshNearDup(emb, "vec_id", "embedding",
+        dim = 64, threshold = t)
+      pairs.persist()
+      val np = pairs.count()
+      val tPairs = (System.nanoTime() - t0) / 1e9
+      if (np <= 10000000L) {
+        val t1 = System.nanoTime()
+        val n = Curation.survivors(emb.select("vec_id"), "vec_id",
+          Dedup.dupClusters(pairs)).count()
+        val tClust = (System.nanoTime() - t1) / 1e9
+        println(f"[semantic] t=$t%.1f pairs=$np pairs_s=$tPairs%.2f " +
+          f"cluster+survivors_s=$tClust%.2f survivors=$n")
+      } else {
+        println(f"[semantic] t=$t%.1f pairs=$np pairs_s=$tPairs%.2f " +
+          "cluster SKIPPED (graph too dense to be a dedup workload)")
+      }
+      pairs.unpersist()
+    }
+    spark.stop()
+  }
+}
