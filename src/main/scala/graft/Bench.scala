@@ -122,19 +122,26 @@ object Bench {
         "\"" + (if (k.startsWith("q_")) k.drop(2) else k) + "\":" + f(v)
       }.mkString("{", ",", "}")
       val rps = if (level >= 3) "" else s""","rps":${throughput.toLong}"""
-      s"""{"metric":"total","value":${f(total)},"cal":${fc(cal)},""" +
-        s""""cal2":${fc(cal2)},"queries":$qs,"sf":"$sfName"$rps}"""
+      // level 4 sheds the two recoverable envelope fields: "metric"
+      // (the line is found by capture position, not by field) and
+      // "sf" (the driver records the scale factor in its own BENCH
+      // envelope) — 31 bytes that keep the 92-query floor line under
+      // the window. cal/cal2/value/queries always survive.
+      val head =
+        if (level >= 4) s"""{"value":${f(total)},"""
+        else s"""{"metric":"total","value":${f(total)},"""
+      val sf = if (level >= 4) "" else s""","sf":"$sfName""""
+      head + s""""cal":${fc(cal)},"cal2":${fc(cal2)},""" +
+        s""""queries":$qs$sf$rps}"""
     }
     // budget 1,985: the window is 2,000 and the line is the LAST
-    // output, so only its own length matters. With the prefix-free
-    // keys the level-0 89-query idle line measures ~1,850 and the
-    // level-3 floor ~1,845 — ~6 more queries of headroom at ~21
-    // bytes each; the level ladder stays for throttled boxes that
-    // inflate digit counts. If the inventory outgrows even level 3,
-    // the line is emitted anyway (truncated head beats no data) and
-    // bench_last.json keeps the full copy.
-    val line = (0 to 3).map(assemble)
-      .find(_.length <= 1985).getOrElse(assemble(3))
+    // output, so only its own length matters. Each registry query
+    // costs ~21 line bytes; the 92-query floor (level 4) measures
+    // ~1,976 — at ~95 queries even that overflows, so adding queries
+    // means re-checking this arithmetic (the full-fidelity line in
+    // bench_last.json is the fallback either way).
+    val line = (0 to 4).map(assemble)
+      .find(_.length <= 1985).getOrElse(assemble(4))
 
     // full-fidelity copy, no byte budget: FULL query names, 2-decimal
     // seconds, rps — the 89-query inventory no longer fits the
