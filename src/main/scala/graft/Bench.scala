@@ -140,8 +140,28 @@ object Bench {
     // ~1,976 — at ~95 queries even that overflows, so adding queries
     // means re-checking this arithmetic (the full-fidelity line in
     // bench_last.json is the fallback either way).
+    // past ~93 queries even level 4 overflows; the last resort keeps
+    // the SLOWEST rows (the ones a regression gate cares about —
+    // dropped rows are the cheapest sub-second entries, where the
+    // box's own ±1.5 s noise drowns any per-query signal) and counts
+    // the dropped remainder as "qdrop". bench_last.json always holds
+    // every row at full fidelity.
+    def assembleTruncated(): String = {
+      val f = fmt(4) _
+      val fc = fmt(0) _
+      val bySec = results.sortBy(-_._2)
+      def build(keep: Int): String = {
+        val qs = bySec.take(keep).sortBy(_._1).map { case (k, v) =>
+          "\"" + (if (k.startsWith("q_")) k.drop(2) else k) + "\":" + f(v)
+        }.mkString("{", ",", "}")
+        s"""{"value":${f(total)},"cal":${fc(cal)},"cal2":${fc(cal2)},""" +
+          s""""qdrop":${results.size - keep},"queries":$qs}"""
+      }
+      Iterator.range(results.size, 0, -1).map(build)
+        .find(_.length <= 1985).getOrElse(build(1))
+    }
     val line = (0 to 4).map(assemble)
-      .find(_.length <= 1985).getOrElse(assemble(4))
+      .find(_.length <= 1985).getOrElse(assembleTruncated())
 
     // full-fidelity copy, no byte budget: FULL query names, 2-decimal
     // seconds, rps — the 89-query inventory no longer fits the
