@@ -52,6 +52,53 @@ object Curation {
     bos.toByteArray
   }
 
+  /** Persist a benchmark gram bloom ([[benchGramBloom]]) — benchmark
+    * releases are versioned artifacts, so a 100 TB batch job or a
+    * streaming ingest (`StreamJobs.decontaminateStream`) loads the
+    * bloom at job start instead of rebuilding it from the benchmark
+    * corpus every run. Same durability discipline as the dedup/ANN
+    * indexes: crash-safe stage-then-swap, params sidecar validated on
+    * read (a bloom built over a different gram width would silently
+    * probe disjoint hashes — that must fail fast, not filter
+    * nothing). */
+  def writeBenchBloom(spark: org.apache.spark.sql.SparkSession,
+      dir: String, bloomBytes: Array[Byte], n: Int,
+      fpp: Double): Unit = {
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.FsUtil.swapInto(fs, target) { staging =>
+      fs.mkdirs(staging)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(staging, "bloom.bin"), true)
+      try out.write(bloomBytes) finally out.close()
+      graft.core.FsUtil.writeSidecar(fs,
+        new org.apache.hadoop.fs.Path(staging, "params.json"),
+        s"""{"version":1,"n":$n,"fpp":$fpp}""")
+    }
+  }
+
+  /** Reload a stored benchmark bloom. The caller's gram width must
+    * match the stored one — validated against the sidecar. */
+  def readBenchBloom(spark: org.apache.spark.sql.SparkSession,
+      dir: String, n: Int): Array[Byte] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.FsUtil.readSidecar(fs,
+        new org.apache.hadoop.fs.Path(dir, "params.json"))
+      .foreach { json =>
+        val stored = """"n":(\d+)""".r.findFirstMatchIn(json)
+          .map(_.group(1).toInt)
+          .getOrElse(throw new java.io.IOException(
+            s"bench bloom $dir: malformed params.json: $json"))
+        require(stored == n,
+          s"bench bloom $dir was built over $stored-grams but the " +
+            s"caller supplied n=$n — probing with a different gram " +
+            "width would silently match nothing")
+      }
+    val in = fs.open(new org.apache.hadoop.fs.Path(dir, "bloom.bin"))
+    try in.readAllBytes() finally in.close()
+  }
+
   /** Boolean column: does `textCol` share ANY word n-gram with the
     * bloom's benchmark set? A pure narrow expression (codegen
     * BloomContains inside a higher-order exists — no explode, no

@@ -284,6 +284,23 @@ class CurationSpec extends SparkSpec {
     assert(cl.filter { case (d, c) => d == c }.map(_._1).toSet.subsetOf(surv))
   }
 
+  test("bench bloom persists: byte-exact round trip, gram-width mismatch fails fast") {
+    val s = spark
+    val docs = Tables.load(s, sf001, "documents")
+    val bench = docs.filter(col("source") === "src0")
+    val bloom = Curation.benchGramBloom(bench, "doc_id", "text",
+      n = 4, fpp = 0.01)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom")
+      .toString + "/b"
+    Curation.writeBenchBloom(s, dir, bloom, n = 4, fpp = 0.01)
+    assert(java.util.Arrays.equals(
+      Curation.readBenchBloom(s, dir, n = 4), bloom))
+    val e = intercept[IllegalArgumentException] {
+      Curation.readBenchBloom(s, dir, n = 3)
+    }
+    assert(e.getMessage.contains("gram"))
+  }
+
   test("assignSplits: disjoint+total, content-keyed (stable under growth), no shuffle") {
     val s = spark
     import s.implicits._
