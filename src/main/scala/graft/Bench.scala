@@ -131,7 +131,14 @@ object Bench {
         if (level >= 4) s"""{"value":${f(total)},"""
         else s"""{"metric":"total","value":${f(total)},"""
       val sf = if (level >= 4) "" else s""","sf":"$sfName""""
-      head + s""""cal":${fc(cal)},"cal2":${fc(cal2)},""" +
+      // at the floor level cal2 is emitted ONLY when it diverges from
+      // cal (the mid-run-throttle signature — the one case it carries
+      // information); an absent cal2 on a level-4 line reads "end-of-
+      // run calibration matched start" (BASELINE.md)
+      val cal2Field =
+        if (level >= 4 && cal2 <= cal * 1.25 && cal2 >= cal * 0.6) ""
+        else s""""cal2":${fc(cal2)},"""
+      head + s""""cal":${fc(cal)},$cal2Field""" +
         s""""queries":$qs$sf$rps}"""
     }
     // budget 1,985: the window is 2,000 and the line is the LAST

@@ -209,6 +209,41 @@ object Curation {
       .agg(count(lit(1)).as("n_matches"),
         max(col("jaccard")).as("max_jaccard"))
 
+  /** PII patterns masked by [[maskPii]], in application order. Kept
+    * deliberately RE2-compatible (no backrefs/lookaround) so the same
+    * pattern strings run identically on Spark's Java regex and
+    * engines like DuckDB/RE2 — an oracle can replay the masking
+    * bit-for-bit. The email pattern is matched before the IP pattern
+    * so a digits-only domain can't be double-masked. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "<EMAIL>"),
+    ("ip", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("phone", "(?:\\+?\\d{1,3}[-. ])?\\d{3}[-. ]\\d{3,4}[-. ]\\d{3,4}",
+      "<PHONE>"))
+
+  /** PII redaction: mask emails, IPv4 addresses, and phone-shaped
+    * numbers in `textCol`, returning (idCol, masked text, one count
+    * column per pattern) — the redaction pass a pretrain pipeline
+    * runs before packing. Deterministic, content-only, and
+    * engine-portable by construction ([[PiiPatterns]]); counts are
+    * measured BEFORE masking, each pattern counted on the original
+    * text.
+    *
+    * Scale shape: pure narrow projection — regex scans stay inside
+    * whole-stage codegen, no shuffle, no UDF. */
+  def maskPii(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val masked = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+        .cast("long").as(s"n_$name")
+    }
+    df.select(col(idCol) +: masked.as("masked") +: counts: _*)
+  }
+
   /** Deterministic hash-threshold sampling with per-stratum rates:
     * a row is kept iff the first 4 hex chars of md5(seedCols joined
     * by ':') sort below the stratum's threshold. Rates are quantized

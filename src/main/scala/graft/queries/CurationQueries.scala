@@ -414,6 +414,27 @@ object CurationQueries extends QueryPack {
               |FROM kept
               |""".stripMargin)),
 
+    // PII redaction: mask emails / IPv4s / phone-shaped numbers and
+    // count matches per pattern — RE2-compatible patterns by
+    // construction, so the oracle replays the masking bit-for-bit.
+    // (The synthetic corpus contains no PII, so counts are zero here
+    // and the real semantics are spec-gated on planted rows —
+    // CurationSpec; the oracle still gates schema + the replay
+    // plumbing end to end.)
+    "q_pii_mask" -> Q(
+      (s, d) => Curation.maskPii(t(s, d, "documents"), "doc_id",
+        "text"),
+      Some {
+        val masked = Curation.PiiPatterns.foldLeft("text") {
+          case (e, (_, pat, repl)) =>
+            s"regexp_replace($e, '$pat', '$repl', 'g')"
+        }
+        val counts = Curation.PiiPatterns.map { case (nm, pat, _) =>
+          s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$nm"
+        }.mkString(",\n  ")
+        s"SELECT doc_id,\n  $masked AS masked,\n  $counts\nFROM documents\n"
+      }),
+
     // deterministic train/val/test split: content-hash boundaries at
     // the cumulative weights (80/10/10). Disjoint + total by
     // construction; adding docs never moves an existing one across

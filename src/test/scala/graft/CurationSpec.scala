@@ -284,6 +284,32 @@ class CurationSpec extends SparkSpec {
     assert(cl.filter { case (d, c) => d == c }.map(_._1).toSet.subsetOf(surv))
   }
 
+  test("maskPii: emails/IPs/phones masked, counts from the original text, no shuffle") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "contact bob.smith+x@corp.example.org or 10.0.255.3 now"),
+      (2L, "call +1-555-123-4567 or 555 123 4567 today"),
+      (3L, "no pii here at all"),
+      (4L, "two mails: a@b.io c.d@e-f.co and date 2021-10-15")
+    ).toDF("doc_id", "text")
+    val out = Curation.maskPii(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "contact <EMAIL> or <IP> now")
+    assert((out(1L)._3, out(1L)._4, out(1L)._5) == (1L, 1L, 0L))
+    assert(out(2L)._2 == "call <PHONE> or <PHONE> today")
+    assert((out(2L)._3, out(2L)._4, out(2L)._5) == (0L, 0L, 2L))
+    assert(out(3L)._2 == "no pii here at all")
+    assert((out(3L)._3, out(3L)._4, out(3L)._5) == (0L, 0L, 0L))
+    // dates must NOT phone-match; both email forms must
+    assert(out(4L)._2 == "two mails: <EMAIL> <EMAIL> and date 2021-10-15")
+    assert((out(4L)._3, out(4L)._4, out(4L)._5) == (2L, 0L, 0L))
+    val plan = Curation.maskPii(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("bench bloom persists: byte-exact round trip, gram-width mismatch fails fast") {
     val s = spark
     val docs = Tables.load(s, sf001, "documents")
