@@ -15,19 +15,6 @@ import graft.functions.TextFunctions._
   */
 object Curation {
 
-  /** Benchmark decontamination: for each corpus document, the number
-    * of distinct word `n`-grams it shares with ANY benchmark document.
-    * Only contaminated documents (n_hits >= 1) are returned — callers
-    * anti-join the result to drop them, or threshold on n_hits.
-    *
-    * Scale shape: the benchmark side is tiny by definition (eval sets
-    * are MBs; corpora are TBs), so its distinct gram set is BROADCAST
-    * and the corpus side never shuffles to find its matches. The only
-    * shuffle is the per-doc hit count over rows that actually matched
-    * — at a sane contamination rate that is a vanishing fraction of
-    * the corpus. Grams are distinct per document on both sides, so
-    * count(*) after the join IS the distinct shared-gram count.
-    */
   /** (idCol, gram) rows: each document's DISTINCT word n-grams —
     * the shared first stage of every decontamination form. */
   private def gramsOf(df: DataFrame, idCol: String, textCol: String,
@@ -112,6 +99,19 @@ object Curation {
         graft.plans.SketchExpressions.BloomContainsName,
         xxhash64(g), lit(bloomBytes)))
 
+  /** Benchmark decontamination: for each corpus document, the number
+    * of distinct word `n`-grams it shares with ANY benchmark document.
+    * Only contaminated documents (n_hits >= 1) are returned — callers
+    * anti-join the result to drop them, or threshold on n_hits.
+    *
+    * Scale shape: the benchmark side is tiny by definition (eval sets
+    * are MBs; corpora are TBs), so its distinct gram set is BROADCAST
+    * and the corpus side never shuffles to find its matches. The only
+    * shuffle is the per-doc hit count over rows that actually matched
+    * — at a sane contamination rate that is a vanishing fraction of
+    * the corpus. Grams are distinct per document on both sides, so
+    * count(*) after the join IS the distinct shared-gram count.
+    */
   def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     val benchGrams = gramsOf(bench, idCol, textCol, n)
