@@ -122,6 +122,39 @@ object CorpusProfile {
     batch.tokens.write.mode("append").parquet(s"$dir/tokens.parquet")
   }
 
+  /** Sidecar recording the last streaming micro-batch applied by
+    * [[appendOnce]]. */
+  val AppliedSidecar = "applied.json"
+
+  /** Append a micro-batch's profile AT MOST ONCE per `batchId` — the
+    * guard that makes [[append]] safe under Structured Streaming's
+    * at-least-once foreachBatch retries (a replayed batch would
+    * silently double every count). Returns false (no-op) when
+    * `batchId` is <= the last applied id; otherwise appends (or
+    * creates the store on first application) and records the id.
+    * Honest failure window: a crash BETWEEN the parquet append and
+    * the sidecar write re-applies that one batch on retry — closing
+    * it needs a transactional store; the window is one batch and the
+    * sidecar makes it detectable (reference analog: checkpointed
+    * changelog offsets, samza-kv/.../LoggedStore.scala:1). Single
+    * writer per dir assumed (one streaming query owns a store). */
+  def appendOnce(batch: Profile, dir: String, batchId: Long): Boolean = {
+    val spark = batch.strata.sparkSession
+    val fs = fsFor(spark, dir)
+    val applied = graft.core.FsUtil
+      .readSidecar(fs, new Path(dir, AppliedSidecar))
+      .flatMap(s => """"batchId":(-?\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong))
+    if (applied.exists(_ >= batchId)) false
+    else {
+      if (fs.exists(new Path(dir, "strata.parquet"))) append(batch, dir)
+      else write(batch, dir)
+      graft.core.FsUtil.writeSidecar(fs, new Path(dir, AppliedSidecar),
+        s"""{"batchId":$batchId}""")
+      true
+    }
+  }
+
   /** Reload a stored profile (partials as stored — aggregate via
     * [[stats]]/[[compact]]). Column names are validated against the
     * stored sidecar. */

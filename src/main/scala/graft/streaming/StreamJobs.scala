@@ -94,6 +94,27 @@ object StreamJobs {
       .dropDuplicates("fp"))
   }
 
+  /** Continuous corpus-profile maintenance at ingest: each arriving
+    * micro-batch's stats are appended to the stored
+    * `operators.CorpusProfile` at `dir` in O(batch) — the stream-side
+    * of the incremental-profile discipline, so corpus statistics
+    * (token mass per language, vocabulary, df table) stay current
+    * without any corpus rescan, ever. Batch-id idempotence via
+    * `CorpusProfile.appendOnce` guards foreachBatch's at-least-once
+    * retries. Returns the writer — caller picks trigger/checkpoint
+    * and starts it. */
+  def profileStream(docs: DataFrame, dir: String, idCol: String,
+      strataCol: String, textCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.CorpusProfile.appendOnce(
+          graft.operators.CorpusProfile.build(batch, idCol, strataCol,
+            textCol), dir, batchId)
+        ()
+    }
+
   /** Streaming benchmark decontamination at ingest: drop every
     * arriving document that shares a word `n`-gram with the benchmark
     * bloom filter (build it once per benchmark release with

@@ -71,6 +71,41 @@ class CorpusProfileSpec extends SparkSpec {
     assert(e2.getMessage.contains("strataCol"))
   }
 
+  test("streaming profile: per-batch appends equal the batch build; replays are no-ops") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = Tables.load(s, sf001, "documents")
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val dir = Files.createTempDirectory("graft_profile").toString + "/p"
+    val ckpt = Files.createTempDirectory("graft_profile_ckpt").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamJobs.profileStream(
+        input.toDS().toDF("doc_id", "lang", "text"), dir, "doc_id",
+        "lang", "text")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      docs.grouped(200).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = statRows(CorpusProfile.stats(
+      CorpusProfile.read(s, dir, "lang", "text")))
+    val full = statRows(CorpusProfile.stats(CorpusProfile.build(
+      Tables.load(s, sf001, "documents"), "doc_id", "lang", "text")))
+    assert(streamed == full)
+    // at-least-once guard: re-applying an already-applied batch id is
+    // a no-op and changes nothing
+    val replay = CorpusProfile.build(
+      Seq((999L, "en", "x y z")).toDF("doc_id", "lang", "text"),
+      "doc_id", "lang", "text")
+    assert(!CorpusProfile.appendOnce(replay, dir, batchId = 0L))
+    assert(statRows(CorpusProfile.stats(
+      CorpusProfile.read(s, dir, "lang", "text"))) == full)
+  }
+
   test("compact collapses partials without changing stats") {
     val s = spark
     val docs = Tables.load(s, sf001, "documents")
