@@ -503,6 +503,27 @@ object Dedup {
     * Each iteration persists its label table and unpersists the
     * previous one so lineage stays flat. Throws if `maxIters` rounds
     * do not converge rather than returning partial components. */
+  /** Degree diagnostic for [[dupClusters]] input: a DEDUP graph has
+    * small average degree (a document near-duplicates a handful of
+    * others); a large one means the pair threshold sits inside the
+    * corpus's background-similarity mode and the input is a
+    * similarity graph, for which min-label propagation is the wrong
+    * tool (measured: sf10 embeddings at cosine 0.3 → 6.8M pairs over
+    * 200k nodes, avg degree 68, propagation OOM'd 8 GB and ran >28
+    * minutes at 48 GB; cosine 0.6 → degree 0.7, clustered in 2 s —
+    * BASELINE.md round-10 audit). Returns the warning to emit, None
+    * when healthy. */
+  private[graft] def densityWarning(nNodes: Long, nEdges: Long,
+      warnDegree: Double = 16.0): Option[String] = {
+    val deg = if (nNodes <= 0) 0.0 else nEdges.toDouble / nNodes
+    if (deg <= warnDegree) None
+    else Some(f"[graft] dupClusters: duplicate graph has average " +
+      f"degree $deg%.1f ($nEdges directed edges over $nNodes nodes) " +
+      "— this looks like a similarity graph, not dedup input; raise " +
+      "the pair threshold above the corpus's background-similarity " +
+      "mode (see BASELINE.md round-10 semantic-dedup envelope)")
+  }
+
   def dupClusters(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIters: Int = 50,
       localEdgeThreshold: Long = 2000000L): DataFrame = {
@@ -556,6 +577,8 @@ object Dedup {
           if (cmp < 0) parent.put(rb, ra) else parent.put(ra, rb)
         }
       }
+      densityWarning(parent.size().toLong, sample.length.toLong)
+        .foreach(System.err.println)
       import scala.jdk.CollectionConverters._
       val rows = parent.keySet().asScala.toSeq.map { id =>
         org.apache.spark.sql.Row(id, find(id))
@@ -571,6 +594,11 @@ object Dedup {
     var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
     var labels = cached
+    // density check before committing to propagation rounds: counts
+    // are two cheap jobs over the persisted frames vs minutes of
+    // wasted rounds on a graph that isn't dedup input
+    densityWarning(cached.count(), edges.count())
+      .foreach(System.err.println)
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < maxIters) {

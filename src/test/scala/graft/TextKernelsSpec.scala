@@ -163,6 +163,16 @@ class TextKernelsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dupClusters density warning fires on similarity-graph input only") {
+    // a dedup graph: degree ~2 — silent
+    assert(Dedup.densityWarning(nNodes = 1000, nEdges = 2000).isEmpty)
+    // the measured sf10 pathology: degree 68 — loud
+    val w = Dedup.densityWarning(nNodes = 200000, nEdges = 13600000)
+    assert(w.exists(_.contains("similarity graph")))
+    // degenerate inputs stay silent
+    assert(Dedup.densityWarning(nNodes = 0, nEdges = 0).isEmpty)
+  }
+
   test("shingle->signature stage is shuffle-free (scale invariant)") {
     val df = docsDf(samples(textGen(12), 10))
     val staged = Dedup.shingleSets(df, "doc_id", "text", 3)
