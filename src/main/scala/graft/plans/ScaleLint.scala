@@ -153,6 +153,30 @@ object ScaleLint {
     }
     logicalPlans.foreach(underLimit(_, inLimit = false))
 
+    // --- repeated scans of one relation -----------------------------
+    // A DataFrame referenced by several downstream stages recomputes
+    // its whole prefix per reference (Spark reuses only IDENTICAL
+    // exchanges) — visible as the same file relation scanned many
+    // times in one plan. Measured on the composed pretrain chain at
+    // sf10: staged boundaries 79.4 s vs the one-plan form's 98.7 s
+    // (BASELINE.md round-10 audit). Info, not error: re-scanning a
+    // cheap relation is often the RIGHT call — the flag says "check
+    // whether the repeated prefix is expensive", and composed
+    // pipeline queries in this repo's own registry trip it by design.
+    val scanCounts = physNodes
+      .collect { case f: FileSourceScanLike =>
+        f.relation.location.rootPaths.headOption
+          .map(_.toString).getOrElse("<unknown>")
+      }
+      .groupBy(identity).view.mapValues(_.size).filter(_._2 >= 3)
+    scanCounts.foreach { case (path, k) =>
+      out += Finding("MULTI_SCAN", "info",
+        s"$path scanned $k times in one plan — repeated references " +
+          "recompute their prefix per reference; if the shared prefix " +
+          "is expensive, persist()/checkpoint the stage boundary " +
+          "(measured 1.24x end-to-end on the sf10 pretrain chain)")
+    }
+
     // --- filters that never reach the scan --------------------------
     // Per-scan, per-predicate attribution via the physical tree: each
     // FileSourceScanLike carries ITS OWN dataFilters (the deterministic

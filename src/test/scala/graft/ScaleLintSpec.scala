@@ -96,6 +96,23 @@ class ScaleLintSpec extends SparkSpec {
     assert(!codes(clean).contains("FILTER_NOT_PUSHED"), codes(clean))
   }
 
+  test("flags a relation scanned 3+ times as info; single/double scans stay quiet") {
+    val s = spark
+    import s.implicits._
+    val li = graft.sources.Tables.load(spark, sf0001, "lineitem")
+    val once = li.select("l_orderkey")
+    assert(!codes(once).contains("MULTI_SCAN"), codes(once))
+    val twice = li.select("l_orderkey")
+      .union(li.select("l_partkey").withColumnRenamed("l_partkey", "l_orderkey"))
+    assert(!codes(twice).contains("MULTI_SCAN"), codes(twice))
+    // three distinct projections defeat exchange reuse → flagged, but
+    // never at error severity (re-scanning cheap relations is fine)
+    val thrice = twice.union(li.select("l_suppkey")
+      .withColumnRenamed("l_suppkey", "l_orderkey"))
+    assert(codes(thrice).contains("MULTI_SCAN"), codes(thrice))
+    assert(ScaleLint.errors(thrice).isEmpty)
+  }
+
   test("flags a shuffled-hash join; sort-merge stays quiet") {
     val s = spark
     import s.implicits._
