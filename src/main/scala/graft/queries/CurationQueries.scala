@@ -318,22 +318,28 @@ object CurationQueries extends QueryPack {
           col("source"), col("text"),
           graft.functions.TextFunctions.alphaRatio(col("text"))
             .as("score"))
+        // stage boundaries PERSISTED: later stages reference each
+        // frame 2-3 times and Spark reuses only identical exchanges,
+        // so the unpersisted form recomputes the shared prefix per
+        // reference (ProfilePretrain: 98.7 vs 79.4 s at sf10; the
+        // linter's MULTI_SCAN flag is this exact symptom). The
+        // harness clears the session cache after the query.
         val deduped = Curation.survivorsBest(scored, "doc_id", "score",
           Dedup.dupClusters(Dedup.minhashLshPairs(docs, "doc_id",
             "text", n = 3, numHashes = 16, rowsPerBand = 4,
-            threshold = 0.5)))
+            threshold = 0.5))).persist()
         val corpus = deduped.filter(col("source") =!= "src0")
         val contaminated = Curation.decontaminate(corpus,
             docs.filter(col("source") === "src0"), "doc_id", "text",
             n = 4)
           .select("doc_id")
         val clean = corpus.join(broadcast(contaminated), Seq("doc_id"),
-          "left_anti")
+          "left_anti").persist()
         val buckets = Curation.qualityBuckets(clean, "doc_id", "text",
             "lang", nBuckets = 4)
           .filter(col("bucket") >= 3)
           .select(col("doc_id"), col("bucket"))
-        val kept = clean.join(buckets, Seq("doc_id"))
+        val kept = clean.join(buckets, Seq("doc_id")).persist()
         Curation.trainOrder(kept, "doc_id", Seq("doc_id", "text"),
             numShards = 8)
           .join(kept.select(col("doc_id"), col("lang"), col("bucket")),
