@@ -676,6 +676,13 @@ object Dedup {
     * posting list's pair-square on one reduce key. */
   def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, minShared: Long, maxPostings: Int = 0): DataFrame = {
+    // NOT persisted, deliberately (A/B'd in round 10): the three
+    // references do recompute the shingle pass, but it is a narrow
+    // codegen scan, and caching the token-volume-sized exploded gram
+    // frame costs as much as recomputing it (sf0.1 2.3 vs 2.3 s, sf1
+    // 5.2 vs 4.2 s — the persist LOST at sf1). Stage persistence pays
+    // when the repeated prefix contains shuffles/joins (see
+    // q_pipeline_pretrain), not narrow scans.
     val grams = shingleSets(df, idCol, textCol, k)
       .select(col(idCol).as("__id"),
         explode(col("sh_set")).as("__gram"))
