@@ -24,8 +24,23 @@ object FsUtil {
     * restored on failure rather than left empty — the previous
     * delete-then-rename shape left NO index at `target` if the JVM
     * died between the two calls, and leaked the staging dir forever
-    * if its write failed. */
-  def swapInto(fs: FileSystem, target: Path)(write: Path => Unit): Unit = {
+    * if its write failed.
+    *
+    * Concurrent writers: staging dirs are uuid-scoped so builds never
+    * collide, and the SWAP section (rename-out → rename-in → backup
+    * delete) runs under a lock file (`.{name}.swap-lock`, atomic
+    * create-no-overwrite — the one primitive both HDFS and local fs
+    * make atomic), so two writers serialize there and the outcome is
+    * a clean LAST-WRITER-WINS instead of an interleaving that can
+    * nest one writer's staging dir inside the other's freshly-renamed
+    * target (local-fs rename onto an existing dir moves INTO it). The
+    * section is milliseconds long; a contender waits up to
+    * `lockWaitMs` then fails loudly naming the lock file — a lock
+    * left by a CRASHED writer (died inside the section) must be
+    * removed manually after checking target/backup state, which the
+    * lock's pid@host content is there to diagnose. */
+  def swapInto(fs: FileSystem, target: Path,
+      lockWaitMs: Long = 10000L)(write: Path => Unit): Unit = {
     val parent = Option(target.getParent).getOrElse(new Path("."))
     val uuid = java.util.UUID.randomUUID
     val staging = new Path(parent, s".${target.getName}-staging-$uuid")
@@ -35,20 +50,74 @@ object FsUtil {
       throw e
     }
     fs.mkdirs(parent)
-    val backup = new Path(parent, s".${target.getName}-backup-$uuid")
-    val hadOld = fs.exists(target)
-    if (hadOld && !fs.rename(target, backup))
-      throw new java.io.IOException(
-        s"swapInto: rename $target -> $backup failed")
-    try {
-      if (!fs.rename(staging, target))
+    try withSwapLock(fs, parent, target.getName, lockWaitMs) {
+      val backup = new Path(parent, s".${target.getName}-backup-$uuid")
+      val hadOld = fs.exists(target)
+      if (hadOld && !fs.rename(target, backup))
         throw new java.io.IOException(
-          s"swapInto: rename $staging -> $target failed")
+          s"swapInto: rename $target -> $backup failed")
+      try {
+        if (!fs.rename(staging, target))
+          throw new java.io.IOException(
+            s"swapInto: rename $staging -> $target failed")
+      } catch { case e: Throwable =>
+        if (hadOld) fs.rename(backup, target) // restore the old index
+        throw e
+      }
+      if (hadOld) fs.delete(backup, true)
     } catch { case e: Throwable =>
-      if (hadOld) fs.rename(backup, target) // restore the old index
+      // lock timeout / swap failure: reap the fully-written staging
+      // dir (a no-op when the swap got far enough to rename it in) so
+      // a contended writer doesn't leak a corpus-sized tree
+      try fs.delete(staging, true) catch { case _: Throwable => () }
       throw e
     }
-    if (hadOld) fs.delete(backup, true)
+  }
+
+  // same-JVM writers serialize on a monitor per lock path: HDFS makes
+  // create-no-overwrite atomic but LOCAL fs implements it as
+  // check-then-create, so the file lock alone cannot arbitrate two
+  // threads of one JVM on local disk (the Verify/Bench topology)
+  private val jvmSwapLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Serialize [[swapInto]]'s swap section: same-JVM contenders on a
+    * per-path monitor, cross-process contenders via atomic
+    * create-no-overwrite of a lock file. Released in finally; see
+    * swapInto's doc for the crashed-writer recovery story. */
+  private def withSwapLock[T](fs: FileSystem, parent: Path,
+      name: String, waitMs: Long)(body: => T): T = {
+    val lock = new Path(parent, s".$name.swap-lock")
+    jvmSwapLocks.computeIfAbsent(lock.toString, _ => new Object)
+      .synchronized { withSwapFileLock(fs, lock, waitMs)(body) }
+  }
+
+  private def withSwapFileLock[T](fs: FileSystem, lock: Path,
+      waitMs: Long)(body: => T): T = {
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lock, false) // atomic: fails if it exists
+        try out.write(
+          (ProcessHandle.current().pid().toString + "@" +
+            java.net.InetAddress.getLocalHost.getHostName)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException if System.nanoTime() < deadline =>
+          Thread.sleep(20)
+        case e: java.io.IOException =>
+          throw new java.io.IOException(
+            s"swapInto: could not acquire $lock within ${waitMs}ms — " +
+              "another writer is swapping this target (retry), or a " +
+              "crashed writer left the lock behind (inspect the " +
+              "target and its .-backup-* siblings, then delete the " +
+              "lock file)", e)
+      }
+    }
+    try body finally fs.delete(lock, false)
   }
 
   /** Write a small text sidecar (e.g. a params manifest) under `dir`

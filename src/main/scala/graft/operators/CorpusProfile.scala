@@ -94,10 +94,26 @@ object CorpusProfile {
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Replace the stored profile at `dir` wholesale (stage-then-swap,
-    * crash-safe). For ingest batches use [[append]]. */
+    * crash-safe). For ingest batches use [[append]].
+    *
+    * The [[AppliedSidecar]] replay watermark, when present at `dir`,
+    * is COPIED into the staged content before the swap: a [[compact]]
+    * of a streaming-maintained store must not reset the last-applied
+    * batch id, or a foreachBatch replay after the compact (e.g. a
+    * restart re-running its in-flight batch) would pass the
+    * [[appendOnce]] guard and double-count every stat — the exact
+    * failure the sidecar exists to prevent. This is what makes
+    * periodic compaction safe to run against a store owned by a live
+    * streaming query (between that query's batches — single writer
+    * per dir still assumed). */
   def write(profile: Profile, dir: String): Unit = {
     val spark = profile.strata.sparkSession
     val fs = fsFor(spark, dir)
+    // read BEFORE the swap: the staging write below may take long
+    // enough that appendOnce advanced the watermark meanwhile, but
+    // single-writer-per-dir (class contract) rules that out
+    val applied = graft.core.FsUtil.readSidecar(fs,
+      new Path(dir, AppliedSidecar))
     graft.core.FsUtil.swapInto(fs, new Path(dir)) { staging =>
       profile.strata.write.mode("overwrite")
         .parquet(new Path(staging, "strata.parquet").toString)
@@ -105,6 +121,8 @@ object CorpusProfile {
         .parquet(new Path(staging, "tokens.parquet").toString)
       graft.core.FsUtil.writeSidecar(fs,
         new Path(staging, ParamsSidecar), paramsJson(profile))
+      applied.foreach(graft.core.FsUtil.writeSidecar(fs,
+        new Path(staging, AppliedSidecar), _))
     }
   }
 
@@ -113,13 +131,24 @@ object CorpusProfile {
     * rewritten. The batch's columns are validated against the stored
     * params sidecar — a mismatch FAILS FAST instead of corrupting
     * every downstream count. The batch must be doc-disjoint from what
-    * the store already covers (see the class contract). */
+    * the store already covers (see the class contract).
+    *
+    * Crash atomicity: the two parquet appends are NOT one
+    * transaction. Tokens append first, strata second, so strata acts
+    * as the commit marker: a crash between the two leaves tokens
+    * applied without their strata partial, and the inconsistency is
+    * DETECTABLE (per-stratum token mass from the tokens table exceeds
+    * the strata table's `tokens` column) rather than a silent
+    * half-double-count; a retry via [[appendOnce]] then re-applies
+    * the batch, double-counting its tokens once — the same
+    * one-batch window [[appendOnce]] already documents for the
+    * sidecar write. */
   def append(batch: Profile, dir: String): Unit = {
     val spark = batch.strata.sparkSession
     requireParamsMatch(fsFor(spark, dir), dir, batch.strataCol,
       batch.textCol)
-    batch.strata.write.mode("append").parquet(s"$dir/strata.parquet")
     batch.tokens.write.mode("append").parquet(s"$dir/tokens.parquet")
+    batch.strata.write.mode("append").parquet(s"$dir/strata.parquet")
   }
 
   /** Sidecar recording the last streaming micro-batch applied by

@@ -226,21 +226,27 @@ object Curation {
     * numbers in `textCol`, returning (idCol, masked text, one count
     * column per pattern) — the redaction pass a pretrain pipeline
     * runs before packing. Deterministic, content-only, and
-    * engine-portable by construction ([[PiiPatterns]]); counts are
-    * measured BEFORE masking, each pattern counted on the original
-    * text.
+    * engine-portable by construction ([[PiiPatterns]]).
+    *
+    * Each pattern is counted on the PROGRESSIVELY-MASKED text (the
+    * text with every earlier pattern already replaced), i.e. n_X
+    * counts exactly the spans the X pass replaces. Counting on the
+    * original text instead would inflate overlapping patterns — a
+    * plain IPv4 like 192.168.100.200 also matches the phone shape,
+    * but the IP pass masks it first, so the phone pass never touches
+    * it and n_phone correctly excludes it (CurationSpec pins this).
     *
     * Scale shape: pure narrow projection — regex scans stay inside
     * whole-stage codegen, no shuffle, no UDF. */
   def maskPii(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val masked = PiiPatterns.foldLeft(col(textCol)) {
-      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
-    }
-    val counts = PiiPatterns.map { case (name, pat, _) =>
-      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
-        .cast("long").as(s"n_$name")
-    }
+    val (masked, counts) = PiiPatterns
+      .foldLeft((col(textCol), Seq.empty[Column])) {
+        case ((cur, cs), (name, pat, repl)) =>
+          val cnt = size(regexp_extract_all(cur, lit(pat), lit(0)))
+            .cast("long").as(s"n_$name")
+          (regexp_replace(cur, pat, repl), cs :+ cnt)
+      }
     df.select(col(idCol) +: masked.as("masked") +: counts: _*)
   }
 
@@ -413,19 +419,34 @@ object Curation {
     * single-task stratum even when one language dominates the corpus
     * (the exact skew that breaks a plain partitionBy(lang) window).
     * Packing quality loss vs global packing is bounded by one
-    * partially-filled tail sequence per shard. Ids are assumed
-    * non-negative (pmod here == the oracle's `%` only then). */
+    * partially-filled tail sequence per shard. Ids must be
+    * non-negative (pmod here == the oracle's `%` only then) — a
+    * negative id FAILS FAST at runtime ([[nonNegShard]]) instead of
+    * silently diverging from the oracle contract. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       strataCol: String, budget: Int, numShards: Int): DataFrame = {
     val w = Window.partitionBy(col(strataCol), col("shard"))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol), col(strataCol),
-        pmod(col(idCol), lit(numShards)).as("shard"),
+        nonNegShard(idCol, numShards).as("shard"),
         bpeTokenCount(col(textCol)).as("n_tok"))
       .withColumn("seq_id",
         floor((sum(col("n_tok")).over(w) - col("n_tok")) / budget))
   }
+
+  /** id-hash shard with the non-negative-id contract enforced: shard
+    * assignment uses pmod, whose result differs from the SQL `%` the
+    * oracles (and any engine a user compares against) compute exactly
+    * when the id is negative — so instead of a silent divergence on
+    * user data, a negative id raises with the offending value. Pure
+    * narrow codegen expression (when + raise_error), no extra pass. */
+  private def nonNegShard(idCol: String, numShards: Int): Column =
+    when(col(idCol) >= 0, pmod(col(idCol), lit(numShards)))
+      .otherwise(raise_error(concat(
+        lit(s"negative id in '$idCol' (got "), col(idCol).cast("string"),
+        lit("): shard assignment requires non-negative ids — " +
+          "remap or offset the id column first"))))
 
   /** Split over-budget documents into token-budget chunks — the
     * complement of [[packSequences]] (which bins short documents
@@ -469,13 +490,14 @@ object Curation {
     * Scale shape: one window sort PER SHARD (explicit id-hash shards,
     * the packSequences parallelism contract) — numShards parallel
     * sorts of |corpus|/numShards rows each, never a global sort or a
-    * single-task stratum. Ids are assumed non-negative (pmod == the
-    * oracle's `%` only then). */
+    * single-task stratum. Ids must be non-negative (pmod == the
+    * oracle's `%` only then) — a negative id fails fast
+    * ([[nonNegShard]]). */
   def trainOrder(df: DataFrame, idCol: String, seedCols: Seq[String],
       numShards: Int): DataFrame = {
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__h"), col(idCol))
-    df.select(col(idCol), pmod(col(idCol), lit(numShards)).as("shard"),
+    df.select(col(idCol), nonNegShard(idCol, numShards).as("shard"),
         md5(concat_ws(":",
           seedCols.map(c => col(c).cast("string")): _*)).as("__h"))
       .withColumn("pos", row_number().over(w).cast("long"))

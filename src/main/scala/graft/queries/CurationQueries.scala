@@ -234,7 +234,7 @@ object CurationQueries extends QueryPack {
              |  LEAST(n_tok,
              |    (unnest(range(0, (n_tok - 1) // 64 + 1)) + 1) * 64)
              |    AS tok_end
-             |FROM tok
+             |FROM tok WHERE n_tok > 0
              |""".stripMargin)),
 
     // contiguous sequence packing into 256-token bins, parallel over
@@ -423,22 +423,25 @@ object CurationQueries extends QueryPack {
     // PII redaction: mask emails / IPv4s / phone-shaped numbers and
     // count matches per pattern — RE2-compatible patterns by
     // construction, so the oracle replays the masking bit-for-bit.
-    // (The synthetic corpus contains no PII, so counts are zero here
-    // and the real semantics are spec-gated on planted rows —
-    // CurationSpec; the oracle still gates schema + the replay
-    // plumbing end to end.)
+    // Counts replay the operator's progressive semantics: each
+    // pattern counted on the text with every EARLIER pattern already
+    // masked (so a dotted IP never inflates n_phone). (The synthetic
+    // corpus contains no PII, so counts are zero here and the real
+    // semantics are spec-gated on planted rows — CurationSpec; the
+    // oracle still gates schema + the replay plumbing end to end.)
     "q_pii_mask" -> Q(
       (s, d) => Curation.maskPii(t(s, d, "documents"), "doc_id",
         "text"),
       Some {
-        val masked = Curation.PiiPatterns.foldLeft("text") {
-          case (e, (_, pat, repl)) =>
-            s"regexp_replace($e, '$pat', '$repl', 'g')"
-        }
-        val counts = Curation.PiiPatterns.map { case (nm, pat, _) =>
-          s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$nm"
-        }.mkString(",\n  ")
-        s"SELECT doc_id,\n  $masked AS masked,\n  $counts\nFROM documents\n"
+        val (masked, counts) = Curation.PiiPatterns
+          .foldLeft(("text", Seq.empty[String])) {
+            case ((e, cs), (nm, pat, repl)) =>
+              val cnt = s"CAST(len(regexp_extract_all($e, '$pat')) " +
+                s"AS BIGINT) AS n_$nm"
+              (s"regexp_replace($e, '$pat', '$repl', 'g')", cs :+ cnt)
+          }
+        s"SELECT doc_id,\n  $masked AS masked,\n  " +
+          counts.mkString(",\n  ") + "\nFROM documents\n"
       }),
 
     // deterministic train/val/test split: content-hash boundaries at

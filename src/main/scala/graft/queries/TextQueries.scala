@@ -272,9 +272,10 @@ object TextQueries extends QueryPack {
              |      AS BIGINT) AS tokens,
              |    CAST(sum(length(text)) AS BIGINT) AS chars
              |  FROM documents GROUP BY lang)
-             |SELECT st.lang, st.docs, st.tokens, st.chars, v.vocab,
-             |  v.hapax
-             |FROM st JOIN v USING (lang)
+             |SELECT st.lang, st.docs, st.tokens, st.chars,
+             |  COALESCE(v.vocab, 0) AS vocab,
+             |  COALESCE(v.hapax, 0) AS hapax
+             |FROM st LEFT JOIN v USING (lang)
              |""".stripMargin)),
 
     "q_text_rarity" -> Q(

@@ -126,4 +126,27 @@ class CorpusProfileSpec extends SparkSpec {
       .filter(col("count") > 1).count() == 0)
     assert(statRows(CorpusProfile.stats(compacted)) == before)
   }
+
+  test("compact preserves the appendOnce replay watermark") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_profile").toString + "/p"
+    def batch(id: Long, text: String) = CorpusProfile.build(
+      Seq((id, "en", text)).toDF("doc_id", "lang", "text"),
+      "doc_id", "lang", "text")
+    assert(CorpusProfile.appendOnce(batch(1L, "a b"), dir, batchId = 0L))
+    assert(CorpusProfile.appendOnce(batch(2L, "c d"), dir, batchId = 1L))
+    val before = statRows(CorpusProfile.stats(
+      CorpusProfile.read(s, dir, "lang", "text")))
+    CorpusProfile.compact(s, dir, "lang", "text")
+    // the watermark survived the compact: a foreachBatch replay of an
+    // already-applied batch id (e.g. restart re-running its in-flight
+    // batch) must STILL be a no-op — before the fix, compact's swap
+    // dropped applied.json and the replay double-counted every stat
+    assert(!CorpusProfile.appendOnce(batch(2L, "c d"), dir, batchId = 1L))
+    assert(statRows(CorpusProfile.stats(
+      CorpusProfile.read(s, dir, "lang", "text"))) == before)
+    // a genuinely new batch still applies
+    assert(CorpusProfile.appendOnce(batch(3L, "e f"), dir, batchId = 2L))
+  }
 }

@@ -284,7 +284,7 @@ class CurationSpec extends SparkSpec {
     assert(cl.filter { case (d, c) => d == c }.map(_._1).toSet.subsetOf(surv))
   }
 
-  test("maskPii: emails/IPs/phones masked, counts from the original text, no shuffle") {
+  test("maskPii: emails/IPs/phones masked, progressive counts, no shuffle") {
     val s = spark
     import s.implicits._
     val docs = Seq(
@@ -308,6 +308,53 @@ class CurationSpec extends SparkSpec {
     val plan = Curation.maskPii(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("maskPii: dotted IP masks as IP only — n_phone counts the masked text") {
+    val s = spark
+    import s.implicits._
+    // 192.168.100.200 matches BOTH the IP pattern and (as a prefix,
+    // 192.168.100) the phone pattern. The IP pass runs first, so the
+    // phone pass sees <IP> and n_phone must be 0 — counts follow the
+    // progressively-masked text, i.e. they count what each pass
+    // actually replaces.
+    val docs = Seq(
+      (1L, "server at 192.168.100.200 is down"),
+      (2L, "ip 10.11.12.13 then phone 555-123-4567")
+    ).toDF("doc_id", "text")
+    val out = Curation.maskPii(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "server at <IP> is down")
+    assert((out(1L)._3, out(1L)._4, out(1L)._5) == (0L, 1L, 0L))
+    assert(out(2L)._2 == "ip <IP> then phone <PHONE>")
+    assert((out(2L)._3, out(2L)._4, out(2L)._5) == (0L, 1L, 1L))
+  }
+
+  test("trainOrder/packSequences: negative ids fail fast, not silently diverge") {
+    val s = spark
+    import s.implicits._
+    // pmod(-3, 8) = 5 but SQL's -3 % 8 = -3: a negative id would put
+    // Spark and any oracle engine in different shards SILENTLY. The
+    // shard expression raises instead.
+    val docs = Seq((-3L, "en", "a b c"), (4L, "en", "d e"))
+      .toDF("doc_id", "lang", "text")
+    def chainMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val e1 = intercept[Exception] {
+      Curation.trainOrder(docs, "doc_id", Seq("doc_id", "text"),
+        numShards = 8).collect()
+    }
+    assert(chainMsg(e1).contains("negative id"), chainMsg(e1))
+    val e2 = intercept[Exception] {
+      Curation.packSequences(docs, "doc_id", "text", "lang",
+        budget = 64, numShards = 8).collect()
+    }
+    assert(chainMsg(e2).contains("negative id"), chainMsg(e2))
+    // non-negative ids unaffected
+    assert(Curation.trainOrder(docs.filter($"doc_id" >= 0), "doc_id",
+      Seq("doc_id", "text"), numShards = 8).count() == 1L)
   }
 
   test("bench bloom persists: byte-exact round trip, gram-width mismatch fails fast") {

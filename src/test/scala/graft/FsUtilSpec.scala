@@ -64,4 +64,59 @@ class FsUtilSpec extends SparkSpec {
     assert(FsUtil.readSidecar(fs, new Path(target, "v")).contains("x"))
     assert(listHidden(parent).isEmpty)
   }
+
+  test("concurrent swaps serialize: consistent last-writer-wins, no litter") {
+    val parent = Files.createTempDirectory("graft-fsutil").toFile
+    val target = new Path(parent.toString, "idx")
+    val f = fs // bind once; used from worker threads
+    // each writer stamps BOTH files with its own tag; an interleaved
+    // swap (possible pre-lock: local-fs rename onto an existing dir
+    // nests INTO it) would show as a missing/mixed pair or a nested
+    // hidden dir inside the target
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 4).map { w =>
+      val th = new Thread(() => {
+        try {
+          (1 to 10).foreach { i =>
+            FsUtil.swapInto(f, target) { staging =>
+              f.mkdirs(staging)
+              FsUtil.writeSidecar(f, new Path(staging, "a"), s"$w-$i")
+              FsUtil.writeSidecar(f, new Path(staging, "b"), s"$w-$i")
+            }
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    assert(errors.isEmpty, s"writer failed: ${errors.peek()}")
+    val a = FsUtil.readSidecar(fs, new Path(target, "a"))
+    val b = FsUtil.readSidecar(fs, new Path(target, "b"))
+    assert(a.isDefined && a == b, s"torn swap: a=$a b=$b")
+    assert(listHidden(parent).isEmpty)
+    // no writer's staging dir got nested inside the installed target
+    assert(Option(new java.io.File(parent, "idx").listFiles())
+      .getOrElse(Array.empty).forall(_.isFile))
+  }
+
+  test("a held swap lock times out loudly, naming the lock file") {
+    val parent = Files.createTempDirectory("graft-fsutil").toFile
+    val target = new Path(parent.toString, "idx")
+    val lock = new Path(parent.toString, ".idx.swap-lock")
+    FsUtil.writeSidecar(fs, lock, "12345@elsewhere") // stale/held lock
+    val e = intercept[java.io.IOException] {
+      FsUtil.swapInto(fs, target, lockWaitMs = 200L) { staging =>
+        fs.mkdirs(staging)
+        FsUtil.writeSidecar(fs, new Path(staging, "v"), "x")
+      }
+    }
+    assert(e.getMessage.contains("swap-lock"), e.getMessage)
+    fs.delete(lock, false)
+    // after manual lock removal the writer proceeds normally
+    FsUtil.swapInto(fs, target) { staging =>
+      fs.mkdirs(staging)
+      FsUtil.writeSidecar(fs, new Path(staging, "v"), "x")
+    }
+    assert(FsUtil.readSidecar(fs, new Path(target, "v")).contains("x"))
+  }
 }
