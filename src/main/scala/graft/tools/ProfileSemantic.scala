@@ -36,17 +36,27 @@ object ProfileSemantic {
       pairs.persist()
       val np = pairs.count()
       val tPairs = (System.nanoTime() - t0) / 1e9
-      if (np <= 10000000L) {
-        val t1 = System.nanoTime()
-        val n = Curation.survivors(emb.select("vec_id"), "vec_id",
-          Dedup.dupClusters(pairs)).count()
-        val tClust = (System.nanoTime() - t1) / 1e9
-        println(f"[semantic] t=$t%.1f pairs=$np pairs_s=$tPairs%.2f " +
-          f"cluster+survivors_s=$tClust%.2f survivors=$n")
-      } else {
-        println(f"[semantic] t=$t%.1f pairs=$np pairs_s=$tPairs%.2f " +
-          "cluster SKIPPED (graph too dense to be a dedup workload)")
-      }
+      // dense graphs no longer hang-then-OOM: the dupClusters guard
+      // fails fast, and the degree-capped fallback (keep each node's
+      // top-D strongest edges) completes bounded — this sweep records
+      // both branches so the envelope row in BASELINE.md is measured
+      val t1 = System.nanoTime()
+      val (clusters, mode) =
+        try (Dedup.dupClusters(pairs), "uncapped")
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("denseDegreeLimit") =>
+            println(f"[semantic] t=$t%.1f dense guard tripped " +
+              f"(+${(System.nanoTime() - t1) / 1e9}%.1f s): falling " +
+              "back to capDegree D=8")
+            (Dedup.dupClusters(Dedup.capDegree(pairs,
+              weightCol = "cos", maxDegree = 8)), "capped-D8")
+        }
+      val n = Curation.survivors(emb.select("vec_id"), "vec_id",
+        clusters).count()
+      val tClust = (System.nanoTime() - t1) / 1e9
+      println(f"[semantic] t=$t%.1f pairs=$np pairs_s=$tPairs%.2f " +
+        f"cluster+survivors_s=$tClust%.2f survivors=$n mode=$mode")
       pairs.unpersist()
     }
     spark.stop()

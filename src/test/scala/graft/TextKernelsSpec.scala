@@ -173,6 +173,64 @@ class TextKernelsSpec extends SparkSpec {
     assert(Dedup.densityWarning(nNodes = 0, nEdges = 0).isEmpty)
   }
 
+  test("dupClusters distributed path fails fast past the density guard; opt-out runs") {
+    val s = spark
+    import s.implicits._
+    // complete graph over 40 nodes: avg degree 39 > the guard's 32.
+    // localEdgeThreshold = 0 forces the distributed path (the driver
+    // union-find handles dense graphs fine and is never guarded).
+    val pairs = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L
+    } yield (a, b)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dupClusters(pairs, localEdgeThreshold = 0L)
+    }
+    assert(e.getMessage.contains("denseDegreeLimit"), e.getMessage)
+    assert(e.getMessage.contains("capDegree"), e.getMessage)
+    // explicit opt-out completes and still finds the one component
+    val forced = Dedup.dupClusters(pairs, localEdgeThreshold = 0L,
+      denseDegreeLimit = Double.PositiveInfinity)
+      .as[(Long, Long)].collect().toMap
+    assert(forced.size == 40 && forced.values.forall(_ == 0L))
+    spark.catalog.clearCache()
+  }
+
+  test("capDegree keeps each node's strongest edges and bounds degree") {
+    val s = spark
+    import s.implicits._
+    // node 0 is a hub with 20 neighbors at descending weight; nodes
+    // 100/101 are an isolated strong pair
+    val hub = (1L to 20L).map(i => (0L, i, 1.0 - i * 0.01))
+    val pairs = (hub :+ (100L, 101L, 0.99))
+      .toDF("id_a", "id_b", "cos")
+    val capped = Dedup.capDegree(pairs, weightCol = "cos", maxDegree = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    // union semantics: the hub selects only its 5 strongest, but each
+    // leaf's own top-5 contains its single hub edge, so EVERY hub edge
+    // survives — a star is exactly the shape where union-kNN refuses
+    // to disconnect leaves. Output == input here.
+    assert(capped == pairs.as[(Long, Long, Double)].collect().toSet)
+    assert(capped.contains((100L, 101L, 0.99)))
+    // a genuinely dense graph DOES shrink: K12 capped at D=2 must
+    // respect the volume bound (every kept edge is charged to at
+    // least one endpoint's top-D, so |edges| <= D * |nodes| = 24,
+    // down from 66) while keeping every node covered
+    val k12 = (for { a <- 0L until 12L; b <- (a + 1) until 12L }
+      yield (a, b, 0.5 + (a * 31 + b * 17) % 10 * 0.01))
+      .toDF("id_a", "id_b", "cos")
+    val c12 = Dedup.capDegree(k12, weightCol = "cos", maxDegree = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(c12.length <= 24 && c12.length >= 12, s"got ${c12.length}")
+    val covered = c12.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(covered == (0L until 12L).toSet)
+    // capped graph passes the guard end to end on the distributed path
+    val cl = Dedup.dupClusters(
+      Dedup.capDegree(k12, weightCol = "cos", maxDegree = 2),
+      localEdgeThreshold = 0L)
+    assert(cl.count() == 12L)
+    spark.catalog.clearCache()
+  }
+
   test("shingle->signature stage is shuffle-free (scale invariant)") {
     val df = docsDf(samples(textGen(12), 10))
     val staged = Dedup.shingleSets(df, "doc_id", "text", 3)
