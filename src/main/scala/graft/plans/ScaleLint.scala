@@ -228,6 +228,48 @@ object ScaleLint {
     out.result()
   }
 
+  /** Lint a STARTED streaming query's latest micro-batch plan — the
+    * IncrementalExecution with the state-store operators and
+    * stream-side exchanges that a batch-expressed analog of the same
+    * pipeline cannot show (lint of the analog reads 0 shuffles while
+    * the real micro-batch shuffles into its state stores every
+    * batch). Run a few batches first (e.g. processAllAvailable on a
+    * test feed); returns None before the first batch executes.
+    *
+    * On top of the shared batch checks, stateful operators get their
+    * own inventory finding: state SIZE is streaming's scale axis —
+    * every key's state lives in the store across batches, so an
+    * unbounded key domain without a watermark/TTL/timeout grows
+    * without limit (the streaming analog of the batch cartesian). */
+  def lintStreamingQuery(
+      q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Option[Seq[Finding]] =
+    org.apache.spark.sql.graftbridge.PlanBridge
+      .lastStreamingExecution(q).map { qe =>
+        lintExecution(qe) ++ statefulFindings(qe)
+      }
+
+  private def statefulFindings(
+      qe: org.apache.spark.sql.execution.QueryExecution): Seq[Finding] = {
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allNodes(q.plan)
+      case other => other.children.flatMap(allNodes)
+    })
+    val stateful = allNodes(qe.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.streaming.operators.stateful.StatefulOperator =>
+        s.getClass.getSimpleName
+    }
+    if (stateful.isEmpty) Nil
+    else Seq(Finding("STATEFUL_OPS", "info",
+      s"${stateful.size} stateful operator(s) in the micro-batch " +
+        s"plan (${stateful.distinct.mkString(", ")}) — per-key state " +
+        "persists across batches; verify every one is bounded by a " +
+        "watermark, TTL, or timeout, or state grows with the key " +
+        "domain forever"))
+  }
+
   /** The findings a CI gate should fail on. */
   def errors(df: DataFrame): Seq[Finding] =
     lint(df).filter(_.severity == "error")

@@ -14,6 +14,20 @@ object PlanBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The latest micro-batch's QueryExecution of a started streaming
+    * query (an IncrementalExecution: state-store operators, the
+    * stream-side exchanges) — `StreamingQueryWrapper.streamingQuery`
+    * and `StreamExecution.lastExecution` are private[sql], so graft's
+    * streaming ScaleLint path reaches them through this bridge. None
+    * before the first batch executes or for a non-classic query. */
+  def lastStreamingExecution(
+      q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Option[org.apache.spark.sql.execution.QueryExecution] = q match {
+    case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+      Option(w.streamingQuery.lastExecution)
+    case _ => None
+  }
+
   /** `DataSourceStrategy.translateFilter` is protected[sql]; graft's
     * ScaleLint runs each scan's dataFilters through the SAME translator
     * the scan used, to attribute unpushed predicates per-scan. */

@@ -174,6 +174,36 @@ class ScaleLintSpec extends SparkSpec {
     assert(seen.synchronized(seen.size) == before, "detach did not stop audits")
   }
 
+  test("lintStreamingQuery sees the real micro-batch plan: state ops + shuffles") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // a stateful streaming aggregation: the batch analog of this
+    // pipeline lints as one exchange and no state at all — the
+    // incremental plan must surface both the StateStoreSave pair and
+    // its shuffle, which is the whole point of the streaming lint path
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Int]
+    val q = input.toDF().groupBy($"value" % 10 as "k").count()
+      .writeStream.format("memory").queryName("lint_stream_probe")
+      .outputMode("complete").start()
+    try {
+      input.addData(1 to 100: _*)
+      q.processAllAvailable()
+      val findings = ScaleLint.lintStreamingQuery(q)
+      assert(findings.isDefined, "no execution after processAllAvailable?")
+      val fs = findings.get
+      val stateful = fs.find(_.code == "STATEFUL_OPS")
+      assert(stateful.isDefined, fs.map(_.code))
+      assert(stateful.get.detail.contains("StateStoreSave"),
+        stateful.get.detail)
+      assert(fs.exists(_.code == "SHUFFLES"), fs.map(_.code))
+    } finally {
+      q.stop()
+      s.sql("DROP VIEW IF EXISTS lint_stream_probe")
+    }
+  }
+
   test("every registry query lints clean of error-severity findings") {
     // the automated form of the per-query PlanSpec audits: no benched
     // query may plan a cartesian or a global window. Two documented
