@@ -783,32 +783,65 @@ object Similarity {
     * sublinear. Both quantizers train with the deterministic
     * discipline their standalone oracles pin (md5 seeds,
     * decimal-exact Lloyd), so the composed oracle is their CTE
-    * chains joined. */
+    * chains joined.
+    *
+    * `residual = true` switches PQ to RESIDUAL encoding (the standard
+    * IVFADC form): PQ trains on and encodes `v − centroid(cell(v))`
+    * instead of `v`, and a candidate reconstructs as
+    * `centroid(cell) + pq_recon(residual)`. Residuals concentrate
+    * near zero (the coarse quantizer has already absorbed the cell's
+    * mean direction), so the same m·ksub code budget spends its
+    * precision on a much smaller-diameter distribution — the
+    * classic recall lever at identical storage (measured:
+    * ProfilePq / BASELINE.md round-11). The only plan change is a
+    * broadcast join of the nlist-row codebook for the subtraction —
+    * still one narrow pass over the corpus. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, nlist: Int = 0, nprobe: Int = 0,
       m: Int = 4, ksub: Int = 16, refine: Int = 1,
-      scale: Int = 6): DataFrame = {
+      scale: Int = 6, residual: Boolean = false): DataFrame = {
     val index = ivfIndex(corpus, idCol, vecCol, nlist, refine)
     val cents = ivfCents(
       index.codebook.orderBy(col("cent_id")).collect().toSeq)
-    val c = ivfPrep(corpus, idCol, vecCol)
-    val cbs = pqTrain(c, dim, m, ksub, refine)
-    if (cents.isEmpty || cbs.head.isEmpty)
+    if (cents.isEmpty)
+      return queries.limit(0).select(col(idCol).as("q_id"),
+        col(idCol).as("nn_id"), lit(0L).as("rank"),
+        lit(0.0).as("cos"))
+    val dsub = dim / m
+    // PQ input: raw vectors, or per-vector residuals vs the assigned
+    // coarse centroid (broadcast nlist-row codebook join; the
+    // float→double element widening is exact, and subtraction order
+    // matches the oracle's CAST(v[i] AS DOUBLE) − cent_vec[i])
+    val pqInput =
+      if (!residual) ivfPrep(corpus, idCol, vecCol)
+      else index.assigned
+        .join(broadcast(index.codebook),
+          index.assigned("cell") === index.codebook("cent_id"))
+        .select(col("nn_id"), col("cell"), col("cent_vec"),
+          zip_with(index.assigned("nn_vec"), col("cent_vec"),
+            (a, b) => a.cast("double") - b).as("nn_vec"))
+    val cbs = pqTrain(pqInput, dim, m, ksub, refine)
+    if (cbs.head.isEmpty)
       return queries.limit(0).select(col(idCol).as("q_id"),
         col(idCol).as("nn_id"), lit(0L).as("rank"),
         lit(0.0).as("cos"))
     val np = if (nprobe > 0) nprobe else derivedNprobe(cents.length)
-    val dsub = dim / m
     val bests = (0 until m).map { s =>
       pqBest(slice(col("nn_vec"), s * dsub + 1, dsub), pqCentArr(cbs(s)))
         .getField("cvec")
     }
     // the assigned table at PQ width: cell from the coarse quantizer,
     // vector replaced by its reconstruction (zero-norm recons drop,
-    // as in pqTopK's ranking stage)
-    val reconAssigned = index.assigned
-      .select(col("nn_id"), col("cell"),
-        flatten(array(bests: _*)).as("nn_vec"))
+    // as in pqTopK's ranking stage). Residual mode adds the centroid
+    // back: recon = cent_vec + pq_recon(residual).
+    val reconAssigned = (
+      if (!residual) index.assigned
+        .select(col("nn_id"), col("cell"),
+          flatten(array(bests: _*)).as("nn_vec"))
+      else pqInput
+        .select(col("nn_id"), col("cell"),
+          zip_with(col("cent_vec"), flatten(array(bests: _*)),
+            (a, b) => a + b).as("nn_vec")))
       .withColumn("nn_nrm", norm(col("nn_vec")))
       .filter(col("nn_nrm") > 0)
     val scored = ivfProbes(queries, idCol, vecCol, cents, np)

@@ -275,6 +275,23 @@ object SimilarityQueries extends QueryPack {
       },
       Some(ivfPqOracleSql)),
 
+    // the same stack with RESIDUAL (IVFADC) encoding: PQ codes the
+    // residual vs the assigned coarse centroid instead of the raw
+    // vector — same m·ksub code budget spent on the much tighter
+    // residual distribution, the standard recall lever (ProfilePq
+    // measures the recall gain at identical storage). Oracle = the
+    // IVF chain + the PQ chain re-rooted on the residual CTE +
+    // centroid add-back reconstruction, bit-exact end to end.
+    "q_ann_ivfpq_residual" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfPqTopK(
+          emb.filter(col("vec_id") % 100 === 0), emb,
+          "vec_id", "embedding", dim = 64, k = 5,
+          nlist = 16, nprobe = 4, m = 4, ksub = 16, residual = true)
+      },
+      Some(ivfPqResidualOracleSql)),
+
     // stream-table join against an embedding-derived feature table:
     // per-label centroid norm lookup (join of a computed dim table)
     "q_embed_label_stats" -> Q(
@@ -316,14 +333,15 @@ object SimilarityQueries extends QueryPack {
   // code — the transform that makes L2-argmin a single dot), flatten
   // reconstruction. CTE names carry `p` prefixes so the chain
   // composes with the IVF chain (shared names would collide) —
-  // `prn` ends it with (vec_id, rv, rnrm). Expects a CTE `n`
-  // providing (vec_id, embedding) upstream.
-  private def pqChainCtes: String = {
+  // `prn` ends it with (vec_id, rv, rnrm). `src` is the upstream CTE
+  // providing (vec_id, embedding): `n` for raw-vector PQ, the `res`
+  // residual CTE for the IVFADC oracle.
+  private def pqChainCtes(src: String = "n"): String = {
     val m = 4; val dsub = 16; val ksub = 16
     def score(sv: String, cv: String) =
       s"(${oDotN(sv, cv, dsub)} - 0.5 * ${oDotN(cv, cv, dsub)})"
     s"""seedsel AS (
-       |  SELECT vec_id, embedding FROM n
+       |  SELECT vec_id, embedding FROM $src
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $ksub),
        |seeds AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
@@ -339,7 +357,7 @@ object SimilarityQueries extends QueryPack {
        |  SELECT vec_id, sub,
        |    list_transform(embedding[sub*$dsub+1 : sub*$dsub+$dsub],
        |                   v -> CAST(v AS DOUBLE)) AS sv
-       |  FROM n, subs),
+       |  FROM $src, subs),
        |pa0 AS (
        |  SELECT vec_id, sub, code, sv FROM (
        |    SELECT s.vec_id, s.sub, c.code, s.sv,
@@ -393,7 +411,7 @@ object SimilarityQueries extends QueryPack {
   private def pqOracleSql: String =
     s"""WITH n AS (
        |  SELECT vec_id, embedding FROM embeddings),
-       |$pqChainCtes,
+       |${pqChainCtes()},
        |qn AS (
        |  SELECT vec_id, embedding,
        |         sqrt(${oDot("embedding", "embedding")}) AS qnrm
@@ -489,12 +507,45 @@ object SimilarityQueries extends QueryPack {
   // excluded exactly as Similarity.ivfPqTopK drops them.
   private def ivfPqOracleSql: String =
     s"""WITH $ivfChainCtes,
-       |$pqChainCtes,
+       |${pqChainCtes()},
        |scored AS (
        |  SELECT p.q_id, a.nn_id,
        |    ${oDot("p.q_vec", "x.rv")} / (p.q_nrm * x.rnrm) AS cos
        |  FROM probes p JOIN assigned a USING (cell)
        |       JOIN prn x ON x.vec_id = a.nn_id
+       |  WHERE p.q_id <> a.nn_id AND x.rnrm > 0),
+       |${oRankTail(5)}""".stripMargin
+
+  // IVFADC (residual-PQ) oracle: the IVF chain supplies cells,
+  // centroids, and probes; PQ then trains on and encodes the
+  // RESIDUAL of each assigned vector vs its cell centroid (the `res`
+  // CTE feeds the same pq chain the raw oracle uses), and a
+  // candidate reconstructs as centroid + residual reconstruction.
+  // Every fold (residual subtraction, centroid add-back, the scoring
+  // dot) runs in index order in double on both engines.
+  private def ivfPqResidualOracleSql: String =
+    s"""WITH $ivfChainCtes,
+       |res AS (
+       |  SELECT a.nn_id AS vec_id,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(a.nn_vec[i] AS DOUBLE) - c.cent_vec[i])
+       |      AS embedding
+       |  FROM assigned a JOIN cent c ON a.cell = c.cent_id),
+       |${pqChainCtes("res")},
+       |fr AS (
+       |  SELECT a.nn_id AS vec_id,
+       |    list_transform(range(1, 65),
+       |      i -> c.cent_vec[i] + x.rv[i]) AS rv
+       |  FROM assigned a JOIN cent c ON a.cell = c.cent_id
+       |       JOIN prn x ON x.vec_id = a.nn_id),
+       |frn AS (
+       |  SELECT vec_id, rv, sqrt(${oDot("rv", "rv")}) AS rnrm
+       |  FROM fr),
+       |scored AS (
+       |  SELECT p.q_id, a.nn_id,
+       |    ${oDot("p.q_vec", "x.rv")} / (p.q_nrm * x.rnrm) AS cos
+       |  FROM probes p JOIN assigned a USING (cell)
+       |       JOIN frn x ON x.vec_id = a.nn_id
        |  WHERE p.q_id <> a.nn_id AND x.rnrm > 0),
        |${oRankTail(5)}""".stripMargin
 }

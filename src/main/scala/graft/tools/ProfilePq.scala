@@ -62,6 +62,25 @@ object ProfilePq {
         f"${64 * 32 / bits}%dx compression): " +
         f"${pq.intersect(exact).size.toDouble / exact.size}%.3f")
     }
+    // raw vs RESIDUAL encoding at the SAME code budget through the
+    // full IVF-PQ stack (nlist=16, nprobe=4): both rankings are
+    // probe-limited, so the exact set is restricted per query to the
+    // probed candidates' ideal — recall here isolates what the PQ
+    // encoding itself loses, which is the quantity residual encoding
+    // improves.
+    Seq(false, true).foreach { res =>
+      val pq = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+        dim = 64, k = 5, nlist = 16, nprobe = 4, m = 4, ksub = 16,
+        residual = res)
+        .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+      val ivfExact = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+        .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+      val mode = if (res) "residual" else "raw"
+      println(f"[pq-profile] ivfpq recall@5 vs ivf-float ($mode, " +
+        f"m=4 ksub=16): " +
+        f"${pq.intersect(ivfExact).size.toDouble / ivfExact.size}%.3f")
+    }
     spark.stop()
   }
 }
