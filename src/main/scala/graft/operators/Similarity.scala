@@ -851,4 +851,153 @@ object Similarity {
         dot(col("q_vec"), col("nn_vec")) / (col("q_nrm") * col("nn_nrm")))
     topKRank(scored, k, scale)
   }
+
+  /** The composed serving-stack persistence unit: coarse `codebook`
+    * (cent_id, cent_vec, cent_nrm — nlist rows), per-subspace
+    * `pqCodebooks` (sub, code, cvec — m·ksub rows, always
+    * driver-small), and `codes` (id, cell, codes int[m] — the
+    * compressed corpus at ~m bytes + a cell id per vector). This is
+    * what actually serves ANN at 100 TB: [[ivfPqTopK]] retrains BOTH
+    * quantizers per call (training dominates its bar), so production
+    * builds once, stores, and every query batch pays only nlist
+    * centroid scores + a probe-capped scan of stored codes. Same
+    * durability discipline as the other four index families
+    * (crash-safe swap, params sidecar validated on read). */
+  final case class IvfPqIndex(codebook: DataFrame,
+      pqCodebooks: DataFrame, codes: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, ksub: Int, residual: Boolean) {
+    def write(dir: String): Unit = {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(dir).getFileSystem(
+        codebook.sparkSession.sparkContext.hadoopConfiguration)
+      graft.core.FsUtil.swapInto(fs, new Path(dir)) { staging =>
+        codebook.write.mode("overwrite")
+          .parquet(new Path(staging, "codebook.parquet").toString)
+        pqCodebooks.write.mode("overwrite")
+          .parquet(new Path(staging, "pqcodebooks.parquet").toString)
+        codes.write.mode("overwrite")
+          .parquet(new Path(staging, "codes.parquet").toString)
+        graft.core.FsUtil.writeSidecar(fs,
+          new Path(staging, "params.json"),
+          s"""{"dim":$dim,"m":$m,"ksub":$ksub,""" +
+            s""""residual":$residual}""")
+      }
+    }
+  }
+
+  /** Build an [[IvfPqIndex]]: the coarse quantizer trains exactly as
+    * [[ivfIndex]], PQ trains exactly as [[ivfPqTopK]] (raw or
+    * residual), and the corpus stores as codes — so a probe through
+    * the stored index is bit-identical to the one-shot operator with
+    * the same parameters (oracle-asserted by q_ann_ivfpq_index). */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nlist: Int = 0, m: Int = 4, ksub: Int = 16,
+      refine: Int = 1, residual: Boolean = true): IvfPqIndex = {
+    val index = ivfIndex(corpus, idCol, vecCol, nlist, refine)
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pqInput =
+      if (!residual) index.assigned
+        .select(col("nn_id"), col("cell"), col("nn_vec"))
+      else index.assigned
+        .join(broadcast(index.codebook),
+          index.assigned("cell") === index.codebook("cent_id"))
+        .select(col("nn_id"), col("cell"),
+          zip_with(index.assigned("nn_vec"), col("cent_vec"),
+            (a, b) => a.cast("double") - b).as("nn_vec"))
+    val cbs = pqTrain(pqInput, dim, m, ksub, refine)
+    val cbFrame = cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.map { case (code, v, _) => (s, code, v) }
+    }.toDF("sub", "code", "cvec")
+    val codes =
+      if (cbs.head.isEmpty)
+        pqInput.limit(0).select(col("nn_id").as(idCol), col("cell"),
+          array().cast("array<int>").as("codes"))
+      else {
+        val cols = (0 until m).map { s =>
+          pqBest(slice(col("nn_vec"), s * dsub + 1, dsub),
+            pqCentArr(cbs(s))).getField("code")
+        }
+        pqInput.select(col("nn_id").as(idCol), col("cell"),
+          array(cols: _*).as("codes"))
+      }
+    IvfPqIndex(index.codebook, cbFrame, codes, idCol, vecCol, dim, m,
+      ksub, residual)
+  }
+
+  /** Reload a stored [[IvfPqIndex]]; params (incl. the raw/residual
+    * mode, which changes reconstruction) come from the sidecar. */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String, vecCol: String): IvfPqIndex = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val params = graft.core.FsUtil.readSidecar(fs,
+      new Path(dir, "params.json")).getOrElse(
+      throw new java.io.IOException(
+        s"IvfPqIndex at $dir has no params.json — not an index dir"))
+    def p(k: String): Int =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(params)
+        .getOrElse(throw new java.io.IOException(
+          s"IvfPqIndex $dir: malformed params.json: $params"))
+        .group(1).toInt
+    val residual = """"residual":(true|false)""".r
+      .findFirstMatchIn(params)
+      .getOrElse(throw new java.io.IOException(
+        s"IvfPqIndex $dir: malformed params.json: $params"))
+      .group(1).toBoolean
+    IvfPqIndex(spark.read.parquet(s"$dir/codebook.parquet"),
+      spark.read.parquet(s"$dir/pqcodebooks.parquet"),
+      spark.read.parquet(s"$dir/codes.parquet"),
+      idCol, vecCol, p("dim"), p("m"), p("ksub"), residual)
+  }
+
+  /** Probe a prebuilt [[IvfPqIndex]]: both codebooks collect to the
+    * driver (nlist + m·ksub rows — always tiny) and become literals,
+    * so the per-batch plan is nlist centroid scores per query, a join
+    * on cell against the STORED codes (~nprobe/nlist of the corpus at
+    * m ints per row), and a narrow element_at reconstruction — no
+    * training stage at all, and the original float corpus is never
+    * read. Residual indexes add the broadcast codebook join for the
+    * centroid add-back. Identical output to [[ivfPqTopK]] with the
+    * same parameters. */
+  def ivfPqTopKWithIndex(queries: DataFrame, index: IvfPqIndex,
+      k: Int, nprobe: Int = 0, scale: Int = 6): DataFrame = {
+    val cents = ivfCents(
+      index.codebook.orderBy(col("cent_id")).collect().toSeq)
+    val cb: Seq[Seq[Seq[Double]]] =
+      index.pqCodebooks.orderBy(col("sub"), col("code")).collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map { case (_, rows) =>
+          rows.sortBy(_.getInt(1))
+            .map(_.getSeq[Any](2).map(ivfToDouble).toSeq).toSeq
+        }
+    if (cents.isEmpty || cb.isEmpty)
+      return queries.limit(0).select(col(index.idCol).as("q_id"),
+        col(index.idCol).as("nn_id"), lit(0L).as("rank"),
+        lit(0.0).as("cos"))
+    val np = if (nprobe > 0) nprobe else derivedNprobe(cents.length)
+    val cbLit = typedLit(cb)
+    val recon0 = flatten(transform(col("codes"), (c, s) =>
+      element_at(element_at(cbLit, s + 1), c + 1)))
+    val reconAssigned = (
+      if (!index.residual) index.codes
+        .select(col(index.idCol).as("nn_id"), col("cell"),
+          recon0.as("nn_vec"))
+      else index.codes
+        .join(broadcast(index.codebook),
+          index.codes("cell") === index.codebook("cent_id"))
+        .select(col(index.idCol).as("nn_id"), index.codes("cell"),
+          zip_with(col("cent_vec"), recon0, (a, b) => a + b)
+            .as("nn_vec")))
+      .withColumn("nn_nrm", norm(col("nn_vec")))
+      .filter(col("nn_nrm") > 0)
+    val scored = ivfProbes(queries, index.idCol, index.vecCol, cents, np)
+      .join(reconAssigned, "cell")
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("cos",
+        dot(col("q_vec"), col("nn_vec")) / (col("q_nrm") * col("nn_nrm")))
+    topKRank(scored, k, scale)
+  }
 }

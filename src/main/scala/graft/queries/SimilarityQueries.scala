@@ -292,6 +292,34 @@ object SimilarityQueries extends QueryPack {
       },
       Some(ivfPqResidualOracleSql)),
 
+    // the composed stack PERSISTED — the actual 100 TB serving shape:
+    // ivfPqTopK retrains both quantizers per call (training dominates
+    // its bar), so production builds the IvfPqIndex once (coarse
+    // codebook + per-subspace codebooks + corpus as m-int codes) and
+    // every query batch probes stored state: no training stage, and
+    // the float corpus is never read again. Exercises the FULL
+    // round trip (build → write → reload → probe) and must
+    // hash-match q_ann_ivfpq_residual: same params, same oracle —
+    // the persistence loop may not change a single bit.
+    "q_ann_ivfpq_index" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        // pid- and sfDir-scoped dir: same concurrent-JVM and
+        // /tmp-leak reasoning as q_ann_ivf_index
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_ivfpq_index_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        Similarity.ivfPqIndex(emb, "vec_id", "embedding", dim = 64,
+          nlist = 16, m = 4, ksub = 16, residual = true).write(dir)
+        val idx = Similarity.readIvfPqIndex(s, dir, "vec_id",
+          "embedding")
+        Similarity.ivfPqTopKWithIndex(
+          emb.filter(col("vec_id") % 100 === 0), idx, k = 5,
+          nprobe = 4)
+      },
+      Some(ivfPqResidualOracleSql)),
+
     // stream-table join against an embedding-derived feature table:
     // per-label centroid norm lookup (join of a computed dim table)
     "q_embed_label_stats" -> Q(

@@ -62,6 +62,24 @@ object ProfilePq {
         f"${64 * 32 / bits}%dx compression): " +
         f"${pq.intersect(exact).size.toDouble / exact.size}%.3f")
     }
+    // composed-index amortization: the IVF-PQ serving stack built
+    // once (both quantizers trained + corpus encoded + parquet), then
+    // probed per batch from stored state — the per-batch cost is what
+    // a 100 TB deployment actually pays per query wave
+    val dir2 = graft.core.FsUtil.deleteOnExit(
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_profile_" +
+        ProcessHandle.current().pid())
+    timed("ivfpq build+write (ivf train + residual pq train + encode)") {
+      Similarity.ivfPqIndex(emb, "vec_id", "embedding", dim = 64,
+        nlist = 16, residual = true).write(dir2)
+    }
+    (1 to batches).foreach { i =>
+      timed(s"ivfpq reload+probe batch $i (k=5)") {
+        val idx = Similarity.readIvfPqIndex(spark, dir2, "vec_id",
+          "embedding")
+        Similarity.ivfPqTopKWithIndex(q, idx, k = 5, nprobe = 4).count()
+      }
+    }
     // raw vs RESIDUAL encoding at the SAME code budget through the
     // full IVF-PQ stack (nlist=16, nprobe=4): both rankings are
     // probe-limited, so the exact set is restricted per query to the

@@ -68,6 +68,28 @@ class PqSpec extends SparkSpec {
     assert(overlap > 0.1, s"PQ@5 overlap with exact top-5 = $overlap")
   }
 
+  test("stored IVF-PQ index round-trip ranks identically to the one-shot operator") {
+    val s = spark
+    import s.implicits._
+    val q = emb.filter($"vec_id" % 100 === 0)
+    Seq(true, false).foreach { residual =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+        .toString + "/idx"
+      Similarity.ivfPqIndex(emb, "vec_id", "embedding", dim = 64,
+        nlist = 16, m = 4, ksub = 16, residual = residual).write(dir)
+      val idx = Similarity.readIvfPqIndex(s, dir, "vec_id", "embedding")
+      assert(idx.m == 4 && idx.ksub == 16 && idx.dim == 64 &&
+        idx.residual == residual)
+      val stored = Similarity.ivfPqTopKWithIndex(q, idx, k = 5,
+        nprobe = 4).as[(Long, Long, Long, Double)].collect().toSet
+      val fresh = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+        dim = 64, k = 5, nlist = 16, nprobe = 4, m = 4, ksub = 16,
+        residual = residual)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(stored == fresh, s"residual=$residual round trip diverged")
+    }
+  }
+
   test("residual (IVFADC) encoding beats raw PQ at the same code budget on clustered data") {
     val s = spark
     import s.implicits._
