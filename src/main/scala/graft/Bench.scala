@@ -15,6 +15,53 @@ package graft
   * "burst"/"retry" counters with burst-corrected values, with the
   * full probe vector and original-vs-retry pairs in
   * bench_last.json. */
+/** The pure burst-adjudication rules Bench applies — factored out so
+  * BenchSpec can drive the scenarios a live run can't stage on demand
+  * (a mid-run box burst, a fully-throttled run, a clean run). */
+private[graft] object BenchAdjudication {
+
+  /** The burst flag line: well above settled-probe jitter (min-of-2
+    * probes on an idle box read 0.08-0.15 s) but far below a real
+    * burst (the round-9/10 throttle episodes implied 4-45×
+    * degradation) — 3× the run's best cal with an absolute +0.2 s
+    * floor. `calBase` = best cal observed anywhere in the run: if the
+    * WHOLE run is throttled every sample is high, nothing flags here,
+    * and the existing cal-vs-idle-bar normalization applies instead. */
+  def burstThreshold(cal: Double, midCals: Seq[Double],
+      cal2: Double): Double = {
+    val calBase = (cal +: cal2 +: midCals).min
+    math.max(3.0 * calBase, calBase + 0.2)
+  }
+
+  /** Mid-probes over the flag line — the `burst` counter. */
+  def burstProbeCount(cal: Double, midCals: Seq[Double],
+      cal2: Double): Int =
+    midCals.count(_ > burstThreshold(cal, midCals, cal2))
+
+  /** The probes bracketing query index `i` (one probe ran before
+    * every `calEvery`-th query; `cal`/`cal2` close the ends). */
+  def brackets(i: Int, calEvery: Int, cal: Double,
+      midCals: Seq[Double], cal2: Double): Seq[Double] = {
+    val k = i / calEvery
+    Seq(if (k == 0) cal else midCals(k - 1),
+      if (k < midCals.size) midCals(k) else cal2)
+  }
+
+  /** Indices of rows to re-run: inside a flagged segment (either
+    * bracketing probe over the line), original reading >= 0.3 s
+    * (below that the documented quantization/noise floor swallows any
+    * verdict), slowest first, at most 20. */
+  def retryCandidates(times: IndexedSeq[Double], calEvery: Int,
+      cal: Double, midCals: Seq[Double], cal2: Double): Seq[Int] = {
+    val line = burstThreshold(cal, midCals, cal2)
+    times.indices
+      .filter(i => times(i) >= 0.3 &&
+        brackets(i, calEvery, cal, midCals, cal2).exists(_ > line))
+      .sortBy(i => -times(i))
+      .take(20)
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -135,18 +182,7 @@ object Bench {
     // end): a probe > 2× it marks its segment as a mid-run burst. If
     // the WHOLE run is throttled every cal is high and nothing flags
     // here — that case is the existing cal-vs-idle-bar normalization.
-    val calBase = (cal +: cal2 +: midCals.toSeq).min
-    def brackets(i: Int): Seq[Double] = {
-      val k = i / calEvery
-      Seq(if (k == 0) cal else midCals(k - 1),
-        if (k < midCals.size) midCals(k) else cal2)
-    }
-    // the flag line sits well above settled-probe jitter (min-of-2
-    // probes on an idle box read 0.08-0.15) but far below a real
-    // burst (the round-9/10 throttle episodes implied 4-45×
-    // degradation): 3× the best cal with an absolute +0.2 s floor.
-    val burstThreshold = math.max(3.0 * calBase, calBase + 0.2)
-    val burstProbes = midCals.count(_ > burstThreshold)
+    val burstProbes = BenchAdjudication.burstProbeCount(cal, midCals.toSeq, cal2)
     // rows inside a bursting segment re-run ONCE at end-of-run (box
     // usually recovered — cal2/cal3 say so) and report the MIN of the
     // two timings: a burst victim comes back at-bar, a true regression
@@ -157,11 +193,8 @@ object Bench {
     val retried = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
     if (burstProbes > 0) {
       var budget = 90.0
-      raw.indices
-        .filter(i => raw(i)._2 >= 0.3 &&
-          brackets(i).exists(_ > burstThreshold))
-        .sortBy(i => -raw(i)._2)
-        .take(20)
+      BenchAdjudication.retryCandidates(raw.map(_._2).toIndexedSeq,
+          calEvery, cal, midCals.toSeq, cal2)
         .foreach { i =>
           if (budget > 0) {
             val (name, orig) = raw(i)

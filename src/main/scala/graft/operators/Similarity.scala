@@ -926,6 +926,53 @@ object Similarity {
       ksub, residual)
   }
 
+  /** Persist an ingest batch into a stored [[IvfPqIndex]]: assign
+    * `newCorpus` to the EXISTING coarse cells, encode with the
+    * EXISTING PQ codebooks (this is the point of storing them — an
+    * ingest batch never retrains anything), and parquet-APPEND only
+    * the batch's code rows. Daily ingest cost is O(batch); the
+    * corpus-sized codes table is never rewritten, and both codebook
+    * files are untouched (periodic retrain = rebuild with
+    * [[ivfPqIndex]], the standard IVF discipline). Returns the
+    * extended in-memory index. */
+  def ivfPqAppendToStored(index: IvfPqIndex, newCorpus: DataFrame,
+      dir: String): IvfPqIndex = {
+    val cents = ivfCents(
+      index.codebook.orderBy(col("cent_id")).collect().toSeq)
+    val cbs: Seq[PqCents] =
+      index.pqCodebooks.orderBy(col("sub"), col("code")).collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map { case (_, rows) =>
+          rows.sortBy(_.getInt(1)).map { r =>
+            val v = r.getSeq[Any](2).map(ivfToDouble).toSeq
+            (r.getInt(1), v, halfSq(v))
+          }.toSeq
+        }
+    require(cents.nonEmpty && cbs.nonEmpty,
+      s"ivfPqAppendToStored: index has empty codebooks — rebuild with " +
+        "ivfPqIndex instead of appending to an empty index")
+    val c = ivfPrep(newCorpus, index.idCol, index.vecCol)
+    val assigned = assignCells(c, centArrOf(cents))
+    val pqInput =
+      if (!index.residual) assigned
+        .select(col("nn_id"), col("cell"), col("nn_vec"))
+      else assigned
+        .join(broadcast(index.codebook),
+          assigned("cell") === index.codebook("cent_id"))
+        .select(col("nn_id"), assigned("cell"),
+          zip_with(assigned("nn_vec"), col("cent_vec"),
+            (a, b) => a.cast("double") - b).as("nn_vec"))
+    val dsub = index.dim / index.m
+    val codeCols = (0 until index.m).map { s =>
+      pqBest(slice(col("nn_vec"), s * dsub + 1, dsub),
+        pqCentArr(cbs(s))).getField("code")
+    }
+    val extra = pqInput.select(col("nn_id").as(index.idCol),
+      col("cell"), array(codeCols: _*).as("codes"))
+    extra.write.mode("append").parquet(s"$dir/codes.parquet")
+    index.copy(codes = index.codes.unionByName(extra))
+  }
+
   /** Reload a stored [[IvfPqIndex]]; params (incl. the raw/residual
     * mode, which changes reconstruction) come from the sidecar. */
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench burst-adjudication rules, driven through the scenarios a
+  * live run can't stage on demand: a clean run, a mid-run burst band,
+  * a fully-throttled run, and the retry selection bounds. The live
+  * plumbing (probe cadence, min-of-2 sampling, retry min-reporting)
+  * runs in every real `graft.Bench` invocation; these pin the
+  * decision rules themselves. */
+class BenchSpec extends AnyFunSuite {
+  import BenchAdjudication._
+
+  private val idleProbes = Seq(0.1, 0.12, 0.08, 0.14, 0.11)
+
+  test("clean run: no probe flags, no retries") {
+    assert(burstProbeCount(0.12, idleProbes, 0.09) == 0)
+    val times = IndexedSeq(5.0, 2.0, 0.8, 0.1, 3.0, 0.5)
+    assert(retryCandidates(times, 2, 0.12, idleProbes.take(2), 0.09)
+      .isEmpty)
+  }
+
+  test("mid-run burst: the bursting probes flag; bracketed rows retry") {
+    // probes: clean, BURST, BURST, clean — the round-10 signature
+    // (clean endpoints, a contiguous mid-run band)
+    val probes = Seq(0.1, 1.4, 2.2, 0.11)
+    assert(burstProbeCount(0.1, probes, 0.09) == 2)
+    // calEvery=2 → segments: [0,1] bracketed (cal, p0), [2,3] (p0,p1),
+    // [4,5] (p1,p2), [6,7] (p2,p3), [8,9] (p3, cal2). Burst probes
+    // p1/p2 bracket queries 2..7.
+    val times = IndexedSeq(0.5, 0.2, 0.6, 4.0, 0.2, 1.5, 2.0, 0.1,
+      0.9, 0.4)
+    val picked = retryCandidates(times, 2, 0.1, probes, 0.09)
+    // rows 2..7 are burst-bracketed; of those, >= 0.3 s keeps
+    // {2 (0.6), 3 (4.0), 5 (1.5), 6 (2.0)}; slowest first
+    assert(picked == Seq(3, 6, 5, 2), picked)
+    // rows outside the band (0, 8) never retry even though slow-ish
+    assert(!picked.contains(0) && !picked.contains(8))
+  }
+
+  test("fully-throttled run: every sample high, nothing flags (cal normalization handles it)") {
+    // the whole run at ~10x: probes scale WITH the best cal, so the
+    // relative flag line stays quiet — this case is adjudicated by
+    // cal-vs-idle-bar normalization, not by burst retries
+    val probes = Seq(1.0, 1.2, 0.9, 1.1)
+    assert(burstProbeCount(1.1, probes, 1.0) == 0)
+  }
+
+  test("flag line: 3x best cal with an absolute 0.2 s jitter floor") {
+    // tiny cals: the absolute floor governs (0.05*3 = 0.15 < 0.25)
+    assert(burstThreshold(0.05, Seq(0.06), 0.05) == 0.05 + 0.2)
+    // larger cals: the 3x term governs
+    assert(burstThreshold(0.5, Seq(0.6), 0.55) == 1.5)
+    // the BEST sample anywhere in the run anchors the line
+    assert(burstThreshold(0.5, Seq(0.1, 0.6), 0.55) ==
+      math.max(3.0 * 0.1, 0.1 + 0.2))
+  }
+
+  test("retry selection is bounded at 20 rows, slowest first") {
+    val probes = Seq(5.0) // one huge burst probe
+    val times = IndexedSeq.tabulate(60)(i => 0.3 + i * 0.01)
+    val picked = retryCandidates(times, 60, 0.1, probes, 0.1)
+    assert(picked.size == 20)
+    // slowest-first: the top indices by time
+    assert(picked.head == 59 && picked(1) == 58)
+  }
+
+  test("brackets attribute each query to its surrounding probes") {
+    val probes = Seq(0.2, 0.3)
+    // calEvery=4, 10 queries → probes before q4 and q8
+    assert(brackets(0, 4, 0.1, probes, 0.15) == Seq(0.1, 0.2))
+    assert(brackets(3, 4, 0.1, probes, 0.15) == Seq(0.1, 0.2))
+    assert(brackets(4, 4, 0.1, probes, 0.15) == Seq(0.2, 0.3))
+    assert(brackets(9, 4, 0.1, probes, 0.15) == Seq(0.3, 0.15))
+  }
+}

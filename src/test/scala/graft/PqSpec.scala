@@ -90,6 +90,35 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ ingest append encodes with stored codebooks, O(batch) on disk") {
+    val s = spark
+    import s.implicits._
+    val half1 = emb.filter($"vec_id" % 2 === 0)
+    val half2 = emb.filter($"vec_id" % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+      .toString + "/idx"
+    Similarity.ivfPqIndex(half1, "vec_id", "embedding", dim = 64,
+      nlist = 16, residual = true).write(dir)
+    val idx = Similarity.readIvfPqIndex(s, dir, "vec_id", "embedding")
+    val extended = Similarity.ivfPqAppendToStored(idx, half2, dir)
+    // the in-memory extension and the re-read stored state agree
+    val reread = Similarity.readIvfPqIndex(s, dir, "vec_id", "embedding")
+    assert(reread.codes.count() == emb.count())
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val viaExtended = Similarity.ivfPqTopKWithIndex(q, extended, k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val viaStored = Similarity.ivfPqTopKWithIndex(q, reread, k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaExtended == viaStored)
+    // codebooks untouched by the append: batch rows were encoded with
+    // the STORED state, not retrained
+    assert(reread.pqCodebooks.collect().map(_.toSeq).toSet ==
+      idx.pqCodebooks.collect().map(_.toSeq).toSet)
+    // every query finds neighbors from BOTH halves' id space
+    val nnIds = viaStored.map(_._2)
+    assert(nnIds.exists(_ % 2 == 0) && nnIds.exists(_ % 2 == 1))
+  }
+
   test("residual (IVFADC) encoding beats raw PQ at the same code budget on clustered data") {
     val s = spark
     import s.implicits._
