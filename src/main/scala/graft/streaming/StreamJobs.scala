@@ -115,6 +115,41 @@ object StreamJobs {
         ()
     }
 
+  /** Streaming ANN serving: each arriving micro-batch of query
+    * vectors ranks top-k against the PERSISTED composed IVF-PQ index
+    * at `indexDir` (`Similarity.IvfPqIndex` — built once by a batch
+    * job, optionally extended by `ivfPqAppendToStored` ingest), and
+    * the batch's results land as parquet under
+    * `outDir/batch_id=<id>/`. Per batch the work is the stored-index
+    * probe only — nlist centroid scores per query + a probe-capped
+    * scan of the code table; no training, and the float corpus is
+    * never read. The index is re-read per batch (the codebook
+    * collects are nlist + m·ksub rows — negligible), so code rows
+    * appended by a concurrent ingest become visible to the next
+    * micro-batch.
+    *
+    * Replay idempotence: foreachBatch is at-least-once, so each
+    * batch OVERWRITES its own batch_id-scoped subdir — a replayed
+    * batch rewrites the same path instead of appending duplicate
+    * result rows; readers see exactly-once results via partition
+    * discovery over `outDir`. Returns the writer — caller picks
+    * trigger/checkpoint and starts it. */
+  def annLookupStream(queries: DataFrame, indexDir: String,
+      outDir: String, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val idx = graft.operators.Similarity.readIvfPqIndex(
+          batch.sparkSession, indexDir, idCol, vecCol)
+        graft.operators.Similarity
+          .ivfPqTopKWithIndex(batch, idx, k, nprobe)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+        ()
+    }
+
   /** Streaming benchmark decontamination at ingest: drop every
     * arriving document that shares a word `n`-gram with the benchmark
     * bloom filter (build it once per benchmark release with

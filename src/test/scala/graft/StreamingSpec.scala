@@ -61,6 +61,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamedIds.nonEmpty)
   }
 
+  test("streaming ANN lookup probes the stored IVF-PQ index with batch parity") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.load(s, sf001, "embeddings")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-annstream")
+      .toString + "/idx"
+    val outDir = java.nio.file.Files.createTempDirectory("graft-annstream")
+      .toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-annstream")
+      .toString
+    Similarity.ivfPqIndex(emb, "vec_id", "embedding", dim = 64,
+      nlist = 16, residual = true).write(idxDir)
+    // query vectors arrive as a stream in two micro-batches
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = StreamJobs.annLookupStream(
+        input.toDS().toDF("vec_id", "embedding"), idxDir, outDir,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      queries.grouped(math.max(1, queries.size / 2 + 1)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = s.read.parquet(outDir)
+      .select("q_id", "nn_id", "rank", "cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // parity: the union of per-batch probes equals the one-shot batch
+    // probe of the same query set against the same stored index
+    val idx = Similarity.readIvfPqIndex(s, idxDir, "vec_id", "embedding")
+    val batch = Similarity.ivfPqTopKWithIndex(
+        emb.filter($"vec_id" % 50 === 0), idx, k = 5, nprobe = 4)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    // results arrived partitioned by batch id (the replay-idempotence
+    // unit: a replayed batch overwrites its own subdir)
+    assert(s.read.parquet(outDir).columns.contains("batch_id") ||
+      new java.io.File(outDir).listFiles().exists(
+        _.getName.startsWith("batch_id=")))
+  }
+
   test("streaming corpus-clean agrees with the batch pipeline's fingerprint set") {
     val s = spark
     import s.implicits._
