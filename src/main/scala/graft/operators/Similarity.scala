@@ -812,7 +812,14 @@ object Similarity {
     // coarse centroid (broadcast nlist-row codebook join; the
     // float→double element widening is exact, and subtraction order
     // matches the oracle's CAST(v[i] AS DOUBLE) − cent_vec[i])
-    val pqInput =
+    // persisted stage boundary: pqTrain's seed TakeOrdered, each
+    // refine iteration (m subspace scans + means), and the encode
+    // below all re-reference this frame, and Spark reuses only
+    // identical exchanges — unpersisted, each reference re-runs the
+    // corpus scan + IVF argmax (+ residual join). Same discipline as
+    // q_pipeline_pretrain's stage boundaries; the harness clears the
+    // session cache per query, library callers own their cache.
+    val pqInput = (
       if (!residual) ivfPrep(corpus, idCol, vecCol)
       else index.assigned
         .join(broadcast(index.codebook),
@@ -820,6 +827,7 @@ object Similarity {
         .select(col("nn_id"), col("cell"), col("cent_vec"),
           zip_with(index.assigned("nn_vec"), col("cent_vec"),
             (a, b) => a.cast("double") - b).as("nn_vec"))
+      ).persist()
     val cbs = pqTrain(pqInput, dim, m, ksub, refine)
     if (cbs.head.isEmpty)
       return queries.limit(0).select(col(idCol).as("q_id"),
@@ -897,7 +905,8 @@ object Similarity {
     val dsub = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
-    val pqInput =
+    // persisted stage boundary — see ivfPqTopK's pqInput note
+    val pqInput = (
       if (!residual) index.assigned
         .select(col("nn_id"), col("cell"), col("nn_vec"))
       else index.assigned
@@ -906,6 +915,7 @@ object Similarity {
         .select(col("nn_id"), col("cell"),
           zip_with(index.assigned("nn_vec"), col("cent_vec"),
             (a, b) => a.cast("double") - b).as("nn_vec"))
+      ).persist()
     val cbs = pqTrain(pqInput, dim, m, ksub, refine)
     val cbFrame = cbs.zipWithIndex.flatMap { case (cb, s) =>
       cb.map { case (code, v, _) => (s, code, v) }
