@@ -290,6 +290,11 @@ object Similarity {
     * persist the corpus) to skip it. */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 0, refine: Int = 1, knownCount: Long = -1L): IvfIndex = {
+    // NOT persisted: the re-referenced prefix is just ivfPrep (scan +
+    // norm) — measured at gate scale, caching it costs more (columnar
+    // build + decode per read) than the rescans it saves; contrast
+    // ivfPqTopK's pqInput, whose prefix contains the IVF argmax +
+    // broadcast join and measured ~30% faster persisted
     val c = ivfPrep(corpus, idCol, vecCol)
     val nl =
       if (nlist > 0) nlist
@@ -645,7 +650,7 @@ object Similarity {
     * training as [[pqTopK]]. */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int = 4, ksub: Int = 16, refine: Int = 1): DataFrame = {
-    val c = ivfPrep(corpus, idCol, vecCol)
+    val c = ivfPrep(corpus, idCol, vecCol) // cheap prefix — see ivfIndex note
     val cbs = pqTrain(c, dim, m, ksub, refine)
     val dsub = dim / m
     if (cbs.head.isEmpty)
@@ -661,7 +666,7 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, dim: Int, m: Int = 4, ksub: Int = 16, k: Int = 5,
       refine: Int = 1, scale: Int = 6): DataFrame = {
-    val c = ivfPrep(corpus, idCol, vecCol)
+    val c = ivfPrep(corpus, idCol, vecCol) // cheap prefix — see ivfIndex note
     val cbs = pqTrain(c, dim, m, ksub, refine)
     val dsub = dim / m
     if (cbs.head.isEmpty)
@@ -707,7 +712,7 @@ object Similarity {
     * discipline) + the corpus encoded to codes. */
   def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int = 4, ksub: Int = 16, refine: Int = 1): PqIndex = {
-    val c = ivfPrep(corpus, idCol, vecCol)
+    val c = ivfPrep(corpus, idCol, vecCol) // cheap prefix — see ivfIndex note
     val cbs = pqTrain(c, dim, m, ksub, refine)
     val dsub = dim / m
     val spark = corpus.sparkSession
