@@ -320,6 +320,36 @@ object SimilarityQueries extends QueryPack {
       },
       Some(ivfPqResidualOracleSql)),
 
+    // cluster-balanced subsampling: k-means (IVF) cells as topic
+    // strata, then a deterministic exact-k sample per cell — the
+    // topic-balancing pass that keeps a web crawl's dominant clusters
+    // from swamping a training mixture (the cluster-level complement
+    // of q_embed_dedup's near-duplicate removal). Composition of two
+    // shipped primitives: ivfIndex's assignment (driver-literal
+    // centroid argmax — one narrow pass) + sampleExactK's
+    // bounded-heap quota sample (map-side partials, never a window
+    // over a hot cell). Oracle = the IVF chain's assignment CTE + the
+    // same md5 quota rule.
+    "q_embed_balanced_sample" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cells = Similarity
+          .ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+          .assigned.select(col("nn_id").as("vec_id"), col("cell"))
+        graft.operators.Curation.sampleExactK(cells,
+          strataCol = "cell", idCol = "vec_id", k = 20,
+          seedCols = Seq("vec_id"))
+      },
+      Some(s"""WITH $ivfChainCtes,
+              |ranked AS (
+              |  SELECT cell, nn_id,
+              |    row_number() OVER (PARTITION BY cell
+              |      ORDER BY md5(CAST(nn_id AS VARCHAR)) DESC,
+              |               nn_id ASC) AS rn
+              |  FROM assigned)
+              |SELECT cell, nn_id AS vec_id FROM ranked WHERE rn <= 20
+              |""".stripMargin)),
+
     // stream-table join against an embedding-derived feature table:
     // per-label centroid norm lookup (join of a computed dim table)
     "q_embed_label_stats" -> Q(
