@@ -20,17 +20,22 @@ package graft
   * (a mid-run box burst, a fully-throttled run, a clean run). */
 private[graft] object BenchAdjudication {
 
-  /** The burst flag line: well above settled-probe jitter (min-of-2
-    * probes on an idle box read 0.08-0.15 s) but far below a real
-    * burst (the round-9/10 throttle episodes implied 4-45×
-    * degradation) — 3× the run's best cal with an absolute +0.2 s
-    * floor. `calBase` = best cal observed anywhere in the run: if the
-    * WHOLE run is throttled every sample is high, nothing flags here,
-    * and the existing cal-vs-idle-bar normalization applies instead. */
+  /** The burst flag line: above settled-probe jitter (min-of-2 probes
+    * on an idle box read 0.07-0.15 s) but low enough to catch a MILD
+    * burst — a staged 32-way fair-share hog (a 2× slowdown, i.e.
+    * exactly the regression gate's bar) reads probes at only
+    * 0.16-0.22 s, which a 3×+0.2 line missed while the run's rows
+    * inflated 2×. So: 2× the run's best cal with a +0.1 s jitter
+    * floor. Erring toward flagging is cheap and self-correcting: a
+    * false flag costs a few bounded retries whose minima confirm the
+    * original readings, while a missed burst costs a round of manual
+    * forensics. `calBase` = best cal observed anywhere in the run: if
+    * the WHOLE run is throttled every sample is high, nothing flags
+    * here, and the cal-vs-idle-bar normalization applies instead. */
   def burstThreshold(cal: Double, midCals: Seq[Double],
       cal2: Double): Double = {
     val calBase = (cal +: cal2 +: midCals).min
-    math.max(3.0 * calBase, calBase + 0.2)
+    math.max(2.0 * calBase, calBase + 0.1)
   }
 
   /** Mid-probes over the flag line — the `burst` counter. */

@@ -24,6 +24,8 @@ class BenchSpec extends AnyFunSuite {
     // probes: clean, BURST, BURST, clean — the round-10 signature
     // (clean endpoints, a contiguous mid-run band)
     val probes = Seq(0.1, 1.4, 2.2, 0.11)
+    // a mild 2x fair-share burst also flags now (staged-hog evidence)
+    assert(burstProbeCount(0.08, Seq(0.1, 0.2, 0.09), 0.08) == 1)
     assert(burstProbeCount(0.1, probes, 0.09) == 2)
     // calEvery=2 → segments: [0,1] bracketed (cal, p0), [2,3] (p0,p1),
     // [4,5] (p1,p2), [6,7] (p2,p3), [8,9] (p3, cal2). Burst probes
@@ -46,14 +48,17 @@ class BenchSpec extends AnyFunSuite {
     assert(burstProbeCount(1.1, probes, 1.0) == 0)
   }
 
-  test("flag line: 3x best cal with an absolute 0.2 s jitter floor") {
-    // tiny cals: the absolute floor governs (0.05*3 = 0.15 < 0.25)
-    assert(burstThreshold(0.05, Seq(0.06), 0.05) == 0.05 + 0.2)
-    // larger cals: the 3x term governs
-    assert(burstThreshold(0.5, Seq(0.6), 0.55) == 1.5)
+  test("flag line: 2x best cal with an absolute 0.1 s jitter floor") {
+    // tiny cals: the absolute floor governs (0.05*2 = 0.10 < 0.15)
+    assert(burstThreshold(0.05, Seq(0.06), 0.05) == 0.05 + 0.1)
+    // larger cals: the 2x term governs
+    assert(burstThreshold(0.5, Seq(0.6), 0.55) == 1.0)
     // the BEST sample anywhere in the run anchors the line
     assert(burstThreshold(0.5, Seq(0.1, 0.6), 0.55) ==
-      math.max(3.0 * 0.1, 0.1 + 0.2))
+      math.max(2.0 * 0.1, 0.1 + 0.1))
+    // the staged 2x fair-share hog's probe band (0.16-0.22 at
+    // calBase ~0.08) must flag — the 3x line missed it
+    assert(burstThreshold(0.08, Seq(0.09), 0.08) < 0.19)
   }
 
   test("retry selection is bounded at 20 rows, slowest first") {
