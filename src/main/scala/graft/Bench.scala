@@ -194,9 +194,13 @@ object Bench {
     // stays slow — no human adjudication. Bounded: only rows big
     // enough to ever breach a gate (>= 0.3 s — sub-0.3 readings are
     // inside the documented quantization/noise floor), slowest first,
-    // at most 20 rows / 90 s.
-    val retried = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
-    if (burstProbes > 0) {
+    // at most 20 rows / 90 s. The candidate set is computed
+    // unconditionally: a burst confined to the FIRST or LAST segment
+    // shows only in the endpoint cals (zero mid-probe breaches), and
+    // gating on burstProbes alone would ship those rows uncorrected.
+    val retried =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    locally {
       var budget = 90.0
       BenchAdjudication.retryCandidates(raw.map(_._2).toIndexedSeq,
           calEvery, cal, midCals.toSeq, cal2)
@@ -204,13 +208,17 @@ object Bench {
           if (budget > 0) {
             val (name, orig) = raw(i)
             val t0 = System.nanoTime()
-            try { ordered(i)._2(spark, sfDir).count() }
-            catch { case _: Throwable => -1L }
+            val ok =
+              try { ordered(i)._2(spark, sfDir).count(); true }
+              catch { case _: Throwable => false }
             val again = (System.nanoTime() - t0) / 1e9
             spark.catalog.clearCache()
             budget -= again
-            retried += ((name, orig, again))
-            if (again < orig) raw(i) = name -> again
+            // a THROWING retry is not a faster timing — its wall time
+            // is failure time; keep the original reading and record
+            // the retry as -1 so bench_last.json shows what happened
+            retried += ((name, orig, if (ok) again else -1.0))
+            if (ok && again < orig) raw(i) = name -> again
           }
         }
     }
@@ -263,7 +271,7 @@ object Bench {
       // nothing. The full probe vector ("mcal") ships below level 4;
       // at the floor the two counters carry the adjudication.
       val burstField =
-        if (burstProbes == 0) ""
+        if (burstProbes == 0 && retried.isEmpty) ""
         else s""""burst":$burstProbes,"retry":${retried.size},"""
       val mcalField =
         if (level >= 4 || midCals.isEmpty) ""
@@ -292,7 +300,7 @@ object Bench {
           "\"" + (if (k.startsWith("q_")) k.drop(2) else k) + "\":" + f(v)
         }.mkString("{", ",", "}")
         val burstField =
-          if (burstProbes == 0) ""
+          if (burstProbes == 0 && retried.isEmpty) ""
           else s""""burst":$burstProbes,"retry":${retried.size},"""
         s"""{"value":${f(total)},"cal":${fc(cal)},"cal2":${fc(cal2)},""" +
           s"""$burstField"qdrop":${results.size - keep},"queries":$qs}"""

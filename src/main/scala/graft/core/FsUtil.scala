@@ -97,24 +97,32 @@ object FsUtil {
     val deadline = System.nanoTime() + waitMs * 1000000L
     var acquired = false
     while (!acquired) {
-      try {
-        val out = fs.create(lock, false) // atomic: fails if it exists
+      // ownership = the atomic create succeeding. The pid@host content
+      // is a best-effort diagnostic only: a failure WRITING it must
+      // not be mistaken for contention (that would orphan our own
+      // half-written lock and deadlock every later writer), so it is
+      // swallowed after the create decides ownership.
+      val out =
+        try fs.create(lock, false) // atomic: fails if it exists
+        catch {
+          case _: java.io.IOException if System.nanoTime() < deadline =>
+            Thread.sleep(20); null
+          case e: java.io.IOException =>
+            throw new java.io.IOException(
+              s"swapInto: could not acquire $lock within ${waitMs}ms — " +
+                "another writer is swapping this target (retry), or a " +
+                "crashed writer left the lock behind (inspect the " +
+                "target and its .-backup-* siblings, then delete the " +
+                "lock file)", e)
+        }
+      if (out != null) {
+        acquired = true
         try out.write(
           (ProcessHandle.current().pid().toString + "@" +
             java.net.InetAddress.getLocalHost.getHostName)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        acquired = true
-      } catch {
-        case _: java.io.IOException if System.nanoTime() < deadline =>
-          Thread.sleep(20)
-        case e: java.io.IOException =>
-          throw new java.io.IOException(
-            s"swapInto: could not acquire $lock within ${waitMs}ms — " +
-              "another writer is swapping this target (retry), or a " +
-              "crashed writer left the lock behind (inspect the " +
-              "target and its .-backup-* siblings, then delete the " +
-              "lock file)", e)
+        catch { case _: Throwable => () }
+        finally { try out.close() catch { case _: Throwable => () } }
       }
     }
     try body finally fs.delete(lock, false)

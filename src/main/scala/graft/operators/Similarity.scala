@@ -817,14 +817,18 @@ object Similarity {
     // coarse centroid (broadcast nlist-row codebook join; the
     // float→double element widening is exact, and subtraction order
     // matches the oracle's CAST(v[i] AS DOUBLE) − cent_vec[i])
-    // persisted stage boundary: pqTrain's seed TakeOrdered, each
-    // refine iteration (m subspace scans + means), and the encode
-    // below all re-reference this frame, and Spark reuses only
-    // identical exchanges — unpersisted, each reference re-runs the
-    // corpus scan + IVF argmax (+ residual join). Same discipline as
-    // q_pipeline_pretrain's stage boundaries; the harness clears the
-    // session cache per query, library callers own their cache.
-    val pqInput = (
+    // persisted stage boundary (RESIDUAL mode only): pqTrain's seed
+    // TakeOrdered, each refine iteration (m subspace scans + means),
+    // and the encode below all re-reference this frame, and Spark
+    // reuses only identical exchanges — unpersisted, each reference
+    // re-runs corpus scan + IVF argmax + the residual join (~30%
+    // measured). Raw mode's frame is just ivfPrep (scan + norm),
+    // where caching measured as a net loss — see ivfIndex. The cache
+    // entry outlives this call (the returned plan reads it): the
+    // harness clears the session cache per query; library callers
+    // looping over builds own their cache (same contract as
+    // jaccardPairs / q_pipeline_pretrain).
+    val pqInput =
       if (!residual) ivfPrep(corpus, idCol, vecCol)
       else index.assigned
         .join(broadcast(index.codebook),
@@ -832,12 +836,14 @@ object Similarity {
         .select(col("nn_id"), col("cell"), col("cent_vec"),
           zip_with(index.assigned("nn_vec"), col("cent_vec"),
             (a, b) => a.cast("double") - b).as("nn_vec"))
-      ).persist()
+    if (residual) pqInput.persist()
     val cbs = pqTrain(pqInput, dim, m, ksub, refine)
-    if (cbs.head.isEmpty)
+    if (cbs.head.isEmpty) {
+      if (residual) pqInput.unpersist() // nothing will ever read it
       return queries.limit(0).select(col(idCol).as("q_id"),
         col(idCol).as("nn_id"), lit(0L).as("rank"),
         lit(0.0).as("cos"))
+    }
     val np = if (nprobe > 0) nprobe else derivedNprobe(cents.length)
     val bests = (0 until m).map { s =>
       pqBest(slice(col("nn_vec"), s * dsub + 1, dsub), pqCentArr(cbs(s)))
@@ -910,7 +916,12 @@ object Similarity {
     val dsub = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
-    // persisted stage boundary — see ivfPqTopK's pqInput note
+    // persisted stage boundary — see ivfPqTopK's pqInput note. Both
+    // modes persist here: even the raw input is index.assigned, whose
+    // lineage includes the corpus-wide IVF argmax (the expensive
+    // prefix), unlike ivfPqTopK's raw-mode ivfPrep. The cache entry
+    // backs the returned lazy `codes` frame; callers release it via
+    // their session cache (harness convention) after write().
     val pqInput = (
       if (!residual) index.assigned
         .select(col("nn_id"), col("cell"), col("nn_vec"))

@@ -86,13 +86,13 @@ object ProfilePq {
     // probed candidates' ideal — recall here isolates what the PQ
     // encoding itself loses, which is the quantity residual encoding
     // improves.
+    val ivfExact = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
     Seq(false, true).foreach { res =>
       val pq = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
         dim = 64, k = 5, nlist = 16, nprobe = 4, m = 4, ksub = 16,
         residual = res)
-        .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
-      val ivfExact = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 4)
         .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
       val mode = if (res) "residual" else "raw"
       println(f"[pq-profile] ivfpq recall@5 vs ivf-float ($mode, " +
