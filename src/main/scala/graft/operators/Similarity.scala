@@ -239,7 +239,9 @@ object Similarity {
     * O(batch), not O(corpus)) and nothing reads `dir` while writing,
     * so there is no overwrite-while-read hazard at all. Returns the
     * extended in-memory index (stored codebook unchanged — the
-    * standard IVF append; periodic re-train is a rebuild). */
+    * standard IVF append; periodic re-train is a rebuild). The batch
+    * must be ID-DISJOINT from the stored corpus (a re-appended id
+    * duplicates its assigned row, not an upsert). */
   def ivfAppendToStored(index: IvfIndex, newCorpus: DataFrame,
       dir: String): IvfIndex = {
     val cents = ivfCents(
@@ -960,7 +962,10 @@ object Similarity {
     * corpus-sized codes table is never rewritten, and both codebook
     * files are untouched (periodic retrain = rebuild with
     * [[ivfPqIndex]], the standard IVF discipline). Returns the
-    * extended in-memory index. */
+    * extended in-memory index. The batch must be ID-DISJOINT from
+    * what the index already covers (same contract as every append
+    * path here — MinhashIndex, IVF assigned, CorpusProfile): a
+    * re-appended id yields duplicate candidate rows, not an upsert. */
   def ivfPqAppendToStored(index: IvfPqIndex, newCorpus: DataFrame,
       dir: String): IvfPqIndex = {
     val cents = ivfCents(
