@@ -7,13 +7,21 @@ package graft
   * the reported numbers measure the queries, not the first query's
   * luck of the draw.
   *
-  * Self-adjudicating against the box's mid-run bursts: calibration
-  * probes run every 8 queries (plus the existing start/end cals), any
-  * probe > 2× the run's best cal flags its segment, flagged rows
-  * re-run once at end-of-run and report the min — so a capture either
-  * shows clean mid-cals (slow rows are real) or carries
-  * "burst"/"retry" counters with burst-corrected values, with the
-  * full probe vector and original-vs-retry pairs in
+  * Self-adjudicating against the box's mid-run bursts, on two arms:
+  * (1) CPU probes — calibration probes run every 8 queries (plus the
+  * start/end cals), any probe > 2× the run's best cal flags its
+  * segment; (2) bar-relative — any row reading >= 2× its recorded
+  * BASELINE.md bar (BenchBars, generated) is a retry candidate with
+  * NO probe precondition, because the CPU probes are provably blind
+  * to I/O-side bursts (round 11: a ten-row band at 2-7.7× bar with
+  * every probe idle). Candidates re-run once at end-of-run and
+  * report the min — so a capture either shows clean probes and
+  * at-bar rows (slow rows are real) or carries "burst"/"retry"
+  * counters with burst-corrected values; the full CPU ("mcal") and
+  * file-read ("io") probe vectors plus original-vs-retry pairs live
+  * in bench_last.json. The stdout line is breach-only when bars
+  * exist: per-query seconds appear only for rows >= 1.5× bar (or
+  * with no bar), at full precision — the complete dict is in
   * bench_last.json. */
 /** The pure burst-adjudication rules Bench applies — factored out so
   * BenchSpec can drive the scenarios a live run can't stage on demand
@@ -52,16 +60,28 @@ private[graft] object BenchAdjudication {
       if (k < midCals.size) midCals(k) else cal2)
   }
 
-  /** Indices of rows to re-run: inside a flagged segment (either
-    * bracketing probe over the line), original reading >= 0.3 s
-    * (below that the documented quantization/noise floor swallows any
-    * verdict), slowest first, at most 20. */
+  /** Indices of rows to re-run: EITHER inside a flagged segment
+    * (either bracketing probe over the line) OR — regardless of probe
+    * state — reading >= 2x the row's own baseline bar. The second
+    * arm exists because the CPU-bound cal probes are blind to
+    * I/O-side bursts: round 11's driver capture carried a ten-row
+    * band at 2-7.7x bar with every probe idle (page-cache eviction
+    * slows parquet reads but not a codegen sum). Both arms require
+    * the original reading >= 0.3 s (below that the documented
+    * quantization/noise floor swallows any verdict); slowest first,
+    * at most 20. `bars` is index-aligned with `times`; None = no bar
+    * recorded for that row (new query, or a scale dir without bars) —
+    * only the probe arm can select it. */
   def retryCandidates(times: IndexedSeq[Double], calEvery: Int,
-      cal: Double, midCals: Seq[Double], cal2: Double): Seq[Int] = {
+      cal: Double, midCals: Seq[Double], cal2: Double,
+      bars: IndexedSeq[Option[Double]] = IndexedSeq.empty): Seq[Int] = {
     val line = burstThreshold(cal, midCals, cal2)
+    def probeFlagged(i: Int): Boolean =
+      brackets(i, calEvery, cal, midCals, cal2).exists(_ > line)
+    def barBreach(i: Int): Boolean =
+      bars.lift(i).flatten.exists(b => times(i) >= 2.0 * b)
     times.indices
-      .filter(i => times(i) >= 0.3 &&
-        brackets(i, calEvery, cal, midCals, cal2).exists(_ > line))
+      .filter(i => times(i) >= 0.3 && (probeFlagged(i) || barBreach(i)))
       .sortBy(i => -times(i))
       .take(20)
   }
@@ -93,6 +113,53 @@ object Bench {
     }
     val cal = { val xs = Seq.fill(3)(calOnce()).sorted; xs(1) }
 
+    // "sf" carries the basename (sf0.1), not the full path — same
+    // byte-budget motive as the "rps" rename below
+    val sfName = new java.io.File(sfDir).getName
+    // per-query baseline bars for this scale dir (empty map if the
+    // dir has no recorded bars): drives the bar-relative retry arm
+    // and the breach-only stdout emitter
+    val bars = BenchBars.forSf(sfName)
+
+    // I/O mini-probe: timed raw re-read of a fixed ~32 MB slice of
+    // the run's own lineitem parquet. The CPU cal probes are blind to
+    // I/O-side bursts (round 11: a ten-row band at 2-7.7x bar with
+    // every CPU probe idle — page-cache eviction slows parquet scans
+    // but not a codegen sum); this probe sees exactly that: a warm
+    // page-cache re-read sits at ~0.01-0.05 s, a probe reading 5x+
+    // its own best means the file cache was evicted mid-run. The
+    // vector is DIAGNOSTIC — it labels a burst I/O-side vs CPU-side;
+    // retry SELECTION uses the bar-relative rule, which needs no
+    // probe breach at all.
+    val ioFiles: Seq[java.io.File] = {
+      val root = new java.io.File(s"$sfDir/lineitem.parquet")
+      val all =
+        if (root.isDirectory)
+          root.listFiles().filter(f => f.isFile &&
+            f.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+        else if (root.isFile) Seq(root)
+        else Seq.empty
+      var budget = 32L << 20
+      all.takeWhile { f =>
+        val keep = budget > 0; budget -= f.length(); keep
+      }
+    }
+    def ioOnce(): Double = {
+      val buf = new Array[Byte](1 << 20)
+      var sink = 0L // data-dependent accumulator so the read can't be elided
+      val t0 = System.nanoTime()
+      ioFiles.foreach { f =>
+        val in = new java.io.FileInputStream(f)
+        try {
+          var n = in.read(buf)
+          while (n > 0) { sink += buf(0) + n; n = in.read(buf) }
+        } finally in.close()
+      }
+      if (sink == Long.MinValue) System.err.println("[bench] io sink")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ioCals = scala.collection.mutable.ArrayBuffer[Double](ioOnce())
+
     // deterministic name order: Map iteration order varies per binary,
     // which changes each query's warm-cache neighbors and cost two
     // rounds of bar ambiguity (q_dedup_incremental, q_dedup_jaccard)
@@ -118,7 +185,7 @@ object Bench {
       val a = calOnce(); Thread.sleep(150); math.min(a, calOnce())
     }
     ordered.zipWithIndex.foreach { case ((name, fn), i) =>
-      if (i > 0 && i % calEvery == 0) midCals += midProbe()
+      if (i > 0 && i % calEvery == 0) { midCals += midProbe(); ioCals += ioOnce() }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       raw += name -> ((System.nanoTime() - t0) / 1e9)
@@ -181,6 +248,7 @@ object Bench {
     // self-identifying signature of a mid-run throttle, so the judge
     // can discard the run instead of adjudicating with controls
     val cal2 = { val xs = Seq.fill(3)(calOnce()).sorted; xs(1) }
+    ioCals += ioOnce() // end-of-run I/O probe closes the diagnostic vector
 
     // ---- burst adjudication + auto-retry -----------------------------
     // baseline = the box's best observed cal this run (start, mids,
@@ -188,9 +256,11 @@ object Bench {
     // the WHOLE run is throttled every cal is high and nothing flags
     // here — that case is the existing cal-vs-idle-bar normalization.
     val burstProbes = BenchAdjudication.burstProbeCount(cal, midCals.toSeq, cal2)
-    // rows inside a bursting segment re-run ONCE at end-of-run (box
-    // usually recovered — cal2/cal3 say so) and report the MIN of the
-    // two timings: a burst victim comes back at-bar, a true regression
+    // rows inside a bursting segment — OR over 2x their own bar, with
+    // no probe precondition at all (the bar arm; CPU probes provably
+    // miss I/O bursts) — re-run ONCE at end-of-run (box usually
+    // recovered — cal2/cal3 say so) and report the MIN of the two
+    // timings: a burst victim comes back at-bar, a true regression
     // stays slow — no human adjudication. Bounded: only rows big
     // enough to ever breach a gate (>= 0.3 s — sub-0.3 readings are
     // inside the documented quantization/noise floor), slowest first,
@@ -202,8 +272,9 @@ object Bench {
       scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     locally {
       var budget = 90.0
+      val barVec = ordered.map { case (n, _) => bars.get(n) }.toIndexedSeq
       BenchAdjudication.retryCandidates(raw.map(_._2).toIndexedSeq,
-          calEvery, cal, midCals.toSeq, cal2)
+          calEvery, cal, midCals.toSeq, cal2, barVec)
         .foreach { i =>
           if (budget > 0) {
             val (name, orig) = raw(i)
@@ -229,10 +300,6 @@ object Bench {
     val results = raw.toSeq
     val total = results.map(_._2).sum
 
-    // "sf" carries the basename (sf0.1), not the full path — same
-    // byte-budget motive as the "rps" rename; each registry query
-    // costs ~24 line bytes and the capture window is 2,000
-    val sfName = new java.io.File(sfDir).getName
     def assemble(level: Int): String = {
       val f = fmt(level) _
       // cal/cal2 keep 2 decimals at every level — they are the
@@ -308,8 +375,39 @@ object Bench {
       Iterator.range(results.size, 0, -1).map(build)
         .find(_.length <= 1985).getOrElse(build(1))
     }
-    val line = (0 to 4).map(assemble)
-      .find(_.length <= 1985).getOrElse(assembleTruncated())
+    // ---- breach-only emitter (primary when bars exist) ---------------
+    // At 96+ queries the full per-query dict overflows the 2,000-byte
+    // capture window even at the precision floor (rounds 10-11 shipped
+    // qdrop 4-6, shedding exactly the rows nobody gates on). The full
+    // dict lives in git-tracked bench_last.json; the stdout line spends
+    // its bytes on ADJUDICATION instead of data: per-query seconds only
+    // for rows >= 1.5x their bar (at full 2-decimal precision — these
+    // are the rows a 2x gate examines) plus any row with no bar yet
+    // (new queries are always worth seeing), the envelope, and both
+    // probe vectors (mcal = CPU, io = file-read; together they label a
+    // burst CPU-side vs I/O-side). "nq" = rows run; a row ABSENT from
+    // "queries" reads "at/below 1.5x bar".
+    def assembleBreachOnly(): String = {
+      val f = fmt(0) _
+      val qs = results.filter { case (k, v) =>
+        bars.get(k).forall(b => v >= 1.5 * b)
+      }.map { case (k, v) =>
+        "\"" + (if (k.startsWith("q_")) k.drop(2) else k) + "\":" + f(v)
+      }.mkString("{", ",", "}")
+      val burstField =
+        if (burstProbes == 0 && retried.isEmpty) ""
+        else s""""burst":$burstProbes,"retry":${retried.size},"""
+      s"""{"metric":"total","value":${f(total)},"cal":${f(cal)},""" +
+        s""""cal2":${f(cal2)},$burstField""" +
+        s""""mcal":[${midCals.map(f).mkString(",")}],""" +
+        s""""io":[${ioCals.map(f).mkString(",")}],""" +
+        s""""nq":${results.size},"queries":$qs,"sf":"$sfName",""" +
+        s""""rps":${throughput.toLong}}"""
+    }
+    val breachLine = if (bars.nonEmpty) Some(assembleBreachOnly()) else None
+    val line = breachLine.filter(_.length <= 1985).getOrElse(
+      (0 to 4).map(assemble)
+        .find(_.length <= 1985).getOrElse(assembleTruncated()))
 
     // full-fidelity copy, no byte budget: FULL query names, 2-decimal
     // seconds, rps — the 89-query inventory no longer fits the
@@ -322,7 +420,8 @@ object Bench {
       val f = fmt(0) _
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
-      val mcal = s""""mcal":[${midCals.map(f).mkString(",")}],"""
+      val mcal = s""""mcal":[${midCals.map(f).mkString(",")}],""" +
+        s""""io":[${ioCals.map(f).mkString(",")}],"""
       val cal3Field = cal3.map(c => s""""cal3":${f(c)},""").getOrElse("")
       // retried rows at full fidelity: name -> [original, retry]
       val retryField =

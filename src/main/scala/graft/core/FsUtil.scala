@@ -28,12 +28,19 @@ object FsUtil {
     *
     * Concurrent writers: staging dirs are uuid-scoped so builds never
     * collide, and the SWAP section (rename-out → rename-in → backup
-    * delete) runs under a lock file (`.{name}.swap-lock`, atomic
-    * create-no-overwrite — the one primitive both HDFS and local fs
-    * make atomic), so two writers serialize there and the outcome is
-    * a clean LAST-WRITER-WINS instead of an interleaving that can
-    * nest one writer's staging dir inside the other's freshly-renamed
-    * target (local-fs rename onto an existing dir moves INTO it). The
+    * delete) runs under a lock file (`.{name}.swap-lock`,
+    * create-no-overwrite) plus a same-JVM monitor, so writers
+    * serialize there and the outcome is a clean LAST-WRITER-WINS
+    * instead of an interleaving that can nest one writer's staging
+    * dir inside the other's freshly-renamed target (local-fs rename
+    * onto an existing dir moves INTO it). CROSS-PROCESS serialization
+    * is guaranteed only on filesystems whose create-no-overwrite is
+    * atomic (HDFS); the local filesystem implements it as
+    * check-then-create, so two writers in SEPARATE JVMs on local disk
+    * can in principle both "acquire" the lock — same-JVM threads (the
+    * Verify/Bench topology this library actually runs) are fully
+    * serialized by the monitor, but local-fs multi-process writers
+    * remain racy and should coordinate externally. The
     * section is milliseconds long; a contender waits up to
     * `lockWaitMs` then fails loudly naming the lock file — a lock
     * left by a CRASHED writer (died inside the section) must be
@@ -92,7 +99,9 @@ object FsUtil {
       .synchronized { withSwapFileLock(fs, lock, waitMs)(body) }
   }
 
-  private def withSwapFileLock[T](fs: FileSystem, lock: Path,
+  // private[graft] for FsUtilSpec's persistent-failure case only —
+  // production entry stays withSwapLock (monitor + file lock)
+  private[graft] def withSwapFileLock[T](fs: FileSystem, lock: Path,
       waitMs: Long)(body: => T): T = {
     val deadline = System.nanoTime() + waitMs * 1000000L
     var acquired = false
@@ -102,18 +111,28 @@ object FsUtil {
       // not be mistaken for contention (that would orphan our own
       // half-written lock and deadlock every later writer), so it is
       // swallowed after the create decides ownership.
+      // only an already-exists failure is CONTENTION; any other create
+      // failure (permission denied, read-only fs, missing parent) is
+      // persistent — spinning on it for the full lockWaitMs and then
+      // blaming "another writer" sent the operator chasing a phantom
       val out =
-        try fs.create(lock, false) // atomic: fails if it exists
+        try fs.create(lock, false) // atomic on HDFS: fails if it exists
         catch {
-          case _: java.io.IOException if System.nanoTime() < deadline =>
+          case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                    _: java.nio.file.FileAlreadyExistsException) =>
+            if (System.nanoTime() >= deadline)
+              throw new java.io.IOException(
+                s"swapInto: could not acquire $lock within ${waitMs}ms — " +
+                  "another writer is swapping this target (retry), or a " +
+                  "crashed writer left the lock behind (inspect the " +
+                  "target and its .-backup-* siblings, then delete the " +
+                  "lock file)", e)
             Thread.sleep(20); null
           case e: java.io.IOException =>
             throw new java.io.IOException(
-              s"swapInto: could not acquire $lock within ${waitMs}ms — " +
-                "another writer is swapping this target (retry), or a " +
-                "crashed writer left the lock behind (inspect the " +
-                "target and its .-backup-* siblings, then delete the " +
-                "lock file)", e)
+              s"swapInto: creating lock file $lock failed for a reason " +
+                "other than contention (permissions? read-only fs? " +
+                "missing parent?)", e)
         }
       if (out != null) {
         acquired = true

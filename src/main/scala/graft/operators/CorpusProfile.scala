@@ -223,12 +223,43 @@ object CorpusProfile {
     val agg = aggregated(p)
     val vocab = agg.tokens.groupBy(col("stratum"))
       .agg(count(lit(1)).as("vocab"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("hapax"))
-    // left join + zero-fill: a stratum whose documents contain no
-    // tokens at all has strata rows but no token rows, and an inner
-    // join would silently drop it from the summary
-    agg.strata.join(vocab, Seq("stratum"), "left")
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(col("tf")).as("__tokmass"))
+    // FULL join: a stratum whose documents contain no tokens at all
+    // has strata rows but no token rows (inner join would drop it
+    // from the summary), and — the torn-append case — a stratum can
+    // have token rows with NO strata row at all (a crash between
+    // [[append]]'s tokens-first write and its strata commit marker,
+    // on that stratum's first batch), which a strata-driven left
+    // join could never see.
+    val joined = agg.strata.join(vocab, Seq("stratum"), "full")
+    // the summary is |strata| rows — persisting it means the
+    // consistency check below and the caller's own action share one
+    // computation of the corpus-sized token aggregation instead of
+    // running it twice (harness clears the session cache per query;
+    // the entry is |strata| rows either way)
+    joined.persist()
+    // half-applied-append detection (the window [[append]]'s scaladoc
+    // documents): token mass present without its strata commit
+    // marker. One bounded action over |strata| rows — same class as
+    // the mixture rate table.
+    val torn = joined
+      .filter(col("__tokmass") > coalesce(col("tokens"), lit(0L)))
+      .select(col("stratum")).collect().map(_.get(0)).toSeq
+    if (torn.nonEmpty)
+      System.err.println(
+        s"[graft] corpus profile INCONSISTENT for strata " +
+          s"${torn.mkString("[", ", ", "]")}: per-stratum token mass " +
+          "exceeds the strata table's committed token count — the " +
+          "signature of a crash between append()'s tokens write and " +
+          "its strata commit marker. Repair: re-apply the interrupted " +
+          "batch's STRATA partial only (batch.strata append), or " +
+          "rebuild the store from the corpus with write(build(...)); " +
+          "until then token-derived stats (vocab/hapax/tf) " +
+          "over-count those strata by the torn batch.")
+    joined.filter(col("docs").isNotNull)
       .na.fill(0L, Seq("vocab", "hapax"))
+      .drop("__tokmass")
       .withColumnRenamed("stratum", p.strataCol)
   }
 }

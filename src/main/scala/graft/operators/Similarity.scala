@@ -802,7 +802,14 @@ object Similarity {
     * classic recall lever at identical storage (measured:
     * ProfilePq / BASELINE.md round-11). The only plan change is a
     * broadcast join of the nlist-row codebook for the subtraction —
-    * still one narrow pass over the corpus. */
+    * still one narrow pass over the corpus.
+    *
+    * CACHE CONTRACT (residual mode): the call persists its PQ-input
+    * stage boundary, which the returned plan still reads — the entry
+    * lives until the caller clears the session cache (the harness
+    * does so per query); callers looping over residual builds should
+    * `spark.catalog.clearCache()` between them or accumulate
+    * corpus-sized entries. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, nlist: Int = 0, nprobe: Int = 0,
       m: Int = 4, ksub: Int = 16, refine: Int = 1,
@@ -886,7 +893,17 @@ object Similarity {
     * (crash-safe swap, params sidecar validated on read). */
   final case class IvfPqIndex(codebook: DataFrame,
       pqCodebooks: DataFrame, codes: DataFrame, idCol: String,
-      vecCol: String, dim: Int, m: Int, ksub: Int, residual: Boolean) {
+      vecCol: String, dim: Int, m: Int, ksub: Int, residual: Boolean,
+      @transient private[graft] val backing: Option[DataFrame] = None) {
+
+    /** Release the persisted build-stage frame backing `codes` (set
+      * only on a freshly BUILT index; a reloaded index has none).
+      * Call after the codes have been materialized — typically right
+      * after [[write]] — when building indexes in a loop; the bench/
+      * verify harness instead clears the whole session cache per
+      * query, which is the same contract. */
+    def release(): Unit = backing.foreach(_.unpersist())
+
     def write(dir: String): Unit = {
       import org.apache.hadoop.fs.Path
       val fs = new Path(dir).getFileSystem(
@@ -910,7 +927,15 @@ object Similarity {
     * [[ivfIndex]], PQ trains exactly as [[ivfPqTopK]] (raw or
     * residual), and the corpus stores as codes — so a probe through
     * the stored index is bit-identical to the one-shot operator with
-    * the same parameters (oracle-asserted by q_ann_ivfpq_index). */
+    * the same parameters (oracle-asserted by q_ann_ivfpq_index).
+    *
+    * CACHE CONTRACT: the build persists its PQ-input stage boundary
+    * and the returned index's lazy `codes` frame reads it — the
+    * entry stays in the session cache until the caller releases it
+    * ([[IvfPqIndex.release]] after materializing/writing, or a
+    * session-wide `spark.catalog.clearCache()`, the harness's
+    * per-query convention). Callers looping over builds without
+    * releasing accumulate corpus-sized cache entries. */
   def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, nlist: Int = 0, m: Int = 4, ksub: Int = 16,
       refine: Int = 1, residual: Boolean = true): IvfPqIndex = {
@@ -951,7 +976,7 @@ object Similarity {
           array(cols: _*).as("codes"))
       }
     IvfPqIndex(index.codebook, cbFrame, codes, idCol, vecCol, dim, m,
-      ksub, residual)
+      ksub, residual, backing = Some(pqInput))
   }
 
   /** Persist an ingest batch into a stored [[IvfPqIndex]]: assign
@@ -982,7 +1007,18 @@ object Similarity {
     require(cents.nonEmpty && cbs.nonEmpty,
       s"ivfPqAppendToStored: index has empty codebooks — rebuild with " +
         "ivfPqIndex instead of appending to an empty index")
+    // fail fast on a wrong-dimension batch BEFORE any code row lands:
+    // the dot kernel truncates to min(length), so a mismatched batch
+    // would otherwise silently encode garbage cells/codes into the
+    // STORED table (same discipline as CorpusProfile.append's
+    // requireParamsMatch). assert_true rides the row pipeline — every
+    // row is checked, mixed-dim batches included — and a task failure
+    // aborts the parquet append uncommitted.
     val c = ivfPrep(newCorpus, index.idCol, index.vecCol)
+      .filter(assert_true(size(col("nn_vec")) === index.dim,
+        concat(lit("ivfPqAppendToStored: batch vector dim "),
+          size(col("nn_vec")),
+          lit(s" != index dim ${index.dim}"))).isNull)
     val assigned = assignCells(c, centArrOf(cents))
     val pqInput =
       if (!index.residual) assigned

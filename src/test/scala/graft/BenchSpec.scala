@@ -70,6 +70,52 @@ class BenchSpec extends AnyFunSuite {
     assert(picked.head == 59 && picked(1) == 58)
   }
 
+  test("bar-relative arm: a 2x-bar row retries with every probe idle") {
+    // the round-11 miss: an I/O burst inflates rows while the
+    // CPU-bound probes read idle — selection must not need a probe
+    val times = IndexedSeq(0.5, 4.0, 0.25, 1.0)
+    val barsV = IndexedSeq(Some(0.6), Some(1.5), Some(0.1), Some(0.9))
+    val picked = retryCandidates(times, 2, 0.1, idleProbes.take(1), 0.09,
+      barsV)
+    // row 1 (4.0 vs 1.5 bar = 2.7x) selects; row 0 is under 2x its
+    // bar; row 2 breaches its bar but sits under the 0.3 s floor;
+    // row 3 (1.0 vs 0.9) is nowhere near 2x
+    assert(picked == Seq(1), picked)
+  }
+
+  test("bar-relative arm: rows without a bar need a probe breach") {
+    val times = IndexedSeq(5.0, 5.0)
+    // no bars at all: idle probes select nothing (the clean-run case)
+    assert(retryCandidates(times, 2, 0.1, Seq(0.1), 0.09,
+      IndexedSeq(None, None)).isEmpty)
+    // same readings, bars present: both select, slowest-first stable
+    assert(retryCandidates(times, 2, 0.1, Seq(0.1), 0.09,
+      IndexedSeq(Some(1.0), Some(1.0))) == Seq(0, 1))
+  }
+
+  test("both arms union and stay bounded at 20") {
+    // probes flag segment [0,1]; bars flag rows 30-59; total
+    // candidates > 20 — slowest-first cap applies across the union
+    val probes = Seq(5.0) ++ Seq.fill(29)(0.1)
+    val times = IndexedSeq.tabulate(60)(i => 0.4 + i * 0.01)
+    val barsV = IndexedSeq.tabulate(60)(i =>
+      if (i >= 30) Some(0.01) else None)
+    val picked = retryCandidates(times, 2, 0.1, probes, 0.1, barsV)
+    assert(picked.size == 20)
+    assert(picked.head == 59)
+  }
+
+  test("generated bars cover the registry queries at sf0.1") {
+    // BenchBars is generated from BASELINE.md; every bar name must
+    // be a real registry query (a rename otherwise silently drops
+    // the row from both the retry arm and the breach-only emitter)
+    val names = SparkEntry.queries.keySet
+    val orphans = BenchBars.sf01.keySet.diff(names)
+    assert(orphans.isEmpty, s"bars without a registry query: $orphans")
+    assert(BenchBars.sf01.keySet == BenchBars.sf1.keySet)
+    assert(BenchBars.forSf("sf0.42").isEmpty)
+  }
+
   test("brackets attribute each query to its surrounding probes") {
     val probes = Seq(0.2, 0.3)
     // calEvery=4, 10 queries → probes before q4 and q8

@@ -149,4 +149,48 @@ class CorpusProfileSpec extends SparkSpec {
     // a genuinely new batch still applies
     assert(CorpusProfile.appendOnce(batch(3L, "e f"), dir, batchId = 2L))
   }
+
+  test("stats detects a half-applied append and names the torn strata") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_profile").toString + "/p"
+    def batch(id: Long, lang: String, text: String) = CorpusProfile
+      .build(Seq((id, lang, text)).toDF("doc_id", "lang", "text"),
+        "doc_id", "lang", "text")
+    CorpusProfile.write(batch(1L, "en", "a b c"), dir)
+    // simulate the documented crash window: append() writes tokens
+    // FIRST (strata is the commit marker) — die between the two.
+    // "de" is a NEW stratum (tokens with no strata row at all) and a
+    // second torn batch hits the existing "en" stratum (token mass
+    // over the committed count); both must surface.
+    batch(2L, "de", "x y").tokens.write.mode("append")
+      .parquet(s"$dir/tokens.parquet")
+    batch(3L, "en", "d e").tokens.write.mode("append")
+      .parquet(s"$dir/tokens.parquet")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val origErr = System.err
+    val rows = try {
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      statRows(CorpusProfile.stats(
+        CorpusProfile.read(s, dir, "lang", "text")))
+    } finally System.setErr(origErr)
+    val warning = errBuf.toString
+    assert(warning.contains("INCONSISTENT"), warning.take(200))
+    assert(warning.contains("en") && warning.contains("de"), warning)
+    assert(warning.toLowerCase.contains("repair"), warning)
+    // the returned summary still reflects committed strata only
+    assert(rows.map(_.head) == Set("en"))
+
+    // a CONSISTENT store (the normal case) warns nothing
+    val dir2 = Files.createTempDirectory("graft_profile").toString + "/p"
+    CorpusProfile.write(batch(1L, "en", "a b c"), dir2)
+    CorpusProfile.append(batch(2L, "de", "x y"), dir2)
+    val errBuf2 = new java.io.ByteArrayOutputStream()
+    try {
+      System.setErr(new java.io.PrintStream(errBuf2, true))
+      statRows(CorpusProfile.stats(
+        CorpusProfile.read(s, dir2, "lang", "text")))
+    } finally System.setErr(origErr)
+    assert(!errBuf2.toString.contains("INCONSISTENT"), errBuf2.toString)
+  }
 }

@@ -99,6 +99,33 @@ class FsUtilSpec extends SparkSpec {
       .getOrElse(Array.empty).forall(_.isFile))
   }
 
+  test("a non-contention lock-create failure raises immediately, not after the wait") {
+    // a filesystem whose create fails PERSISTENTLY (read-only fs,
+    // permission denied — not stageable on a root-owned local disk,
+    // so simulated): must NOT be read as "another writer", and must
+    // not spin the full lockWaitMs before surfacing. (Note Hadoop's
+    // local fs reports even a file-where-a-dir-should-be as
+    // FileAlreadyExistsException, so only a non-already-exists
+    // IOException takes this path.)
+    val failFs = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def create(f: Path, overwrite: Boolean)
+          : org.apache.hadoop.fs.FSDataOutputStream =
+        throw new java.io.IOException("simulated: read-only filesystem")
+    }
+    failFs.setConf(new org.apache.hadoop.conf.Configuration())
+    val parent = Files.createTempDirectory("graft-fsutil").toFile
+    val lock = new Path(parent.toString, ".idx.swap-lock")
+    val t0 = System.nanoTime()
+    val e = intercept[java.io.IOException] {
+      FsUtil.withSwapFileLock(failFs, lock, 10000L) {
+        fail("body must not run")
+      }
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(e.getMessage.contains("other than contention"), e.getMessage)
+    assert(elapsedMs < 5000, s"spun ${elapsedMs}ms on a persistent failure")
+  }
+
   test("a held swap lock times out loudly, naming the lock file") {
     val parent = Files.createTempDirectory("graft-fsutil").toFile
     val target = new Path(parent.toString, "idx")

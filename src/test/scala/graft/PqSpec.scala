@@ -119,6 +119,32 @@ class PqSpec extends SparkSpec {
     assert(nnIds.exists(_ % 2 == 0) && nnIds.exists(_ % 2 == 1))
   }
 
+  test("ingest append fails fast on a wrong-dimension batch, store untouched") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+      .toString + "/idx"
+    Similarity.ivfPqIndex(emb.filter($"vec_id" % 2 === 0), "vec_id",
+      "embedding", dim = 64, nlist = 16, residual = true).write(dir)
+    val idx = Similarity.readIvfPqIndex(s, dir, "vec_id", "embedding")
+    val before = idx.codes.count()
+    // a dim-32 batch: the dot kernel would truncate silently and
+    // encode garbage — the append must abort instead
+    val wrongDim = emb.filter($"vec_id" % 2 === 1)
+      .withColumn("embedding", slice($"embedding", 1, 32))
+    val e = intercept[Exception] {
+      Similarity.ivfPqAppendToStored(idx, wrongDim, dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("ivfPqAppendToStored")),
+      msgs(e).mkString(" | "))
+    // the aborted write committed nothing
+    val reread = Similarity.readIvfPqIndex(s, dir, "vec_id", "embedding")
+    assert(reread.codes.count() == before)
+  }
+
   test("residual (IVFADC) encoding beats raw PQ at the same code budget on clustered data") {
     val s = spark
     import s.implicits._
