@@ -261,13 +261,41 @@ object ScaleLint {
       case s: org.apache.spark.sql.execution.streaming.operators.stateful.StatefulOperator =>
         s.getClass.getSimpleName
     }
-    if (stateful.isEmpty) Nil
-    else Seq(Finding("STATEFUL_OPS", "info",
-      s"${stateful.size} stateful operator(s) in the micro-batch " +
-        s"plan (${stateful.distinct.mkString(", ")}) — per-key state " +
-        "persists across batches; verify every one is bounded by a " +
-        "watermark, TTL, or timeout, or state grows with the key " +
-        "domain forever"))
+    val inventory =
+      if (stateful.isEmpty) Nil
+      else Seq(Finding("STATEFUL_OPS", "info",
+        s"${stateful.size} stateful operator(s) in the micro-batch " +
+          s"plan (${stateful.distinct.mkString(", ")}) — per-key state " +
+          "persists across batches; verify every one is bounded by a " +
+          "watermark, TTL, or timeout, or state grows with the key " +
+          "domain forever"))
+    // the streaming cartesian, mechanically detected: a
+    // (flat)mapGroupsWithState operator with NO timeout armed and NO
+    // event-time watermark has no expiry path at all — per-key state
+    // grows with the key domain forever. timeoutConf is the user's
+    // GroupStateTimeout; watermark presence is read the way the exec's
+    // own (protected) watermarkPresent computes it — a child output
+    // attribute tagged with the watermark-delay metadata key.
+    // (eventTimeWatermarkForEviction is NOT usable: IncrementalExecution
+    // populates it with the current watermark value (Some(0)) even
+    // when the query never declared one.)
+    val unbounded = allNodes(qe.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.streaming.operators.stateful.flatmapgroupswithstate.FlatMapGroupsWithStateExec
+          if f.timeoutConf ==
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout &&
+            !f.child.output.exists(_.metadata.contains(
+              org.apache.spark.sql.catalyst.plans.logical
+                .EventTimeWatermark.delayKey)) =>
+        f.getClass.getSimpleName
+    }
+    val unboundedFindings =
+      if (unbounded.isEmpty) Nil
+      else Seq(Finding("STATEFUL_UNBOUNDED", "error",
+        s"${unbounded.distinct.mkString(", ")}: state never expires — " +
+          "no GroupStateTimeout armed and no watermark present, so " +
+          "per-key state grows with the key domain forever (the " +
+          "streaming cartesian); arm a timeout/TTL or add a watermark"))
+    inventory ++ unboundedFindings
   }
 
   /** The findings a CI gate should fail on. */

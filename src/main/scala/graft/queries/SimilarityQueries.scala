@@ -320,6 +320,59 @@ object SimilarityQueries extends QueryPack {
       },
       Some(ivfPqResidualOracleSql)),
 
+    // the serving stack actually SERVING: the same gate query vectors
+    // arrive as a STREAM (MemoryStream micro-batches) and rank
+    // against the persisted residual IVF-PQ index through
+    // StreamJobs.annLookupStream — per batch a stored-index probe
+    // only (no training, float corpus never read), each batch's
+    // results overwriting its own batch_id=<id> parquet subdir (the
+    // replay-idempotence unit: an at-least-once foreachBatch replay
+    // rewrites the same path instead of duplicating rows). The union
+    // of the batch outputs must match q_ann_ivfpq_residual's oracle
+    // bit-for-bit — q_stream_neardup's precedent, applied to the ANN
+    // serve path: streaming query, batch oracle.
+    "q_stream_ann" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        // pid- and sfDir-scoped like the other index queries; the
+        // OUTPUT and CHECKPOINT are additionally invocation-scoped
+        // (nanoTime) — a reused checkpoint would resume offsets and
+        // skip the fresh MemoryStream's batches entirely
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_stream_ann_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        val run = s"$dir/run_${System.nanoTime()}"
+        val idxDir = s"$dir/idx"
+        // rebuilt every invocation (same as q_ann_ivfpq_index): the
+        // row then always measures the same work — build + serve —
+        // instead of a pair whose second half silently reuses the
+        // first's index
+        Similarity.ivfPqIndex(emb, "vec_id", "embedding", dim = 64,
+          nlist = 16, m = 4, ksub = 16, residual = true).write(idxDir)
+        val qvecs = emb.filter(col("vec_id") % 100 === 0)
+          .select($"vec_id", $"embedding")
+          .as[(Long, Array[Float])].collect().toSeq
+        implicit val sqlCtx = s.sqlContext
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])]
+        val outDir = s"$run/out"
+        val q = graft.streaming.StreamJobs.annLookupStream(
+            input.toDS().toDF("vec_id", "embedding"), idxDir, outDir,
+            "vec_id", "embedding", k = 5, nprobe = 4)
+          .option("checkpointLocation", s"$run/ckpt").start()
+        try {
+          // three micro-batches: cross-batch union is the claim
+          qvecs.grouped(math.max(1, qvecs.size / 3 + 1)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.read.parquet(outDir)
+          .select(col("q_id"), col("nn_id"), col("rank"), col("cos"))
+      },
+      Some(ivfPqResidualOracleSql)),
+
     // cluster-balanced subsampling: k-means (IVF) cells as topic
     // strata, then a deterministic exact-k sample per cell — the
     // topic-balancing pass that keeps a web crawl's dominant clusters

@@ -39,14 +39,29 @@ object StreamHarness {
     Array[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit =
     null
 
-  /** Invoke the probe (if set) without letting a probe failure skip
+  /** Live-query observer: when set, receives each harness query
+    * while it is STILL RUNNING (after its final micro-batch, just
+    * before stop) — tools.LintReport lints the IncrementalExecution
+    * (state-store operators, stream-side exchanges) through it,
+    * which the collected batch-result frame can never show. Same
+    * contract as [[progressProbe]]: dev-tool only, JVM-global like
+    * the rest of the harness state, never set in production or gate
+    * paths. */
+  @volatile private[graft] var liveQueryProbe:
+    org.apache.spark.sql.streaming.StreamingQuery => Unit = null
+
+  /** Invoke the probes (if set) without letting a probe failure skip
     * the query stop / checkpoint cleanup that follows in the caller's
-    * finally, or mask the body's own exception. Reads the volatile
+    * finally, or mask the body's own exception. Reads each volatile
     * once — a concurrent clear can't NPE between check and call. */
   private def probeProgress(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val probe = progressProbe
     if (probe != null)
       try probe(q.recentProgress)
+      catch { case scala.util.control.NonFatal(_) => () }
+    val live = liveQueryProbe
+    if (live != null)
+      try live(q)
       catch { case scala.util.control.NonFatal(_) => () }
   }
 

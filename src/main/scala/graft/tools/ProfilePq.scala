@@ -99,6 +99,37 @@ object ProfilePq {
         f"m=4 ksub=16): " +
         f"${pq.intersect(ivfExact).size.toDouble / ivfExact.size}%.3f")
     }
+    // DERIVED-parameter operating point (the production path the
+    // fixed-16 gate rows deliberately bypass): build with no explicit
+    // nlist/nprobe, report the engaged sqrt(N) width and recall vs
+    // the float-IVF ranking at the same derived parameters. PqSpec
+    // pins the wiring on planted data; this measures it on the
+    // actual corpus at scale.
+    locally {
+      val dir3 = graft.core.FsUtil.deleteOnExit(
+        s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_derived_" +
+          ProcessHandle.current().pid())
+      timed("ivfpq DERIVED build+write (nlist=sqrt(N))") {
+        Similarity.ivfPqIndex(emb, "vec_id", "embedding", dim = 64,
+          residual = true).write(dir3)
+      }
+      val idx = Similarity.readIvfPqIndex(spark, dir3, "vec_id",
+        "embedding")
+      val nl = idx.codebook.count().toInt
+      val np = Similarity.derivedNprobe(nl)
+      val probe = timed(s"ivfpq DERIVED reload+probe (nlist=$nl nprobe=$np)") {
+        Similarity.ivfPqTopKWithIndex(q, idx, k = 5)
+          .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+      }
+      val floatRef = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+        k = 5, nlist = nl, nprobe = np)
+        .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+      println(f"[pq-profile] DERIVED nlist=$nl (n=$n, " +
+        f"expected ${Similarity.derivedNlist(n)}) nprobe=$np " +
+        f"scanned-fraction=${np.toDouble / nl}%.3f")
+      println(f"[pq-profile] DERIVED recall@5 vs ivf-float same params: " +
+        f"${probe.intersect(floatRef).size.toDouble / floatRef.size}%.3f")
+    }
     spark.stop()
   }
 }

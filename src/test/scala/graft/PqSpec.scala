@@ -145,6 +145,73 @@ class PqSpec extends SparkSpec {
     assert(reread.codes.count() == before)
   }
 
+  test("derived parameters engage end-to-end: sqrt(N) codebook, ratio probe width, recall floor") {
+    // The oracle gate pins nlist=16 for determinism — exactly the
+    // fixed-constant trap derivedNlist exists to close (a constant
+    // carried to 100x the data scans 100x per probe). This is the
+    // derived path's own standing evidence: build with NO explicit
+    // parameters and assert the derivation actually engaged, so a
+    // constant hardcoded back into the build or probe path fails
+    // here even while every oracle row stays green.
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    // clustered corpus (same planted structure as the residual test),
+    // N = 1024 so sqrt(N) = 32 sits ABOVE the 16 floor — the test
+    // can tell derivation from the floor constant
+    val rows = (0 until 1024).map { i =>
+      val c = i % 8
+      val b = (i / 8) % 16
+      val vec = Array.tabulate(dim) { d =>
+        val center = if (d % 8 == c) 10.0f else 0.0f
+        val bump = if (d == 32 + b) 2.0f else 0.0f
+        center + bump + (((i * 131 + d * 17) % 19) - 9) * 0.002f
+      }
+      (i.toLong, vec)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val n = df.count()
+    val nl = Similarity.derivedNlist(n)
+    assert(nl == math.round(math.sqrt(n.toDouble)).toInt && nl > 16,
+      s"derivedNlist($n)=$nl — expected sqrt-sizing above the floor")
+    val np = Similarity.derivedNprobe(nl)
+    assert(np == nl / 4, s"derivedNprobe($nl)=$np — ratio rule broken")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+      .toString + "/idx"
+    // no nlist argument: the build must derive
+    Similarity.ivfPqIndex(df, "vec_id", "embedding", dim = dim,
+      residual = true).write(dir)
+    val idx = Similarity.readIvfPqIndex(s, dir, "vec_id", "embedding")
+    assert(idx.codebook.count() == nl,
+      s"stored codebook has ${idx.codebook.count()} cells — a " +
+        s"hardcoded constant replaced derivedNlist($n)=$nl")
+
+    val q = df.filter($"vec_id" % 50 === 0)
+    // no nprobe argument: the probe must derive nl/4 — bit-identical
+    // to passing it explicitly, and NOT collapsed to a narrow probe
+    val derived = Similarity.ivfPqTopKWithIndex(q, idx, k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val explicit = Similarity.ivfPqTopKWithIndex(q, idx, k = 5,
+      nprobe = np).as[(Long, Long, Long, Double)].collect().toSet
+    assert(derived == explicit,
+      "nprobe=0 diverged from the explicit derived probe width")
+    val narrow = Similarity.ivfPqTopKWithIndex(q, idx, k = 5,
+      nprobe = 1).as[(Long, Long, Long, Double)].collect().toSet
+    assert(derived != narrow,
+      "derived probe indistinguishable from nprobe=1 — wiring broken")
+
+    // quality of the derived operating point: recall@5 against the
+    // float-scoring IVF ranking at the SAME derived parameters
+    val ref = Similarity.ivfTopK(q, df, "vec_id", "embedding", k = 5,
+        nlist = nl, nprobe = np)
+      .select($"q_id", $"nn_id").as[(Long, Long)].collect().toSet
+    val got = derived.map(t => (t._1, t._2))
+    val recall = got.intersect(ref).size.toDouble / ref.size
+    info(f"derived-path recall@5 vs ivf-float (nlist=$nl nprobe=$np): $recall%.3f")
+    assert(recall >= 0.5, s"derived-path recall@5=$recall < 0.5 floor")
+  }
+
   test("residual (IVFADC) encoding beats raw PQ at the same code budget on clustered data") {
     val s = spark
     import s.implicits._

@@ -204,6 +204,59 @@ class ScaleLintSpec extends SparkSpec {
     }
   }
 
+  test("STATEFUL_UNBOUNDED: no-timeout no-watermark state flags as error; a TTL clears it") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.{Dataset => SDs}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    // both cases run the same NoTimeout fold; only the watermark
+    // differs. (A ProcessingTimeTimeout variant is untestable here:
+    // even unarmed, the conf makes processAllAvailable rerun no-data
+    // batches — the StreamHarness scaladoc's hang — and the lint
+    // reads the conf, which the first case already covers.)
+    def runCase(name: String,
+        prep: SDs[(Int, java.sql.Timestamp)] => SDs[(Int, java.sql.Timestamp)])
+        : Seq[ScaleLint.Finding] = {
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Int, java.sql.Timestamp)]
+      val counted = prep(input.toDS()).groupByKey(_._1 % 10)
+        .flatMapGroupsWithState[Long, (Int, Long)](
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          GroupStateTimeout.NoTimeout) {
+          (k: Int, vs: Iterator[(Int, java.sql.Timestamp)],
+              st: GroupState[Long]) =>
+            val n = st.getOption.getOrElse(0L) + vs.size
+            st.update(n)
+            Iterator.single((k, n))
+        }
+      val q = counted.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData((1 to 50).map(i =>
+          (i, new java.sql.Timestamp(i * 1000L))): _*)
+        q.processAllAvailable()
+        ScaleLint.lintStreamingQuery(q).getOrElse(Nil)
+      } finally {
+        q.stop()
+        s.sql(s"DROP VIEW IF EXISTS $name")
+      }
+    }
+    // NoTimeout + no watermark: state has no expiry path at all —
+    // the streaming cartesian must flag at error severity
+    val bad = runCase("lint_unbounded_bad", identity)
+    val flag = bad.find(_.code == "STATEFUL_UNBOUNDED")
+    assert(flag.isDefined, bad.map(_.code))
+    assert(flag.get.severity == "error")
+    // the same fold downstream of a watermark is bounded — no flag
+    // (the watermark metadata must survive into the stateful op's
+    // child output, which it does when tagged before groupByKey)
+    val good = runCase("lint_unbounded_good",
+      ds => ds.withWatermark("_2", "0 milliseconds"))
+    assert(!good.exists(_.code == "STATEFUL_UNBOUNDED"),
+      good.map(_.code))
+  }
+
   test("every registry query lints clean of error-severity findings") {
     // the automated form of the per-query PlanSpec audits: no benched
     // query may plan a cartesian or a global window. Two documented
