@@ -22,9 +22,10 @@ object Verify {
 
   /** Queries that mutate JVM-global harness state (StreamHarness
     * clock + session shuffle-partition conf) — must not overlap any
-    * other query. Shared with tools.LintReport, which marks these
-    * rows "streaming" instead of linting their batch-result frame
-    * (whose empty plan would read as a misleading 0 shuffles). */
+    * other query. Shared with tools.LintReport, which drives these
+    * rows' MemoryStream feeds LIVE and lints the actual micro-batch
+    * execution through StreamHarness.liveQueryProbe (linting their
+    * batch-result frame would read a misleading 0 shuffles). */
   val harnessBound = Set(
     "q_stream_tumbling_fold", "q_stream_session_fold",
     "q_stream_ttl_join", "q_stream_task", "q_bootstrap_chooser",

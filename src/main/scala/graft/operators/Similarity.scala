@@ -511,6 +511,83 @@ object Similarity {
   /** Target expected rows per SRP bucket for [[derivedPlanes]]. */
   val SrpTargetOccupancy = 256L
 
+  /** Background-similarity histogram: pairwise cosines among a
+    * deterministic md5-ordered sample of `sampleN` vectors, bucketed
+    * engine-side into `binWidth` bins over [-1, 1]. The sample
+    * cartesian is DELIBERATE and bounded (sampleN²/2 pairs ≈ 0.5M at
+    * the default — one narrow broadcast-loop stage over driver-small
+    * inputs); only |bins| rows reach the driver (same bounded-action
+    * class as the mixture rate table). Zero-norm vectors are excluded
+    * (undefined cosine). This is the measurement behind
+    * [[derivedDedupThreshold]]: a corpus's random-pair cosines
+    * concentrate around a mode set by its embedding geometry, and a
+    * dedup threshold at or below that mode turns the duplicate graph
+    * into a similarity graph (the round-10 28-min hang). */
+  def backgroundCosineHistogram(df: DataFrame, idCol: String,
+      vecCol: String, sampleN: Int = 1024, binWidth: Double = 0.02)
+      : Seq[(Double, Long)] = {
+    val sample = df
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__nrm", norm(col("__v")))
+      .filter(col("__nrm") > 0)
+      .withColumn("__h", md5(col("__id").cast("string")))
+      .orderBy(col("__h")).limit(sampleN) // TakeOrdered, no full sort
+    val a = sample.select(col("__h").as("__ha"), col("__v").as("__va"),
+      col("__nrm").as("__na"))
+    val b = sample.select(col("__h").as("__hb"), col("__v").as("__vb"),
+      col("__nrm").as("__nb"))
+    val cos = dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
+    a.join(b, col("__ha") < col("__hb")) // each unordered pair once
+      .select(floor((cos + lit(1.0)) / binWidth).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (-1.0 + (r.getInt(0) + 0.5) * binWidth, r.getLong(1)))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Mode of a [[backgroundCosineHistogram]]: the densest bin's
+    * center (ties break to the lowest — conservative, since the
+    * derived threshold must clear the mode from above). */
+  def histogramMode(hist: Seq[(Double, Long)]): Double = {
+    require(hist.nonEmpty, "histogramMode: empty histogram")
+    hist.minBy(t => (-t._2, t._1))._1
+  }
+
+  /** Derived semantic-dedup threshold — the measured form of the
+    * operating rule BASELINE.md states as advice ("keep τ above the
+    * corpus's background-similarity mode"): the smallest bin-grid τ
+    * that (a) sits strictly above the background mode and (b) whose
+    * estimated background tail keeps the expected duplicate-graph
+    * average degree ≤ `targetDegree` (default 8 — comfortably under
+    * [[Dedup.denseDegreeLimit]]'s 32, so a corpus deduped at the
+    * derived τ never trips the density guard). Tail estimation:
+    * P(cos ≥ τ) from the sample histogram × (n−1) candidates per
+    * node. Clamped to [0.1, 0.95]; a corpus whose background is so
+    * tight that even the floor satisfies the degree target derives
+    * the floor. Like [[derivedPlanes]], deriving runs extra actions
+    * over `df` (a count when `knownCount` < 0, plus the bounded
+    * sample cartesian) — callers with expensive upstreams persist
+    * `df` or pass `knownCount`. Explicit thresholds always win:
+    * this is the default-parameter path, not a cap. */
+  def derivedDedupThreshold(df: DataFrame, idCol: String,
+      vecCol: String, targetDegree: Double = 8.0, sampleN: Int = 1024,
+      binWidth: Double = 0.02, knownCount: Long = -1L): Double = {
+    val n = if (knownCount >= 0) knownCount else df.count()
+    val hist = backgroundCosineHistogram(df, idCol, vecCol, sampleN,
+      binWidth)
+    if (hist.isEmpty || n < 2) return 0.5 // degenerate corpus: any τ
+    val total = hist.map(_._2).sum.toDouble
+    val mode = histogramMode(hist)
+    val centers = hist.map(_._1)
+    // smallest grid τ above the mode whose background tail meets the
+    // degree target; the scan is over |bins| driver-local rows
+    val candidate = centers.filter(_ > mode).find { c =>
+      val tail = hist.filter(_._1 >= c).map(_._2).sum.toDouble
+      tail / total * (n - 1) <= targetDegree
+    }.getOrElse(0.95)
+    math.min(0.95, math.max(0.1, candidate))
+  }
+
   /** Approximate near-dup via SRP-LSH blocking: same output contract as
     * [[blockedNearDup]] but candidates come from SRP buckets — the
     * 100 TB path when no natural blocking column exists. Misses pairs

@@ -27,9 +27,23 @@ object ProfileSemantic {
     import graft.operators.{Curation, Dedup, Similarity}
 
     val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
-    emb.persist(); emb.count()
+    emb.persist()
+    val n = emb.count()
 
-    ts.foreach { t =>
+    // the measured operating rule: estimate the corpus's background
+    // cosine mode and the derived threshold (expected degree ≤ 8 —
+    // under the density guard's 32), then include the derived τ in
+    // the sweep so "derived never trips the guard" is a recorded
+    // row, not an assertion
+    val hist = Similarity.backgroundCosineHistogram(emb, "vec_id",
+      "embedding")
+    val mode = Similarity.histogramMode(hist)
+    val derived = Similarity.derivedDedupThreshold(emb, "vec_id",
+      "embedding", knownCount = n)
+    println(f"[semantic] background mode=$mode%.3f derived_t=$derived%.3f " +
+      f"(n=$n, sample pairs=${hist.map(_._2).sum})")
+
+    (ts :+ derived).distinct.foreach { t =>
       val t0 = System.nanoTime()
       val pairs = Similarity.lshNearDup(emb, "vec_id", "embedding",
         dim = 64, threshold = t)

@@ -171,6 +171,56 @@ class SimilaritySpec extends SparkSpec {
     nd.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("background-cosine mode estimator and derived dedup threshold on planted data") {
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    // background: deterministic pseudo-random ±1 sign vectors —
+    // pairwise cosines concentrate tightly around 0 (sd = 1/√dim =
+    // 0.125); planted on top: 30 exact-duplicate pairs (cos = 1).
+    // The estimator must read the BACKGROUND mode (≈0), not get
+    // dragged toward the planted dups' spike at 1.
+    def sign(i: Long, d: Int): Float = {
+      // murmur-style finalizer: a plain linear mix leaves the parity
+      // bit correlated across (i, d) and skews the planted "random"
+      // cosines (first attempt measured mode −0.53)
+      var x = i * 0x9E3779B97F4A7C15L + d * 0xC2B2AE3D27D4EB4FL
+      x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^= (x >>> 33)
+      if ((x & 1L) == 0L) 1f else -1f
+    }
+    val background = (0L until 1200L).map { i =>
+      (i, Array.tabulate(dim)(d => sign(i, d)))
+    }
+    val planted = (0 until 30).map { j =>
+      (10000L + j, background(j * 7)._2) // duplicate of an existing row
+    }
+    val df = (background ++ planted).toDF("vec_id", "embedding")
+
+    val hist = Similarity.backgroundCosineHistogram(df, "vec_id",
+      "embedding")
+    val mode = Similarity.histogramMode(hist)
+    assert(math.abs(mode) <= 0.05, s"mode=$mode — expected ≈0 for ±1 signs")
+
+    val n = df.count()
+    val derived = Similarity.derivedDedupThreshold(df, "vec_id",
+      "embedding", knownCount = n)
+    // above the mode by construction, far below the planted dups'
+    // cosine — so dedup at the derived τ still catches every planted
+    // pair while random pairs stay (estimated) below the degree target
+    assert(derived > mode, s"derived=$derived mode=$mode")
+    assert(derived < 0.9, s"derived=$derived — should sit near the " +
+      "background tail (sd 0.125 → a few sd above 0), not at the clamp")
+    assert(derived >= 0.1)
+    // the degree target actually holds on the sample's own estimate
+    val total = hist.map(_._2).sum.toDouble
+    val tail = hist.filter(_._1 >= derived).map(_._2).sum.toDouble
+    assert(tail / total * (n - 1) <= 8.0 + 1e-9,
+      s"tail estimate ${tail / total * (n - 1)} exceeds the target")
+    // determinism: same corpus, same histogram
+    assert(hist == Similarity.backgroundCosineHistogram(df, "vec_id",
+      "embedding"))
+  }
+
   test("persisted IVF index reloads to the identical probe result") {
     val s = spark
     import s.implicits._
