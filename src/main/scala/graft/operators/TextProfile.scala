@@ -164,6 +164,135 @@ object TextProfile {
         col("__e.tb.df").as("df"))
   }
 
+  /** Okapi BM25 top-k retrieval (k1 = 1.2, b = 0.75) — the lexical
+    * retrieval pass an LLM-data pipeline runs for eval-set mining,
+    * fuzzy decontamination triage, and RAG-style lookup over the
+    * corpus. Scoring is QUANTIZED TO EXACT INTEGERS end-to-end, the
+    * same no-ln() cross-engine discipline as [[topTerms]]:
+    *
+    *  - idf: the Lucene-BM25 form log(1 + odds) with odds the
+    *    Robertson ratio (N−df+0.5)/(df+0.5) = (2N−2df+1)/(2df+1),
+    *    at log2 granularity — idf = floor(log2(1+odds_int))+1 =
+    *    length(bin(1 + odds_int)) with odds_int the integer
+    *    quotient (so idf ≥ 1 always, as in Lucene — no negative-idf
+    *    branch). A log base only rescales BM25 (log_b x = ln x /
+    *    ln b), so log2 keeps the score family; computing it as the
+    *    bit length of an integer makes it exact on every engine,
+    *    where a float ln() is only faithful to 1 ulp and floor() of
+    *    it can differ.
+    *  - `stopwordCut` (default ON — the production setting) prunes
+    *    terms with df > N/2 from retrieval entirely: the classic
+    *    posting-list stopword cut, which bounds posting volume (the
+    *    inherent exact-BM25 cost) by removing exactly the terms that
+    *    dominate it. The GATE query disables it because the
+    *    synthetic corpus's ~31-word vocabulary is near-universal
+    *    (every term df ≈ 0.8N — the cut would empty retrieval);
+    *    real corpora hit the cut only on actual stopwords.
+    *  - tf-norm: tf·(k1+1)/(tf + k1(1−b+b·len/avgdl)) cleared of its
+    *    rational constants with avgdl = T/D (T = total tokens, D =
+    *    docs): 22·T·tf / (10·T·tf + 3·T + 9·len·D) — exact integers.
+    *  - per-term contribution = (idf · 22·T·tf · 10⁴) DIV
+    *    (10·T·tf + 3·T + 9·len·D), accumulated in DECIMAL(38,0)
+    *    (the numerator passes int64 at sf10 token volumes already;
+    *    DECIMAL(38,0) holds through ~10¹³ tokens = the 100 TB
+    *    corpus); score = Σ contributions, an exact BIGINT in basis
+    *    points of tf-norm.
+    *
+    * Scale shape: per-doc tf is one token-volume-bounded shuffle; the
+    * term-keyed df reduction reuses that partitioning; the query side
+    * broadcasts (a query set is always driver-small next to the
+    * corpus); candidate scoring shuffles on (query, doc) with
+    * map-side partial sums, and per-query top-k runs on the
+    * bounded-heap aggregate — ≤ k rows per query per task, never a
+    * window over the candidate set. The inherent exact-BM25 cost is
+    * the posting volume Σ_t df(t) over query terms; the stopword cut
+    * above removes exactly the terms that dominate it.
+    *
+    * Returns (q_id, rank, doc_id-named-as-idCol, score). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int = 5, stopwordCut: Boolean = true): DataFrame = {
+    val toks = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("__len"),
+        explode(col("__toks")).as("term"))
+    val tfLen = toks
+      .groupBy(col(idCol), col("__len"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val nDocs = docs.count()
+    val totTokens = toks.count()
+    bm25Agg(tfLen, idCol, queries, qIdCol, qTextCol,
+      dfreq = tfLen.groupBy(col("term")).agg(count(lit(1)).as("__df")),
+      totTokens = totTokens, nDocs = nDocs, k = k,
+      stopwordCut = stopwordCut)
+  }
+
+  /** [[bm25TopK]] scored against a STORED corpus profile — the
+    * amortized form, same contract as [[tokenRarityWithProfile]]:
+    * df/N/avgdl come from the CorpusProfile store (per-stratum dfs
+    * and token counts sum to corpus-wide — strata partition the
+    * corpus), so retrieval over a 100 TB corpus pays the per-doc tf
+    * pass and the posting join but never a corpus-wide stats rescan.
+    * Bit-identical to [[bm25TopK]] when the profile covers exactly
+    * `docs` (q_text_bm25's shared-oracle discipline would gate it;
+    * TextKernelsSpec pins the parity). */
+  def bm25TopKWithProfile(docs: DataFrame, idCol: String,
+      textCol: String, queries: DataFrame, qIdCol: String,
+      qTextCol: String, profile: CorpusProfile.Profile,
+      k: Int = 5, stopwordCut: Boolean = true): DataFrame = {
+    val agg = CorpusProfile.aggregated(profile)
+    val toks = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("__len"),
+        explode(col("__toks")).as("term"))
+    val tfLen = toks
+      .groupBy(col(idCol), col("__len"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val totals = agg.strata
+      .agg(sum(col("docs")).as("d"), sum(col("tokens")).as("t")).head()
+    bm25Agg(tfLen, idCol, queries, qIdCol, qTextCol,
+      dfreq = agg.tokens.groupBy(col("token"))
+        .agg(sum(col("df")).as("__df"))
+        .withColumnRenamed("token", "term"),
+      totTokens = totals.getLong(1), nDocs = totals.getLong(0), k = k,
+      stopwordCut = stopwordCut)
+  }
+
+  private def bm25Agg(tfLen: DataFrame, idCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      dfreq: DataFrame, totTokens: Long, nDocs: Long,
+      k: Int, stopwordCut: Boolean): DataFrame = {
+    // optional stopword cut (see bm25TopK scaladoc); the Lucene-form
+    // 1+odds keeps the integer quotient's bit length >= 1 for every
+    // term, so uncut common terms score with idf 1 instead of
+    // dropping out
+    val cut =
+      if (stopwordCut) dfreq.filter(col("__df") * 2 <= nDocs) else dfreq
+    val keptDf = cut
+      .withColumn("__idf", length(bin(
+        expr(s"1 + (2 * ${nDocs}L - 2 * __df + 1) DIV (2 * __df + 1)")))
+        .cast("long"))
+    val qterms = queries
+      .select(col(qIdCol).as("q_id"),
+        explode(tokens(col(qTextCol))).as("term"))
+      .distinct()
+    val contrib = expr(
+      s"(CAST(__idf AS DECIMAL(38,0)) * 22 * ${totTokens}L * __tf " +
+        s"* 10000) DIV (10 * CAST(${totTokens}L AS DECIMAL(38,0)) " +
+        s"* __tf + 3 * ${totTokens}L + 9 * __len * ${nDocs}L)")
+    val scored = tfLen
+      .join(keptDf, "term")
+      .join(broadcast(qterms), "term")
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(contrib).cast("long").as("score"))
+    scored.groupBy(col("q_id"))
+      .agg(graft.plans.GraftCall(graft.plans.VectorExpressions.TopKName,
+        struct(col("score"), col(idCol).as("tb")), lit(k)).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("q_id"), (col("__pos") + 1).cast("long").as("rank"),
+        col("__e.tb").as(idCol), col("__e.score").as("score"))
+  }
+
   /** Per-stratum token-length distribution — the profiling pass run
     * before choosing packing budgets and length-filter thresholds.
     * Returns (stratum, n_docs, min_tok, max_tok, p25, p50, p75, p90);

@@ -146,6 +146,68 @@ object TextQueries extends QueryPack {
              |LIMIT 50
              |""".stripMargin)),
 
+    // Okapi BM25 top-k retrieval, integer-exact (TextProfile.bm25TopK
+    // scaladoc: Lucene-form log2-granular idf via integer bit
+    // length — a log base only rescales BM25 — rational tf-norm
+    // cleared to integers, DECIMAL(38,0) accumulation). Queries =
+    // every 100th document's first 6 tokens; the oracle replays
+    // tokenize → tf/df → quantized idf·tf-norm contribution → sum →
+    // rank bit-for-bit. stopwordCut=false here: the synthetic
+    // corpus's ~31-word vocabulary is near-universal (df ≈ 0.8N for
+    // every term), so the production df>N/2 cut would empty
+    // retrieval — on real corpora it only removes actual stopwords
+    // and is the default.
+    "q_text_bm25" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val queries = docs.filter($"doc_id" % 100 === 0)
+          .select($"doc_id".as("q_id"),
+            concat_ws(" ", slice(tokens($"text"), 1, 6)).as("qtext"))
+        graft.operators.TextProfile.bm25TopK(docs, "doc_id", "text",
+          queries, "q_id", "qtext", k = 5, stopwordCut = false)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    len(string_split_regex(trim(text), '\s+')) AS len,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, len, term, count(*) AS tf
+             |       FROM tok GROUP BY 1, 2, 3),
+             |tot AS (SELECT count(*) AS nd FROM documents),
+             |tt AS (SELECT CAST(count(*) AS HUGEINT) AS t FROM tok),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |kept AS (
+             |  SELECT term,
+             |    CAST(length(bin(1 + (2 * (SELECT nd FROM tot) - 2 * df + 1)
+             |      // (2 * df + 1))) AS HUGEINT) AS idf
+             |  FROM dfq),
+             |qt AS (
+             |  SELECT DISTINCT q_id, term FROM (
+             |    SELECT doc_id AS q_id,
+             |      unnest((string_split_regex(trim(text), '\s+'))[1:6])
+             |        AS term
+             |    FROM documents WHERE doc_id % 100 = 0)),
+             |posting AS (
+             |  SELECT qt.q_id, tf.doc_id,
+             |    (kept.idf * 22 * (SELECT t FROM tt) * tf.tf * 10000)
+             |      // (10 * (SELECT t FROM tt) * tf.tf
+             |         + 3 * (SELECT t FROM tt)
+             |         + 9 * CAST(tf.len AS HUGEINT) * (SELECT nd FROM tot))
+             |      AS contrib
+             |  FROM qt JOIN tf USING (term) JOIN kept USING (term)),
+             |scored AS (
+             |  SELECT q_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score
+             |  FROM posting GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT q_id, doc_id, score,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY score DESC, doc_id ASC) AS rn
+             |  FROM scored)
+             |SELECT q_id, CAST(rn AS BIGINT) AS rank, doc_id, score
+             |FROM ranked WHERE rn <= 5
+             |""".stripMargin)),
+
     // the composed corpus-cleaning pipeline a training-data job runs:
     // fingerprint dedup (keep smallest id) → quality gate → language
     // gate → token accounting. One narrow pass + one dedup shuffle —

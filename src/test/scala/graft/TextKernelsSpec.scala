@@ -496,6 +496,67 @@ class TextKernelsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("bm25: profile-fed scoring is bit-identical; ranking and cut behave") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.sources.Tables.load(s, sf001, "documents")
+    val queries = docs.filter($"doc_id" % 50 === 0)
+      .select($"doc_id".as("q_id"), concat_ws(" ",
+        slice(graft.functions.TextFunctions.tokens($"text"), 1, 6))
+        .as("qtext"))
+    val fresh = graft.operators.TextProfile.bm25TopK(docs, "doc_id",
+      "text", queries, "q_id", "qtext", k = 5, stopwordCut = false)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fresh.nonEmpty)
+    // ranking invariants per query: ranks are 1..5, scores
+    // non-increasing in rank with the doc-id ascending tie-break
+    // (NOT self-retrieval-at-1 — on this corpus's ~31-word universal
+    // vocabulary every idf is 1 and length normalization legitimately
+    // favors short docs over the query's own source document)
+    fresh.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.toSeq.sortBy(_._2)
+      assert(byRank.map(_._2) == (1L to byRank.size).toSeq, s"q=$q")
+      byRank.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+            s"q=$q order violated: $a then $b")
+        case _ => ()
+      }
+      assert(rows.forall(_._4 > 0), s"q=$q non-positive score")
+    }
+    // the amortized form: df / N / avgdl from a CorpusProfile store
+    // must not change a single bit (same contract as
+    // tokenRarityWithProfile)
+    val prof = graft.operators.CorpusProfile.build(docs, "doc_id",
+      "lang", "text")
+    val viaProfile = graft.operators.TextProfile.bm25TopKWithProfile(
+      docs, "doc_id", "text", queries, "q_id", "qtext", prof, k = 5,
+      stopwordCut = false)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaProfile == fresh)
+    // the production stopword cut: on a corpus with a genuinely rare
+    // term and a universal one, the universal term stops
+    // contributing — the rare-term doc outranks a doc with more
+    // total matches once the common term is cut
+    val tiny = Seq(
+      (1L, "the the the rare"),
+      (2L, "the the the the the the"),
+      (3L, "the common words here"),
+      (4L, "the of it and")).toDF("doc_id", "text")
+    val q1 = Seq((100L, "the rare")).toDF("q_id", "qtext")
+    val cut = graft.operators.TextProfile.bm25TopK(tiny, "doc_id",
+      "text", q1, "q_id", "qtext", k = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    // "the" (df=4=N) is cut; only "rare" (df=1) scores → doc 1 alone
+    assert(cut.map(_._3) == Seq(1L), cut.toString)
+    // the bounded-heap plan, not a window
+    val plan = graft.operators.TextProfile.bm25TopK(docs, "doc_id",
+      "text", queries, "q_id", "qtext", k = 5, stopwordCut = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("length quantiles: exact interpolation, approx within tolerance") {
     val s = spark
     import s.implicits._
