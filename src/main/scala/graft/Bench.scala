@@ -204,6 +204,18 @@ object Bench {
     // keeps full precision. The emitter picks the smallest level that
     // fits; the 78-query idle line sits ~30 bytes under budget at
     // level 0.
+    // io probes get 3 decimals everywhere: their signal band is
+    // 0.004-0.05 s, so the 2-decimal query format would quantize a
+    // warm 4 ms read to "0" and turn every later probe into an
+    // infinite apparent ratio — the CPU-vs-I/O labeling the vector
+    // exists for needs the millisecond digits (the vector is ~14
+    // entries × ~6 bytes; the breach-only line has the room)
+    def fmtIo(v: Double): String = {
+      val s = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
     def fmt(level: Int)(v: Double): String = {
       def dec(d: Int): String = {
         val s = s"%.${d}f".formatLocal(java.util.Locale.ROOT, v)
@@ -400,7 +412,7 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"cal":${f(cal)},""" +
         s""""cal2":${f(cal2)},$burstField""" +
         s""""mcal":[${midCals.map(f).mkString(",")}],""" +
-        s""""io":[${ioCals.map(f).mkString(",")}],""" +
+        s""""io":[${ioCals.map(fmtIo).mkString(",")}],""" +
         s""""nq":${results.size},"queries":$qs,"sf":"$sfName",""" +
         s""""rps":${throughput.toLong}}"""
     }
@@ -421,7 +433,7 @@ object Bench {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
       val mcal = s""""mcal":[${midCals.map(f).mkString(",")}],""" +
-        s""""io":[${ioCals.map(f).mkString(",")}],"""
+        s""""io":[${ioCals.map(fmtIo).mkString(",")}],"""
       val cal3Field = cal3.map(c => s""""cal3":${f(c)},""").getOrElse("")
       // retried rows at full fidelity: name -> [original, retry]
       val retryField =

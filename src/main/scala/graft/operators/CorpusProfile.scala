@@ -220,31 +220,25 @@ object CorpusProfile {
     * hapax in two batches is not hapax in their union), which is the
     * point of storing the table and deriving the scalars at read. */
   def stats(p: Profile): DataFrame = {
-    val agg = aggregated(p)
-    val vocab = agg.tokens.groupBy(col("stratum"))
-      .agg(count(lit(1)).as("vocab"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("hapax"),
-        sum(col("tf")).as("__tokmass"))
-    // FULL join: a stratum whose documents contain no tokens at all
-    // has strata rows but no token rows (inner join would drop it
-    // from the summary), and — the torn-append case — a stratum can
-    // have token rows with NO strata row at all (a crash between
-    // [[append]]'s tokens-first write and its strata commit marker,
-    // on that stratum's first batch), which a strata-driven left
-    // join could never see.
-    val joined = agg.strata.join(vocab, Seq("stratum"), "full")
-    // the summary is |strata| rows — persisting it means the
-    // consistency check below and the caller's own action share one
-    // computation of the corpus-sized token aggregation instead of
-    // running it twice (harness clears the session cache per query;
-    // the entry is |strata| rows either way)
-    joined.persist()
     // half-applied-append detection (the window [[append]]'s scaladoc
     // documents): token mass present without its strata commit
-    // marker. One bounded action over |strata| rows — same class as
-    // the mixture rate table.
-    val torn = joined
-      .filter(col("__tokmass") > coalesce(col("tokens"), lit(0L)))
+    // marker. This check is its OWN plan — a map-side-combined
+    // token-mass aggregate full-joined against the strata sums, one
+    // bounded action over |strata| rows (same class as the mixture
+    // rate table) — rather than a persisted fork of the returned
+    // summary: persisting the shared frame would leak a cache entry
+    // per call for library callers outside the harness's
+    // clear-cache-per-query convention, and would hide the summary's
+    // real aggregation plan behind an InMemoryTableScan, blinding
+    // ScaleLint/PLANS.md to it. The FULL join matters: a crash on a
+    // NEW stratum's first batch leaves token rows with no strata row
+    // at all, which a strata-driven join could never see.
+    val tokMass = p.tokens.groupBy(col("stratum"))
+      .agg(sum(col("tf")).as("__tokmass"))
+    val committed = p.strata.groupBy(col("stratum"))
+      .agg(sum(col("tokens")).as("__tokens"))
+    val torn = tokMass.join(committed, Seq("stratum"), "full")
+      .filter(col("__tokmass") > coalesce(col("__tokens"), lit(0L)))
       .select(col("stratum")).collect().map(_.get(0)).toSeq
     if (torn.nonEmpty)
       System.err.println(
@@ -257,9 +251,15 @@ object CorpusProfile {
           "rebuild the store from the corpus with write(build(...)); " +
           "until then token-derived stats (vocab/hapax/tf) " +
           "over-count those strata by the torn batch.")
-    joined.filter(col("docs").isNotNull)
+    val agg = aggregated(p)
+    val vocab = agg.tokens.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("hapax"))
+    // left join + zero-fill: a stratum whose documents contain no
+    // tokens at all has strata rows but no token rows, and an inner
+    // join would silently drop it from the summary
+    agg.strata.join(vocab, Seq("stratum"), "left")
       .na.fill(0L, Seq("vocab", "hapax"))
-      .drop("__tokmass")
       .withColumnRenamed("stratum", p.strataCol)
   }
 }

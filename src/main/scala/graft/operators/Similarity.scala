@@ -249,10 +249,24 @@ object Similarity {
     val c = ivfPrep(newCorpus, index.idCol, index.vecCol)
     val extra =
       if (cents.isEmpty) emptyAssigned(c)
-      else assignCells(c, centArrOf(cents))
+      else assignCells(requireDim(c, cents.head._2.length,
+        "ivfAppendToStored"), centArrOf(cents))
     extra.write.mode("append").parquet(s"$dir/assigned.parquet")
     index.copy(assigned = index.assigned.unionByName(extra))
   }
+
+  /** Fail fast when a batch row's vector dimension differs from the
+    * index's: the dot kernel truncates to min(length), so a
+    * mismatched batch would silently assign/encode garbage into a
+    * STORED index (same discipline as CorpusProfile.append's
+    * requireParamsMatch). Rides the row pipeline via assert_true —
+    * every row is checked, mixed-dim batches included — and a task
+    * failure aborts any parquet append uncommitted. */
+  private def requireDim(prepped: DataFrame, dim: Int,
+      op: String): DataFrame =
+    prepped.filter(assert_true(size(col("nn_vec")) === dim,
+      concat(lit(s"$op: batch vector dim "), size(col("nn_vec")),
+        lit(s" != index dim $dim"))).isNull)
 
   /** Reload a stored [[IvfIndex]]. The column params must match the
     * ones the index was built with — same contract as constructing a
@@ -374,7 +388,8 @@ object Similarity {
     val c = ivfPrep(newCorpus, index.idCol, index.vecCol)
     val extra =
       if (cents.isEmpty) emptyAssigned(c)
-      else assignCells(c, centArrOf(cents))
+      else assignCells(requireDim(c, cents.head._2.length,
+        "ivfIndexAppend"), centArrOf(cents))
     index.copy(assigned = index.assigned.unionByName(extra))
   }
 
@@ -537,8 +552,14 @@ object Similarity {
     val b = sample.select(col("__h").as("__hb"), col("__v").as("__vb"),
       col("__nrm").as("__nb"))
     val cos = dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
+    // clamp the top bin: cos == 1.0 exactly (duplicate vectors) and
+    // any float overshoot past 1 would otherwise land in a bin whose
+    // center (1 + binWidth/2) lies outside the cosine domain — and
+    // leak an impossible τ candidate into derivedDedupThreshold's grid
+    val lastBin = math.round(2.0 / binWidth).toInt - 1
     a.join(b, col("__ha") < col("__hb")) // each unordered pair once
-      .select(floor((cos + lit(1.0)) / binWidth).cast("int").as("bin"))
+      .select(least(floor((cos + lit(1.0)) / binWidth).cast("int"),
+        lit(lastBin)).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
       .collect()
       .map(r => (-1.0 + (r.getInt(0) + 0.5) * binWidth, r.getLong(1)))
@@ -573,8 +594,16 @@ object Similarity {
       vecCol: String, targetDegree: Double = 8.0, sampleN: Int = 1024,
       binWidth: Double = 0.02, knownCount: Long = -1L): Double = {
     val n = if (knownCount >= 0) knownCount else df.count()
-    val hist = backgroundCosineHistogram(df, idCol, vecCol, sampleN,
-      binWidth)
+    derivedDedupThreshold(
+      backgroundCosineHistogram(df, idCol, vecCol, sampleN, binWidth),
+      n, targetDegree)
+  }
+
+  /** The pure derivation over an already-computed histogram — use
+    * this form when the caller also reports the histogram/mode
+    * (ProfileSemantic), so the sample cartesian runs once. */
+  def derivedDedupThreshold(hist: Seq[(Double, Long)], n: Long,
+      targetDegree: Double): Double = {
     if (hist.isEmpty || n < 2) return 0.5 // degenerate corpus: any τ
     val total = hist.map(_._2).sum.toDouble
     val mode = histogramMode(hist)
@@ -1084,18 +1113,8 @@ object Similarity {
     require(cents.nonEmpty && cbs.nonEmpty,
       s"ivfPqAppendToStored: index has empty codebooks — rebuild with " +
         "ivfPqIndex instead of appending to an empty index")
-    // fail fast on a wrong-dimension batch BEFORE any code row lands:
-    // the dot kernel truncates to min(length), so a mismatched batch
-    // would otherwise silently encode garbage cells/codes into the
-    // STORED table (same discipline as CorpusProfile.append's
-    // requireParamsMatch). assert_true rides the row pipeline — every
-    // row is checked, mixed-dim batches included — and a task failure
-    // aborts the parquet append uncommitted.
-    val c = ivfPrep(newCorpus, index.idCol, index.vecCol)
-      .filter(assert_true(size(col("nn_vec")) === index.dim,
-        concat(lit("ivfPqAppendToStored: batch vector dim "),
-          size(col("nn_vec")),
-          lit(s" != index dim ${index.dim}"))).isNull)
+    val c = requireDim(ivfPrep(newCorpus, index.idCol, index.vecCol),
+      index.dim, "ivfPqAppendToStored")
     val assigned = assignCells(c, centArrOf(cents))
     val pqInput =
       if (!index.residual) assigned

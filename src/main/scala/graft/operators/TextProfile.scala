@@ -219,11 +219,15 @@ object TextProfile {
     val tfLen = toks
       .groupBy(col(idCol), col("__len"), col("term"))
       .agg(count(lit(1)).as("__tf"))
-    val nDocs = docs.count()
-    val totTokens = toks.count()
+    // N and T in ONE narrow corpus pass (a count() + a toks.count()
+    // would scan the corpus twice more); the profile-fed variant
+    // reads both from the store and scans zero times
+    val totals = docs
+      .select(size(tokens(col(textCol))).cast("long").as("__len"))
+      .agg(count(lit(1)).as("d"), sum(col("__len")).as("t")).head()
     bm25Agg(tfLen, idCol, queries, qIdCol, qTextCol,
       dfreq = tfLen.groupBy(col("term")).agg(count(lit(1)).as("__df")),
-      totTokens = totTokens, nDocs = nDocs, k = k,
+      totTokens = totals.getLong(1), nDocs = totals.getLong(0), k = k,
       stopwordCut = stopwordCut)
   }
 

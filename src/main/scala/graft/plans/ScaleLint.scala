@@ -270,31 +270,30 @@ object ScaleLint {
           "watermark, TTL, or timeout, or state grows with the key " +
           "domain forever"))
     // the streaming cartesian, mechanically detected: a
-    // (flat)mapGroupsWithState operator with NO timeout armed and NO
-    // event-time watermark has no expiry path at all — per-key state
-    // grows with the key domain forever. timeoutConf is the user's
-    // GroupStateTimeout; watermark presence is read the way the exec's
-    // own (protected) watermarkPresent computes it — a child output
-    // attribute tagged with the watermark-delay metadata key.
-    // (eventTimeWatermarkForEviction is NOT usable: IncrementalExecution
-    // populates it with the current watermark value (Some(0)) even
-    // when the query never declared one.)
+    // (flat)mapGroupsWithState operator running NoTimeout has no
+    // ENGINE-side expiry path at all — watermarks evict aggregation /
+    // dedup / stream-join state, but never (flat)mapGroupsWithState
+    // state (only timeouts or the user function's own state.remove
+    // do), so a watermark upstream must NOT suppress the flag. A
+    // data-path-only eviction design (state.remove on arrival) still
+    // flags: its idle keys stay resident forever, which is exactly
+    // the growth mode this finding names — such designs carry a
+    // documented allowance (tools.LintReport) rather than silence.
     val unbounded = allNodes(qe.executedPlan).collect {
       case f: org.apache.spark.sql.execution.streaming.operators.stateful.flatmapgroupswithstate.FlatMapGroupsWithStateExec
           if f.timeoutConf ==
-            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout &&
-            !f.child.output.exists(_.metadata.contains(
-              org.apache.spark.sql.catalyst.plans.logical
-                .EventTimeWatermark.delayKey)) =>
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout =>
         f.getClass.getSimpleName
     }
     val unboundedFindings =
       if (unbounded.isEmpty) Nil
       else Seq(Finding("STATEFUL_UNBOUNDED", "error",
-        s"${unbounded.distinct.mkString(", ")}: state never expires — " +
-          "no GroupStateTimeout armed and no watermark present, so " +
-          "per-key state grows with the key domain forever (the " +
-          "streaming cartesian); arm a timeout/TTL or add a watermark"))
+        s"${unbounded.distinct.mkString(", ")}: state never expires " +
+          "engine-side — NoTimeout (flat)mapGroupsWithState state is " +
+          "not evicted by watermarks; per-key state grows with the " +
+          "key domain forever (the streaming cartesian) unless task " +
+          "code removes it, and idle keys persist even then; arm a " +
+          "GroupStateTimeout (TTL)"))
     inventory ++ unboundedFindings
   }
 

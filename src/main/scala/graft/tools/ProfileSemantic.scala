@@ -38,8 +38,8 @@ object ProfileSemantic {
     val hist = Similarity.backgroundCosineHistogram(emb, "vec_id",
       "embedding")
     val mode = Similarity.histogramMode(hist)
-    val derived = Similarity.derivedDedupThreshold(emb, "vec_id",
-      "embedding", knownCount = n)
+    val derived = Similarity.derivedDedupThreshold(hist, n,
+      targetDegree = 8.0)
     println(f"[semantic] background mode=$mode%.3f derived_t=$derived%.3f " +
       f"(n=$n, sample pairs=${hist.map(_._2).sum})")
 

@@ -210,20 +210,21 @@ class ScaleLintSpec extends SparkSpec {
     implicit val sqlCtx = s.sqlContext
     import org.apache.spark.sql.{Dataset => SDs}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    // both cases run the same NoTimeout fold; only the watermark
-    // differs. (A ProcessingTimeTimeout variant is untestable here:
-    // even unarmed, the conf makes processAllAvailable rerun no-data
-    // batches — the StreamHarness scaladoc's hang — and the lint
-    // reads the conf, which the first case already covers.)
-    def runCase(name: String,
+    // three cases over the same fold: NoTimeout bare, NoTimeout
+    // downstream of a watermark (STILL unbounded — watermarks never
+    // evict (flat)mapGroupsWithState state; only timeouts or task
+    // code do), and EventTimeTimeout (engine-side expiry — bounded).
+    // (A ProcessingTimeTimeout variant is untestable here: even
+    // unarmed, the conf makes processAllAvailable rerun no-data
+    // batches — the StreamHarness scaladoc's hang.)
+    def runCase(name: String, timeout: GroupStateTimeout,
         prep: SDs[(Int, java.sql.Timestamp)] => SDs[(Int, java.sql.Timestamp)])
         : Seq[ScaleLint.Finding] = {
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Int, java.sql.Timestamp)]
       val counted = prep(input.toDS()).groupByKey(_._1 % 10)
         .flatMapGroupsWithState[Long, (Int, Long)](
-          org.apache.spark.sql.streaming.OutputMode.Append(),
-          GroupStateTimeout.NoTimeout) {
+          org.apache.spark.sql.streaming.OutputMode.Append(), timeout) {
           (k: Int, vs: Iterator[(Int, java.sql.Timestamp)],
               st: GroupState[Long]) =>
             val n = st.getOption.getOrElse(0L) + vs.size
@@ -242,19 +243,23 @@ class ScaleLintSpec extends SparkSpec {
         s.sql(s"DROP VIEW IF EXISTS $name")
       }
     }
-    // NoTimeout + no watermark: state has no expiry path at all —
-    // the streaming cartesian must flag at error severity
-    val bad = runCase("lint_unbounded_bad", identity)
-    val flag = bad.find(_.code == "STATEFUL_UNBOUNDED")
-    assert(flag.isDefined, bad.map(_.code))
-    assert(flag.get.severity == "error")
-    // the same fold downstream of a watermark is bounded — no flag
-    // (the watermark metadata must survive into the stateful op's
-    // child output, which it does when tagged before groupByKey)
-    val good = runCase("lint_unbounded_good",
+    def flagOf(fs: Seq[ScaleLint.Finding]) =
+      fs.find(_.code == "STATEFUL_UNBOUNDED")
+    // NoTimeout, no watermark: no expiry path — error
+    val bare = runCase("lint_unb_bare", GroupStateTimeout.NoTimeout,
+      identity)
+    assert(flagOf(bare).exists(_.severity == "error"), bare.map(_.code))
+    // NoTimeout BEHIND a watermark: still unbounded — the round-12
+    // review caught that suppressing on watermark metadata was a
+    // systematic false negative (watermarks evict agg/dedup/join
+    // state, never mapGroupsWithState state)
+    val wm = runCase("lint_unb_wm", GroupStateTimeout.NoTimeout,
       ds => ds.withWatermark("_2", "0 milliseconds"))
-    assert(!good.exists(_.code == "STATEFUL_UNBOUNDED"),
-      good.map(_.code))
+    assert(flagOf(wm).isDefined, wm.map(_.code))
+    // EventTimeTimeout: engine-side expiry exists — no flag
+    val evt = runCase("lint_unb_evt", GroupStateTimeout.EventTimeTimeout,
+      ds => ds.withWatermark("_2", "0 milliseconds"))
+    assert(flagOf(evt).isEmpty, evt.map(_.code))
   }
 
   test("every registry query lints clean of error-severity findings") {
