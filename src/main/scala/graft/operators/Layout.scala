@@ -140,4 +140,63 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path)
     n
   }
+
+  /** Small-file compaction of a flat parquet directory — the
+    * OPTIMIZE/bin-packing maintenance pass every incremental store in
+    * this engine eventually needs: the append paths (CorpusProfile,
+    * MinhashIndex, IVF/IVF-PQ ingest, annLookupStream batch outputs)
+    * each add O(batch) files per batch by design, and a year of
+    * batches turns every read into a small-file listing storm. This
+    * pass rewrites the directory into ceil(bytes/targetFileBytes)
+    * files, sized from the ACTUAL on-disk byte count (a directory
+    * listing — no stats estimate to poison, unlike plannedFileCount's
+    * plan-stats path, which exists for frames with no backing files
+    * yet).
+    *
+    * Two modes: with `zorderCols` the rewrite re-clusters through
+    * [[zorderWrite]] (fresh bounds — this is also the documented
+    * remedy for bound drift after appends); without, the rewrite is a
+    * shuffle-free `coalesce` that concatenates adjacent input files,
+    * preserving the existing within-file row order (a previously
+    * clustered layout stays clustered, file-granularity min/max stats
+    * merely coarsen to the merged-file level).
+    *
+    * Crash-safe: the rewrite stages next to the target and swaps in
+    * via [[graft.core.FsUtil.swapInto]] (readers never observe a
+    * half-compacted dir; a crash leaves the original intact — same
+    * discipline as every index writer here). The source frame is
+    * fully materialized into staging BEFORE the swap touches the
+    * target, so reading and replacing the same directory is safe
+    * (LayoutSpec pins it, as SimilaritySpec does for index
+    * self-overwrite). Hive-partitioned layouts (batch_id=N subdirs)
+    * are out of scope — compact each partition dir individually.
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20,
+      zorderCols: Seq[String] = Nil): (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new Path(path)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty,
+      s"compact: no parquet files directly under $path (hive-" +
+        "partitioned dirs are compacted per partition)")
+    val bytes = files.map(_.getLen).sum
+    val n = math.max(1,
+      math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    graft.core.FsUtil.swapInto(fs, new Path(path)) { staging =>
+      if (zorderCols.nonEmpty)
+        zorderWrite(df, staging.toString, zorderCols, targetFileBytes,
+          numFiles = n)
+      else
+        df.coalesce(n).write.mode(SaveMode.Overwrite)
+          .parquet(staging.toString)
+    }
+    val after = fs.listStatus(new Path(path)).count(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.size, after)
+  }
 }

@@ -40,6 +40,29 @@ object LayoutQueries extends QueryPack {
              |FROM lineitem
              |""".stripMargin)),
 
+    // small-file compaction (Layout.compact): write the table as 48
+    // deliberately tiny files (the pathology every O(batch)-append
+    // store accumulates), bin-pack them, and read the compacted dir
+    // back — the layout-op oracle contract is CONTENT IDENTITY, and
+    // the file-count/clustering invariants live in LayoutSpec where
+    // file boundaries are inspectable.
+    "q_layout_compact" -> Q(
+      (s, d) => {
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_compact_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        val li = t(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        li.repartition(48).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+        Layout.compact(s, dir, targetFileBytes = 16L << 20)
+        s.read.parquet(dir)
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_quantity
+             |FROM lineitem
+             |""".stripMargin)),
+
     // Avro container-file round-trip (AvroDataFileHdfsWriter analog,
     // sources.AvroFiles): events → executor-side Avro data files →
     // distributed reload. Content identity including the

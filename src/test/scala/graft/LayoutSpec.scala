@@ -85,6 +85,71 @@ class LayoutSpec extends SparkSpec {
     assert(avgSpan(zDir, "y") < 50.0, s"y span ${avgSpan(zDir, "y")}")
   }
 
+  test("compact bin-packs small files crash-safely, content identical") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = (0 until 20000)
+      .map(i => (i.toLong, (i % 97).toLong, s"s${i % 13}"))
+      .toDF("id", "k", "tag")
+    // the small-file pathology: 64 tiny parts
+    df.repartition(64).write.parquet(out)
+    def parts = Option(new java.io.File(out).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parts.length == 64)
+    val bytes = parts.map(_.length).sum
+    val target = bytes / 5 + 1 // expect ~5 output files
+    val (before, after) = Layout.compact(s, out, target)
+    assert(before == 64)
+    val expect = math.ceil(bytes.toDouble / target).toInt
+    assert(after == parts.length && after <= expect,
+      s"after=$after listed=${parts.length} expect<=$expect")
+    assert(after < 10, s"after=$after — did not bin-pack")
+    // content identity — the oracle contract for every layout pass
+    val back = s.read.parquet(out).orderBy("id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(back == df.orderBy("id")
+      .as[(Long, Long, String)].collect().toSeq)
+    // no staging/backup litter from the swap
+    val hidden = Option(new java.io.File(out).getParentFile.listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("."))
+      .filterNot(_.getName.endsWith(".swap-lock"))
+    assert(hidden.isEmpty, hidden.map(_.getName).toSeq)
+  }
+
+  test("compact with zorderCols re-clusters; without, coalesce keeps order") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = (0 until 20000)
+      .map(i => (i.toLong, (i * 7919 % 4096).toLong, (i % 64).toLong))
+      .toDF("id", "x", "y")
+    df.repartition(32).write.parquet(out)
+    // re-cluster mode: fresh z-order over the compacted layout →
+    // per-file spans on x must be much tighter than the corpus span.
+    // 20k 3-long rows compress to well under 1 MB, so the span claim
+    // needs a target small enough to yield several files (64 KiB →
+    // ~4-8 files here)
+    Layout.compact(s, out, targetFileBytes = 64L << 10,
+      zorderCols = Seq("x", "y"))
+    val back = s.read.parquet(out)
+    assert(back.count() == 20000)
+    val spans = back.withColumn("__f", input_file_name())
+      .groupBy("__f").agg((max($"x") - min($"x")).as("span"))
+      .as[(String, Long)].collect()
+    assert(spans.length > 1)
+    // tight on average: each file covers a fraction of the 4096-wide
+    // domain (same claim the zorder spec makes, post-compaction)
+    val meanSpan = spans.map(_._2).sum.toDouble / spans.length
+    assert(meanSpan < 4096 * 0.7, s"meanSpan=$meanSpan")
+    // plain compact of the clustered dir keeps content AND reduces
+    // files without a shuffle (coalesce concatenates neighbors)
+    val (b2, a2) = Layout.compact(s, out, targetFileBytes = 8L << 20)
+    assert(a2 <= b2)
+    assert(s.read.parquet(out).count() == 20000)
+  }
+
   test("string columns rank by hash: equal values colocate") {
     val s = spark
     import s.implicits._
