@@ -216,6 +216,16 @@ object TextProfile {
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), size(col("__toks")).cast("long").as("__len"),
         explode(col("__toks")).as("term"))
+    // NOT persisted despite the double reference (df aggregation +
+    // posting join both read tfLen — ScaleLint flags the MULTI_SCAN):
+    // measured at sf1, caching the (doc, term, tf) table costs MORE
+    // than the rescan it saves (7.91 s persisted vs 6.93 unpersisted
+    // — columnar build + decode of a string-keyed corpus-sized frame;
+    // the same measured trade as ivfIndex's unpersisted prep, and the
+    // opposite of ivfPqTopK's pqInput, whose prefix contains an IVF
+    // argmax). The scale answer to the double scan is the profile-fed
+    // variant below: df comes from the store and tfLen is consumed
+    // exactly once.
     val tfLen = toks
       .groupBy(col(idCol), col("__len"), col("term"))
       .agg(count(lit(1)).as("__tf"))
