@@ -199,4 +199,34 @@ object Layout {
       f.isFile && f.getPath.getName.endsWith(".parquet"))
     (files.size, after)
   }
+
+  /** [[compact]] over a hive-partitioned layout (`name=value`
+    * subdirs — e.g. `annLookupStream`'s `batch_id=<id>` outputs):
+    * each partition directory compacts independently under its own
+    * crash-safe swap, so the partition column survives untouched
+    * (partition discovery reads it from the path, which never
+    * changes) and a crash mid-run leaves every partition either
+    * original or fully compacted — never mixed. Partitions whose
+    * directory holds no parquet files (e.g. just a _SUCCESS marker)
+    * are skipped. Returns per-partition (filesBefore, filesAfter),
+    * keyed by the partition dir name. */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
+      rootPath: String, targetFileBytes: Long = 128L << 20,
+      zorderCols: Seq[String] = Nil): Map[String, (Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(rootPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new Path(rootPath)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    require(parts.nonEmpty,
+      s"compactPartitioned: no name=value partition dirs under " +
+        s"$rootPath (flat dirs go through compact)")
+    parts.flatMap { p =>
+      val hasParquet = fs.listStatus(p.getPath).exists(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (!hasParquet) None
+      else Some(p.getPath.getName ->
+        compact(spark, p.getPath.toString, targetFileBytes, zorderCols))
+    }.toMap
+  }
 }

@@ -150,6 +150,30 @@ class LayoutSpec extends SparkSpec {
     assert(s.read.parquet(out).count() == 20000)
   }
 
+  test("compactPartitioned compacts each batch_id dir; partition column intact") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-compact").toString + "/out"
+    // the annLookupStream layout: one small-file dir per batch
+    (0 until 3).foreach { b =>
+      (0 until 5000).map(i => (i.toLong + b * 100000, i % 7))
+        .toDF("id", "v").repartition(16)
+        .write.parquet(s"$root/batch_id=$b")
+    }
+    val report = Layout.compactPartitioned(s, root,
+      targetFileBytes = 64L << 20)
+    assert(report.keySet == Set("batch_id=0", "batch_id=1", "batch_id=2"))
+    assert(report.values.forall { case (b, a) => b == 16 && a < b })
+    // partition discovery still reads batch_id from the path, data
+    // intact across all partitions
+    val back = s.read.parquet(root)
+    assert(back.count() == 15000)
+    assert(back.select("batch_id").distinct().as[Int].collect().toSet
+      == Set(0, 1, 2))
+    assert(back.filter($"batch_id" === 1 && $"id" === 100001L)
+      .count() == 1)
+  }
+
   test("string columns rank by hash: equal values colocate") {
     val s = spark
     import s.implicits._
