@@ -272,6 +272,142 @@ object TextProfile {
       stopwordCut = stopwordCut)
   }
 
+  /** The persisted BM25 retrieval index — the SIXTH persistence unit
+    * (after MinhashIndex, IvfIndex, PqIndex, IvfPqIndex,
+    * CorpusProfile) and the lexical analog of the composed ANN
+    * serving index: [[bm25TopK]] re-tokenizes and re-aggregates the
+    * corpus per call (the tf build dominates its cost), so production
+    * builds once, stores the posting table TERM-SORTED (range
+    * clustered + sorted sized files — parquet min/max on `term` is
+    * tight, so a small query's In-filter probe PRUNES FILES), and
+    * every query batch pays only the posting lookup. `dfreq` stores
+    * as PARTIALS (one per build/append batch) summed at read —
+    * CorpusProfile's exact-merge discipline, which is what makes
+    * [[bm25IndexAppend]] O(batch).
+    *
+    * `postings` = (idCol, __len, term, __tf); `dfreq` partials =
+    * (term, __df); `nDocs`/`totTokens` from the params sidecar. */
+  final case class Bm25Index(postings: DataFrame, dfreq: DataFrame,
+      idCol: String, nDocs: Long, totTokens: Long) {
+    def write(dir: String): Unit = {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(dir).getFileSystem(
+        postings.sparkSession.sparkContext.hadoopConfiguration)
+      graft.core.FsUtil.swapInto(fs, new Path(dir)) { staging =>
+        graft.sources.Sinks.writeSizedParquet(postings,
+          new Path(staging, "postings.parquet").toString,
+          sortCols = Seq("term"))
+        dfreq.write.mode("overwrite")
+          .parquet(new Path(staging, "df.parquet").toString)
+        graft.core.FsUtil.writeSidecar(fs,
+          new Path(staging, "params.json"),
+          s"""{"version":1,"docs":$nDocs,"tokens":$totTokens}""")
+      }
+    }
+  }
+
+  /** Build a [[Bm25Index]] over a corpus — one tokenize + per-doc tf
+    * pass, the df reduction, and the N/T totals pass; everything the
+    * per-query path then never pays again. */
+  def bm25Index(docs: DataFrame, idCol: String,
+      textCol: String): Bm25Index = {
+    val toks = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("__len"),
+        explode(col("__toks")).as("term"))
+    val tfLen = toks
+      .groupBy(col(idCol), col("__len"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val totals = docs
+      .select(size(tokens(col(textCol))).cast("long").as("__len"))
+      .agg(count(lit(1)).as("d"), sum(col("__len")).as("t")).head()
+    Bm25Index(tfLen,
+      tfLen.groupBy(col("term")).agg(count(lit(1)).as("__df")),
+      idCol, totals.getLong(0), totals.getLong(1))
+  }
+
+  /** Reload a stored [[Bm25Index]]; df partials are aggregated at
+    * read (bounded by |vocab|, exact). */
+  def readBm25Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String): Bm25Index = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val params = graft.core.FsUtil.readSidecar(fs,
+      new Path(dir, "params.json")).getOrElse(
+      throw new java.io.IOException(
+        s"Bm25Index at $dir has no params.json — not an index dir"))
+    def p(k: String): Long =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(params)
+        .getOrElse(throw new java.io.IOException(
+          s"Bm25Index $dir: malformed params.json: $params"))
+        .group(1).toLong
+    Bm25Index(spark.read.parquet(s"$dir/postings.parquet"),
+      spark.read.parquet(s"$dir/df.parquet")
+        .groupBy(col("term")).agg(sum(col("__df")).as("__df")),
+      idCol, p("docs"), p("tokens"))
+  }
+
+  /** Append an ingest batch to a stored [[Bm25Index]]: the batch's
+    * posting rows and its df PARTIAL append in O(batch); the
+    * corpus-sized posting table is never rewritten (appended files
+    * are not term-sorted with the original set — run
+    * `Layout.compact(dir/postings.parquet)` periodically to restore
+    * file-level pruning, the same maintenance contract as every
+    * append path here). The batch must be DOC-DISJOINT from the
+    * index (CorpusProfile's contract — a re-appended doc
+    * double-counts df/tf, not upserts). Crash window, documented
+    * like CorpusProfile.append: postings append first, df second,
+    * the params sidecar (N/T totals) LAST as the commit marker — a
+    * crash before the sidecar leaves scores computed against stale
+    * totals (slightly wrong norms, detectable by df mass vs the
+    * sidecar doc count) rather than a torn posting set. Returns the
+    * extended in-memory index. */
+  def bm25IndexAppend(index: Bm25Index, batch: DataFrame,
+      textCol: String, dir: String): Bm25Index = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val b = bm25Index(batch, index.idCol, textCol)
+    b.postings.write.mode("append").parquet(s"$dir/postings.parquet")
+    b.dfreq.write.mode("append").parquet(s"$dir/df.parquet")
+    val nDocs = index.nDocs + b.nDocs
+    val totTokens = index.totTokens + b.totTokens
+    graft.core.FsUtil.writeSidecar(fs, new Path(dir, "params.json"),
+      s"""{"version":1,"docs":$nDocs,"tokens":$totTokens}""")
+    Bm25Index(index.postings.unionByName(b.postings),
+      index.dfreq.unionByName(b.dfreq)
+        .groupBy(col("term")).agg(sum(col("__df")).as("__df")),
+      index.idCol, nDocs, totTokens)
+  }
+
+  /** Probe a prebuilt [[Bm25Index]]: identical output to
+    * [[bm25TopK]] with the same parameters (spec-pinned), at
+    * posting-lookup cost — no tokenize, no tf/df aggregation. When
+    * the query set's distinct terms are few (≤ `isinThreshold`, the
+    * lookup-style case), the probe filters the posting scan with a
+    * literal In predicate that parquet pushes down — combined with
+    * the term-sorted layout, file/row-group min-max stats skip
+    * everything but the matching posting lists; larger query sets
+    * fall back to the broadcast term join (one full posting-table
+    * columnar pass, still no recompute). */
+  def bm25TopKWithIndex(queries: DataFrame, qIdCol: String,
+      qTextCol: String, index: Bm25Index, k: Int = 5,
+      stopwordCut: Boolean = true, isinThreshold: Int = 16)
+      : DataFrame = {
+    val qt = queries
+      .select(explode(tokens(col(qTextCol))).as("term"))
+      .distinct().collect().map(_.getString(0))
+    val (posts, dfr) =
+      if (qt.length <= isinThreshold)
+        (index.postings.filter(col("term").isin(qt.toSeq: _*)),
+          index.dfreq.filter(col("term").isin(qt.toSeq: _*)))
+      else (index.postings, index.dfreq)
+    bm25Agg(posts, index.idCol, queries, qIdCol, qTextCol, dfr,
+      index.totTokens, index.nDocs, k, stopwordCut)
+  }
+
   private def bm25Agg(tfLen: DataFrame, idCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
       dfreq: DataFrame, totTokens: Long, nDocs: Long,

@@ -12,6 +12,51 @@ import QHelp._
   */
 object TextQueries extends QueryPack {
 
+  /** Shared by q_text_bm25 and q_text_bm25_index — the persisted
+    * posting index's probe must be bit-identical to the fresh
+    * build. */
+  private val oBm25Sql =
+    """WITH tok AS (
+             |  SELECT doc_id,
+             |    len(string_split_regex(trim(text), '\s+')) AS len,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, len, term, count(*) AS tf
+             |       FROM tok GROUP BY 1, 2, 3),
+             |tot AS (SELECT count(*) AS nd FROM documents),
+             |tt AS (SELECT CAST(count(*) AS HUGEINT) AS t FROM tok),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |kept AS (
+             |  SELECT term,
+             |    CAST(length(bin(1 + (2 * (SELECT nd FROM tot) - 2 * df + 1)
+             |      // (2 * df + 1))) AS HUGEINT) AS idf
+             |  FROM dfq),
+             |qt AS (
+             |  SELECT DISTINCT q_id, term FROM (
+             |    SELECT doc_id AS q_id,
+             |      unnest((string_split_regex(trim(text), '\s+'))[1:6])
+             |        AS term
+             |    FROM documents WHERE doc_id % 100 = 0)),
+             |posting AS (
+             |  SELECT qt.q_id, tf.doc_id,
+             |    (kept.idf * 22 * (SELECT t FROM tt) * tf.tf * 10000)
+             |      // (10 * (SELECT t FROM tt) * tf.tf
+             |         + 3 * (SELECT t FROM tt)
+             |         + 9 * CAST(tf.len AS HUGEINT) * (SELECT nd FROM tot))
+             |      AS contrib
+             |  FROM qt JOIN tf USING (term) JOIN kept USING (term)),
+             |scored AS (
+             |  SELECT q_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score
+             |  FROM posting GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT q_id, doc_id, score,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY score DESC, doc_id ASC) AS rn
+             |  FROM scored)
+             |SELECT q_id, CAST(rn AS BIGINT) AS rank, doc_id, score
+             |FROM ranked WHERE rn <= 5
+             |""".stripMargin
+
   /** Shared by q_text_rarity and q_text_rarity_profile — the profile-
     * fed path must be bit-identical to the direct pass. */
   private val oRaritySql =
@@ -167,46 +212,34 @@ object TextQueries extends QueryPack {
         graft.operators.TextProfile.bm25TopK(docs, "doc_id", "text",
           queries, "q_id", "qtext", k = 5, stopwordCut = false)
       },
-      Some("""WITH tok AS (
-             |  SELECT doc_id,
-             |    len(string_split_regex(trim(text), '\s+')) AS len,
-             |    unnest(string_split_regex(trim(text), '\s+')) AS term
-             |  FROM documents),
-             |tf AS (SELECT doc_id, len, term, count(*) AS tf
-             |       FROM tok GROUP BY 1, 2, 3),
-             |tot AS (SELECT count(*) AS nd FROM documents),
-             |tt AS (SELECT CAST(count(*) AS HUGEINT) AS t FROM tok),
-             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-             |kept AS (
-             |  SELECT term,
-             |    CAST(length(bin(1 + (2 * (SELECT nd FROM tot) - 2 * df + 1)
-             |      // (2 * df + 1))) AS HUGEINT) AS idf
-             |  FROM dfq),
-             |qt AS (
-             |  SELECT DISTINCT q_id, term FROM (
-             |    SELECT doc_id AS q_id,
-             |      unnest((string_split_regex(trim(text), '\s+'))[1:6])
-             |        AS term
-             |    FROM documents WHERE doc_id % 100 = 0)),
-             |posting AS (
-             |  SELECT qt.q_id, tf.doc_id,
-             |    (kept.idf * 22 * (SELECT t FROM tt) * tf.tf * 10000)
-             |      // (10 * (SELECT t FROM tt) * tf.tf
-             |         + 3 * (SELECT t FROM tt)
-             |         + 9 * CAST(tf.len AS HUGEINT) * (SELECT nd FROM tot))
-             |      AS contrib
-             |  FROM qt JOIN tf USING (term) JOIN kept USING (term)),
-             |scored AS (
-             |  SELECT q_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score
-             |  FROM posting GROUP BY 1, 2),
-             |ranked AS (
-             |  SELECT q_id, doc_id, score,
-             |    row_number() OVER (PARTITION BY q_id
-             |      ORDER BY score DESC, doc_id ASC) AS rn
-             |  FROM scored)
-             |SELECT q_id, CAST(rn AS BIGINT) AS rank, doc_id, score
-             |FROM ranked WHERE rn <= 5
-             |""".stripMargin)),
+      Some(oBm25Sql)),
+
+    // the retrieval index PERSISTED (the 100 TB serving shape, same
+    // discipline as q_ann_ivfpq_index): build → term-sorted store →
+    // reload → probe must hash-match q_text_bm25 — the persistence
+    // loop may not change a single bit. The probe pays posting
+    // lookups only (no tokenize, no tf/df recompute); this gate
+    // query's 300-term query set takes the broadcast-join arm, the
+    // few-term In-pushdown file-pruning arm is TextKernelsSpec's.
+    "q_text_bm25_index" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val queries = docs.filter($"doc_id" % 100 === 0)
+          .select($"doc_id".as("q_id"),
+            concat_ws(" ", slice(tokens($"text"), 1, 6)).as("qtext"))
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_bm25idx_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        graft.operators.TextProfile.bm25Index(docs, "doc_id", "text")
+          .write(dir)
+        val idx = graft.operators.TextProfile.readBm25Index(s, dir,
+          "doc_id")
+        graft.operators.TextProfile.bm25TopKWithIndex(queries, "q_id",
+          "qtext", idx, k = 5, stopwordCut = false)
+      },
+      Some(oBm25Sql)),
 
     // the composed corpus-cleaning pipeline a training-data job runs:
     // fingerprint dedup (keep smallest id) → quality gate → language

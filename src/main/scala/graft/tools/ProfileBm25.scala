@@ -50,6 +50,42 @@ object ProfileBm25 {
     graft.operators.TextProfile.bm25TopK(docs, "doc_id", "text",
       queries, "q_id", "qtext", k = 5, stopwordCut = true).count()
 
+    // persisted-index amortization: build+write once, then repeated
+    // reload+probe batches — the per-batch cost a serving deployment
+    // pays (no tokenize, no tf/df recompute). Two probe shapes: the
+    // full 3-term query set (broadcast-join arm) and a single-query
+    // lookup (In-pushdown file-pruning arm).
+    locally {
+      val dir = graft.core.FsUtil.deleteOnExit(
+        s"${System.getProperty("java.io.tmpdir")}/graft_bm25idx_profile_" +
+          ProcessHandle.current().pid())
+      def timed[T](what: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[bm25-profile] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      timed("index build+write (tokenize + tf/df + term-sorted store)") {
+        graft.operators.TextProfile.bm25Index(docs, "doc_id", "text")
+          .write(dir)
+      }
+      (1 to 3).foreach { i =>
+        timed(s"reload+probe batch $i (full query set, k=5)") {
+          val idx = graft.operators.TextProfile.readBm25Index(spark,
+            dir, "doc_id")
+          graft.operators.TextProfile.bm25TopKWithIndex(queries,
+            "q_id", "qtext", idx, k = 5).count()
+        }
+      }
+      timed("reload+probe single-query lookup (In pushdown)") {
+        val idx = graft.operators.TextProfile.readBm25Index(spark,
+          dir, "doc_id")
+        val q1 = queries.limit(1)
+        graft.operators.TextProfile.bm25TopKWithIndex(q1, "q_id",
+          "qtext", idx, k = 5).count()
+      }
+    }
+
     Seq(true, false).foreach { cut =>
       val t0 = System.nanoTime()
       val res = graft.operators.TextProfile.bm25TopK(docs, "doc_id",

@@ -557,6 +557,66 @@ class TextKernelsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("bm25 index: stored round-trip bit-identical; append parity; In pushdown") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.sources.Tables.load(s, sf001, "documents")
+    val queries = docs.filter($"doc_id" % 50 === 0)
+      .select($"doc_id".as("q_id"), concat_ws(" ",
+        slice(graft.functions.TextFunctions.tokens($"text"), 1, 6))
+        .as("qtext"))
+    val fresh = graft.operators.TextProfile.bm25TopK(docs, "doc_id",
+      "text", queries, "q_id", "qtext", k = 5, stopwordCut = false)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    // build → store → reload → probe: the persistence loop may not
+    // change a single bit (the q_ann_ivfpq_index discipline)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25")
+      .toString + "/idx"
+    graft.operators.TextProfile.bm25Index(docs, "doc_id", "text")
+      .write(dir)
+    val idx = graft.operators.TextProfile.readBm25Index(s, dir, "doc_id")
+    assert(idx.nDocs == docs.count())
+    val stored = graft.operators.TextProfile.bm25TopKWithIndex(
+      queries, "q_id", "qtext", idx, k = 5, stopwordCut = false)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(stored == fresh)
+
+    // O(batch) ingest: half1 build + half2 append == full build, both
+    // through the in-memory extension and the re-read stored state
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-bm25")
+      .toString + "/idx"
+    graft.operators.TextProfile.bm25Index(
+      docs.filter($"doc_id" % 2 === 0), "doc_id", "text").write(dir2)
+    val half = graft.operators.TextProfile.readBm25Index(s, dir2, "doc_id")
+    val extended = graft.operators.TextProfile.bm25IndexAppend(half,
+      docs.filter($"doc_id" % 2 === 1), "text", dir2)
+    val viaExtended = graft.operators.TextProfile.bm25TopKWithIndex(
+      queries, "q_id", "qtext", extended, k = 5, stopwordCut = false)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaExtended == fresh)
+    val reread = graft.operators.TextProfile.readBm25Index(s, dir2,
+      "doc_id")
+    assert(reread.nDocs == docs.count() &&
+      reread.totTokens == idx.totTokens)
+    val viaStored = graft.operators.TextProfile.bm25TopKWithIndex(
+      queries, "q_id", "qtext", reread, k = 5, stopwordCut = false)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaStored == fresh)
+
+    // the few-term lookup arm: a literal In predicate reaches the
+    // parquet scan (PushedFilters) — with the term-sorted layout
+    // that is file/row-group pruning, not just a post-read filter
+    val q1 = Seq((1L, "the spark")).toDF("q_id", "qtext")
+    val probe = graft.operators.TextProfile.bm25TopKWithIndex(
+      q1, "q_id", "qtext", idx, k = 3, stopwordCut = false)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s+", " ").matches(".*PushedFilters: \\[[^]]*In\\(term.*"),
+      plan.take(2000))
+    assert(probe.count() > 0)
+  }
+
   test("length quantiles: exact interpolation, approx within tolerance") {
     val s = spark
     import s.implicits._
