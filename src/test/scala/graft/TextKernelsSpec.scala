@@ -604,6 +604,20 @@ class TextKernelsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(viaStored == fresh)
 
+    // the documented maintenance loop closes: compacting the
+    // append-accumulated postings dir (Layout.compact — shuffle-free
+    // coalesce) must not change a single probed bit, and the df
+    // partials dir compacts too (its reader re-aggregates, so
+    // collapsing partial files is transparent)
+    graft.operators.Layout.compact(s, s"$dir2/postings.parquet")
+    graft.operators.Layout.compact(s, s"$dir2/df.parquet")
+    val compacted = graft.operators.TextProfile.readBm25Index(s, dir2,
+      "doc_id")
+    val viaCompacted = graft.operators.TextProfile.bm25TopKWithIndex(
+      queries, "q_id", "qtext", compacted, k = 5, stopwordCut = false)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaCompacted == fresh)
+
     // the few-term lookup arm: a literal In predicate reaches the
     // parquet scan (PushedFilters) — with the term-sorted layout
     // that is file/row-group pruning, not just a post-read filter
