@@ -112,6 +112,13 @@ class BenchSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keySet
     val orphans = BenchBars.sf01.keySet.diff(names)
     assert(orphans.isEmpty, s"bars without a registry query: $orphans")
+    // and the converse: every registry query must carry a bar — a
+    // bar-less query is invisible to the bar-relative retry arm and
+    // floods the breach-only line unconditionally. Adding a query
+    // means recording its idle pair in BASELINE.md's first table and
+    // regenerating (scripts/gen_bench_bars.sh) before this passes.
+    val missing = names.diff(BenchBars.sf01.keySet)
+    assert(missing.isEmpty, s"registry queries without a bar: $missing")
     assert(BenchBars.sf01.keySet == BenchBars.sf1.keySet)
     assert(BenchBars.forSf("sf0.42").isEmpty)
   }
