@@ -146,31 +146,41 @@ object Layout {
     * this engine eventually needs: the append paths (CorpusProfile,
     * MinhashIndex, IVF/IVF-PQ ingest, annLookupStream batch outputs)
     * each add O(batch) files per batch by design, and a year of
-    * batches turns every read into a small-file listing storm. This
-    * pass rewrites the directory into ceil(bytes/targetFileBytes)
-    * files, sized from the ACTUAL on-disk byte count (a directory
-    * listing — no stats estimate to poison, unlike plannedFileCount's
-    * plan-stats path, which exists for frames with no backing files
-    * yet).
+    * batches turns every read into a small-file listing storm. Sized
+    * from the ACTUAL on-disk byte count (a directory listing — no
+    * stats estimate to poison, unlike plannedFileCount's plan-stats
+    * path, which exists for frames with no backing files yet).
     *
     * Two modes: with `zorderCols` the rewrite re-clusters through
     * [[zorderWrite]] (fresh bounds — this is also the documented
     * remedy for bound drift after appends); without, the rewrite is a
-    * shuffle-free `coalesce` that concatenates adjacent input files,
-    * preserving the existing within-file row order (a previously
-    * clustered layout stays clustered, file-granularity min/max stats
-    * merely coarsen to the merged-file level).
+    * shuffle-free `coalesce` that merges input files, preserving
+    * within-file row order. Honest sizing/ordering limits of the
+    * coalesce mode: the output file count is
+    * min(ceil(bytes/target), scan partitions) — Spark packs small
+    * files into ~`spark.sql.files.maxPartitionBytes` read partitions,
+    * so a `targetFileBytes` far below that packs up to the scan's
+    * granularity instead (files land near the conf value, never above
+    * ceil-many); and packing order is size-driven, not name-adjacent,
+    * so a clustered layout's merged-file min/max can coarsen beyond
+    * neighbor-merging. When pruning granularity after compaction
+    * matters, pass `zorderCols` (numeric/temporal range clustering) or
+    * use a store-specific SORTED compactor (lexicographic string keys:
+    * `TextProfile.bm25IndexCompact` — zorderWrite hash-ranks strings,
+    * which equality-prunes but cannot tighten string min/max).
     *
-    * Crash-safe: the rewrite stages next to the target and swaps in
-    * via [[graft.core.FsUtil.swapInto]] (readers never observe a
-    * half-compacted dir; a crash leaves the original intact — same
-    * discipline as every index writer here). The source frame is
-    * fully materialized into staging BEFORE the swap touches the
-    * target, so reading and replacing the same directory is safe
-    * (LayoutSpec pins it, as SimilaritySpec does for index
-    * self-overwrite). Hive-partitioned layouts (batch_id=N subdirs)
-    * are out of scope — compact each partition dir individually.
-    * Returns (filesBefore, filesAfter). */
+    * Crash-safe and append-aware: the rewrite stages next to the
+    * target and swaps in via [[graft.core.FsUtil.swapInto]] (readers
+    * never observe a half-compacted dir; a crash leaves the original
+    * intact). Compaction of a LIVE append target requires quiescing
+    * the appender (single-writer-per-dir — the same contract as
+    * CorpusProfile.compact); as a backstop, the file listing is
+    * re-checked after staging fully materializes and the compact
+    * ABORTS (original untouched, staging reaped) if the target
+    * changed underneath — shrinking the undetected-append window to
+    * the swap's rename section. Hive-partitioned layouts (batch_id=N
+    * subdirs) go through [[compactPartitioned]]. Returns
+    * (filesBefore, filesAfter). */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long = 128L << 20,
       zorderCols: Seq[String] = Nil): (Int, Int) = {
@@ -178,12 +188,14 @@ object Layout {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(new Path(path)).toSeq
+    def listing = fs.listStatus(new Path(path)).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.getName, f.getLen)).sortBy(_._1)
+    val files = listing
     require(files.nonEmpty,
       s"compact: no parquet files directly under $path (hive-" +
-        "partitioned dirs are compacted per partition)")
-    val bytes = files.map(_.getLen).sum
+        "partitioned dirs go through compactPartitioned)")
+    val bytes = files.map(_._2).sum
     val n = math.max(1,
       math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)
@@ -194,6 +206,17 @@ object Layout {
       else
         df.coalesce(n).write.mode(SaveMode.Overwrite)
           .parquet(staging.toString)
+      // concurrent-append backstop: everything above read the
+      // SNAPSHOT listing; an append that landed meanwhile would be
+      // deleted by the swap below. Abort instead — swapInto reaps the
+      // staging dir and the target (including the new append) stays
+      // intact. The remaining unguarded window is the ms-scale rename
+      // section; a live appender still requires quiescing.
+      if (listing != files)
+        throw new java.io.IOException(
+          s"compact: $path changed during compaction (concurrent " +
+            "append?) — aborted with the target untouched; quiesce " +
+            "appenders and retry")
     }
     val after = fs.listStatus(new Path(path)).count(f =>
       f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -201,32 +224,46 @@ object Layout {
   }
 
   /** [[compact]] over a hive-partitioned layout (`name=value`
-    * subdirs — e.g. `annLookupStream`'s `batch_id=<id>` outputs):
-    * each partition directory compacts independently under its own
-    * crash-safe swap, so the partition column survives untouched
-    * (partition discovery reads it from the path, which never
-    * changes) and a crash mid-run leaves every partition either
-    * original or fully compacted — never mixed. Partitions whose
-    * directory holds no parquet files (e.g. just a _SUCCESS marker)
-    * are skipped. Returns per-partition (filesBefore, filesAfter),
-    * keyed by the partition dir name. */
+    * subdirs — e.g. `annLookupStream`'s `batch_id=<id>` outputs,
+    * including MULTI-LEVEL layouts like `date=…/hour=…`): partition
+    * dirs are discovered recursively down to the LEAF dirs that
+    * actually hold parquet files, and each leaf compacts
+    * independently under its own crash-safe swap — the partition
+    * columns survive untouched (discovery reads them from the path,
+    * which never changes) and a crash mid-run leaves every partition
+    * either original or fully compacted, never mixed. Leaf dirs with
+    * no parquet files (e.g. just a _SUCCESS marker) are skipped.
+    * Returns per-partition (filesBefore, filesAfter), keyed by the
+    * partition path relative to the root. */
   def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
       rootPath: String, targetFileBytes: Long = 128L << 20,
       zorderCols: Seq[String] = Nil): Map[String, (Int, Int)] = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(rootPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(new Path(rootPath)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-    require(parts.nonEmpty,
-      s"compactPartitioned: no name=value partition dirs under " +
-        s"$rootPath (flat dirs go through compact)")
-    parts.flatMap { p =>
-      val hasParquet = fs.listStatus(p.getPath).exists(f =>
-        f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if (!hasParquet) None
-      else Some(p.getPath.getName ->
-        compact(spark, p.getPath.toString, targetFileBytes, zorderCols))
+    // descend through name=value levels; a dir is a LEAF when it
+    // holds parquet files directly (deeper name=value dirs under a
+    // parquet-bearing dir would be a malformed layout — not expected
+    // from any writer here)
+    def leaves(p: Path, rel: String): Seq[(String, Path)] = {
+      val entries = fs.listStatus(p).toSeq
+      if (entries.exists(f => f.isFile &&
+          f.getPath.getName.endsWith(".parquet")))
+        Seq(rel -> p)
+      else entries
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap { s =>
+          val name = s.getPath.getName
+          leaves(s.getPath,
+            if (rel.isEmpty) name else s"$rel/$name")
+        }
+    }
+    val parts = leaves(new Path(rootPath), "")
+    require(parts.nonEmpty && parts.forall(_._1.nonEmpty),
+      s"compactPartitioned: no name=value partition dirs holding " +
+        s"parquet under $rootPath (flat dirs go through compact)")
+    parts.map { case (rel, p) =>
+      rel -> compact(spark, p.toString, targetFileBytes, zorderCols)
     }.toMap
   }
 }

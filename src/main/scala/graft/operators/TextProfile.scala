@@ -349,20 +349,27 @@ object TextProfile {
   }
 
   /** Append an ingest batch to a stored [[Bm25Index]]: the batch's
-    * posting rows and its df PARTIAL append in O(batch); the
+    * df PARTIAL and posting rows append in O(batch); the
     * corpus-sized posting table is never rewritten (appended files
     * are not term-sorted with the original set — run
-    * `Layout.compact(dir/postings.parquet)` periodically to restore
-    * file-level pruning, the same maintenance contract as every
-    * append path here). The batch must be DOC-DISJOINT from the
-    * index (CorpusProfile's contract — a re-appended doc
-    * double-counts df/tf, not upserts). Crash window, documented
-    * like CorpusProfile.append: postings append first, df second,
-    * the params sidecar (N/T totals) LAST as the commit marker — a
-    * crash before the sidecar leaves scores computed against stale
-    * totals (slightly wrong norms, detectable by df mass vs the
-    * sidecar doc count) rather than a torn posting set. Returns the
-    * extended in-memory index. */
+    * [[bm25IndexCompact]] periodically to restore the file-level
+    * pruning the In-pushdown arm relies on). The batch must be
+    * DOC-DISJOINT from the index (CorpusProfile's contract — a
+    * re-appended doc double-counts df/tf, not upserts).
+    *
+    * Crash windows, in write order — df partial FIRST, postings
+    * second, the params sidecar (N/T totals) LAST:
+    *  - die after df, before postings: the batch's docs are simply
+    *    absent (their postings never landed); shared terms carry a
+    *    slightly inflated df, so OLD docs score marginally deflated
+    *    idf — stats drift, no torn scoring. (The reverse order would
+    *    leave LIVE postings whose batch-only terms are missing from
+    *    df — those docs unfindable and shared-term idf inflated,
+    *    while the store looks consistent: materially wrong, which is
+    *    why df goes first.)
+    *  - die after postings, before the sidecar: rows and df agree;
+    *    only the N/T norms are stale until the append retries.
+    * Returns the extended in-memory index. */
   def bm25IndexAppend(index: Bm25Index, batch: DataFrame,
       textCol: String, dir: String): Bm25Index = {
     import org.apache.hadoop.fs.Path
@@ -370,8 +377,8 @@ object TextProfile {
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val b = bm25Index(batch, index.idCol, textCol)
-    b.postings.write.mode("append").parquet(s"$dir/postings.parquet")
     b.dfreq.write.mode("append").parquet(s"$dir/df.parquet")
+    b.postings.write.mode("append").parquet(s"$dir/postings.parquet")
     val nDocs = index.nDocs + b.nDocs
     val totTokens = index.totTokens + b.totTokens
     graft.core.FsUtil.writeSidecar(fs, new Path(dir, "params.json"),
@@ -380,6 +387,38 @@ object TextProfile {
       index.dfreq.unionByName(b.dfreq)
         .groupBy(col("term")).agg(sum(col("__df")).as("__df")),
       index.idCol, nDocs, totTokens)
+  }
+
+  /** Restore a stored [[Bm25Index]] after appends: rewrites the
+    * posting table TERM-SORTED into sized files (the property the
+    * In-pushdown probe's file pruning needs — `Layout.compact`'s
+    * generic modes cannot provide it for a string key: coalesce
+    * preserves whatever order exists and zorder hash-ranks strings,
+    * so neither tightens lexicographic min/max) and collapses the df
+    * partials to one row per term. Runs under the same crash-safe
+    * stage+swap as [[Bm25Index.write]]; quiesce appenders while
+    * compacting (single-writer-per-dir, as everywhere). */
+  def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val postings = spark.read.parquet(s"$dir/postings.parquet")
+    val dfAgg = spark.read.parquet(s"$dir/df.parquet")
+      .groupBy(col("term")).agg(sum(col("__df")).as("__df"))
+    val params = graft.core.FsUtil.readSidecar(fs,
+      new Path(dir, "params.json")).getOrElse(
+      throw new java.io.IOException(
+        s"bm25IndexCompact: $dir has no params.json — not an index dir"))
+    graft.core.FsUtil.swapInto(fs, new Path(dir)) { staging =>
+      graft.sources.Sinks.writeSizedParquet(postings,
+        new Path(staging, "postings.parquet").toString,
+        sortCols = Seq("term"))
+      dfAgg.write.mode("overwrite")
+        .parquet(new Path(staging, "df.parquet").toString)
+      graft.core.FsUtil.writeSidecar(fs,
+        new Path(staging, "params.json"), params)
+    }
   }
 
   /** Probe a prebuilt [[Bm25Index]]: identical output to
@@ -396,9 +435,15 @@ object TextProfile {
       qTextCol: String, index: Bm25Index, k: Int = 5,
       stopwordCut: Boolean = true, isinThreshold: Int = 16)
       : DataFrame = {
+    // arm choice with BOUNDED driver memory: collect at most
+    // threshold+1 distinct terms — enough to know whether the In arm
+    // applies and, when it does, these ARE the literal terms. A
+    // production-sized query batch (vocab-scale distinct terms) never
+    // materializes on the driver just to pick the join arm.
     val qt = queries
       .select(explode(tokens(col(qTextCol))).as("term"))
-      .distinct().collect().map(_.getString(0))
+      .distinct().limit(isinThreshold + 1)
+      .collect().map(_.getString(0))
     val (posts, dfr) =
       if (qt.length <= isinThreshold)
         (index.postings.filter(col("term").isin(qt.toSeq: _*)),

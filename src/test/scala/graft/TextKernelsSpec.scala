@@ -604,19 +604,22 @@ class TextKernelsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(viaStored == fresh)
 
-    // the documented maintenance loop closes: compacting the
-    // append-accumulated postings dir (Layout.compact — shuffle-free
-    // coalesce) must not change a single probed bit, and the df
-    // partials dir compacts too (its reader re-aggregates, so
-    // collapsing partial files is transparent)
-    graft.operators.Layout.compact(s, s"$dir2/postings.parquet")
-    graft.operators.Layout.compact(s, s"$dir2/df.parquet")
+    // the documented maintenance loop closes: bm25IndexCompact
+    // rewrites the append-accumulated postings TERM-SORTED (the
+    // property the In-pushdown file pruning needs — review round 2
+    // caught that generic Layout.compact cannot provide it for a
+    // string key) and collapses the df partials, without changing a
+    // single probed bit
+    graft.operators.TextProfile.bm25IndexCompact(s, dir2)
     val compacted = graft.operators.TextProfile.readBm25Index(s, dir2,
       "doc_id")
     val viaCompacted = graft.operators.TextProfile.bm25TopKWithIndex(
       queries, "q_id", "qtext", compacted, k = 5, stopwordCut = false)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(viaCompacted == fresh)
+    // df partials collapsed to one row per term
+    assert(s.read.parquet(s"$dir2/df.parquet")
+      .groupBy("term").count().filter($"count" > 1).count() == 0)
 
     // the few-term lookup arm: a literal In predicate reaches the
     // parquet scan (PushedFilters) — with the term-sorted layout
