@@ -66,11 +66,18 @@ object Sinks {
     * balances rows across writers; the `sortCols` variant instead
     * range-partitions + sorts so each file covers a tight key range —
     * the layout that makes downstream min/max row-group skipping on
-    * those columns effective. Returns the file count it chose. */
+    * those columns effective. `minFiles` floors the count: a stored
+    * table that DOWNSTREAM scans must parallelize over (an index's
+    * posting/code table) should pass the session parallelism — a
+    * size-accurate-but-single file otherwise serializes every later
+    * scan onto one or two tasks (measured: the BM25 stored-index
+    * probe read 914 s vs 147 s fresh at 500k docs off a 1-file
+    * posting table). Returns the file count it chose. */
   def writeSizedParquet(df: DataFrame, path: String,
       targetFileBytes: Long = 128L << 20,
-      sortCols: Seq[String] = Nil): Int = {
-    val n = plannedFileCount(df, targetFileBytes)
+      sortCols: Seq[String] = Nil, minFiles: Int = 1): Int = {
+    val n = math.max(plannedFileCount(df, targetFileBytes),
+      math.max(1, minFiles))
     val shaped =
       if (sortCols.nonEmpty)
         df.repartitionByRange(n, sortCols.map(col): _*)
