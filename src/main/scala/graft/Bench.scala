@@ -68,10 +68,21 @@ private[graft] object BenchAdjudication {
     * band at 2-7.7x bar with every probe idle (page-cache eviction
     * slows parquet reads but not a codegen sum). Both arms require
     * the original reading >= 0.3 s (below that the documented
-    * quantization/noise floor swallows any verdict); slowest first,
-    * at most 20. `bars` is index-aligned with `times`; None = no bar
-    * recorded for that row (new query, or a scale dir without bars) —
-    * only the probe arm can select it. */
+    * quantization/noise floor swallows any verdict); most-SUSPECT
+    * first, at most 20. Ordering is by bar-RATIO (seconds/bar), not
+    * absolute seconds: the round-12 capture proved seconds-ordering
+    * self-defeating — a wide burst inflated ~30 rows, the 20 slots
+    * went to the most EXPENSIVE ones, and 12 cheap rows at 2.7-4.9×
+    * bar (the most anomalous readings in the run, <15 s to retry)
+    * shipped uncorrected on the breach-only line. A 4.9×-bar row is
+    * more suspect than a 2.1×-bar row whatever their absolute costs,
+    * and high-ratio rows skew cheap — ratio ordering fixes both the
+    * suspicion ranking and the budget economics. `bars` is
+    * index-aligned with `times`; None = no bar recorded for that row
+    * (new query, or a scale dir without bars) — only the probe arm
+    * can select it, and such rows queue AFTER every barred candidate
+    * (ordered by seconds among themselves, a ratio being
+    * uncomputable). */
   def retryCandidates(times: IndexedSeq[Double], calEvery: Int,
       cal: Double, midCals: Seq[Double], cal2: Double,
       bars: IndexedSeq[Option[Double]] = IndexedSeq.empty): Seq[Int] = {
@@ -80,10 +91,14 @@ private[graft] object BenchAdjudication {
       brackets(i, calEvery, cal, midCals, cal2).exists(_ > line)
     def barBreach(i: Int): Boolean =
       bars.lift(i).flatten.exists(b => times(i) >= 2.0 * b)
-    times.indices
+    val picked = times.indices
       .filter(i => times(i) >= 0.3 && (probeFlagged(i) || barBreach(i)))
-      .sortBy(i => -times(i))
-      .take(20)
+    val (barred, barless) =
+      picked.partition(i => bars.lift(i).flatten.isDefined)
+    val ordered =
+      barred.sortBy(i => -(times(i) / bars(i).get)) ++
+        barless.sortBy(i => -times(i))
+    ordered.take(20)
   }
 }
 
@@ -131,7 +146,12 @@ object Bench {
     // vector is DIAGNOSTIC — it labels a burst I/O-side vs CPU-side;
     // retry SELECTION uses the bar-relative rule, which needs no
     // probe breach at all.
-    val ioFiles: Seq[java.io.File] = {
+    // each entry carries the BYTES to read from that file: the file
+    // that crosses the 32 MB budget is read only up to the remainder,
+    // never to EOF — with production-sized parts (128 MB+) reading the
+    // whole crossing file would 4x the probe's wall-clock and churn
+    // the very page cache it exists to observe
+    val ioFiles: Seq[(java.io.File, Long)] = {
       val root = new java.io.File(s"$sfDir/lineitem.parquet")
       val all =
         if (root.isDirectory)
@@ -140,19 +160,30 @@ object Bench {
         else if (root.isFile) Seq(root)
         else Seq.empty
       var budget = 32L << 20
-      all.takeWhile { f =>
-        val keep = budget > 0; budget -= f.length(); keep
+      val picked = Seq.newBuilder[(java.io.File, Long)]
+      val it = all.iterator
+      while (budget > 0 && it.hasNext) {
+        val f = it.next()
+        val take = math.min(f.length(), budget)
+        if (take > 0) picked += ((f, take))
+        budget -= take
       }
+      picked.result()
     }
     def ioOnce(): Double = {
       val buf = new Array[Byte](1 << 20)
       var sink = 0L // data-dependent accumulator so the read can't be elided
       val t0 = System.nanoTime()
-      ioFiles.foreach { f =>
+      ioFiles.foreach { case (f, cap) =>
         val in = new java.io.FileInputStream(f)
         try {
-          var n = in.read(buf)
-          while (n > 0) { sink += buf(0) + n; n = in.read(buf) }
+          var left = cap
+          var n = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+          while (n > 0) {
+            sink += buf(0) + n; left -= n
+            n = if (left <= 0) -1
+                else in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+          }
         } finally in.close()
       }
       if (sink == Long.MinValue) System.err.println("[bench] io sink")

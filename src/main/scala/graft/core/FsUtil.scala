@@ -118,8 +118,15 @@ object FsUtil {
       val out =
         try fs.create(lock, false) // atomic on HDFS: fails if it exists
         catch {
+          // HDFS signals a concurrent create of a file still under
+          // construction with AlreadyBeingCreatedException (an
+          // IOException, not FileAlreadyExists), and transient NN
+          // conditions with ipc.RetriableException — both are
+          // contention/wait, not persistent failure
           case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
-                    _: java.nio.file.FileAlreadyExistsException) =>
+                    _: java.nio.file.FileAlreadyExistsException |
+                    _: org.apache.hadoop.hdfs.protocol.AlreadyBeingCreatedException |
+                    _: org.apache.hadoop.ipc.RetriableException) =>
             if (System.nanoTime() >= deadline)
               throw new java.io.IOException(
                 s"swapInto: could not acquire $lock within ${waitMs}ms — " +

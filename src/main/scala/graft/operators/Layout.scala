@@ -183,7 +183,7 @@ object Layout {
     * (filesBefore, filesAfter). */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long = 128L << 20,
-      zorderCols: Seq[String] = Nil): (Int, Int) = {
+      zorderCols: Seq[String] = Nil, minFiles: Int = -1): (Int, Int) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(
@@ -196,7 +196,18 @@ object Layout {
       s"compact: no parquet files directly under $path (hive-" +
         "partitioned dirs go through compactPartitioned)")
     val bytes = files.map(_._2).sum
-    val n = math.max(1,
+    // floor at scan parallelism (the writeSizedParquet minFiles
+    // lesson: a size-accurate-but-single file serializes every later
+    // scan — measured 914 s vs 147 s on the BM25 posting table), but
+    // never INCREASE the file count: compacting 5 tiny files into 32
+    // tinier ones would recreate the small-file problem this pass
+    // exists to fix. minFiles = -1 resolves to defaultParallelism;
+    // per-partition callers (compactPartitioned) pass 1 — cross-leaf
+    // parallelism already covers their scans.
+    val floor = math.min(files.size,
+      if (minFiles >= 0) math.max(1, minFiles)
+      else spark.sparkContext.defaultParallelism)
+    val n = math.max(floor,
       math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)
     graft.core.FsUtil.swapInto(fs, new Path(path)) { staging =>
@@ -263,7 +274,11 @@ object Layout {
       s"compactPartitioned: no name=value partition dirs holding " +
         s"parquet under $rootPath (flat dirs go through compact)")
     parts.map { case (rel, p) =>
-      rel -> compact(spark, p.toString, targetFileBytes, zorderCols)
+      // minFiles = 1 per leaf: partitions scan in parallel ACROSS
+      // leaves, so the single-file-serialization hazard the flat-dir
+      // floor guards against doesn't apply within one
+      rel -> compact(spark, p.toString, targetFileBytes, zorderCols,
+        minFiles = 1)
     }.toMap
   }
 }

@@ -552,14 +552,16 @@ object Similarity {
     val b = sample.select(col("__h").as("__hb"), col("__v").as("__vb"),
       col("__nrm").as("__nb"))
     val cos = dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
-    // clamp the top bin: cos == 1.0 exactly (duplicate vectors) and
-    // any float overshoot past 1 would otherwise land in a bin whose
-    // center (1 + binWidth/2) lies outside the cosine domain — and
-    // leak an impossible τ candidate into derivedDedupThreshold's grid
+    // clamp BOTH edge bins: cos == 1.0 exactly (duplicate vectors) or
+    // float overshoot past ±1 (antipodal vectors undershooting -1.0)
+    // would otherwise land in bins whose centers (1 + binWidth/2,
+    // -1 - binWidth/2) lie outside the cosine domain — and leak an
+    // impossible τ candidate into derivedDedupThreshold's grid
     val lastBin = math.round(2.0 / binWidth).toInt - 1
     a.join(b, col("__ha") < col("__hb")) // each unordered pair once
-      .select(least(floor((cos + lit(1.0)) / binWidth).cast("int"),
-        lit(lastBin)).as("bin"))
+      .select(greatest(least(
+        floor((cos + lit(1.0)) / binWidth).cast("int"),
+        lit(lastBin)), lit(0)).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
       .collect()
       .map(r => (-1.0 + (r.getInt(0) + 0.5) * binWidth, r.getLong(1)))

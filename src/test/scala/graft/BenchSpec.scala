@@ -95,7 +95,7 @@ class BenchSpec extends AnyFunSuite {
 
   test("both arms union and stay bounded at 20") {
     // probes flag segment [0,1]; bars flag rows 30-59; total
-    // candidates > 20 — slowest-first cap applies across the union
+    // candidates > 20 — the ratio-ordered cap applies across the union
     val probes = Seq(5.0) ++ Seq.fill(29)(0.1)
     val times = IndexedSeq.tabulate(60)(i => 0.4 + i * 0.01)
     val barsV = IndexedSeq.tabulate(60)(i =>
@@ -103,6 +103,31 @@ class BenchSpec extends AnyFunSuite {
     val picked = retryCandidates(times, 2, 0.1, probes, 0.1, barsV)
     assert(picked.size == 20)
     assert(picked.head == 59)
+  }
+
+  test("retry candidates order by bar-ratio, not absolute seconds") {
+    // the round-12 failure: a wide burst inflates an expensive row to
+    // 2.2x bar and two cheap rows to 4.5-5x bar; seconds-ordering
+    // spent the slots on the expensive row and shipped the MOST
+    // anomalous (and cheapest-to-retry) rows uncorrected
+    val times = IndexedSeq(12.0, 1.0, 0.5, 6.0)
+    val barsV = IndexedSeq(Some(5.5), Some(0.22), Some(0.1), Some(4.0))
+    val picked = retryCandidates(times, 2, 0.1, Seq(0.1), 0.09, barsV)
+    // row 3 sits at 1.5x bar — not a candidate; the rest rank by
+    // ratio: row 2 (5.0x), row 1 (4.5x), row 0 (2.2x) — seconds
+    // ordering would have said 0, 3, 1, 2
+    assert(picked == Seq(2, 1, 0), picked)
+  }
+
+  test("barless probe-flagged rows queue after every barred candidate") {
+    // a burst segment holding one bar-less row (new query) and one
+    // barred row: the barred row's ratio is computable and it goes
+    // first however large the bar-less row's absolute reading
+    val probes = Seq(5.0)
+    val times = IndexedSeq(9.0, 0.6)
+    val barsV = IndexedSeq(None, Some(0.2))
+    val picked = retryCandidates(times, 2, 0.1, probes, 0.1, barsV)
+    assert(picked == Seq(1, 0), picked)
   }
 
   test("generated bars cover the registry queries at sf0.1") {
