@@ -117,8 +117,12 @@ object CorpusProfile {
     graft.core.FsUtil.swapInto(fs, new Path(dir)) { staging =>
       profile.strata.write.mode("overwrite")
         .parquet(new Path(staging, "strata.parquet").toString)
-      profile.tokens.write.mode("overwrite")
-        .parquet(new Path(staging, "tokens.parquet").toString)
+      // tokens = the vocabulary-sized half (df per term per stratum):
+      // sized + floored so profile-fed scoring scans it in parallel
+      graft.sources.Sinks.writeSizedParquet(profile.tokens,
+        new Path(staging, "tokens.parquet").toString,
+        minFiles = profile.tokens.sparkSession.sparkContext
+          .defaultParallelism)
       graft.core.FsUtil.writeSidecar(fs,
         new Path(staging, ParamsSidecar), paramsJson(profile))
       applied.foreach(graft.core.FsUtil.writeSidecar(fs,

@@ -376,8 +376,14 @@ object Dedup {
     val target = new Path(dir)
     val fs = target.getFileSystem(hconf)
     graft.core.FsUtil.swapInto(fs, target) { staging =>
-      index.signed.write.mode("overwrite")
-        .parquet(new Path(staging, "signed.parquet").toString)
+      // sized + parallelism-floored like the BM25 posting store: the
+      // signed table is what every later near-dup batch scans, and a
+      // size-accurate-but-single file serializes that scan (measured
+      // 914 s vs 147 s on the posting-table analog)
+      graft.sources.Sinks.writeSizedParquet(index.signed,
+        new Path(staging, "signed.parquet").toString,
+        minFiles = index.signed.sparkSession.sparkContext
+          .defaultParallelism)
       graft.core.FsUtil.writeSidecar(fs,
         new Path(staging, ParamsSidecar), paramsJson(index))
     }

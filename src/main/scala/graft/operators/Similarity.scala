@@ -226,8 +226,12 @@ object Similarity {
       graft.core.FsUtil.swapInto(fs, target) { staging =>
         codebook.write.mode("overwrite")
           .parquet(new Path(staging, "codebook.parquet").toString)
-        assigned.write.mode("overwrite")
-          .parquet(new Path(staging, "assigned.parquet").toString)
+        // the corpus-sized half: sized + floored at scan parallelism
+        // so a stored probe never serializes onto one file's task
+        graft.sources.Sinks.writeSizedParquet(assigned,
+          new Path(staging, "assigned.parquet").toString,
+          minFiles = assigned.sparkSession.sparkContext
+            .defaultParallelism)
       }
     }
   }
@@ -624,20 +628,31 @@ object Similarity {
     * 100 TB path when no natural blocking column exists. Misses pairs
     * that straddle buckets (tunable via `planes`; fewer planes = bigger
     * buckets = higher recall & cost). `planes` ≤ 0 derives the count
-    * from the corpus size ([[derivedPlanes]]) — NOTE that deriving
-    * runs one extra count action over `df`, so a non-materialized
-    * upstream pipeline executes twice; a caller with an expensive
-    * upstream passes `knownCount` (or persists `df`) to skip it.
-    * Explicit positive `planes` never counts. */
+    * from the corpus size ([[derivedPlanes]]), and `threshold` ≤ 0
+    * derives τ from the corpus's measured background-similarity
+    * histogram ([[derivedDedupThreshold]] — the same default-is-derived
+    * contract as planes: a caller taking defaults at 100× gets the
+    * measured-safe threshold, never a τ at-or-below the background
+    * mode that would turn the duplicate graph into a similarity graph,
+    * the round-10 28-min hang). NOTE that deriving either runs extra
+    * actions over `df` (a count; for τ also the bounded sample
+    * cartesian), so a non-materialized upstream pipeline executes
+    * multiple times; a caller with an expensive upstream passes
+    * `knownCount` (or persists `df`). Explicit positive `planes` and
+    * `threshold` never run the extra actions. */
   def lshNearDup(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, planes: Int = 0, threshold: Double,
+      dim: Int, planes: Int = 0, threshold: Double = 0.0,
       knownCount: Long = -1L): DataFrame = {
-    val p =
-      if (planes > 0) planes
-      else derivedPlanes(if (knownCount >= 0) knownCount else df.count())
+    val n =
+      if (planes > 0 && threshold > 0) -1L // unused: nothing derives
+      else if (knownCount >= 0) knownCount else df.count()
+    val p = if (planes > 0) planes else derivedPlanes(n)
+    val tau =
+      if (threshold > 0) threshold
+      else derivedDedupThreshold(df, idCol, vecCol, knownCount = n)
     val bucketed = df.withColumn("bucket",
       srpBucket(col(vecCol), dim, p))
-    blockedNearDup(bucketed, idCol, vecCol, "bucket", threshold)
+    blockedNearDup(bucketed, idCol, vecCol, "bucket", tau)
   }
 
   // ───────────────────────── Product quantization ──────────────────────
@@ -809,8 +824,12 @@ object Similarity {
       graft.core.FsUtil.swapInto(fs, new Path(dir)) { staging =>
         codebooks.write.mode("overwrite")
           .parquet(new Path(staging, "codebooks.parquet").toString)
-        codes.write.mode("overwrite")
-          .parquet(new Path(staging, "codes.parquet").toString)
+        // codes = the compressed corpus (one row per vector): sized +
+        // floored so the ADC scan parallelizes over the stored files
+        graft.sources.Sinks.writeSizedParquet(codes,
+          new Path(staging, "codes.parquet").toString,
+          minFiles = codes.sparkSession.sparkContext
+            .defaultParallelism)
         graft.core.FsUtil.writeSidecar(fs,
           new Path(staging, "params.json"),
           s"""{"dim":$dim,"m":$m,"ksub":$ksub}""")
@@ -1021,8 +1040,12 @@ object Similarity {
           .parquet(new Path(staging, "codebook.parquet").toString)
         pqCodebooks.write.mode("overwrite")
           .parquet(new Path(staging, "pqcodebooks.parquet").toString)
-        codes.write.mode("overwrite")
-          .parquet(new Path(staging, "codes.parquet").toString)
+        // codes = the compressed corpus: sized + floored at scan
+        // parallelism (the probe's cell join reads this table)
+        graft.sources.Sinks.writeSizedParquet(codes,
+          new Path(staging, "codes.parquet").toString,
+          minFiles = codes.sparkSession.sparkContext
+            .defaultParallelism)
         graft.core.FsUtil.writeSidecar(fs,
           new Path(staging, "params.json"),
           s"""{"dim":$dim,"m":$m,"ksub":$ksub,""" +

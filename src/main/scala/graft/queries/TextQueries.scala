@@ -241,6 +241,125 @@ object TextQueries extends QueryPack {
       },
       Some(oBm25Sql)),
 
+    // the lexical serving stack actually SERVING: the gate's query
+    // set arrives as a STREAM (MemoryStream micro-batches) and ranks
+    // against the persisted posting index through
+    // StreamJobs.bm25LookupStream — per batch a posting lookup only
+    // (no corpus tokenize, no tf/df recompute), each batch's results
+    // overwriting its own batch_id=<id> parquet subdir (the
+    // replay-idempotence unit). The union of the batch outputs must
+    // match q_text_bm25's oracle bit-for-bit — q_stream_ann's
+    // precedent applied to the sixth persistence unit: streaming
+    // query, batch oracle. Same cut=false gate configuration as the
+    // other two BM25 rows (see q_text_bm25's comment); the
+    // production-cut shape is q_text_bm25_profile's row.
+    "q_stream_bm25" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_stream_bm25_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        // output + checkpoint invocation-scoped (a reused checkpoint
+        // would resume offsets and skip the fresh MemoryStream's
+        // batches); the index rebuilt per invocation so the row
+        // always measures build + serve (q_stream_ann's convention)
+        val run = s"$dir/run_${System.nanoTime()}"
+        val idxDir = s"$dir/idx"
+        graft.operators.TextProfile.bm25Index(docs, "doc_id", "text")
+          .write(idxDir)
+        val qrows = docs.filter($"doc_id" % 100 === 0)
+          .select($"doc_id".as("q_id"),
+            concat_ws(" ", slice(tokens($"text"), 1, 6)).as("qtext"))
+          .as[(Long, String)].collect().toSeq
+        implicit val sqlCtx = s.sqlContext
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val outDir = s"$run/out"
+        val q = graft.streaming.StreamJobs.bm25LookupStream(
+            input.toDS().toDF("q_id", "qtext"), idxDir, outDir,
+            "q_id", "qtext", "doc_id", k = 5, stopwordCut = false)
+          .option("checkpointLocation", s"$run/ckpt").start()
+        try {
+          // three micro-batches: cross-batch union is the claim
+          qrows.grouped(math.max(1, qrows.size / 3 + 1)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.read.parquet(outDir)
+          .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
+      },
+      Some(oBm25Sql)),
+
+    // the PRODUCTION BM25 configuration under the correctness gate:
+    // stopwordCut=true (the default a 100 TB deployment runs — df >
+    // N/2 terms never enter retrieval, bounding posting volume) with
+    // df/N/avgdl fed from a CorpusProfile rather than a corpus
+    // rescan. The synthetic corpus's near-universal vocabulary means
+    // the cut removes EVERY common term, so each query carries the
+    // one surviving rare term ('dup', df≈N/20) alongside four common
+    // ones — the oracle applies the same df-cut in its kept CTE, so
+    // a cut-less implementation (common terms scoring at idf 1) or a
+    // wrong profile df hash-mismatches. Complements q_text_bm25/
+    // q_text_bm25_index, which pin the cut-OFF adversarial envelope.
+    "q_text_bm25_profile" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val queries = docs.filter($"doc_id" % 100 === 0)
+          .select($"doc_id".as("q_id"),
+            concat_ws(" ", slice(tokens($"text"), 1, 4), lit("dup"))
+              .as("qtext"))
+        val profile = graft.operators.CorpusProfile.build(
+          docs, "doc_id", "lang", "text")
+        graft.operators.TextProfile.bm25TopKWithProfile(docs, "doc_id",
+          "text", queries, "q_id", "qtext", profile, k = 5,
+          stopwordCut = true)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    len(string_split_regex(trim(text), '\s+')) AS len,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, len, term, count(*) AS tf
+             |       FROM tok GROUP BY 1, 2, 3),
+             |tot AS (SELECT count(*) AS nd FROM documents),
+             |tt AS (SELECT CAST(count(*) AS HUGEINT) AS t FROM tok),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |kept AS (
+             |  SELECT term,
+             |    CAST(length(bin(1 + (2 * (SELECT nd FROM tot) - 2 * df + 1)
+             |      // (2 * df + 1))) AS HUGEINT) AS idf
+             |  FROM dfq
+             |  WHERE 2 * df <= (SELECT nd FROM tot)),
+             |qt AS (
+             |  SELECT DISTINCT q_id, term FROM (
+             |    SELECT doc_id AS q_id,
+             |      unnest(list_append(
+             |        (string_split_regex(trim(text), '\s+'))[1:4], 'dup'))
+             |        AS term
+             |    FROM documents WHERE doc_id % 100 = 0)),
+             |posting AS (
+             |  SELECT qt.q_id, tf.doc_id,
+             |    (kept.idf * 22 * (SELECT t FROM tt) * tf.tf * 10000)
+             |      // (10 * (SELECT t FROM tt) * tf.tf
+             |         + 3 * (SELECT t FROM tt)
+             |         + 9 * CAST(tf.len AS HUGEINT) * (SELECT nd FROM tot))
+             |      AS contrib
+             |  FROM qt JOIN tf USING (term) JOIN kept USING (term)),
+             |scored AS (
+             |  SELECT q_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score
+             |  FROM posting GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT q_id, doc_id, score,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY score DESC, doc_id ASC) AS rn
+             |  FROM scored)
+             |SELECT q_id, CAST(rn AS BIGINT) AS rank, doc_id, score
+             |FROM ranked WHERE rn <= 5
+             |""".stripMargin)),
+
     // the composed corpus-cleaning pipeline a training-data job runs:
     // fingerprint dedup (keep smallest id) → quality gate → language
     // gate → token accounting. One narrow pass + one dedup shuffle —

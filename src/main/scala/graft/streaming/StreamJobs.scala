@@ -150,6 +150,41 @@ object StreamJobs {
         ()
     }
 
+  /** Streaming lexical retrieval serving — [[annLookupStream]]'s
+    * pattern applied to the SIXTH persistence unit: each arriving
+    * micro-batch of text queries ranks BM25 top-k against the
+    * PERSISTED posting index at `indexDir`
+    * (`TextProfile.Bm25Index` — built once by a batch job, extended
+    * by `bm25IndexAppend` ingest), and the batch's results land as
+    * parquet under `outDir/batch_id=<id>/`. Per batch the work is
+    * the posting lookup only — no tokenize of the corpus, no tf/df
+    * recompute; the query batch broadcasts against the term-sorted
+    * posting table (file-level min/max pruning on the few-term
+    * In-pushdown arm). The index is re-read per batch (params + df
+    * partials — a driver-small read), so postings appended by a
+    * concurrent ingest become visible to the next micro-batch.
+    *
+    * Replay idempotence: foreachBatch is at-least-once, so each
+    * batch OVERWRITES its own batch_id-scoped subdir — the same
+    * exactly-once-by-overwrite contract as annLookupStream. Returns
+    * the writer — caller picks trigger/checkpoint and starts it. */
+  def bm25LookupStream(queries: DataFrame, indexDir: String,
+      outDir: String, qIdCol: String, qTextCol: String, idCol: String,
+      k: Int, stopwordCut: Boolean = true)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val idx = graft.operators.TextProfile.readBm25Index(
+          batch.sparkSession, indexDir, idCol)
+        graft.operators.TextProfile
+          .bm25TopKWithIndex(batch, qIdCol, qTextCol, idx, k,
+            stopwordCut)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+        ()
+    }
+
   /** Streaming benchmark decontamination at ingest: drop every
     * arriving document that shares a word `n`-gram with the benchmark
     * bloom filter (build it once per benchmark release with

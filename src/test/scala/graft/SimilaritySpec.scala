@@ -221,6 +221,53 @@ class SimilaritySpec extends SparkSpec {
       "embedding"))
   }
 
+  test("lshNearDup derives τ from the background histogram when unset") {
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    // the estimator test's planted corpus: ±1 sign background (mode
+    // ≈0, sd 0.125) + 30 exact-duplicate pairs at cos 1
+    def sign(i: Long, d: Int): Float = {
+      var x = i * 0x9E3779B97F4A7C15L + d * 0xC2B2AE3D27D4EB4FL
+      x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^= (x >>> 33)
+      if ((x & 1L) == 0L) 1f else -1f
+    }
+    val background = (0L until 1200L).map { i =>
+      (i, Array.tabulate(dim)(d => sign(i, d)))
+    }
+    val planted = (0 until 30).map { j =>
+      (10000L + j, background(j * 7)._2)
+    }
+    val df = (background ++ planted).toDF("vec_id", "embedding")
+    val n = df.count()
+    val derived = Similarity.derivedDedupThreshold(df, "vec_id",
+      "embedding", knownCount = n)
+    // τ unset → the derived value governs: identical pair set to an
+    // explicit pass at the derived τ
+    val defPairs = Similarity.lshNearDup(df, "vec_id", "embedding",
+      dim = dim, knownCount = n)
+    val explicitPairs = Similarity.lshNearDup(df, "vec_id", "embedding",
+      dim = dim, threshold = derived, knownCount = n)
+    val defSet = defPairs.select($"id_a", $"id_b").as[(Long, Long)]
+      .collect().toSet
+    assert(defSet == explicitPairs.select($"id_a", $"id_b")
+      .as[(Long, Long)].collect().toSet)
+    // a HARDCODED τ at the clamp floor is not what defaults produce:
+    // the background's 2-3σ pairs sit between 0.1 and the derived τ,
+    // so the floor admits them and the derived τ excludes them — a
+    // constant wired as the default would fail here
+    assert(derived > 0.1 + 1e-9, s"derived=$derived stuck at floor")
+    val floorPairs = Similarity.lshNearDup(df, "vec_id", "embedding",
+      dim = dim, threshold = 0.1, knownCount = n)
+    assert(floorPairs.count() > defPairs.count(),
+      s"floor τ admits no extra pairs — planted data degenerate")
+    // and the derived default still catches every planted duplicate
+    (0 until 30).foreach { j =>
+      assert(defSet.contains((background(j * 7)._1, 10000L + j)),
+        s"planted dup ${10000L + j} missing at derived τ=$derived")
+    }
+  }
+
   test("persisted IVF index reloads to the identical probe result") {
     val s = spark
     import s.implicits._
