@@ -206,6 +206,31 @@ object CorpusProfile {
       textCol: String): Unit =
     write(aggregated(read(spark, dir, strataCol, textCol)), dir)
 
+  /** [[compact]] with (strataCol, textCol) recovered from the stored
+    * params sidecar — the form a maintenance pass that only knows the
+    * DIRECTORY can call ([[Maintenance.compactAll]]). Fails fast on a
+    * store without a sidecar (pre-sidecar stores need the explicit
+    * form: the caller's columns are the contract there). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val (sc, tc) = readParams(fsFor(spark, dir), dir).getOrElse(
+      throw new java.io.IOException(
+        s"corpus profile $dir has no $ParamsSidecar — use " +
+          "compact(spark, dir, strataCol, textCol)"))
+    compact(spark, dir, sc, tc)
+  }
+
+  /** Whether the stored partials have drifted from fully-compacted
+    * form: more token rows than distinct (stratum, token) groups —
+    * i.e. at least one append landed since the last [[compact]]. One
+    * vocab-bounded aggregation, no corpus scan. */
+  def hasPartials(spark: SparkSession, dir: String): Boolean = {
+    val tok = spark.read.parquet(s"$dir/tokens.parquet")
+    val r = tok.agg(count(lit(1)).as("rows"),
+      count_distinct(struct(col("stratum"), col("token"))).as("groups"))
+      .head()
+    r.getLong(0) > r.getLong(1)
+  }
+
   /** The profile with partials collapsed: one row per stratum / per
     * (stratum, token). */
   def aggregated(p: Profile): Profile = Profile(

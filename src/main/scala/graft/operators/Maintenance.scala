@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** ONE maintenance entry point for every append-mode store this
+  * library persists. All six persistence units (MinhashIndex,
+  * IvfIndex, PqIndex, IvfPqIndex, CorpusProfile, Bm25Index) plus the
+  * generic parquet layouts accumulate files and/or layout drift BY
+  * DESIGN — O(batch) appends never rewrite the corpus-sized table —
+  * and each has its own restoring pass (`Layout.compact`'s bin-pack,
+  * `TextProfile.bm25IndexCompact`'s term-sorted re-pack,
+  * `CorpusProfile.compact`'s partial collapse). Before this object
+  * the operator had to know which store was which; [[compactAll]]
+  * instead DETECTS each unit from its directory contents (the
+  * table-name + sidecar layout every writer stamps), decides whether
+  * it drifted (small-file growth past the bin-pack slack, or stored
+  * partials for the stats-bearing units), and dispatches the right
+  * pass. Crash safety comes from the per-unit compactors themselves
+  * (every one stages + swaps under `FsUtil.swapInto`'s lock);
+  * single-writer-per-dir remains the caller's contract — quiesce
+  * appenders for the stores being compacted, as everywhere.
+  *
+  * At 100 TB this is the nightly housekeeping job: point it at the
+  * index/profile roots, and only the units whose drift crossed the
+  * threshold pay a rewrite — an idle store costs one file listing
+  * plus (for stats units) one vocab-bounded aggregation. */
+object Maintenance {
+
+  /** What [[compactAll]] did to one directory: the detected unit
+    * kind, and per inspected table its (filesBefore, filesAfter) —
+    * equal when the table did not need compaction. */
+  final case class UnitReport(kind: String,
+      tables: Map[String, (Int, Int)]) {
+    def compacted: Boolean = tables.exists { case (_, (b, a)) => a < b }
+  }
+
+  /** Inspect each directory, detect its unit kind, compact what
+    * drifted. `slack` bounds tolerated small-file growth: a table
+    * whose file count exceeds `slack` × its bin-packed ideal (size
+    * target + scan-parallelism floor — `Layout.compact`'s own
+    * formula) is re-packed; stats-bearing units (profile, BM25) also
+    * compact when their stored partials have drifted, whatever the
+    * file counts (partial drift is what unbounds their read-time
+    * aggregation — and for BM25 it implies the posting table's
+    * term-sort, and with it file-level pruning, is broken). */
+  def compactAll(spark: SparkSession, dirs: Seq[String],
+      targetFileBytes: Long = 128L << 20,
+      slack: Double = 2.0): Map[String, UnitReport] = {
+    require(slack >= 1.0, "slack must be >= 1")
+    dirs.map(d => d -> compactOne(spark, d, targetFileBytes, slack))
+      .toMap
+  }
+
+  private def compactOne(spark: SparkSession, dir: String,
+      target: Long, slack: Double): UnitReport = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(dir)
+    require(fs.exists(root), s"compactAll: $dir does not exist")
+    def has(name: String): Boolean = fs.exists(new Path(root, name))
+
+    if (has("postings.parquet") && has("df.parquet"))
+      bm25Unit(spark, fs, dir, target, slack)
+    else if (has("strata.parquet") && has("tokens.parquet"))
+      profileUnit(spark, fs, dir, target, slack)
+    else if (has("signed.parquet"))
+      tablesUnit(spark, fs, dir, "minhash-index", Seq("signed.parquet"),
+        target, slack)
+    else if (has("pqcodebooks.parquet") && has("codes.parquet"))
+      tablesUnit(spark, fs, dir, "ivfpq-index", Seq("codes.parquet"),
+        target, slack)
+    else if (has("codebooks.parquet") && has("codes.parquet"))
+      tablesUnit(spark, fs, dir, "pq-index", Seq("codes.parquet"),
+        target, slack)
+    else if (has("codebook.parquet") && has("assigned.parquet"))
+      tablesUnit(spark, fs, dir, "ivf-index", Seq("assigned.parquet"),
+        target, slack)
+    else {
+      val entries = fs.listStatus(root).toSeq
+      val flatParquet = entries.exists(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val partitioned = entries.exists(f =>
+        f.isDirectory && f.getPath.getName.contains("="))
+      if (flatParquet) genericFlat(spark, fs, dir, target, slack)
+      else if (partitioned) genericPartitioned(spark, dir, target)
+      else throw new IllegalArgumentException(
+        s"compactAll: $dir matches no known store layout (not an " +
+          "index/profile unit, no flat parquet files, no name=value " +
+          "partition dirs)")
+    }
+  }
+
+  // ── per-kind passes ────────────────────────────────────────────────
+
+  private def bm25Unit(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, target: Long,
+      slack: Double): UnitReport = {
+    val before = fileCount(fs, s"$dir/postings.parquet")
+    val need = TextProfile.bm25HasPartials(spark, dir) ||
+      overPacked(fs, s"$dir/postings.parquet", target,
+        spark.sparkContext.defaultParallelism, slack)
+    if (need) TextProfile.bm25IndexCompact(spark, dir)
+    UnitReport("bm25-index", Map("postings.parquet" ->
+      (before, fileCount(fs, s"$dir/postings.parquet"))))
+  }
+
+  private def profileUnit(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, target: Long,
+      slack: Double): UnitReport = {
+    val before = fileCount(fs, s"$dir/tokens.parquet")
+    val need = CorpusProfile.hasPartials(spark, dir) ||
+      overPacked(fs, s"$dir/tokens.parquet", target,
+        spark.sparkContext.defaultParallelism, slack)
+    if (need) CorpusProfile.compact(spark, dir)
+    UnitReport("corpus-profile", Map("tokens.parquet" ->
+      (before, fileCount(fs, s"$dir/tokens.parquet"))))
+  }
+
+  private def tablesUnit(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, kind: String,
+      tables: Seq[String], target: Long, slack: Double): UnitReport = {
+    val p = spark.sparkContext.defaultParallelism
+    UnitReport(kind, tables.map { t =>
+      val path = s"$dir/$t"
+      val before = fileCount(fs, path)
+      if (overPacked(fs, path, target, p, slack))
+        Layout.compact(spark, path, target)
+      t -> (before, fileCount(fs, path))
+    }.toMap)
+  }
+
+  private def genericFlat(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, target: Long,
+      slack: Double): UnitReport = {
+    val before = fileCount(fs, dir)
+    if (overPacked(fs, dir, target,
+        spark.sparkContext.defaultParallelism, slack))
+      Layout.compact(spark, dir, target)
+    UnitReport("generic-flat", Map("." -> (before, fileCount(fs, dir))))
+  }
+
+  private def genericPartitioned(spark: SparkSession, dir: String,
+      target: Long): UnitReport = {
+    // per-leaf ideal is 1 file (cross-leaf parallelism covers scans),
+    // so the slack rule collapses to "any leaf above its size-packed
+    // count" — compactPartitioned already skips single-file leaves
+    // cheaply; just run it
+    val rep = Layout.compactPartitioned(spark, dir, target)
+    UnitReport("generic-partitioned", rep)
+  }
+
+  // ── drift rules ────────────────────────────────────────────────────
+
+  private def parquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(new Path(path)).toSeq.filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+
+  private def fileCount(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Int = parquetFiles(fs, path).size
+
+  /** The bin-pack drift rule: file count past `slack` × what
+    * `Layout.compact` would produce for these bytes (size target,
+    * floored at scan parallelism but never above the current count).
+    */
+  private def overPacked(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, target: Long, parallelism: Int,
+      slack: Double): Boolean = {
+    val fls = parquetFiles(fs, path)
+    if (fls.isEmpty) return false
+    val bytes = fls.map(_.getLen).sum
+    val ideal = math.max(math.min(fls.size, parallelism),
+      math.ceil(bytes.toDouble / target).toInt)
+    fls.size > slack * ideal
+  }
+}

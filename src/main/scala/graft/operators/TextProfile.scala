@@ -439,6 +439,20 @@ object TextProfile {
     }
   }
 
+  /** Whether a stored [[Bm25Index]]'s df partials have drifted from
+    * fully-compacted form: more partial rows than distinct terms —
+    * i.e. at least one [[bm25IndexAppend]] landed since the last
+    * [[bm25IndexCompact]] (appends also leave the posting table's
+    * term-sort broken, so partial drift implies pruning drift). One
+    * vocab-bounded aggregation, no posting scan. */
+  def bm25HasPartials(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val r = spark.read.parquet(s"$dir/df.parquet")
+      .agg(count(lit(1)).as("rows"),
+        count_distinct(col("term")).as("terms")).head()
+    r.getLong(0) > r.getLong(1)
+  }
+
   /** Probe a prebuilt [[Bm25Index]]: identical output to
     * [[bm25TopK]] with the same parameters (spec-pinned), at
     * posting-lookup cost — no tokenize, no tf/df aggregation. When

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusProfile, Maintenance, Similarity, TextProfile}
+import graft.sources.Tables
+
+/** The single maintenance entry point over append-drifted stores:
+  * unit detection from directory contents, drift detection (partials
+  * / small-file growth), dispatch to the right restoring pass, and —
+  * the property that matters — probe results bit-identical across
+  * the compaction. */
+class MaintenanceSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-maint-$name")
+      .toString + "/store"
+
+  private def files(dir: String): Int =
+    new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  test("append-drifted BM25 store: detected, term-sorted re-pack, probe identical") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.load(s, sf0001, "documents")
+    val dir = tmp("bm25")
+    TextProfile.bm25Index(docs.filter($"doc_id" % 2 === 0), "doc_id",
+      "text").write(dir)
+    val stored = TextProfile.readBm25Index(s, dir, "doc_id")
+    TextProfile.bm25IndexAppend(stored,
+      docs.filter($"doc_id" % 2 === 1), "text", dir)
+    assert(TextProfile.bm25HasPartials(s, dir), "append left no partials?")
+
+    val queries = docs.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("q_id"),
+        concat_ws(" ", slice(graft.functions.TextFunctions
+          .tokens($"text"), 1, 6)).as("qtext"))
+    def probe() = TextProfile.bm25TopKWithIndex(queries, "q_id",
+      "qtext", TextProfile.readBm25Index(s, dir, "doc_id"), k = 5,
+      stopwordCut = false).collect().toSet
+    val before = probe()
+
+    val rep = Maintenance.compactAll(s, Seq(dir))(dir)
+    assert(rep.kind == "bm25-index", rep.kind)
+    assert(rep.compacted, rep.toString)
+    assert(!TextProfile.bm25HasPartials(s, dir), "partials survived")
+    assert(probe() == before, "probe changed across compaction")
+
+    // idle store: a second pass detects nothing to do
+    val rep2 = Maintenance.compactAll(s, Seq(dir))(dir)
+    assert(!rep2.compacted, rep2.toString)
+  }
+
+  test("append-drifted corpus profile: partials collapsed, stats identical") {
+    val s = spark
+    val docs = Tables.load(s, sf0001, "documents")
+    val dir = tmp("profile")
+    CorpusProfile.write(CorpusProfile.build(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "lang", "text"),
+      dir)
+    CorpusProfile.append(CorpusProfile.build(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "lang", "text"),
+      dir)
+    assert(CorpusProfile.hasPartials(s, dir))
+    def stats() = CorpusProfile.stats(
+      CorpusProfile.read(s, dir, "lang", "text")).collect().toSet
+    val before = stats()
+    val rep = Maintenance.compactAll(s, Seq(dir))(dir)
+    assert(rep.kind == "corpus-profile" && rep.compacted, rep.toString)
+    assert(!CorpusProfile.hasPartials(s, dir))
+    assert(stats() == before)
+  }
+
+  test("append-grown IVF store: bin-packed back to scan parallelism, probe identical") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sf001, "embeddings")
+    val dir = tmp("ivf")
+    Similarity.ivfIndex(emb.filter($"vec_id" % 12 === 0), "vec_id",
+      "embedding", nlist = 16).write(dir)
+    var idx = Similarity.readIvfIndex(s, dir, "vec_id", "embedding")
+    (1 to 11).foreach { r =>
+      idx = Similarity.ivfAppendToStored(idx,
+        emb.filter($"vec_id" % 12 === r), dir)
+    }
+    val p = s.sparkContext.defaultParallelism
+    val grown = files(s"$dir/assigned.parquet")
+    assert(grown > 2 * p, s"appends grew only to $grown files")
+
+    def probe() = Similarity.ivfTopKWithIndex(
+      emb.filter($"vec_id" % 100 === 0),
+      Similarity.readIvfIndex(s, dir, "vec_id", "embedding"),
+      k = 5, nprobe = 4).collect().toSet
+    val before = probe()
+    val rep = Maintenance.compactAll(s, Seq(dir))(dir)
+    assert(rep.kind == "ivf-index" && rep.compacted, rep.toString)
+    val after = files(s"$dir/assigned.parquet")
+    assert(after <= grown / 2 && after >= math.min(p, after),
+      s"$grown -> $after")
+    assert(probe() == before, "probe changed across compaction")
+  }
+
+  test("generic layouts and unknown dirs: detected / rejected") {
+    val s = spark
+    import s.implicits._
+    // flat: many tiny files -> bin-packed via the generic pass
+    val flat = tmp("flat")
+    (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(20).write.parquet(flat)
+    val repF = Maintenance.compactAll(s, Seq(flat))(flat)
+    assert(repF.kind == "generic-flat" && repF.compacted, repF.toString)
+
+    // partitioned: each batch_id leaf compacts independently
+    val part = tmp("part")
+    (1L to 100L).map(i => (i, i % 2)).toDF("id", "batch_id")
+      .repartition(10).write.partitionBy("batch_id").parquet(part)
+    val repP = Maintenance.compactAll(s, Seq(part))(part)
+    assert(repP.kind == "generic-partitioned", repP.toString)
+
+    // neither a unit nor parquet: refuse loudly, never guess
+    val junk = java.nio.file.Files
+      .createTempDirectory("graft-maint-junk").toString
+    intercept[IllegalArgumentException] {
+      Maintenance.compactAll(s, Seq(junk))
+    }
+  }
+}
