@@ -306,8 +306,10 @@ object Bench {
     // timings: a burst victim comes back at-bar, a true regression
     // stays slow — no human adjudication. Bounded: only rows big
     // enough to ever breach a gate (>= 0.3 s — sub-0.3 readings are
-    // inside the documented quantization/noise floor), slowest first,
-    // at most 20 rows / 90 s. The candidate set is computed
+    // inside the documented quantization/noise floor), MOST-SUSPECT
+    // first (bar-ratio order; bar-less rows queue after by seconds —
+    // see retryCandidates), at most 20 rows / 90 s. The candidate set
+    // is computed
     // unconditionally: a burst confined to the FIRST or LAST segment
     // shows only in the endpoint cals (zero mid-probe breaches), and
     // gating on burstProbes alone would ship those rows uncorrected.

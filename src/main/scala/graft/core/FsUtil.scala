@@ -122,7 +122,25 @@ object FsUtil {
           // construction with AlreadyBeingCreatedException (an
           // IOException, not FileAlreadyExists), and transient NN
           // conditions with ipc.RetriableException — both are
-          // contention/wait, not persistent failure
+          // contention/wait, not persistent failure. A REAL namenode
+          // delivers them wrapped in ipc.RemoteException (whose
+          // unwrap list does not cover either class), so the wrapper
+          // is matched by CLASS NAME too — the direct-typed arms
+          // alone would misroute the wrapped form to the persistent
+          // arm, the exact misdiagnosis this catch exists to avoid.
+          case e: org.apache.hadoop.ipc.RemoteException
+              if e.getClassName != null &&
+                (e.getClassName.endsWith("AlreadyBeingCreatedException") ||
+                 e.getClassName.endsWith("RetriableException") ||
+                 e.getClassName.endsWith("FileAlreadyExistsException")) =>
+            if (System.nanoTime() >= deadline)
+              throw new java.io.IOException(
+                s"swapInto: could not acquire $lock within ${waitMs}ms — " +
+                  "another writer is swapping this target (retry), or a " +
+                  "crashed writer left the lock behind (inspect the " +
+                  "target and its .-backup-* siblings, then delete the " +
+                  "lock file)", e)
+            Thread.sleep(20); null
           case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
                     _: java.nio.file.FileAlreadyExistsException |
                     _: org.apache.hadoop.hdfs.protocol.AlreadyBeingCreatedException |

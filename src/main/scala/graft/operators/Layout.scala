@@ -249,13 +249,34 @@ object Layout {
   def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
       rootPath: String, targetFileBytes: Long = 128L << 20,
       zorderCols: Seq[String] = Nil): Map[String, (Int, Int)] = {
+    val parts = partitionLeaves(spark, rootPath)
+    require(parts.nonEmpty && parts.forall(_._1.nonEmpty),
+      s"compactPartitioned: no name=value partition dirs holding " +
+        s"parquet under $rootPath (flat dirs go through compact)")
+    parts.map { case (rel, p) =>
+      // minFiles = 1 per leaf: partitions scan in parallel ACROSS
+      // leaves, so the single-file-serialization hazard the flat-dir
+      // floor guards against doesn't apply within one
+      rel -> compact(spark, p.toString, targetFileBytes, zorderCols,
+        minFiles = 1)
+    }.toMap
+  }
+
+  /** The leaf partition dirs of a hive-partitioned layout: descend
+    * through `name=value` levels; a dir is a LEAF when it holds
+    * parquet files directly (deeper name=value dirs under a
+    * parquet-bearing dir would be a malformed layout — not expected
+    * from any writer here). Keys are partition paths relative to the
+    * root. Shared by [[compactPartitioned]] and the maintenance
+    * pass's per-leaf drift gate (`Maintenance.compactAll` compacts
+    * only the leaves that drifted — compacting every leaf would
+    * rewrite an idle store wholesale on every run). */
+  def partitionLeaves(spark: org.apache.spark.sql.SparkSession,
+      rootPath: String)
+      : Seq[(String, org.apache.hadoop.fs.Path)] = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(rootPath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    // descend through name=value levels; a dir is a LEAF when it
-    // holds parquet files directly (deeper name=value dirs under a
-    // parquet-bearing dir would be a malformed layout — not expected
-    // from any writer here)
     def leaves(p: Path, rel: String): Seq[(String, Path)] = {
       val entries = fs.listStatus(p).toSeq
       if (entries.exists(f => f.isFile &&
@@ -269,16 +290,6 @@ object Layout {
             if (rel.isEmpty) name else s"$rel/$name")
         }
     }
-    val parts = leaves(new Path(rootPath), "")
-    require(parts.nonEmpty && parts.forall(_._1.nonEmpty),
-      s"compactPartitioned: no name=value partition dirs holding " +
-        s"parquet under $rootPath (flat dirs go through compact)")
-    parts.map { case (rel, p) =>
-      // minFiles = 1 per leaf: partitions scan in parallel ACROSS
-      // leaves, so the single-file-serialization hazard the flat-dir
-      // floor guards against doesn't apply within one
-      rel -> compact(spark, p.toString, targetFileBytes, zorderCols,
-        minFiles = 1)
-    }.toMap
+    leaves(new Path(rootPath), "")
   }
 }

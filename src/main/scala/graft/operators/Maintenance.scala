@@ -42,8 +42,11 @@ object Maintenance {
     * formula) is re-packed; stats-bearing units (profile, BM25) also
     * compact when their stored partials have drifted, whatever the
     * file counts (partial drift is what unbounds their read-time
-    * aggregation — and for BM25 it implies the posting table's
-    * term-sort, and with it file-level pruning, is broken). */
+    * aggregation), and BM25 additionally when its sortedFiles stamp
+    * disagrees with the posting file count ([[TextProfile
+    * .bm25SortDrifted]] — the signal that catches vocab-disjoint
+    * appends, which break term-sorted file pruning without leaving
+    * df partials). */
   def compactAll(spark: SparkSession, dirs: Seq[String],
       targetFileBytes: Long = 128L << 20,
       slack: Double = 2.0): Map[String, UnitReport] = {
@@ -83,7 +86,7 @@ object Maintenance {
       val partitioned = entries.exists(f =>
         f.isDirectory && f.getPath.getName.contains("="))
       if (flatParquet) genericFlat(spark, fs, dir, target, slack)
-      else if (partitioned) genericPartitioned(spark, dir, target)
+      else if (partitioned) genericPartitioned(spark, dir, target, slack)
       else throw new IllegalArgumentException(
         s"compactAll: $dir matches no known store layout (not an " +
           "index/profile unit, no flat parquet files, no name=value " +
@@ -97,7 +100,12 @@ object Maintenance {
       fs: org.apache.hadoop.fs.FileSystem, dir: String, target: Long,
       slack: Double): UnitReport = {
     val before = fileCount(fs, s"$dir/postings.parquet")
-    val need = TextProfile.bm25HasPartials(spark, dir) ||
+    // three independent drift signals: df partials (overlapping-vocab
+    // appends), the sortedFiles stamp (ANY append — a vocab-disjoint
+    // batch leaves df 1-per-term yet still breaks term-sorted file
+    // pruning), and raw small-file growth
+    val need = TextProfile.bm25SortDrifted(spark, dir) ||
+      TextProfile.bm25HasPartials(spark, dir) ||
       overPacked(fs, s"$dir/postings.parquet", target,
         spark.sparkContext.defaultParallelism, slack)
     if (need) TextProfile.bm25IndexCompact(spark, dir)
@@ -141,12 +149,20 @@ object Maintenance {
   }
 
   private def genericPartitioned(spark: SparkSession, dir: String,
-      target: Long): UnitReport = {
-    // per-leaf ideal is 1 file (cross-leaf parallelism covers scans),
-    // so the slack rule collapses to "any leaf above its size-packed
-    // count" — compactPartitioned already skips single-file leaves
-    // cheaply; just run it
-    val rep = Layout.compactPartitioned(spark, dir, target)
+      target: Long, slack: Double): UnitReport = {
+    // drift-gate PER LEAF (per-leaf floor is 1 — cross-leaf
+    // parallelism covers scans) and compact only the drifted ones: an
+    // idle store with thousands of already-packed batch_id leaves
+    // must cost a listing, not a wholesale re-read + re-write + swap
+    // of every leaf on every maintenance run
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rep = Layout.partitionLeaves(spark, dir).map { case (rel, p) =>
+      val before = fileCount(fs, p.toString)
+      if (overPacked(fs, p.toString, target, parallelism = 1, slack))
+        rel -> Layout.compact(spark, p.toString, target, minFiles = 1)
+      else rel -> (before, before)
+    }.toMap
     UnitReport("generic-partitioned", rep)
   }
 

@@ -303,16 +303,24 @@ object TextProfile {
         // The id tiebreak splits heavy terms across sized files;
         // every file still carries a TIGHT term min/max (a term may
         // span adjacent files), so In-pushdown pruning is unharmed.
-        graft.sources.Sinks.writeSizedParquet(postings,
+        val n = graft.sources.Sinks.writeSizedParquet(postings,
           new Path(staging, "postings.parquet").toString,
           sortCols = Seq("term", idCol),
           minFiles = postings.sparkSession.sparkContext
             .defaultParallelism)
         dfreq.write.mode("overwrite")
           .parquet(new Path(staging, "df.parquet").toString)
+        // sortedFiles = the posting file count AT SORTED-WRITE time:
+        // appends add files but rewrite the sidecar WITHOUT the
+        // stamp, so stamp-absent-or-count-mismatch is the sort-drift
+        // signal [[bm25SortDrifted]] reads — df-partial drift alone
+        // cannot see a vocabulary-disjoint append (its df rows stay
+        // 1-per-term) even though that append still breaks the
+        // posting table's term-sorted file pruning
         graft.core.FsUtil.writeSidecar(fs,
           new Path(staging, "params.json"),
-          s"""{"version":1,"docs":$nDocs,"tokens":$totTokens}""")
+          s"""{"version":1,"docs":$nDocs,"tokens":$totTokens,""" +
+            s""""sortedFiles":$n}""")
       }
     }
   }
@@ -428,29 +436,62 @@ object TextProfile {
       .filterNot(c => c == "term" || c.startsWith("__")).head
     graft.core.FsUtil.swapInto(fs, new Path(dir)) { staging =>
       // composite (term, id) range key — see Bm25Index.write's skew note
-      graft.sources.Sinks.writeSizedParquet(postings,
+      val n = graft.sources.Sinks.writeSizedParquet(postings,
         new Path(staging, "postings.parquet").toString,
         sortCols = Seq("term", idCol),
         minFiles = spark.sparkContext.defaultParallelism)
       dfAgg.write.mode("overwrite")
         .parquet(new Path(staging, "df.parquet").toString)
+      // re-stamp sortedFiles at the NEW count (docs/tokens preserved
+      // from the stored params): the store is sorted again
+      val restamped =
+        params.replaceAll(""",\s*"sortedFiles":\d+""", "")
+          .replaceFirst("\\}\\s*$", s""","sortedFiles":$n}""")
       graft.core.FsUtil.writeSidecar(fs,
-        new Path(staging, "params.json"), params)
+        new Path(staging, "params.json"), restamped)
     }
   }
 
   /** Whether a stored [[Bm25Index]]'s df partials have drifted from
     * fully-compacted form: more partial rows than distinct terms —
-    * i.e. at least one [[bm25IndexAppend]] landed since the last
-    * [[bm25IndexCompact]] (appends also leave the posting table's
-    * term-sort broken, so partial drift implies pruning drift). One
-    * vocab-bounded aggregation, no posting scan. */
+    * i.e. at least one [[bm25IndexAppend]] of overlapping vocabulary
+    * landed since the last [[bm25IndexCompact]]. One vocab-bounded
+    * aggregation, no posting scan. NOT a sort-drift check: an append
+    * whose batch vocabulary is DISJOINT from the store keeps df at
+    * one row per term while still breaking the posting table's
+    * term-sorted file pruning — that case is [[bm25SortDrifted]]'s
+    * (the stamp check), and maintenance consults both. */
   def bm25HasPartials(spark: org.apache.spark.sql.SparkSession,
       dir: String): Boolean = {
     val r = spark.read.parquet(s"$dir/df.parquet")
       .agg(count(lit(1)).as("rows"),
         count_distinct(col("term")).as("terms")).head()
     r.getLong(0) > r.getLong(1)
+  }
+
+  /** Whether the stored posting table's term-sorted layout has
+    * drifted since the last sorted write: [[Bm25Index.write]] and
+    * [[bm25IndexCompact]] stamp `sortedFiles` (the posting file
+    * count at sorted-write time) into params.json, while
+    * [[bm25IndexAppend]] rewrites the sidecar WITHOUT the stamp — so
+    * a missing stamp, or a stamp that disagrees with the current
+    * file count, means unsorted files landed and the In-pushdown
+    * arm's file-level min/max pruning is degraded until the next
+    * term-sorted re-pack. Costs one listing + one sidecar read.
+    * Pre-stamp stores read as drifted (conservative: one extra
+    * compact, which stamps them). */
+  def bm25SortDrifted(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stamp = graft.core.FsUtil.readSidecar(fs,
+        new Path(dir, "params.json"))
+      .flatMap(s => """"sortedFiles":(\d+)""".r.findFirstMatchIn(s))
+      .map(_.group(1).toInt)
+    val current = fs.listStatus(new Path(dir, "postings.parquet"))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    !stamp.contains(current)
   }
 
   /** Probe a prebuilt [[Bm25Index]]: identical output to

@@ -33,14 +33,20 @@ object BarPair {
         .selectExpr("sum(id % 97)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // a FAILED query records -1, never a wall time: the time-to-throw
+    // is not a bar, and publishing it (an OOM 0.5 s in would print
+    // "0.50") poisons BenchBars — every later run reads 2x+ the bogus
+    // bar, the ratio-ordered retry arm ranks it first, and the breach
+    // line parades a phantom regression
     def pass(label: String): Map[String, Double] = {
       val cal = calOnce()
       val times = names.map { n =>
         val t0 = System.nanoTime()
-        try graft.SparkEntry.queries(n)(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[barpair] $n FAILED: $e") }
-        val s = (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { graft.SparkEntry.queries(n)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[barpair] $n FAILED: $e"); false }
+        val s = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         spark.catalog.clearCache()
         n -> s
       }.toMap
@@ -52,9 +58,13 @@ object BarPair {
     }
     val a = pass("A")
     val b = pass("B")
-    println("bars " + names.sorted
+    val (good, failed) =
+      names.sorted.partition(n => a(n) >= 0 && b(n) >= 0)
+    println("bars " + good
       .map(n => f""""$n":${math.max(a(n), b(n))}%.2f""")
       .mkString("{", ",", "}"))
+    if (failed.nonEmpty)
+      println("failed (no bar recorded): " + failed.mkString(", "))
     spark.stop()
   }
 }

@@ -21,15 +21,7 @@ object RunOne {
     val spark = graft.core.GraftSession("graft-runone",
       master = Some(s"local[$cpus]"), shufflePartitions = Some(cpus.toInt))
     new java.io.File(outDir).mkdirs()
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = graft.core.Json.quote(s)
     val json = names.flatMap(n =>
         graft.SparkEntry.oracleSql.get(n).map(sql => s"${q(n)}: ${q(sql)}"))
       .mkString("{", ",", "}")

@@ -50,6 +50,23 @@ class MaintenanceSpec extends SparkSpec {
     // idle store: a second pass detects nothing to do
     val rep2 = Maintenance.compactAll(s, Seq(dir))(dir)
     assert(!rep2.compacted, rep2.toString)
+
+    // vocab-DISJOINT append: df stays one row per term (no partials)
+    // yet the posting term-sort is broken — only the sortedFiles
+    // stamp sees it; a partials-only gate would report the store
+    // idle while file pruning stays degraded indefinitely
+    val disjoint = Seq((900001L, "zzqxa zzqxb zzqxc"),
+      (900002L, "zzqxd zzqxe")).toDF("doc_id", "text")
+    TextProfile.bm25IndexAppend(
+      TextProfile.readBm25Index(s, dir, "doc_id"), disjoint, "text",
+      dir)
+    assert(!TextProfile.bm25HasPartials(s, dir),
+      "disjoint append should leave no df partials")
+    assert(TextProfile.bm25SortDrifted(s, dir),
+      "stamp failed to flag the unsorted append")
+    val rep3 = Maintenance.compactAll(s, Seq(dir))(dir)
+    assert(rep3.compacted, rep3.toString)
+    assert(!TextProfile.bm25SortDrifted(s, dir), "compact did not re-stamp")
   }
 
   test("append-drifted corpus profile: partials collapsed, stats identical") {
@@ -96,7 +113,9 @@ class MaintenanceSpec extends SparkSpec {
     val rep = Maintenance.compactAll(s, Seq(dir))(dir)
     assert(rep.kind == "ivf-index" && rep.compacted, rep.toString)
     val after = files(s"$dir/assigned.parquet")
-    assert(after <= grown / 2 && after >= math.min(p, after),
+    // shrank, but never below scan parallelism (the 914-vs-147 s
+    // single-file-serialization guard this round extends to compact)
+    assert(after <= grown / 2 && after >= math.min(p, grown),
       s"$grown -> $after")
     assert(probe() == before, "probe changed across compaction")
   }
