@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hybrid-retrieval composition: fuse independently-produced ranked
+  * lists (lexical BM25, semantic ANN, any other ranker) into one
+  * ranking — the production retrieval pattern for RAG serving and
+  * training-data curation, where neither signal alone is enough
+  * (BM25 misses paraphrase, embeddings miss rare exact terms).
+  *
+  * Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09):
+  * score(d) = Σ_lists 1/(k₀ + rank_list(d)). Rank-based, so the
+  * lists' raw scores need no calibration against each other — the
+  * property that makes RRF the default fusion everywhere. Here the
+  * contribution is quantized to exact integers
+  * (`scale DIV (k₀ + rank)`, default 10⁶/(60+r)) so the fused
+  * ranking replays bit-for-bit in any engine — the same no-float
+  * cross-engine discipline as BM25's quantized idf·tf-norm.
+  *
+  * Scale shape: each input list is already top-k-per-query (≤ k·|Q|
+  * rows — query-batch-sized, corpus never touched here); the union
+  * and the (q, id) partial-sum aggregation shuffle only those rows,
+  * and the final per-query top-k runs on the bounded-heap aggregate
+  * (map-side combine, ≤ k rows per query per task, never a window).
+  * Fusing over a 100 TB corpus costs exactly what its per-list
+  * retrievals cost; the fusion itself is query-batch-sized. */
+object Retrieval {
+
+  /** Fuse ranked lists by integer-exact RRF. Each input must carry
+    * `qCol`, `idCol`, `rankCol` (rank 1-based within its list; pass
+    * each list already truncated to its own top-k — the caller owns
+    * per-list depth). Returns (qCol, rank, idCol, rrf_score) with
+    * rank 1..k per query, ordered by fused score desc, id asc —
+    * deterministic under ties by construction. */
+  def rrfFuse(lists: Seq[DataFrame], qCol: String, idCol: String,
+      rankCol: String, k: Int, k0: Int = 60,
+      scale: Long = 1000000L): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: no input lists")
+    require(k >= 1 && k0 >= 0 && scale >= 1, "rrfFuse: bad parameters")
+    val shaped = lists.map(_.select(
+      col(qCol).as("q_id"),
+      col(idCol).cast("long").as("__rid"),
+      col(rankCol).cast("long").as("__rank")))
+    val union = shaped.reduce(_ unionByName _)
+    // integer-quantized reciprocal rank: exact on every engine
+    // (DuckDB `scale // (k0 + rank)`), monotone in rank, and at
+    // scale=10⁶ distinct through rank ~999 — far past any list depth
+    val contrib: Column = expr(s"${scale}L DIV (${k0}L + __rank)")
+    val fused = union
+      .groupBy(col("q_id"), col("__rid"))
+      .agg(sum(contrib).cast("long").as("rrf_score"))
+    fused.groupBy(col("q_id"))
+      .agg(graft.plans.GraftCall(graft.plans.VectorExpressions.TopKName,
+        struct(col("rrf_score"), col("__rid").as("tb")), lit(k))
+        .as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("q_id").as(qCol),
+        (col("__pos") + 1).cast("long").as("rank"),
+        col("__e.tb").as(idCol), col("__e.rrf_score").as("rrf_score"))
+  }
+}

@@ -373,6 +373,69 @@ object SimilarityQueries extends QueryPack {
       },
       Some(ivfPqResidualOracleSql)),
 
+    // hybrid retrieval: the production serving pattern — lexical BM25
+    // and semantic ANN ranked lists fused by integer-exact
+    // reciprocal-rank fusion (Retrieval.rrfFuse: 10^6 DIV (60+rank),
+    // so the fused ranking replays bit-for-bit in DuckDB). Lexical
+    // arm = q_text_bm25's exact chain (same queries, cut=false gate
+    // config); semantic arm = q_ann_ivf_topk's exact chain (nlist=16,
+    // nprobe=4, self-excluded); the oracle composes both chains
+    // verbatim plus the fusion arithmetic. Fusion cost is
+    // query-batch-sized (each list arrives top-5-per-query) — at
+    // 100 TB the corpus-side cost lives entirely in the per-list
+    // retrievals, which is the point of rank-based fusion.
+    "q_hybrid_retrieval" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val queries = docs.filter($"doc_id" % 100 === 0)
+          .select($"doc_id".as("q_id"),
+            concat_ws(" ", slice(graft.functions.TextFunctions
+              .tokens($"text"), 1, 6)).as("qtext"))
+        val lex = graft.operators.TextProfile.bm25TopK(docs, "doc_id",
+          "text", queries, "q_id", "qtext", k = 5, stopwordCut = false)
+        val sem = Similarity.ivfTopK(emb.filter($"vec_id" % 100 === 0),
+          emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        graft.operators.Retrieval.rrfFuse(
+          Seq(lex.select($"q_id", $"doc_id".as("id"), $"rank"),
+            sem.select($"q_id", $"nn_id".as("id"), $"rank")),
+          "q_id", "id", "rank", k = 5)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(s"""WITH ${TextQueries.oBm25Ctes},
+              |$ivfChainCtes,
+              |sem_scored AS (
+              |  SELECT q_id, nn_id,
+              |    ${oDot("q_vec", "nn_vec")} / (q_nrm * nn_nrm) AS cos
+              |  FROM probes JOIN assigned USING (cell)
+              |  WHERE q_id <> nn_id),
+              |sem_ranked AS (
+              |  SELECT q_id, nn_id,
+              |    row_number() OVER (PARTITION BY q_id
+              |                       ORDER BY cos DESC, nn_id) AS rank
+              |  FROM sem_scored),
+              |fused AS (
+              |  SELECT q_id, doc_id,
+              |    CAST(sum(contrib) AS BIGINT) AS rrf_score
+              |  FROM (
+              |    SELECT q_id, doc_id, 1000000 // (60 + rn) AS contrib
+              |    FROM ranked WHERE rn <= 5
+              |    UNION ALL
+              |    SELECT q_id, nn_id AS doc_id,
+              |      1000000 // (60 + rank) AS contrib
+              |    FROM sem_ranked WHERE rank <= 5)
+              |  GROUP BY q_id, doc_id),
+              |franked AS (
+              |  SELECT q_id, doc_id, rrf_score,
+              |    row_number() OVER (PARTITION BY q_id
+              |      ORDER BY rrf_score DESC, doc_id ASC) AS rank
+              |  FROM fused)
+              |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id,
+              |  rrf_score
+              |FROM franked WHERE rank <= 5
+              |""".stripMargin)),
+
     // cluster-balanced subsampling: k-means (IVF) cells as topic
     // strata, then a deterministic exact-k sample per cell — the
     // topic-balancing pass that keeps a web crawl's dominant clusters

@@ -12,11 +12,12 @@ import QHelp._
   */
 object TextQueries extends QueryPack {
 
-  /** Shared by q_text_bm25 and q_text_bm25_index — the persisted
-    * posting index's probe must be bit-identical to the fresh
-    * build. */
-  private val oBm25Sql =
-    """WITH tok AS (
+  /** The q_text_bm25 oracle's CTE chain through `ranked` (rn = the
+    * BM25 rank) — shared with the hybrid-retrieval oracle
+    * (SimilarityQueries), whose lexical arm must be THIS chain
+    * verbatim. */
+  private[queries] val oBm25Ctes =
+    """tok AS (
              |  SELECT doc_id,
              |    len(string_split_regex(trim(text), '\s+')) AS len,
              |    unnest(string_split_regex(trim(text), '\s+')) AS term
@@ -52,10 +53,16 @@ object TextQueries extends QueryPack {
              |  SELECT q_id, doc_id, score,
              |    row_number() OVER (PARTITION BY q_id
              |      ORDER BY score DESC, doc_id ASC) AS rn
-             |  FROM scored)
-             |SELECT q_id, CAST(rn AS BIGINT) AS rank, doc_id, score
-             |FROM ranked WHERE rn <= 5
-             |""".stripMargin
+             |  FROM scored)""".stripMargin
+
+  /** Shared by q_text_bm25, q_text_bm25_index, and q_stream_bm25 —
+    * the persisted posting index's probe and the streaming serve must
+    * be bit-identical to the fresh build. */
+  private val oBm25Sql =
+    s"""WITH $oBm25Ctes
+       |SELECT q_id, CAST(rn AS BIGINT) AS rank, doc_id, score
+       |FROM ranked WHERE rn <= 5
+       |""".stripMargin
 
   /** Shared by q_text_rarity and q_text_rarity_profile — the profile-
     * fed path must be bit-identical to the direct pass. */

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Retrieval
+
+/** Integer-exact RRF fusion: hand-computed fusion of two small
+  * ranked lists, determinism of the tie-break, and the bounded-heap
+  * (no window) plan shape. */
+class RetrievalSpec extends SparkSpec {
+
+  test("rrfFuse: both-list members outrank single-list members; exact integer scores") {
+    val s = spark
+    import s.implicits._
+    // query 1: doc 10 is rank 1 lexically AND rank 2 semantically;
+    // doc 20 only lexical rank 2; doc 30 only semantic rank 1
+    val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("q", "id", "rank")
+    val sem = Seq((1L, 30L, 1L), (1L, 10L, 2L)).toDF("q", "id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(lex, sem), "q", "id", "rank",
+        k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    // contributions: r1 = 1000000/61 = 16393, r2 = 1000000/62 = 16129
+    val r1 = 1000000L / 61; val r2 = 1000000L / 62
+    assert(fused === Array(
+      (1L, 1L, 10L, r1 + r2), // both lists
+      (1L, 2L, 30L, r1),      // single rank-1 beats single rank-2
+      (1L, 3L, 20L, r2)), fused.mkString(", "))
+  }
+
+  test("rrfFuse: score ties break by ascending id, deterministically") {
+    val s = spark
+    import s.implicits._
+    // two docs each rank-1 in exactly one list → identical scores
+    val a = Seq((7L, 100L, 1L)).toDF("q", "id", "rank")
+    val b = Seq((7L, 50L, 1L)).toDF("q", "id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a, b), "q", "id", "rank", k = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(fused.map(_._3).toSeq == Seq(50L, 100L), fused.mkString(", "))
+    assert(fused.map(_._4).distinct.length == 1)
+  }
+
+  test("rrfFuse plans the bounded-heap aggregate, not a rank window") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 2L, 1L)).toDF("q", "id", "rank")
+    val plan = Retrieval.rrfFuse(Seq(l, l), "q", "id", "rank", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("boundedtopk") || plan.contains("BoundedTopK")
+      || plan.contains("graft_topk"), plan)
+  }
+}
