@@ -403,38 +403,62 @@ object SimilarityQueries extends QueryPack {
           "q_id", "id", "rank", k = 5)
           .withColumnRenamed("id", "doc_id")
       },
-      Some(s"""WITH ${TextQueries.oBm25Ctes},
-              |$ivfChainCtes,
-              |sem_scored AS (
-              |  SELECT q_id, nn_id,
-              |    ${oDot("q_vec", "nn_vec")} / (q_nrm * nn_nrm) AS cos
-              |  FROM probes JOIN assigned USING (cell)
-              |  WHERE q_id <> nn_id),
-              |sem_ranked AS (
-              |  SELECT q_id, nn_id,
-              |    row_number() OVER (PARTITION BY q_id
-              |                       ORDER BY cos DESC, nn_id) AS rank
-              |  FROM sem_scored),
-              |fused AS (
-              |  SELECT q_id, doc_id,
-              |    CAST(sum(contrib) AS BIGINT) AS rrf_score
-              |  FROM (
-              |    SELECT q_id, doc_id, 1000000 // (60 + rn) AS contrib
-              |    FROM ranked WHERE rn <= 5
-              |    UNION ALL
-              |    SELECT q_id, nn_id AS doc_id,
-              |      1000000 // (60 + rank) AS contrib
-              |    FROM sem_ranked WHERE rank <= 5)
-              |  GROUP BY q_id, doc_id),
-              |franked AS (
-              |  SELECT q_id, doc_id, rrf_score,
-              |    row_number() OVER (PARTITION BY q_id
-              |      ORDER BY rrf_score DESC, doc_id ASC) AS rank
-              |  FROM fused)
-              |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id,
-              |  rrf_score
-              |FROM franked WHERE rank <= 5
-              |""".stripMargin)),
+      Some(hybridOracleSql)),
+
+    // the hybrid serving stack actually SERVING: the same fused
+    // retrieval driven as a STREAM against BOTH persisted indexes —
+    // StreamJobs.hybridLookupStream probes the stored Bm25Index
+    // (posting lookup) and the stored IvfIndex (cell probe) per
+    // micro-batch and fuses the two ranked lists with rrfFuse, each
+    // batch overwriting its batch_id=<id> subdir. Fusion is
+    // q_id-local, so the cross-batch union equals the batch oracle
+    // exactly (each query lives in exactly one micro-batch) — the
+    // q_stream_ann / q_stream_bm25 discipline applied to the
+    // COMPOSED retrieval path: two persistence units, one serve.
+    "q_stream_hybrid" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_stream_hybrid_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        val run = s"$dir/run_${System.nanoTime()}"
+        graft.operators.TextProfile.bm25Index(docs, "doc_id", "text")
+          .write(s"$dir/bm25")
+        Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+          .write(s"$dir/ivf")
+        // stream rows carry BOTH modalities: the doc's first-6-token
+        // query text and its embedding (ids are shared across the
+        // documents/embeddings tables by construction)
+        val qrows = docs.filter($"doc_id" % 100 === 0)
+          .select($"doc_id".as("q_id"),
+            concat_ws(" ", slice(graft.functions.TextFunctions
+              .tokens($"text"), 1, 6)).as("qtext"))
+          .join(emb.select($"vec_id".as("q_id"), $"embedding"), "q_id")
+          .as[(Long, String, Array[Float])].collect().toSeq
+        implicit val sqlCtx = s.sqlContext
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, Array[Float])]
+        val outDir = s"$run/out"
+        val q = graft.streaming.StreamJobs.hybridLookupStream(
+            input.toDS().toDF("q_id", "qtext", "embedding"),
+            s"$dir/bm25", s"$dir/ivf", outDir,
+            "q_id", "qtext", "embedding", docIdCol = "doc_id",
+            vecIdCol = "vec_id", k = 5, stopwordCut = false,
+            nprobe = 4)
+          .option("checkpointLocation", s"$run/ckpt").start()
+        try {
+          qrows.grouped(math.max(1, qrows.size / 3 + 1)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.read.parquet(outDir)
+          .select(col("q_id"), col("rank"), col("doc_id"),
+            col("rrf_score"))
+      },
+      Some(hybridOracleSql)),
 
     // cluster-balanced subsampling: k-means (IVF) cells as topic
     // strata, then a deterministic exact-k sample per cell — the
@@ -572,6 +596,45 @@ object SimilarityQueries extends QueryPack {
 
   // the shared ranking tail: top-k by cos DESC with nn_id tie-break,
   // rounded at emission exactly like topKRank
+  /** Shared by q_hybrid_retrieval and q_stream_hybrid — the
+    * streaming serve over the two stored indexes must be
+    * bit-identical to the fresh batch composition. Composes the BM25
+    * chain (TextQueries.oBm25Ctes — `ranked`/`rn`), the IVF chain
+    * (`probes`/`assigned`), and the integer RRF arithmetic. */
+  private def hybridOracleSql: String =
+    s"""WITH ${TextQueries.oBm25Ctes},
+       |$ivfChainCtes,
+       |sem_scored AS (
+       |  SELECT q_id, nn_id,
+       |    ${oDot("q_vec", "nn_vec")} / (q_nrm * nn_nrm) AS cos
+       |  FROM probes JOIN assigned USING (cell)
+       |  WHERE q_id <> nn_id),
+       |sem_ranked AS (
+       |  SELECT q_id, nn_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY cos DESC, nn_id) AS rank
+       |  FROM sem_scored),
+       |fused AS (
+       |  SELECT q_id, doc_id,
+       |    CAST(sum(contrib) AS BIGINT) AS rrf_score
+       |  FROM (
+       |    SELECT q_id, doc_id, 1000000 // (60 + rn) AS contrib
+       |    FROM ranked WHERE rn <= 5
+       |    UNION ALL
+       |    SELECT q_id, nn_id AS doc_id,
+       |      1000000 // (60 + rank) AS contrib
+       |    FROM sem_ranked WHERE rank <= 5)
+       |  GROUP BY q_id, doc_id),
+       |franked AS (
+       |  SELECT q_id, doc_id, rrf_score,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rrf_score DESC, doc_id ASC) AS rank
+       |  FROM fused)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       |  rrf_score
+       |FROM franked WHERE rank <= 5
+       |""".stripMargin
+
   private def oRankTail(k: Int): String =
     s"""ranked AS (
        |  SELECT q_id, nn_id, cos,

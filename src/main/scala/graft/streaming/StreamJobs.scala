@@ -185,6 +185,50 @@ object StreamJobs {
         ()
     }
 
+  /** Streaming HYBRID retrieval serving — the composed form of
+    * [[bm25LookupStream]] + [[annLookupStream]]: each micro-batch of
+    * queries (carrying BOTH a text column and an embedding column)
+    * probes the stored BM25 posting index AND the stored IVF index,
+    * and the two ranked lists fuse via integer-exact RRF
+    * (`Retrieval.rrfFuse`) before landing under
+    * `outDir/batch_id=<id>/`. Per batch the work is two stored-index
+    * probes plus a query-batch-sized fusion — no corpus tokenize, no
+    * training, the float corpus only via the IVF probe's cell join.
+    * Fusion is q_id-local, so per-batch fusing equals fusing the
+    * union (each query lives in one batch) — what lets the streaming
+    * form share the batch oracle. Both indexes re-read per batch;
+    * same batch_id-overwrite replay idempotence as the component
+    * serves. */
+  def hybridLookupStream(queries: DataFrame, bm25Dir: String,
+      ivfDir: String, outDir: String, qIdCol: String, qTextCol: String,
+      qVecCol: String, docIdCol: String, vecIdCol: String, k: Int,
+      stopwordCut: Boolean = true, nprobe: Int = 0, k0: Int = 60)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val bm = graft.operators.TextProfile.readBm25Index(spark,
+          bm25Dir, docIdCol)
+        val ivf = graft.operators.Similarity.readIvfIndex(spark,
+          ivfDir, vecIdCol, qVecCol)
+        val lex = graft.operators.TextProfile.bm25TopKWithIndex(
+          batch, qIdCol, qTextCol, bm, k, stopwordCut)
+        val sem = graft.operators.Similarity.ivfTopKWithIndex(
+          batch.select(col(qIdCol).as(vecIdCol), col(qVecCol)),
+          ivf, k, nprobe)
+        graft.operators.Retrieval.rrfFuse(
+            Seq(lex.select(col("q_id"), col(docIdCol).as("id"),
+                col("rank")),
+              sem.select(col("q_id"), col("nn_id").as("id"),
+                col("rank"))),
+            "q_id", "id", "rank", k, k0)
+          .withColumnRenamed("id", docIdCol)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+        ()
+    }
+
   /** Streaming benchmark decontamination at ingest: drop every
     * arriving document that shares a word `n`-gram with the benchmark
     * bloom filter (build it once per benchmark release with
