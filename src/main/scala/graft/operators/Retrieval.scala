@@ -33,6 +33,43 @@ object Retrieval {
     * per-list depth). Returns (qCol, rank, idCol, rrf_score) with
     * rank 1..k per query, ordered by fused score desc, id asc —
     * deterministic under ties by construction. */
+  /** Recall@k of one ranked list against a reference list — the
+    * evaluation operator that turns "the ANN config is good" into a
+    * measured number: run the approximate retrieval and the exact
+    * baseline over the SAME query sample, then count per query how
+    * many of the reference's top-k the candidate found. Returns one
+    * row per reference query: (qCol, n_exact, hits, recall_bp) with
+    * `recall_bp` = hits·10⁴ / n_exact in integer basis points (exact
+    * on every engine — the no-float cross-engine discipline), and
+    * `n_exact` the reference's actual list depth (≤ k: a query with
+    * fewer than k true neighbors is scored against what exists, not
+    * against a padded k). Queries the candidate missed entirely still
+    * appear, at hits = 0.
+    *
+    * Scale shape: both inputs arrive top-k-per-query (query-sample-
+    * sized, ≤ k·|Q| rows — at 100 TB the sample is the knob, the
+    * corpus is only touched by the retrievals themselves); the semi
+    * join and both aggregations shuffle only those rows. */
+  def recallAtK(candidate: DataFrame, reference: DataFrame,
+      qCol: String, idCol: String, rankCol: String, k: Int)
+      : DataFrame = {
+    require(k >= 1, "recallAtK: k must be >= 1")
+    val a = candidate.filter(col(rankCol) <= k)
+      .select(col(qCol).as("q_id"), col(idCol).as("__id"))
+    val e = reference.filter(col(rankCol) <= k)
+      .select(col(qCol).as("q_id"), col(idCol).as("__id"))
+    val base = e.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val hits = e.join(a, Seq("q_id", "__id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    base.join(hits, Seq("q_id"), "left")
+      .select(col("q_id").as(qCol), col("n_exact"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        // integer div, not float /: bit-exact on every engine
+        expr("coalesce(hits, 0L) * 10000L div n_exact")
+          .as("recall_bp"))
+  }
+
   def rrfFuse(lists: Seq[DataFrame], qCol: String, idCol: String,
       rankCol: String, k: Int, k0: Int = 60,
       scale: Long = 1000000L): DataFrame = {

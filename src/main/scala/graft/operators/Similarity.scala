@@ -259,6 +259,36 @@ object Similarity {
     index.copy(assigned = index.assigned.unionByName(extra))
   }
 
+  /** Replay-idempotent streaming append to a stored [[IvfIndex]] —
+    * the foreachBatch form of [[ivfAppendToStored]], whose plain
+    * append-mode write double-counts a replayed micro-batch. The
+    * batch's rows are assigned to the STORED codebook's cells (the
+    * standard IVF append: codebook unchanged, periodic re-train is a
+    * rebuild) and land as `tag`-named files via
+    * [[graft.sources.Sinks.appendTagged]] — a replay purges whatever
+    * a crashed attempt left before re-appending, so the stored
+    * `assigned` table converges to exactly-once. No sidecar totals
+    * here (unlike BM25's N/T): the IVF store is fully described by
+    * its two tables, so purge+re-append alone is the whole contract.
+    * `tag` must be unique per logical batch across stream runs
+    * (runId+batchId); same id-disjointness and single-writer-per-dir
+    * contracts as [[ivfAppendToStored]]. */
+  def ivfIngestBatch(batch: DataFrame, dir: String, idCol: String,
+      vecCol: String, tag: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val index = readIvfIndex(spark, dir, idCol, vecCol)
+    val cents = ivfCents(
+      index.codebook.orderBy(col("cent_id")).collect().toSeq)
+    val c = ivfPrep(batch, idCol, vecCol)
+    val extra =
+      if (cents.isEmpty) emptyAssigned(c)
+      else assignCells(requireDim(c, cents.head._2.length,
+        "ivfIngestBatch"), centArrOf(cents))
+    graft.sources.Sinks.appendTagged(extra, s"$dir/assigned.parquet",
+      tag)
+  }
+
   /** Fail fast when a batch row's vector dimension differs from the
     * index's: the dot kernel truncates to min(length), so a
     * mismatched batch would silently assign/encode garbage into a
@@ -1124,6 +1154,37 @@ object Similarity {
     * re-appended id yields duplicate candidate rows, not an upsert. */
   def ivfPqAppendToStored(index: IvfPqIndex, newCorpus: DataFrame,
       dir: String): IvfPqIndex = {
+    val extra = encodeWithStoredCodebooks(index, newCorpus,
+      "ivfPqAppendToStored")
+    extra.write.mode("append").parquet(s"$dir/codes.parquet")
+    index.copy(codes = index.codes.unionByName(extra))
+  }
+
+  /** Replay-idempotent streaming append to a stored [[IvfPqIndex]] —
+    * [[ivfIngestBatch]]'s contract on the PQ-coded unit: assign to
+    * the stored coarse cells, encode with the stored PQ codebooks
+    * (residual-aware — nothing retrains), and land the batch's code
+    * rows as `tag`-named files so a replayed foreachBatch micro-batch
+    * purges its own crashed leftovers before re-appending. The store
+    * is fully described by its tables (no totals sidecar), so
+    * purge+re-append is the whole exactly-once argument. Same
+    * tag-uniqueness (runId+batchId), id-disjointness, and
+    * single-writer contracts as the other ingest paths. */
+  def ivfPqIngestBatch(batch: DataFrame, dir: String, idCol: String,
+      vecCol: String, tag: String): Unit = {
+    if (batch.isEmpty) return
+    val index = readIvfPqIndex(batch.sparkSession, dir, idCol, vecCol)
+    val extra = encodeWithStoredCodebooks(index, batch,
+      "ivfPqIngestBatch")
+    graft.sources.Sinks.appendTagged(extra, s"$dir/codes.parquet", tag)
+  }
+
+  /** The shared encode arm of the two IVF-PQ append paths: coarse
+    * cell assignment against the index's centroids + PQ encode with
+    * its stored per-subvector codebooks, residual-aware. Returns the
+    * batch's (idCol, cell, codes) rows. */
+  private def encodeWithStoredCodebooks(index: IvfPqIndex,
+      newCorpus: DataFrame, op: String): DataFrame = {
     val cents = ivfCents(
       index.codebook.orderBy(col("cent_id")).collect().toSeq)
     val cbs: Seq[PqCents] =
@@ -1136,10 +1197,10 @@ object Similarity {
           }.toSeq
         }
     require(cents.nonEmpty && cbs.nonEmpty,
-      s"ivfPqAppendToStored: index has empty codebooks — rebuild with " +
+      s"$op: index has empty codebooks — rebuild with " +
         "ivfPqIndex instead of appending to an empty index")
     val c = requireDim(ivfPrep(newCorpus, index.idCol, index.vecCol),
-      index.dim, "ivfPqAppendToStored")
+      index.dim, op)
     val assigned = assignCells(c, centArrOf(cents))
     val pqInput =
       if (!index.residual) assigned
@@ -1155,10 +1216,8 @@ object Similarity {
       pqBest(slice(col("nn_vec"), s * dsub + 1, dsub),
         pqCentArr(cbs(s))).getField("code")
     }
-    val extra = pqInput.select(col("nn_id").as(index.idCol),
+    pqInput.select(col("nn_id").as(index.idCol),
       col("cell"), array(codeCols: _*).as("codes"))
-    extra.write.mode("append").parquet(s"$dir/codes.parquet")
-    index.copy(codes = index.codes.unionByName(extra))
   }
 
   /** Reload a stored [[IvfPqIndex]]; params (incl. the raw/residual

@@ -408,6 +408,87 @@ object TextProfile {
       index.idCol, nDocs, totTokens)
   }
 
+  /** Replay-idempotent streaming append to a stored [[Bm25Index]] —
+    * the foreachBatch form of [[bm25IndexAppend]], whose plain
+    * append-mode writes double-count a replayed micro-batch (the
+    * streaming engine's at-least-once contract). Exactly-once comes
+    * from three pieces, each idempotent under re-execution with the
+    * same `tag`:
+    *  1. the batch's posting/df rows land as `tag`-named files
+    *     ([[graft.sources.Sinks.appendTagged]]) — a replay first
+    *     purges whatever a crashed attempt left, however torn;
+    *  2. the per-tag doc/token contribution is recorded in an
+    *     `ingest.json` sidecar (base totals captured from params.json
+    *     when the log is created, one entry per applied tag — an
+    *     entry re-written on replay carries the same deterministic
+    *     values);
+    *  3. params.json's N/T totals are recomputed as base + Σlog —
+    *     never read-modify-written, so replay cannot double-add.
+    * Write order inside a batch is df → postings → log → params
+    * ([[bm25IndexAppend]]'s stats-drift-over-torn-scoring rationale
+    * for an ABANDONED stream; a resumed stream repairs any prefix).
+    *
+    * `tag` must be unique per logical batch across stream runs —
+    * pass runId+batchId (see appendTagged's purge-collision note).
+    * Single-writer-per-dir as everywhere: quiesce this stream before
+    * [[bm25IndexCompact]]/Maintenance runs (compaction folds the
+    * tagged files into sorted parts and drops the ingest log, so a
+    * batch replayed AFTER a mid-stream compaction would re-append
+    * rows the compacted store already holds). */
+  def bm25IngestBatch(batch: DataFrame, textCol: String, dir: String,
+      tag: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    // an empty micro-batch (timer trigger with no data) contributes
+    // nothing; skipping entirely is the idempotent no-op
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val params = graft.core.FsUtil.readSidecar(fs,
+      new Path(dir, "params.json")).getOrElse(
+      throw new java.io.IOException(
+        s"bm25IngestBatch: $dir has no params.json — not an index dir"))
+    // recover the id column structurally, as bm25IndexCompact does
+    val idCol = spark.read.parquet(s"$dir/postings.parquet").columns
+      .filterNot(c => c == "term" || c.startsWith("__")).head
+    def pLong(src: String, k: String): Long =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(src).getOrElse(
+        throw new java.io.IOException(
+          s"bm25IngestBatch: $dir: malformed sidecar: $src"))
+        .group(1).toLong
+    val logPath = new Path(dir, "ingest.json")
+    val entryRe = """\["([A-Za-z0-9_.-]+)",(\d+),(\d+)\]""".r
+    // (baseDocs, baseTokens, applied tag -> (docs, tokens)); the log
+    // is created lazily so a store that never streams never has one
+    val (baseD, baseT, applied) =
+      graft.core.FsUtil.readSidecar(fs, logPath) match {
+        case Some(log) =>
+          (pLong(log, "baseDocs"), pLong(log, "baseTokens"),
+            entryRe.findAllMatchIn(log).map(m =>
+              m.group(1) -> (m.group(2).toLong, m.group(3).toLong))
+              .toMap)
+        case None =>
+          (pLong(params, "docs"), pLong(params, "tokens"),
+            Map.empty[String, (Long, Long)])
+      }
+    val b = bm25Index(batch, idCol, textCol)
+    graft.sources.Sinks.appendTagged(b.dfreq, s"$dir/df.parquet", tag)
+    graft.sources.Sinks.appendTagged(b.postings,
+      s"$dir/postings.parquet", tag)
+    val entries = (applied + (tag -> (b.nDocs, b.totTokens))).toSeq
+      .sortBy(_._1)
+    graft.core.FsUtil.writeSidecar(fs, logPath,
+      s"""{"version":1,"baseDocs":$baseD,"baseTokens":$baseT,""" +
+        s""""applied":[${entries.map { case (t, (d, tk)) =>
+          s"""["$t",$d,$tk]""" }.mkString(",")}]}""")
+    val nDocs = baseD + entries.map(_._2._1).sum
+    val totTokens = baseT + entries.map(_._2._2).sum
+    // no sortedFiles stamp — the tagged files are unsorted, and the
+    // absent stamp is exactly bm25SortDrifted's maintenance signal
+    graft.core.FsUtil.writeSidecar(fs, new Path(dir, "params.json"),
+      s"""{"version":1,"docs":$nDocs,"tokens":$totTokens}""")
+  }
+
   /** Restore a stored [[Bm25Index]] after appends: rewrites the
     * posting table TERM-SORTED into sized files (the property the
     * In-pushdown probe's file pruning needs — `Layout.compact`'s

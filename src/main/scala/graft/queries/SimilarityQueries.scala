@@ -159,6 +159,163 @@ object SimilarityQueries extends QueryPack {
       },
       Some(ivfOracleSql)),
 
+    // retrieval-quality EVALUATION as a first-class operator: recall@5
+    // of the IVF configuration against the exact brute-force baseline
+    // over the same query sample — the measurement a 100 TB deployment
+    // runs (on a sampled query set) before trusting an ANN config,
+    // here under the correctness gate so the recall arithmetic itself
+    // (per-query intersection, integer basis points, zero-hit queries
+    // retained) is oracle-pinned. The oracle composes the IVF chain
+    // and the brute-force chain verbatim and replays the counting.
+    "q_ann_recall" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val qs = emb.filter($"vec_id" % 100 === 0)
+        graft.operators.Retrieval.recallAtK(
+          candidate = Similarity.ivfTopK(qs, emb, "vec_id",
+            "embedding", k = 5, nlist = 16, nprobe = 4),
+          reference = Similarity.bruteForceTopK(qs, emb, "vec_id",
+            "embedding", k = 5),
+          "q_id", "nn_id", "rank", k = 5)
+      },
+      Some(s"""WITH $ivfChainCtes,
+              |ascored AS (
+              |  SELECT q_id, nn_id,
+              |    ${oDot("q_vec", "nn_vec")} / (q_nrm * nn_nrm) AS cos
+              |  FROM probes JOIN assigned USING (cell)
+              |  WHERE q_id <> nn_id),
+              |ap AS (
+              |  SELECT q_id, nn_id FROM (
+              |    SELECT q_id, nn_id,
+              |      row_number() OVER (PARTITION BY q_id
+              |        ORDER BY cos DESC, nn_id) AS rank
+              |    FROM ascored)
+              |  WHERE rank <= 5),
+              |escored AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+              |    ${oDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+              |      AS cos
+              |  FROM n q JOIN n c ON q.vec_id % 100 = 0
+              |                   AND q.vec_id <> c.vec_id),
+              |ex AS (
+              |  SELECT q_id, nn_id FROM (
+              |    SELECT q_id, nn_id,
+              |      row_number() OVER (PARTITION BY q_id
+              |        ORDER BY cos DESC, nn_id) AS rank
+              |    FROM escored)
+              |  WHERE rank <= 5),
+              |base AS (SELECT q_id, count(*) AS n_exact
+              |         FROM ex GROUP BY q_id),
+              |h AS (
+              |  SELECT ex.q_id, count(*) AS hits
+              |  FROM ex JOIN ap ON ex.q_id = ap.q_id
+              |                 AND ex.nn_id = ap.nn_id
+              |  GROUP BY ex.q_id)
+              |SELECT base.q_id, base.n_exact,
+              |  COALESCE(h.hits, 0) AS hits,
+              |  COALESCE(h.hits, 0) * 10000 // base.n_exact AS recall_bp
+              |FROM base LEFT JOIN h USING (q_id)
+              |""".stripMargin)),
+
+    // the vector indexing stack's WRITE path under streaming —
+    // q_stream_bm25_ingest's twin on the IVF unit: the codebook is
+    // trained once over the full corpus (the production shape:
+    // centroids from the historical corpus, periodically retrained by
+    // rebuild), the stored `assigned` table is seeded with only
+    // vec_id % 3 == 0, and the stream delivers the other two thirds
+    // in 3 micro-batches through StreamJobs.annIngestStream —
+    // per-batch cell assignment + tagged-file append (the
+    // exactly-once contract), Maintenance.compactAll after quiesce,
+    // then the standard probe. Because assignment depends only on the
+    // codebook, the ingested store must hash-match q_ann_ivf_topk's
+    // oracle exactly — streaming the corpus in may not change a bit.
+    "q_stream_ann_ingest" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_ann_ingest_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        // run-scoped index dir: ingest APPENDS (see q_stream_bm25_ingest)
+        val run = s"$dir/run_${System.nanoTime()}"
+        val idxDir = s"$run/idx"
+        val full = Similarity.ivfIndex(emb, "vec_id", "embedding",
+          nlist = 16)
+        full.copy(assigned = full.assigned.filter($"nn_id" % 3 === 0))
+          .write(idxDir)
+        val rest = emb.filter($"vec_id" % 3 =!= 0)
+          .select($"vec_id", $"embedding")
+          .as[(Long, Array[Float])].collect().toSeq
+        implicit val sqlCtx = s.sqlContext
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])]
+        val q = graft.streaming.StreamJobs.annIngestStream(
+            input.toDS().toDF("vec_id", "embedding"), idxDir,
+            "vec_id", "embedding", runId = "r0")
+          .option("checkpointLocation", s"$run/ckpt").start()
+        try {
+          rest.grouped(math.max(1, rest.size / 3 + 1)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.operators.Maintenance.compactAll(s, Seq(idxDir))
+        val idx = Similarity.readIvfIndex(s, idxDir, "vec_id",
+          "embedding")
+        Similarity.ivfTopKWithIndex(
+          emb.filter($"vec_id" % 100 === 0), idx, k = 5, nprobe = 4)
+      },
+      Some(ivfOracleSql)),
+
+    // q_stream_ann_ingest on the PQ-CODED serving unit — the index
+    // q_stream_ann serves from, growing in O(batch) while it serves:
+    // coarse + PQ codebooks trained once over the full corpus (the
+    // production shape; retrain is a periodic rebuild), the stored
+    // codes table seeded with vec_id % 3 == 0, the stream encoding
+    // and appending the other two thirds per micro-batch
+    // (residual-aware, tagged exactly-once files), maintenance after
+    // quiesce, then the standard stored probe. Encoding depends only
+    // on the codebooks, so the result must hash-match
+    // q_ann_ivfpq_residual's oracle bit-for-bit.
+    "q_stream_ivfpq_ingest" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_ivfpq_ingest_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        val run = s"$dir/run_${System.nanoTime()}"
+        val idxDir = s"$run/idx"
+        val full = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+          dim = 64, nlist = 16, m = 4, ksub = 16, residual = true)
+        full.copy(codes = full.codes.filter($"vec_id" % 3 === 0))
+          .write(idxDir)
+        full.release() // build-stage cache; the row reads stored state
+        val rest = emb.filter($"vec_id" % 3 =!= 0)
+          .select($"vec_id", $"embedding")
+          .as[(Long, Array[Float])].collect().toSeq
+        implicit val sqlCtx = s.sqlContext
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])]
+        val q = graft.streaming.StreamJobs.annPqIngestStream(
+            input.toDS().toDF("vec_id", "embedding"), idxDir,
+            "vec_id", "embedding", runId = "r0")
+          .option("checkpointLocation", s"$run/ckpt").start()
+        try {
+          rest.grouped(math.max(1, rest.size / 3 + 1)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.operators.Maintenance.compactAll(s, Seq(idxDir))
+        val idx = Similarity.readIvfPqIndex(s, idxDir, "vec_id",
+          "embedding")
+        Similarity.ivfPqTopKWithIndex(
+          emb.filter($"vec_id" % 100 === 0), idx, k = 5, nprobe = 4)
+      },
+      Some(ivfPqResidualOracleSql)),
+
     // SRP-LSH near-dup: approximate scale path. The hyperplanes are
     // deterministic integer-derived coefficients (Similarity.srpBucket),
     // so the oracle replays the identical signature: same coefficient

@@ -299,6 +299,64 @@ object TextQueries extends QueryPack {
       },
       Some(oBm25Sql)),
 
+    // the lexical indexing stack's WRITE path under streaming: the
+    // corpus arrives as a stream and the persisted posting index is
+    // extended per micro-batch in O(batch) through
+    // StreamJobs.bm25IngestStream (tagged files + ingest-log totals —
+    // the exactly-once append contract), then nightly maintenance
+    // (Maintenance.compactAll, which detects the ingest's sort drift
+    // and restores the term-sorted sized layout) runs before the
+    // probe. Seed = every doc_id % 3 == 0 built batch-side; the
+    // stream delivers the other two thirds in 3 micro-batches. The
+    // final probe must hash-match q_text_bm25's full-corpus oracle
+    // bit-for-bit: df partial summation, N/T ingest-log totals, and
+    // the compaction re-pack may not change a single bit — the
+    // build-anywhere/serve-identically claim that makes streaming
+    // ingest trustworthy at 100 TB.
+    "q_stream_bm25_ingest" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_bm25_ingest_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        // the INDEX is run-scoped here (unlike the serve rows' shared
+        // idx): ingest APPENDS, so a reused dir would double-ingest
+        // across invocations
+        val run = s"$dir/run_${System.nanoTime()}"
+        val idxDir = s"$run/idx"
+        graft.operators.TextProfile.bm25Index(
+          docs.filter($"doc_id" % 3 === 0), "doc_id", "text")
+          .write(idxDir)
+        val rest = docs.filter($"doc_id" % 3 =!= 0)
+          .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+        implicit val sqlCtx = s.sqlContext
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = graft.streaming.StreamJobs.bm25IngestStream(
+            input.toDS().toDF("doc_id", "text"), idxDir, "text",
+            runId = "r0")
+          .option("checkpointLocation", s"$run/ckpt").start()
+        try {
+          rest.grouped(math.max(1, rest.size / 3 + 1)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        // quiesced maintenance: the drift signals (absent sortedFiles
+        // stamp, df partials) route the bm25 unit to its term-sorted
+        // re-pack
+        graft.operators.Maintenance.compactAll(s, Seq(idxDir))
+        val idx = graft.operators.TextProfile.readBm25Index(s, idxDir,
+          "doc_id")
+        val queries = docs.filter($"doc_id" % 100 === 0)
+          .select($"doc_id".as("q_id"),
+            concat_ws(" ", slice(tokens($"text"), 1, 6)).as("qtext"))
+        graft.operators.TextProfile.bm25TopKWithIndex(queries, "q_id",
+          "qtext", idx, k = 5, stopwordCut = false)
+      },
+      Some(oBm25Sql)),
+
     // the PRODUCTION BM25 configuration under the correctness gate:
     // stopwordCut=true (the default a 100 TB deployment runs — df >
     // N/2 terms never enter retrieval, bounding posting volume) with

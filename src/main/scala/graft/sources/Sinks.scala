@@ -87,6 +87,72 @@ object Sinks {
     n
   }
 
+  /** Replay-idempotent parquet append for streaming ingest: stage
+    * `df` beside `tableDir`, then rename each data file in under a
+    * `tag`-prefixed name (`ingest-<tag>-part-…`). Re-running with the
+    * SAME tag first [[purgeTagged]]s every file a previous attempt
+    * landed, so a replayed foreachBatch micro-batch (the engine's
+    * at-least-once contract) converges to exactly-once no matter
+    * where the prior attempt died — the append-mode analog of the
+    * serve jobs' batch_id-subdir overwrite, for stores whose readers
+    * need ONE flat parquet table (an index's posting/assigned table,
+    * where a partition subdir per batch would change the schema and
+    * defeat sized-file compaction).
+    *
+    * The tag must be unique per logical batch ACROSS stream runs —
+    * pass runId+batchId, never batchId alone: a later run's fresh
+    * checkpoint restarts batch ids at 0, and its batch-0 purge would
+    * silently delete the first run's batch-0 rows. Tags are
+    * restricted to [A-Za-z0-9_.-] so the purge prefix-match can never
+    * be confused by separator characters. Returns the data file count
+    * renamed in. */
+  def appendTagged(df: DataFrame, tableDir: String, tag: String): Int = {
+    import org.apache.hadoop.fs.Path
+    requireTag(tag)
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    purgeTagged(fs, table, tag)
+    val staging = new Path(Option(table.getParent)
+      .getOrElse(new Path(".")),
+      s".${table.getName}-ingest-$tag-staging")
+    fs.delete(staging, true)
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val parts = fs.listStatus(staging).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet")).sortBy(_.getName)
+    fs.mkdirs(table)
+    parts.foreach { p =>
+      val dest = new Path(table, s"ingest-$tag-${p.getName}")
+      if (!fs.rename(p, dest)) throw new java.io.IOException(
+        s"appendTagged: rename $p -> $dest failed")
+    }
+    fs.delete(staging, true)
+    parts.length
+  }
+
+  /** Remove every data file [[appendTagged]] landed under `tag` in
+    * `tableDir` (no-op when none exist — the fresh-batch case). The
+    * match is anchored on Spark's `part-NNNNN-` data-file stem, not a
+    * bare prefix: tags may contain '-', so tag `r0` must not purge
+    * tag `r0-b`'s files (`ingest-r0-b-part-…` fails the anchored
+    * pattern, `ingest-r0-part-…` matches it). */
+  def purgeTagged(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: org.apache.hadoop.fs.Path, tag: String): Unit = {
+    requireTag(tag)
+    val pat = ("ingest-" + java.util.regex.Pattern.quote(tag) +
+      "-part-\\d{5}-.*").r
+    if (fs.exists(tableDir))
+      fs.listStatus(tableDir)
+        .filter(f => pat.pattern.matcher(f.getPath.getName).matches())
+        .foreach(f => fs.delete(f.getPath, false))
+  }
+
+  private def requireTag(tag: String): Unit =
+    require(tag.nonEmpty && tag.forall(c => c.isLetterOrDigit ||
+      c == '_' || c == '.' || c == '-'),
+      s"ingest tag must be [A-Za-z0-9_.-]+, got '$tag'")
+
   /** The output file count a sized write should use for `df` at
     * `targetFileBytes` per file — the estimation half of
     * [[writeSizedParquet]], shared with layout passes

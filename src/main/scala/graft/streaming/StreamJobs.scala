@@ -229,6 +229,69 @@ object StreamJobs {
         ()
     }
 
+  /** Streaming index INGEST — the write-path twin of the lookup
+    * streams: each arriving micro-batch of documents APPENDS to the
+    * persisted BM25 posting index at `indexDir` in O(batch) via
+    * `TextProfile.bm25IngestBatch` (tagged files + ingest-log
+    * totals), so a corpus streaming in is searchable index-build-free
+    * — a concurrent [[bm25LookupStream]] on the same dir sees each
+    * batch's postings from its next micro-batch on. Exactly-once
+    * under foreachBatch's at-least-once replay comes from the
+    * per-batch tag `runId-batchId`: a replayed batch first purges
+    * whatever its crashed attempt landed (see bm25IngestBatch's
+    * scaladoc for the full window-by-window argument). `runId` must
+    * be fresh per (checkpoint, stream) pair — a restart from the SAME
+    * checkpoint keeps the same runId (that is what makes replay
+    * converge), a NEW logical run takes a new one. Appends accumulate
+    * unsorted tagged files by design; `Maintenance.compactAll`
+    * (quiesced) restores the term-sorted sized layout. Returns the
+    * writer — caller picks trigger/checkpoint and starts it. */
+  def bm25IngestStream(docs: DataFrame, indexDir: String,
+      textCol: String, runId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextProfile.bm25IngestBatch(batch, textCol,
+          indexDir, s"$runId-$batchId")
+        ()
+    }
+
+  /** [[bm25IngestStream]]'s vector-side twin: each micro-batch of
+    * (id, embedding) rows is assigned to the stored IVF codebook's
+    * cells and appended to the persisted `assigned` table in O(batch)
+    * via `Similarity.ivfIngestBatch` — same tagged-file exactly-once
+    * contract, same runId discipline, same quiesce-then-compact
+    * maintenance story. The codebook is never retrained here (the
+    * standard IVF append); re-train is a periodic rebuild. */
+  def annIngestStream(vecs: DataFrame, indexDir: String, idCol: String,
+      vecCol: String, runId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.ivfIngestBatch(batch, indexDir,
+          idCol, vecCol, s"$runId-$batchId")
+        ()
+    }
+
+  /** [[annIngestStream]] on the PQ-coded serving unit: each
+    * micro-batch is assigned to the stored coarse cells and encoded
+    * with the stored PQ codebooks (residual-aware, nothing retrains)
+    * before its code rows land tagged — so the index
+    * [[annLookupStream]] serves from grows in O(batch) while it
+    * serves, under the same exactly-once tag contract. */
+  def annPqIngestStream(vecs: DataFrame, indexDir: String,
+      idCol: String, vecCol: String, runId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.ivfPqIngestBatch(batch, indexDir,
+          idCol, vecCol, s"$runId-$batchId")
+        ()
+    }
+
   /** Streaming benchmark decontamination at ingest: drop every
     * arriving document that shares a word `n`-gram with the benchmark
     * bloom filter (build it once per benchmark release with

@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Maintenance, Similarity, TextProfile}
+import graft.sources.{Sinks, Tables}
+
+/** The replay-idempotent streaming ingest contract
+  * (`Sinks.appendTagged` + `TextProfile.bm25IngestBatch` /
+  * `Similarity.ivfIngestBatch`): a foreachBatch micro-batch re-run
+  * with the same tag — from ANY crash point, however torn — must
+  * converge the stored index to exactly the single-apply state, and
+  * the ingested store must probe bit-identically to a fresh full
+  * build. The gate rows (q_stream_bm25_ingest / q_stream_ann_ingest)
+  * pin the happy path end-to-end against the DuckDB oracle; this
+  * spec pins the failure-path algebra the gate cannot reach. */
+class IngestSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-ingest-$name")
+      .toString + "/store"
+
+  private def dataFiles(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).sorted.toSeq
+
+  private def fsOf(dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  test("appendTagged: replay purges the same tag, neighbors survive, prefix tags do not collide") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("tagged") + "/table"
+    Sinks.appendTagged(Seq(1L, 2L).toDF("v"), dir, "r0-0")
+    Sinks.appendTagged(Seq(3L).toDF("v"), dir, "r0-1")
+    // r0-1 is a '-'-joined prefix of r0-1x and r0-1-b: neither may be
+    // purged by an r0-1 replay
+    Sinks.appendTagged(Seq(4L).toDF("v"), dir, "r0-1x")
+    Sinks.appendTagged(Seq(5L).toDF("v"), dir, "r0-1-b")
+    val before = dataFiles(dir)
+    // replay tag r0-1 with different content: only its rows change
+    Sinks.appendTagged(Seq(30L).toDF("v"), dir, "r0-1")
+    assert(s.read.parquet(dir).as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 4L, 5L, 30L))
+    // and the other tags' files are untouched (same names on disk)
+    val after = dataFiles(dir)
+    assert(before.filterNot(_.contains("ingest-r0-1-part")).toSet
+      .subsetOf(after.toSet))
+  }
+
+  test("bm25IngestBatch: replay of a clean batch and of every torn prefix converges to single-apply") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.load(s, sf0001, "documents")
+    val dir = tmp("bm25")
+    TextProfile.bm25Index(docs.filter($"doc_id" % 3 === 0), "doc_id",
+      "text").write(dir)
+    val b1 = docs.filter($"doc_id" % 3 === 1)
+    val b2 = docs.filter($"doc_id" % 3 === 2)
+    val fs = fsOf(dir)
+    def sidecar(n: String) = graft.core.FsUtil.readSidecar(fs,
+      new org.apache.hadoop.fs.Path(dir, n)).get
+    TextProfile.bm25IngestBatch(b1, "text", dir, "r0-0")
+    // snapshot the pre-r0-1 sidecars: the state a crash between
+    // r0-1's data-file renames and its log/params rewrite leaves
+    val midParams = sidecar("params.json")
+    val midLog = sidecar("ingest.json")
+    TextProfile.bm25IngestBatch(b2, "text", dir, "r0-1")
+    val cleanParams = sidecar("params.json")
+    val cleanLog = sidecar("ingest.json")
+    val queries = docs.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("q_id"),
+        concat_ws(" ", slice(graft.functions.TextFunctions
+          .tokens($"text"), 1, 6)).as("qtext"))
+    def probe() = TextProfile.bm25TopKWithIndex(queries, "q_id",
+      "qtext", TextProfile.readBm25Index(s, dir, "doc_id"), k = 5,
+      stopwordCut = false).orderBy("q_id", "rank").collect().toSeq
+    val want = probe()
+    // fresh-build parity: the ingested store IS the full corpus index
+    val freshDir = tmp("bm25-fresh")
+    TextProfile.bm25Index(docs, "doc_id", "text").write(freshDir)
+    assert(want === TextProfile.bm25TopKWithIndex(queries, "q_id",
+      "qtext", TextProfile.readBm25Index(s, freshDir, "doc_id"), k = 5,
+      stopwordCut = false).orderBy("q_id", "rank").collect().toSeq)
+
+    // clean replay: full batch re-run with the same tag
+    TextProfile.bm25IngestBatch(b2, "text", dir, "r0-1")
+    assert(sidecar("params.json") === cleanParams)
+    assert(sidecar("ingest.json") === cleanLog)
+    assert(probe() === want)
+
+    // torn prefixes of batch r0-1, in the write order df -> postings
+    // -> log -> params. Simulate each crash point by damaging the
+    // store accordingly, then assert the replay repairs it exactly.
+    val post = new org.apache.hadoop.fs.Path(s"$dir/postings.parquet")
+    val dfp = new org.apache.hadoop.fs.Path(s"$dir/df.parquet")
+    // (a) died after df landed, before postings (sidecars still
+    // pre-batch — the log/params rewrite comes after both tables)
+    Sinks.purgeTagged(fs, post, "r0-1")
+    graft.core.FsUtil.writeSidecar(fs,
+      new org.apache.hadoop.fs.Path(dir, "ingest.json"), midLog)
+    graft.core.FsUtil.writeSidecar(fs,
+      new org.apache.hadoop.fs.Path(dir, "params.json"), midParams)
+    TextProfile.bm25IngestBatch(b2, "text", dir, "r0-1")
+    assert(probe() === want, "repair after postings-missing failed")
+    assert(sidecar("params.json") === cleanParams)
+    assert(sidecar("ingest.json") === cleanLog)
+    // (b) died mid-append: half of each table's tagged files gone,
+    // sidecars pre-batch
+    Seq(post, dfp).foreach { t =>
+      val tagged = fs.listStatus(t)
+        .filter(_.getPath.getName.startsWith("ingest-r0-1-"))
+      tagged.take(math.max(1, tagged.length / 2))
+        .foreach(f => fs.delete(f.getPath, false))
+    }
+    graft.core.FsUtil.writeSidecar(fs,
+      new org.apache.hadoop.fs.Path(dir, "ingest.json"), midLog)
+    graft.core.FsUtil.writeSidecar(fs,
+      new org.apache.hadoop.fs.Path(dir, "params.json"), midParams)
+    TextProfile.bm25IngestBatch(b2, "text", dir, "r0-1")
+    assert(probe() === want, "repair after half-append failed")
+    // (c) died after both tables landed, before the log/params
+    // rewrite: data complete, sidecars stale
+    graft.core.FsUtil.writeSidecar(fs,
+      new org.apache.hadoop.fs.Path(dir, "ingest.json"), midLog)
+    graft.core.FsUtil.writeSidecar(fs,
+      new org.apache.hadoop.fs.Path(dir, "params.json"), midParams)
+    TextProfile.bm25IngestBatch(b2, "text", dir, "r0-1")
+    assert(sidecar("params.json") === cleanParams)
+    assert(probe() === want, "repair after sidecar-stale failed")
+
+    // maintenance after quiesce: compaction folds tagged files and
+    // the probe still does not move a bit
+    assert(TextProfile.bm25SortDrifted(s, dir), "ingest left no drift?")
+    val rep = Maintenance.compactAll(s, Seq(dir))
+    assert(rep(dir).kind === "bm25-index")
+    assert(probe() === want, "probe moved across compaction")
+    assert(!graft.core.FsUtil.readSidecar(fs,
+      new org.apache.hadoop.fs.Path(dir, "ingest.json")).isDefined,
+      "compaction must drop the ingest log (fresh-run baseline)")
+  }
+
+  test("ivfPqIngestBatch: replay converges; streamed encode matches full-build codes") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sf0001, "embeddings")
+    val dir = tmp("ivfpq")
+    val full = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dim = 64, nlist = 8, m = 4, ksub = 16, residual = true)
+    full.copy(codes = full.codes.filter($"vec_id" % 2 === 0))
+      .write(dir)
+    full.release()
+    val b1 = emb.filter($"vec_id" % 2 === 1)
+      .select($"vec_id", $"embedding")
+    Similarity.ivfPqIngestBatch(b1, dir, "vec_id", "embedding", "r0-0")
+    def probe() = Similarity.ivfPqTopKWithIndex(
+      emb.filter($"vec_id" % 100 === 0),
+      Similarity.readIvfPqIndex(s, dir, "vec_id", "embedding"),
+      k = 5, nprobe = 3).orderBy("q_id", "rank").collect().toSeq
+    val want = probe()
+    // the ingested store's probe equals an all-batch-built store's
+    val fullDir = tmp("ivfpq-full")
+    val again = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dim = 64, nlist = 8, m = 4, ksub = 16, residual = true)
+    again.write(fullDir)
+    again.release()
+    assert(want === Similarity.ivfPqTopKWithIndex(
+      emb.filter($"vec_id" % 100 === 0),
+      Similarity.readIvfPqIndex(s, fullDir, "vec_id", "embedding"),
+      k = 5, nprobe = 3).orderBy("q_id", "rank").collect().toSeq,
+      "ingested store diverged from the full build")
+    val rows = s.read.parquet(s"$dir/codes.parquet").count()
+    Similarity.ivfPqIngestBatch(b1, dir, "vec_id", "embedding", "r0-0")
+    assert(s.read.parquet(s"$dir/codes.parquet").count() === rows)
+    assert(probe() === want)
+  }
+
+  test("ivfIngestBatch: replay converges; ingested store probes identically to full build") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sf0001, "embeddings")
+    val dir = tmp("ivf")
+    val full = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nlist = 8)
+    full.copy(assigned = full.assigned.filter($"nn_id" % 3 === 0))
+      .write(dir)
+    val b1 = emb.filter($"vec_id" % 3 === 1)
+      .select($"vec_id", $"embedding")
+    val b2 = emb.filter($"vec_id" % 3 === 2)
+      .select($"vec_id", $"embedding")
+    Similarity.ivfIngestBatch(b1, dir, "vec_id", "embedding", "r0-0")
+    Similarity.ivfIngestBatch(b2, dir, "vec_id", "embedding", "r0-1")
+    def probe() = Similarity.ivfTopKWithIndex(
+      emb.filter($"vec_id" % 100 === 0),
+      Similarity.readIvfIndex(s, dir, "vec_id", "embedding"),
+      k = 5, nprobe = 3).orderBy("q_id", "rank").collect().toSeq
+    val want = probe()
+    assert(want === Similarity.ivfTopKWithIndex(
+      emb.filter($"vec_id" % 100 === 0), full, k = 5, nprobe = 3)
+      .orderBy("q_id", "rank").collect().toSeq,
+      "ingested store diverged from the full build")
+    val rows = s.read.parquet(s"$dir/assigned.parquet").count()
+    // replay both batches; row count and probe must not move
+    Similarity.ivfIngestBatch(b1, dir, "vec_id", "embedding", "r0-0")
+    Similarity.ivfIngestBatch(b2, dir, "vec_id", "embedding", "r0-1")
+    assert(s.read.parquet(s"$dir/assigned.parquet").count() === rows)
+    assert(probe() === want)
+  }
+}

@@ -140,9 +140,14 @@ class LayoutSpec extends SparkSpec {
       .as[(String, Long)].collect()
     assert(spans.length > 1)
     // tight on average: each file covers a fraction of the 4096-wide
-    // domain (same claim the zorder spec makes, post-compaction)
+    // domain (same claim the zorder spec makes, post-compaction).
+    // 0.75, not 0.7: repartitionByRange samples its boundaries with
+    // an RDD-id-dependent seed, so meanSpan wobbles run to run —
+    // measured 2867..2874 on identical code (the 0.7 bar sat INSIDE
+    // that band and flaked); the claim is "well under the corpus
+    // span", not a specific boundary draw
     val meanSpan = spans.map(_._2).sum.toDouble / spans.length
-    assert(meanSpan < 4096 * 0.7, s"meanSpan=$meanSpan")
+    assert(meanSpan < 4096 * 0.75, s"meanSpan=$meanSpan")
     // plain compact of the clustered dir keeps content AND reduces
     // files without a shuffle (coalesce concatenates neighbors)
     val (b2, a2) = Layout.compact(s, out, targetFileBytes = 8L << 20)

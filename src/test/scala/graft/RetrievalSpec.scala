@@ -37,6 +37,27 @@ class RetrievalSpec extends SparkSpec {
     assert(fused.map(_._4).distinct.length == 1)
   }
 
+  test("recallAtK: hand-computed hits, zero-hit queries retained, short reference lists scored at their depth") {
+    val s = spark
+    import s.implicits._
+    // q1: reference {10,20,30}, candidate finds {10,30,99} -> 2/3
+    // q2: reference {40,50}, candidate finds {60,70} -> 0/2 (retained)
+    // q3: reference {80}, candidate finds {80} -> 1/1
+    // rank > k rows on either side must be ignored
+    val ref = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 40L, 1L), (2L, 50L, 2L), (3L, 80L, 1L), (3L, 99L, 4L))
+      .toDF("q", "id", "rank")
+    val cand = Seq((1L, 10L, 1L), (1L, 99L, 2L), (1L, 30L, 3L),
+      (2L, 60L, 1L), (2L, 70L, 2L), (3L, 80L, 1L), (1L, 20L, 4L))
+      .toDF("q", "id", "rank")
+    val got = Retrieval.recallAtK(cand, ref, "q", "id", "rank", k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, 3L, 2L, 6666L),
+      (2L, 2L, 0L, 0L),
+      (3L, 1L, 1L, 10000L)), got.mkString(", "))
+  }
+
   test("rrfFuse plans the bounded-heap aggregate, not a rank window") {
     val s = spark
     import s.implicits._
