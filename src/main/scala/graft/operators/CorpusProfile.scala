@@ -155,6 +155,28 @@ object CorpusProfile {
     batch.strata.write.mode("append").parquet(s"$dir/strata.parquet")
   }
 
+  /** Replay-idempotent streaming append — closes [[appendOnce]]'s
+    * documented one-batch window: the batch's token/strata partials
+    * land as `tag`-named files ([[graft.sources.Sinks.appendTagged]]),
+    * so a replayed foreachBatch micro-batch purges whatever its
+    * crashed attempt left — including the torn tokens-without-strata
+    * state [[append]]'s write order makes detectable — and re-appends,
+    * converging to exactly-once from ANY crash point. No totals
+    * sidecar to reconcile here: the profile is fully described by its
+    * two tables. The store must exist (seed it batch-side with
+    * [[write]]); `tag` = runId+batchId, unique across stream runs
+    * (appendTagged's purge-collision note); single writer per dir,
+    * quiesce before [[compact]]/Maintenance. */
+  def ingestBatch(batch: Profile, dir: String, tag: String): Unit = {
+    val spark = batch.strata.sparkSession
+    requireParamsMatch(fsFor(spark, dir), dir, batch.strataCol,
+      batch.textCol)
+    graft.sources.Sinks.appendTagged(batch.tokens,
+      s"$dir/tokens.parquet", tag)
+    graft.sources.Sinks.appendTagged(batch.strata,
+      s"$dir/strata.parquet", tag)
+  }
+
   /** Sidecar recording the last streaming micro-batch applied by
     * [[appendOnce]]. */
   val AppliedSidecar = "applied.json"

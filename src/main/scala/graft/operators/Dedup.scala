@@ -443,6 +443,51 @@ object Dedup {
     batch.signed.write.mode("append").parquet(s"$dir/signed.parquet")
   }
 
+  /** Replay-idempotent streaming append to a stored [[MinhashIndex]]
+    * — [[appendToMinhashIndex]] under foreachBatch's at-least-once
+    * contract: the batch is signed under the STORED banding scheme
+    * (read from the params sidecar — a store without one cannot take
+    * streaming ingest) and its signature rows land as `tag`-named
+    * files, so a replayed micro-batch purges its crashed leftovers
+    * before re-appending. The store is fully described by the signed
+    * table; purge+re-append is the whole exactly-once argument. Same
+    * tag/runId, id-disjointness, and single-writer contracts as the
+    * other ingest paths. */
+  def minhashIngestBatch(batch: DataFrame, dir: String, idCol: String,
+      textCol: String, tag: String): Unit = {
+    if (batch.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val (n, numHashes, rowsPerBand) = readParams(fs, dir).getOrElse(
+      throw new java.io.IOException(
+        s"minhash index $dir has no $ParamsSidecar — streaming " +
+          "ingest takes the banding scheme from the stored sidecar"))
+    val b = minhashIndex(batch, idCol, textCol, n, numHashes,
+      rowsPerBand)
+    graft.sources.Sinks.appendTagged(b.signed, s"$dir/signed.parquet",
+      tag)
+  }
+
+  /** Full-corpus MinHash-LSH near-dup pairs from a stored index —
+    * [[minhashLshPairs]] with the signature pass already paid: band
+    * keys explode from the STORED signatures and verification joins
+    * the stored shingle sets, so re-deduping a corpus (after ingest
+    * grew its index) never re-shingles or re-signs it. Same key
+    * scheme as the fresh path by construction (the shared
+    * bandArrayCol literal), so the pair set is bit-identical. */
+  def minhashLshPairsFromIndex(index: MinhashIndex,
+      threshold: Double): DataFrame = {
+    val bands = index.signed.select(col(index.idCol),
+      explode(bandArrayCol(index.numHashes, index.rowsPerBand))
+        .as("band_key"))
+    val l = bands.select(col(index.idCol).as("id_a"), col("band_key"))
+    val r = bands.select(col(index.idCol).as("id_b"), col("band_key"))
+    val candidates = l.join(r, "band_key")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(candidates, index.signed, index.idCol, threshold)
+  }
+
   /** Reload a stored [[MinhashIndex]]. The params must match the ones
     * the index was built with — validated against the stored params
     * sidecar (when present), and the constructor re-validates band

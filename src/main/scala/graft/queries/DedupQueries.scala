@@ -181,6 +181,54 @@ object DedupQueries extends QueryPack {
               |SELECT id_a, id_b, jaccard FROM jp
               |""".stripMargin)),
 
+    // the near-dup index's WRITE path under streaming — the ingest
+    // family (q_stream_bm25_ingest et al.) on the MinHash unit: seed
+    // a third of the corpus batch-side (writeMinhashIndex), stream
+    // the other two thirds in 3 micro-batches (each signed under the
+    // STORED banding scheme and appended as tagged exactly-once
+    // files), quiesced maintenance, then re-derive the FULL corpus
+    // pair set from the stored signatures alone
+    // (minhashLshPairsFromIndex — no re-shingle, no re-sign). Must
+    // hash-match q_dedup_minhash_lsh's fresh-corpus oracle: streaming
+    // the corpus into the index may not change a single pair.
+    "q_stream_minhash_ingest" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_minhash_ingest_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        // run-scoped index dir: ingest APPENDS (see q_stream_bm25_ingest)
+        val run = s"$dir/run_${System.nanoTime()}"
+        val idxDir = s"$run/idx"
+        Dedup.writeMinhashIndex(Dedup.minhashIndex(
+          docs.filter($"doc_id" % 3 === 0), "doc_id", "text",
+          n = 3, numHashes = 16, rowsPerBand = 4), idxDir)
+        val rest = docs.filter($"doc_id" % 3 =!= 0)
+          .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+        implicit val sqlCtx = s.sqlContext
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = graft.streaming.StreamJobs.minhashIngestStream(
+            input.toDS().toDF("doc_id", "text"), idxDir,
+            "doc_id", "text", runId = "r0")
+          .option("checkpointLocation", s"$run/ckpt").start()
+        try {
+          rest.grouped(math.max(1, rest.size / 3 + 1)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.operators.Maintenance.compactAll(s, Seq(idxDir))
+        Dedup.minhashLshPairsFromIndex(
+          Dedup.readMinhashIndex(s, idxDir, "doc_id", "text",
+            n = 3, numHashes = 16, rowsPerBand = 4),
+          threshold = 0.5)
+      },
+      Some(s"""WITH $oMinhashCtes
+              |SELECT id_a, id_b, jaccard FROM jp
+              |""".stripMargin)),
+
     "q_dedup_simhash" -> Q(
       (s, d) => Dedup.simhash(t(s, d, "documents"), "doc_id", "text",
         bits = 20),

@@ -64,6 +64,37 @@ object TextQueries extends QueryPack {
        |FROM ranked WHERE rn <= 5
        |""".stripMargin
 
+  /** Shared by q_profile_incremental and q_stream_profile_ingest —
+    * the merged per-language summary recomputed directly over the
+    * full table, so the gate checks the partial merge itself. */
+  private val oProfileStatsSql =
+    """WITH tok AS (
+      |  SELECT lang, doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |pd AS (
+      |  SELECT lang, doc_id, token FROM tok
+      |  GROUP BY lang, doc_id, token),
+      |tk AS (
+      |  SELECT lang, token, count(*) AS df FROM pd
+      |  GROUP BY lang, token),
+      |v AS (
+      |  SELECT lang, count(*) AS vocab,
+      |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS hapax
+      |  FROM tk GROUP BY lang),
+      |st AS (
+      |  SELECT lang, count(*) AS docs,
+      |    CAST(sum(len(string_split_regex(trim(text), '\s+')))
+      |      AS BIGINT) AS tokens,
+      |    CAST(sum(length(text)) AS BIGINT) AS chars
+      |  FROM documents GROUP BY lang)
+      |SELECT st.lang, st.docs, st.tokens, st.chars,
+      |  COALESCE(v.vocab, 0) AS vocab,
+      |  COALESCE(v.hapax, 0) AS hapax
+      |FROM st LEFT JOIN v USING (lang)
+      |""".stripMargin
+
   /** Shared by q_text_rarity and q_text_rarity_profile — the profile-
     * fed path must be bit-identical to the direct pass. */
   private val oRaritySql =
@@ -530,32 +561,50 @@ object TextQueries extends QueryPack {
         CorpusProfile.stats(
           CorpusProfile.read(s, dir, "lang", "text"))
       },
-      Some("""WITH tok AS (
-             |  SELECT lang, doc_id,
-             |    unnest(string_split_regex(trim(text), '\s+')) AS token
-             |  FROM documents),
-             |pd AS (
-             |  SELECT lang, doc_id, token FROM tok
-             |  GROUP BY lang, doc_id, token),
-             |tk AS (
-             |  SELECT lang, token, count(*) AS df FROM pd
-             |  GROUP BY lang, token),
-             |v AS (
-             |  SELECT lang, count(*) AS vocab,
-             |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             |      AS hapax
-             |  FROM tk GROUP BY lang),
-             |st AS (
-             |  SELECT lang, count(*) AS docs,
-             |    CAST(sum(len(string_split_regex(trim(text), '\s+')))
-             |      AS BIGINT) AS tokens,
-             |    CAST(sum(length(text)) AS BIGINT) AS chars
-             |  FROM documents GROUP BY lang)
-             |SELECT st.lang, st.docs, st.tokens, st.chars,
-             |  COALESCE(v.vocab, 0) AS vocab,
-             |  COALESCE(v.hapax, 0) AS hapax
-             |FROM st LEFT JOIN v USING (lang)
-             |""".stripMargin)),
+      Some(oProfileStatsSql)),
+
+    // the stats unit's WRITE path under streaming — the ingest family
+    // on the corpus profile: seed a third batch-side, stream the
+    // other two thirds in 3 micro-batches through
+    // StreamJobs.profileIngestStream (per-batch partials landing as
+    // tagged exactly-once files — closing appendOnce's documented
+    // one-batch double-count window), quiesced maintenance (partial
+    // collapse), then the merged per-language summary. Shares
+    // q_profile_incremental's direct-recompute oracle: stats fed by
+    // streamed partials may not differ by a bit.
+    "q_stream_profile_ingest" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.CorpusProfile
+        val docs = t(s, d, "documents")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_profile_ingest_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        val run = s"$dir/run_${System.nanoTime()}"
+        val pDir = s"$run/profile"
+        CorpusProfile.write(CorpusProfile.build(
+          docs.filter($"doc_id" % 3 === 0), "doc_id", "lang", "text"),
+          pDir)
+        val rest = docs.filter($"doc_id" % 3 =!= 0)
+          .select($"doc_id", $"lang", $"text")
+          .as[(Long, String, String)].collect().toSeq
+        implicit val sqlCtx = s.sqlContext
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, String)]
+        val q = graft.streaming.StreamJobs.profileIngestStream(
+            input.toDS().toDF("doc_id", "lang", "text"), pDir,
+            "doc_id", "lang", "text", runId = "r0")
+          .option("checkpointLocation", s"$run/ckpt").start()
+        try {
+          rest.grouped(math.max(1, rest.size / 3 + 1)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.operators.Maintenance.compactAll(s, Seq(pDir))
+        CorpusProfile.stats(CorpusProfile.read(s, pDir, "lang", "text"))
+      },
+      Some(oProfileStatsSql)),
 
     "q_text_rarity" -> Q(
       (s, d) => graft.operators.TextProfile.tokenRarity(

@@ -292,6 +292,42 @@ object StreamJobs {
         ()
     }
 
+  /** The ingest-stream family on the MinHash unit: each micro-batch
+    * of documents is signed under the STORED banding scheme and its
+    * signature rows appended tagged — the near-dup index a concurrent
+    * `minhashLshPairsAgainstIndex` dedups arriving batches against
+    * grows in O(batch) under the same exactly-once contract. */
+  def minhashIngestStream(docs: DataFrame, indexDir: String,
+      idCol: String, textCol: String, runId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.minhashIngestBatch(batch, indexDir,
+          idCol, textCol, s"$runId-$batchId")
+        ()
+    }
+
+  /** The ingest-stream family on the corpus-profile unit: each
+    * micro-batch's profile partials (per-stratum counts + per-token
+    * df/tf) land tagged via `CorpusProfile.ingestBatch` — closing
+    * `appendOnce`'s documented one-batch double-count window, since a
+    * replayed batch now purges its own torn leftovers instead of
+    * re-appending over them. Profile-fed consumers (rarity, BM25
+    * stats) see each batch's contribution exactly once. */
+  def profileIngestStream(docs: DataFrame, profileDir: String,
+      idCol: String, strataCol: String, textCol: String, runId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.CorpusProfile.ingestBatch(
+            graft.operators.CorpusProfile.build(batch, idCol,
+              strataCol, textCol), profileDir, s"$runId-$batchId")
+        ()
+    }
+
   /** Streaming benchmark decontamination at ingest: drop every
     * arriving document that shares a word `n`-gram with the benchmark
     * bloom filter (build it once per benchmark release with

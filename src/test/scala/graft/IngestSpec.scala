@@ -177,6 +177,77 @@ class IngestSpec extends SparkSpec {
     assert(probe() === want)
   }
 
+  test("minhashIngestBatch: stored-scheme signing, replay converges, pairs match the fresh path") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.load(s, sf0001, "documents")
+    val dir = tmp("minhash")
+    graft.operators.Dedup.writeMinhashIndex(
+      graft.operators.Dedup.minhashIndex(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+        n = 3, numHashes = 16, rowsPerBand = 4), dir)
+    val b1 = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text")
+    graft.operators.Dedup.minhashIngestBatch(b1, dir, "doc_id",
+      "text", "r0-0")
+    def pairs() = graft.operators.Dedup.minhashLshPairsFromIndex(
+      graft.operators.Dedup.readMinhashIndex(s, dir, "doc_id", "text",
+        n = 3, numHashes = 16, rowsPerBand = 4), threshold = 0.5)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val want = pairs()
+    assert(want === graft.operators.Dedup.minhashLshPairs(docs,
+      "doc_id", "text", n = 3, numHashes = 16, rowsPerBand = 4,
+      threshold = 0.5).orderBy("id_a", "id_b").collect().toSeq,
+      "index-derived pairs diverged from the fresh path")
+    val rows = s.read.parquet(s"$dir/signed.parquet").count()
+    graft.operators.Dedup.minhashIngestBatch(b1, dir, "doc_id",
+      "text", "r0-0")
+    assert(s.read.parquet(s"$dir/signed.parquet").count() === rows)
+    assert(pairs() === want)
+    // an index without a params sidecar cannot take streaming ingest
+    val fs = fsOf(dir)
+    fs.delete(new org.apache.hadoop.fs.Path(dir,
+      graft.operators.Dedup.ParamsSidecar), false)
+    intercept[java.io.IOException] {
+      graft.operators.Dedup.minhashIngestBatch(b1, dir, "doc_id",
+        "text", "r0-1")
+    }
+  }
+
+  test("CorpusProfile.ingestBatch: replay repairs the torn tokens-without-strata state appendOnce documents") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.load(s, sf0001, "documents")
+    val dir = tmp("profile")
+    graft.operators.CorpusProfile.write(
+      graft.operators.CorpusProfile.build(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "lang", "text"),
+      dir)
+    val b1 = graft.operators.CorpusProfile.build(
+      docs.filter($"doc_id" % 2 === 1), "doc_id", "lang", "text")
+    graft.operators.CorpusProfile.ingestBatch(b1, dir, "r0-0")
+    def stats() = graft.operators.CorpusProfile.stats(
+      graft.operators.CorpusProfile.read(s, dir, "lang", "text"))
+      .orderBy("lang").collect().toSeq
+    val want = stats()
+    assert(want === graft.operators.CorpusProfile.stats(
+      graft.operators.CorpusProfile.build(docs, "doc_id", "lang",
+        "text")).orderBy("lang").collect().toSeq,
+      "streamed partials diverged from the direct build")
+    // clean replay
+    graft.operators.CorpusProfile.ingestBatch(b1, dir, "r0-0")
+    assert(stats() === want)
+    // the torn state append()'s write order makes detectable — tokens
+    // landed, strata did not (crash between the two appends): with
+    // plain append a retry double-counts (appendOnce's documented
+    // window); the tagged replay purges and converges instead
+    val fs = fsOf(dir)
+    graft.sources.Sinks.purgeTagged(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/strata.parquet"), "r0-0")
+    graft.operators.CorpusProfile.ingestBatch(b1, dir, "r0-0")
+    assert(stats() === want, "torn-state replay did not converge")
+  }
+
   test("ivfIngestBatch: replay converges; ingested store probes identically to full build") {
     val s = spark
     import s.implicits._

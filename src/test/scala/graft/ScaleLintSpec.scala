@@ -264,18 +264,23 @@ class ScaleLintSpec extends SparkSpec {
 
   test("every registry query lints clean of error-severity findings") {
     // the automated form of the per-query PlanSpec audits: no benched
-    // query may plan a cartesian or a global window. Two documented
-    // exceptions, both ANN scoring stages whose corpus×queries cross
+    // query may plan a cartesian or a global window. Three documented
+    // exceptions, all ANN scoring stages whose corpus×queries cross
     // join IS the operator's definition: the brute-force baseline
-    // (the recall oracle IVF is measured against) and the PQ ADC
+    // (the recall oracle IVF is measured against), the PQ ADC
     // ranker, which scores RECONSTRUCTIONS through the same
     // broadcast-queries stage — its scale lever is code-size
     // compression (and composing with IVF probe pruning), not join
-    // shape (Similarity.scala).
+    // shape (Similarity.scala) — and q_ann_recall, whose REFERENCE
+    // arm is that same brute-force baseline by definition (exact
+    // ground truth over the sampled query set; the candidate arm
+    // under evaluation is the probe-pruned IVF).
     val allowed = Map(
       "q_ann_bruteforce_topk" -> Set("CARTESIAN", "CARTESIAN_PHYSICAL",
         "NESTED_LOOP_JOIN"),
       "q_ann_pq_topk" -> Set("CARTESIAN", "CARTESIAN_PHYSICAL",
+        "NESTED_LOOP_JOIN"),
+      "q_ann_recall" -> Set("CARTESIAN", "CARTESIAN_PHYSICAL",
         "NESTED_LOOP_JOIN"))
     val bad = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val errs = ScaleLint.errors(q.run(spark, sf0001))
