@@ -142,6 +142,50 @@ class IngestSpec extends SparkSpec {
       "compaction must drop the ingest log (fresh-run baseline)")
   }
 
+  test("ingest and serve streams compose on one store: a doc ingested in batch N is retrievable in the serve's batch N+1") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(s, sf0001, "documents")
+    val root = tmp("live")
+    val idxDir = s"$root/idx"
+    // seed WITHOUT the target doc; the serve must not find it yet
+    val target = docs.orderBy($"doc_id").limit(1)
+      .select($"doc_id", $"text").as[(Long, String)].head()
+    TextProfile.bm25Index(docs.filter($"doc_id" =!= target._1),
+      "doc_id", "text").write(idxDir)
+    implicit val sqlCtx = s.sqlContext
+    val docsIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val qIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val outDir = s"$root/out"
+    val ingest = graft.streaming.StreamJobs.bm25IngestStream(
+        docsIn.toDS().toDF("doc_id", "text"), idxDir, "text", "live")
+      .option("checkpointLocation", s"$root/ckpt_i").start()
+    // k deep enough to hold EVERY doc sharing a query term: the
+    // synthetic vocabulary is near-universal, so a top-5 assertion
+    // would hinge on the target out-scoring its neighbors — the claim
+    // here is VISIBILITY (index re-read per batch), not ranking
+    val serve = graft.streaming.StreamJobs.bm25LookupStream(
+        qIn.toDS().toDF("q_id", "qtext"), idxDir, outDir,
+        "q_id", "qtext", "doc_id", k = 1000, stopwordCut = false)
+      .option("checkpointLocation", s"$root/ckpt_s").start()
+    // the query = the target doc's first tokens; its own doc_id must
+    // surface as a hit once (and only once) the doc is ingested
+    val qtext = target._2.split("\\s+").take(6).mkString(" ")
+    def hits(): Long =
+      s.read.parquet(outDir).filter($"doc_id" === target._1).count()
+    try {
+      qIn.addData(Seq((1L, qtext))); serve.processAllAvailable()
+      assert(hits() === 0L, "target retrievable before its ingest?")
+      docsIn.addData(Seq(target)); ingest.processAllAvailable()
+      qIn.addData(Seq((2L, qtext))); serve.processAllAvailable()
+      assert(hits() === 1L,
+        "ingested doc not retrievable by the serve's next batch")
+    } finally { ingest.stop(); serve.stop() }
+  }
+
   test("ivfPqIngestBatch: replay converges; streamed encode matches full-build codes") {
     val s = spark
     import s.implicits._
