@@ -172,12 +172,35 @@ object FsUtil {
     try body finally fs.delete(lock, false)
   }
 
-  /** Write a small text sidecar (e.g. a params manifest) under `dir`
-    * in one shot — create-overwrite, closed before return. */
+  /** Write a small text sidecar (e.g. a params manifest) ATOMICALLY:
+    * the content lands in a hidden uuid temp file first, then renames
+    * over the target with overwrite semantics (POSIX rename(2) /
+    * HDFS overwrite-rename — atomic on both). A reader concurrent
+    * with the write sees the OLD content or the NEW content, never a
+    * truncated prefix — the plain create-truncate-write shape left a
+    * window where a crash (or a concurrent `readSidecar`) produced a
+    * torn manifest that poisoned every later read: for the streaming
+    * ingest log that meant a replay could throw forever instead of
+    * converging. A crash before the rename leaves the target
+    * untouched (plus one hidden temp file, overwritten next
+    * attempt). */
   def writeSidecar(fs: FileSystem, file: Path, content: String): Unit = {
-    val out = fs.create(file, true)
+    val parent = Option(file.getParent).getOrElse(new Path("."))
+    fs.mkdirs(parent)
+    val tmp = new Path(parent,
+      s".${file.getName}.tmp-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    try {
+      val ctx = org.apache.hadoop.fs.FileContext.getFileContext(
+        file.toUri, fs.getConf)
+      ctx.rename(tmp, file,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch { case e: Throwable =>
+      try fs.delete(tmp, false) catch { case _: Throwable => () }
+      throw e
+    }
   }
 
   /** Read a sidecar written by [[writeSidecar]]; None if absent. */

@@ -276,13 +276,22 @@ object Dedup {
     // signature once per band per join side
     val bands = docs.select(col(idCol),
       explode(bandArrayCol(numHashes, rowsPerBand)).as("band_key"))
+    // verify candidates with true jaccard — only candidate pairs pay
+    verifyJaccard(selfBandCandidates(bands, idCol), docs, idCol,
+      threshold)
+  }
+
+  /** The self-join candidate block shared by [[minhashLshPairs]] and
+    * [[minhashLshPairsFromIndex]] — ONE definition so the fresh and
+    * stored-index pair paths can never drift (the same reasoning as
+    * the shared bandArrayCol literal). */
+  private def selfBandCandidates(bands: DataFrame,
+      idCol: String): DataFrame = {
     val l = bands.select(col(idCol).as("id_a"), col("band_key"))
     val r = bands.select(col(idCol).as("id_b"), col("band_key"))
-    val candidates = l.join(r, "band_key")
+    l.join(r, "band_key")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verify candidates with true jaccard — only candidate pairs pay
-    verifyJaccard(candidates, docs, idCol, threshold)
   }
 
   /** Incremental ingest dedup: MinHash+LSH near-dup pairs BETWEEN a
@@ -476,17 +485,9 @@ object Dedup {
     * scheme as the fresh path by construction (the shared
     * bandArrayCol literal), so the pair set is bit-identical. */
   def minhashLshPairsFromIndex(index: MinhashIndex,
-      threshold: Double): DataFrame = {
-    val bands = index.signed.select(col(index.idCol),
-      explode(bandArrayCol(index.numHashes, index.rowsPerBand))
-        .as("band_key"))
-    val l = bands.select(col(index.idCol).as("id_a"), col("band_key"))
-    val r = bands.select(col(index.idCol).as("id_b"), col("band_key"))
-    val candidates = l.join(r, "band_key")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    verifyJaccard(candidates, index.signed, index.idCol, threshold)
-  }
+      threshold: Double): DataFrame =
+    verifyJaccard(selfBandCandidates(index.bands, index.idCol),
+      index.docs, index.idCol, threshold)
 
   /** Reload a stored [[MinhashIndex]]. The params must match the ones
     * the index was built with — validated against the stored params

@@ -280,11 +280,16 @@ object Similarity {
     val index = readIvfIndex(spark, dir, idCol, vecCol)
     val cents = ivfCents(
       index.codebook.orderBy(col("cent_id")).collect().toSeq)
+    // fail fast, unlike ivfAppendToStored's visible-empty return: in
+    // a fire-and-forget streaming sink an empty-codebook store would
+    // otherwise drop every ingested vector while the stream runs
+    // green — unobservable data loss (ivfPqIngestBatch's discipline)
+    require(cents.nonEmpty,
+      s"ivfIngestBatch: index at $dir has an empty codebook — " +
+        "rebuild with ivfIndex before streaming ingest")
     val c = ivfPrep(batch, idCol, vecCol)
-    val extra =
-      if (cents.isEmpty) emptyAssigned(c)
-      else assignCells(requireDim(c, cents.head._2.length,
-        "ivfIngestBatch"), centArrOf(cents))
+    val extra = assignCells(requireDim(c, cents.head._2.length,
+      "ivfIngestBatch"), centArrOf(cents))
     graft.sources.Sinks.appendTagged(extra, s"$dir/assigned.parquet",
       tag)
   }

@@ -432,9 +432,19 @@ object TextProfile {
     * pass runId+batchId (see appendTagged's purge-collision note).
     * Single-writer-per-dir as everywhere: quiesce this stream before
     * [[bm25IndexCompact]]/Maintenance runs (compaction folds the
-    * tagged files into sorted parts and drops the ingest log, so a
-    * batch replayed AFTER a mid-stream compaction would re-append
-    * rows the compacted store already holds). */
+    * tagged files into sorted parts and the ingest-log totals into
+    * params, then drops the log, so a batch replayed AFTER a
+    * mid-stream compaction would re-append rows the compacted store
+    * already holds).
+    *
+    * Cost envelope: each batch re-parses and rewrites the full log —
+    * O(entries since last compact) per batch — and appends O(tasks)
+    * tagged files; BOTH are bounded by the same compaction cadence
+    * (the log entry count equals the tagged-batch count). At a
+    * nightly compact with minutes-scale triggers that is hundreds of
+    * entries; a store taking sub-minute triggers has a small-file
+    * problem before it has a log problem and belongs behind a
+    * message-bus accumulation tier. */
   def bm25IngestBatch(batch: DataFrame, textCol: String, dir: String,
       tag: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -506,10 +516,37 @@ object TextProfile {
     val postings = spark.read.parquet(s"$dir/postings.parquet")
     val dfAgg = spark.read.parquet(s"$dir/df.parquet")
       .groupBy(col("term")).agg(sum(col("__df")).as("__df"))
-    val params = graft.core.FsUtil.readSidecar(fs,
+    val params0 = graft.core.FsUtil.readSidecar(fs,
       new Path(dir, "params.json")).getOrElse(
       throw new java.io.IOException(
         s"bm25IndexCompact: $dir has no params.json — not an index dir"))
+    // If a streaming ingest left its log, the log is AUTHORITATIVE
+    // for the N/T totals: an abandoned stream that crashed between
+    // its log write and its params write leaves params excluding the
+    // last batch's counts while the batch's data files are live —
+    // compacting from the stale params would bake the undercount in
+    // permanently (and drop the log that held the repair). Fold
+    // base + Σ entries over the stale values before restamping. The
+    // remaining abandoned-crash window (died MID-append: torn files,
+    // no log entry) still needs a replay, as bm25IngestBatch's
+    // scaladoc documents — no sidecar can describe files that never
+    // fully landed.
+    val params = graft.core.FsUtil.readSidecar(fs,
+      new Path(dir, "ingest.json")) match {
+      case Some(log) =>
+        def p(k: String): Long =
+          s""""$k":(\\d+)""".r.findFirstMatchIn(log).map(_.group(1).toLong)
+            .getOrElse(throw new java.io.IOException(
+              s"bm25IndexCompact: $dir: malformed ingest.json: $log"))
+        val entries =
+          """\["[A-Za-z0-9_.-]+",(\d+),(\d+)\]""".r.findAllMatchIn(log)
+            .map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
+        val d = p("baseDocs") + entries.map(_._1).sum
+        val t = p("baseTokens") + entries.map(_._2).sum
+        params0.replaceAll(""""docs":\d+""", s""""docs":$d""")
+          .replaceAll(""""tokens":\d+""", s""""tokens":$t""")
+      case None => params0
+    }
     // readBm25Index hands postings back without a declared idCol on
     // the frame, so recover the id column name structurally: it is
     // the one column that is neither term nor the internal __ pair

@@ -140,8 +140,11 @@ object Sinks {
   def purgeTagged(fs: org.apache.hadoop.fs.FileSystem,
       tableDir: org.apache.hadoop.fs.Path, tag: String): Unit = {
     requireTag(tag)
+    // \d{5,}, not \d{5}: Spark zero-pads task indices to five digits
+    // but keeps counting past part-99999 — a fixed-width anchor would
+    // stop purging exactly at the scale the contract exists for
     val pat = ("ingest-" + java.util.regex.Pattern.quote(tag) +
-      "-part-\\d{5}-.*").r
+      "-part-\\d{5,}-.*").r
     if (fs.exists(tableDir))
       fs.listStatus(tableDir)
         .filter(f => pat.pattern.matcher(f.getPath.getName).matches())

@@ -244,8 +244,17 @@ object StreamJobs {
     * checkpoint keeps the same runId (that is what makes replay
     * converge), a NEW logical run takes a new one. Appends accumulate
     * unsorted tagged files by design; `Maintenance.compactAll`
-    * (quiesced) restores the term-sorted sized layout. Returns the
-    * writer — caller picks trigger/checkpoint and starts it. */
+    * (quiesced) restores the term-sorted sized layout.
+    *
+    * Concurrent-serve residual: during NORMAL operation a concurrent
+    * lookup stream sees old-or-new sidecars (atomic rename) and
+    * append-only data files. During a REPLAY (failure recovery only)
+    * the purge deletes the crashed attempt's files, so a serve batch
+    * that listed them mid-purge can fail once with a missing-file
+    * error — its own checkpoint restart re-runs it against the
+    * repaired store. Serves that cannot tolerate that one-batch
+    * hiccup should probe a snapshot copy. Returns the writer —
+    * caller picks trigger/checkpoint and starts it. */
   def bm25IngestStream(docs: DataFrame, indexDir: String,
       textCol: String, runId: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[

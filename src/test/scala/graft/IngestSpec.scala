@@ -48,6 +48,15 @@ class IngestSpec extends SparkSpec {
     val after = dataFiles(dir)
     assert(before.filterNot(_.contains("ingest-r0-1-part")).toSet
       .subsetOf(after.toSet))
+    // the purge anchor is \d{5,}: Spark zero-pads to five digits but
+    // counts past part-99999 at high task counts — a six-digit part
+    // file must still purge
+    val fs = fsOf(dir)
+    val six = new org.apache.hadoop.fs.Path(dir,
+      "ingest-r0-1-part-123456-deadbeef.snappy.parquet")
+    fs.create(six, true).close()
+    Sinks.purgeTagged(fs, new org.apache.hadoop.fs.Path(dir), "r0-1")
+    assert(!fs.exists(six), "six-digit part index escaped the purge")
   }
 
   test("bm25IngestBatch: replay of a clean batch and of every torn prefix converges to single-apply") {
@@ -131,12 +140,21 @@ class IngestSpec extends SparkSpec {
     assert(sidecar("params.json") === cleanParams)
     assert(probe() === want, "repair after sidecar-stale failed")
 
-    // maintenance after quiesce: compaction folds tagged files and
-    // the probe still does not move a bit
+    // the ABANDONED-stream crash (died between its log write and its
+    // params write, never replayed): params stale, log authoritative.
+    // Compaction must fold the log's totals instead of baking the
+    // stale undercount in permanently.
+    graft.core.FsUtil.writeSidecar(fs,
+      new org.apache.hadoop.fs.Path(dir, "params.json"), midParams)
     assert(TextProfile.bm25SortDrifted(s, dir), "ingest left no drift?")
     val rep = Maintenance.compactAll(s, Seq(dir))
     assert(rep(dir).kind === "bm25-index")
     assert(probe() === want, "probe moved across compaction")
+    val cleanIdx = TextProfile.readBm25Index(s, dir, "doc_id")
+    val freshIdx = TextProfile.readBm25Index(s, freshDir, "doc_id")
+    assert((cleanIdx.nDocs, cleanIdx.totTokens) ===
+      ((freshIdx.nDocs, freshIdx.totTokens)),
+      "compaction kept the stale params instead of folding the log")
     assert(!graft.core.FsUtil.readSidecar(fs,
       new org.apache.hadoop.fs.Path(dir, "ingest.json")).isDefined,
       "compaction must drop the ingest log (fresh-run baseline)")
