@@ -64,6 +64,53 @@ object TextQueries extends QueryPack {
        |FROM ranked WHERE rn <= 5
        |""".stripMargin
 
+  /** One epoch of q_stream_live_retrieval's oracle: the full BM25
+    * chain (oBm25Ctes's arithmetic verbatim, CTE names suffixed _$e)
+    * over the corpus prefix ingested by epoch `e` — seed is
+    * doc_id % 3 == 0 and ingest batch b adds doc_id % 3 == b, so the
+    * visible corpus at epoch e is exactly `doc_id % 3 <= e`. Queries
+    * re-sent each epoch carry q_id = doc_id·10 + e, so the epochs'
+    * rankings stay disjoint in one union. */
+  private def oBm25EpochChain(e: Int): String =
+    s"""tok_$e AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(trim(text), '\\s+')) AS len,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents WHERE doc_id % 3 <= $e),
+       |tf_$e AS (SELECT doc_id, len, term, count(*) AS tf
+       |       FROM tok_$e GROUP BY 1, 2, 3),
+       |tot_$e AS (SELECT count(*) AS nd FROM documents
+       |           WHERE doc_id % 3 <= $e),
+       |tt_$e AS (SELECT CAST(count(*) AS HUGEINT) AS t FROM tok_$e),
+       |dfq_$e AS (SELECT term, count(*) AS df FROM tf_$e GROUP BY 1),
+       |kept_$e AS (
+       |  SELECT term,
+       |    CAST(length(bin(1 + (2 * (SELECT nd FROM tot_$e) - 2 * df + 1)
+       |      // (2 * df + 1))) AS HUGEINT) AS idf
+       |  FROM dfq_$e),
+       |qt_$e AS (
+       |  SELECT DISTINCT q_id, term FROM (
+       |    SELECT doc_id * 10 + $e AS q_id,
+       |      unnest((string_split_regex(trim(text), '\\s+'))[1:6])
+       |        AS term
+       |    FROM documents WHERE doc_id % 100 = 0)),
+       |posting_$e AS (
+       |  SELECT qt_$e.q_id, tf_$e.doc_id,
+       |    (kept_$e.idf * 22 * (SELECT t FROM tt_$e) * tf_$e.tf * 10000)
+       |      // (10 * (SELECT t FROM tt_$e) * tf_$e.tf
+       |         + 3 * (SELECT t FROM tt_$e)
+       |         + 9 * CAST(tf_$e.len AS HUGEINT) * (SELECT nd FROM tot_$e))
+       |      AS contrib
+       |  FROM qt_$e JOIN tf_$e USING (term) JOIN kept_$e USING (term)),
+       |scored_$e AS (
+       |  SELECT q_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score
+       |  FROM posting_$e GROUP BY 1, 2),
+       |ranked_$e AS (
+       |  SELECT q_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, doc_id ASC) AS rn
+       |  FROM scored_$e)""".stripMargin
+
   /** Shared by q_profile_incremental and q_stream_profile_ingest —
     * the merged per-language summary recomputed directly over the
     * full table, so the gate checks the partial merge itself. */
@@ -387,6 +434,77 @@ object TextQueries extends QueryPack {
           "qtext", idx, k = 5, stopwordCut = false)
       },
       Some(oBm25Sql)),
+
+    // LIVE retrieval — the round's ingest and serve streams COMPOSED
+    // on one store, with the time-varying index state itself under
+    // the hash gate: the corpus streams in (seed = doc_id % 3 == 0,
+    // then ingest batch b adds doc_id % 3 == b) while the SAME query
+    // set is re-sent at each epoch (q_id = doc_id·10 + epoch), and
+    // every epoch's ranking must equal BM25 over EXACTLY the
+    // ingested prefix — the oracle replays the full chain three
+    // times over `doc_id % 3 <= e`. This pins the visibility
+    // semantics end to end: each serve micro-batch sees precisely
+    // the batches the ingest stream has committed, with df/N/T
+    // totals mid-growth — not just the final converged store
+    // (q_stream_bm25_ingest's claim).
+    "q_stream_live_retrieval" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_live_retr_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        val run = s"$dir/run_${System.nanoTime()}"
+        val idxDir = s"$run/idx"
+        graft.operators.TextProfile.bm25Index(
+          docs.filter($"doc_id" % 3 === 0), "doc_id", "text")
+          .write(idxDir)
+        val qbase = docs.filter($"doc_id" % 100 === 0)
+          .select($"doc_id",
+            concat_ws(" ", slice(tokens($"text"), 1, 6)).as("qtext"))
+          .as[(Long, String)].collect().toSeq
+        def batchDocs(b: Int) = docs.filter($"doc_id" % 3 === b)
+          .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+        implicit val sqlCtx = s.sqlContext
+        val docsIn = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val qIn = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val outDir = s"$run/out"
+        val ingest = graft.streaming.StreamJobs.bm25IngestStream(
+            docsIn.toDS().toDF("doc_id", "text"), idxDir, "text",
+            runId = "live")
+          .option("checkpointLocation", s"$run/ckpt_i").start()
+        val serve = graft.streaming.StreamJobs.bm25LookupStream(
+            qIn.toDS().toDF("q_id", "qtext"), idxDir, outDir,
+            "q_id", "qtext", "doc_id", k = 5, stopwordCut = false)
+          .option("checkpointLocation", s"$run/ckpt_s").start()
+        try {
+          (0 to 2).foreach { e =>
+            if (e > 0) {
+              docsIn.addData(batchDocs(e)); ingest.processAllAvailable()
+            }
+            qIn.addData(qbase.map { case (id, txt) =>
+              (id * 10 + e, txt) })
+            serve.processAllAvailable()
+          }
+        } finally { ingest.stop(); serve.stop() }
+        s.read.parquet(outDir)
+          .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
+      },
+      Some(s"""WITH ${oBm25EpochChain(0)},
+              |${oBm25EpochChain(1)},
+              |${oBm25EpochChain(2)}
+              |SELECT q_id, CAST(rn AS BIGINT) AS rank, doc_id, score
+              |FROM ranked_0 WHERE rn <= 5
+              |UNION ALL
+              |SELECT q_id, CAST(rn AS BIGINT) AS rank, doc_id, score
+              |FROM ranked_1 WHERE rn <= 5
+              |UNION ALL
+              |SELECT q_id, CAST(rn AS BIGINT) AS rank, doc_id, score
+              |FROM ranked_2 WHERE rn <= 5
+              |""".stripMargin)),
 
     // the PRODUCTION BM25 configuration under the correctness gate:
     // stopwordCut=true (the default a 100 TB deployment runs — df >
