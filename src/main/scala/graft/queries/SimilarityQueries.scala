@@ -316,6 +316,84 @@ object SimilarityQueries extends QueryPack {
       },
       Some(ivfPqResidualOracleSql)),
 
+    // LIVE vector retrieval — q_stream_live_retrieval's twin on the
+    // IVF unit: the embedding corpus streams into the stored index
+    // (codebook full-trained, assigned seeded with vec_id % 3 == 0,
+    // batches b = 1, 2 arriving through annIngestStream) while the
+    // SAME query set re-sends each epoch through the new
+    // ivfLookupStream; the serve's batch_id partition IS the epoch,
+    // and every epoch's ranking must equal IVF top-k over exactly
+    // the ingested membership — the oracle ranks the one probe-join
+    // three times under `nn_id % 3 <= e`. Assignment depends only on
+    // the codebook, so visibility is pure membership: the strongest
+    // vector-side form of the ingest claim.
+    "q_stream_live_ann" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_live_ann_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        val run = s"$dir/run_${System.nanoTime()}"
+        val idxDir = s"$run/idx"
+        val full = Similarity.ivfIndex(emb, "vec_id", "embedding",
+          nlist = 16)
+        full.copy(assigned = full.assigned.filter($"nn_id" % 3 === 0))
+          .write(idxDir)
+        val qset = emb.filter($"vec_id" % 100 === 0)
+          .select($"vec_id", $"embedding")
+          .as[(Long, Array[Float])].collect().toSeq
+        def batchVecs(b: Int) = emb.filter($"vec_id" % 3 === b)
+          .select($"vec_id", $"embedding")
+          .as[(Long, Array[Float])].collect().toSeq
+        implicit val sqlCtx = s.sqlContext
+        val vecsIn = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])]
+        val qIn = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])]
+        val outDir = s"$run/out"
+        val ingest = graft.streaming.StreamJobs.annIngestStream(
+            vecsIn.toDS().toDF("vec_id", "embedding"), idxDir,
+            "vec_id", "embedding", runId = "live")
+          .option("checkpointLocation", s"$run/ckpt_i").start()
+        val serve = graft.streaming.StreamJobs.ivfLookupStream(
+            qIn.toDS().toDF("vec_id", "embedding"), idxDir, outDir,
+            "vec_id", "embedding", k = 5, nprobe = 4)
+          .option("checkpointLocation", s"$run/ckpt_s").start()
+        try {
+          (0 to 2).foreach { e =>
+            if (e > 0) {
+              vecsIn.addData(batchVecs(e)); ingest.processAllAvailable()
+            }
+            qIn.addData(qset); serve.processAllAvailable()
+          }
+        } finally { ingest.stop(); serve.stop() }
+        s.read.parquet(outDir)
+          .select(col("batch_id").cast("long").as("epoch"),
+            col("q_id"), col("nn_id"), col("rank"), col("cos"))
+      },
+      Some(s"""WITH $ivfChainCtes,
+              |scored_live AS (
+              |  SELECT q_id, nn_id,
+              |    ${oDot("q_vec", "nn_vec")} / (q_nrm * nn_nrm) AS cos,
+              |    nn_id % 3 AS arr
+              |  FROM probes JOIN assigned USING (cell)
+              |  WHERE q_id <> nn_id),
+              |${(0 to 2).map(e =>
+                s"""ranked_$e AS (
+                   |  SELECT q_id, nn_id, cos,
+                   |    row_number() OVER (PARTITION BY q_id
+                   |                       ORDER BY cos DESC, nn_id) AS rank
+                   |  FROM scored_live WHERE arr <= $e)""".stripMargin)
+                .mkString(",\n")}
+              |${(0 to 2).map(e =>
+                s"""SELECT CAST($e AS BIGINT) AS epoch, q_id, nn_id,
+                   |  rank, round(cos, 6) AS cos
+                   |FROM ranked_$e WHERE rank <= 5""".stripMargin)
+                .mkString("\nUNION ALL\n")}
+              |""".stripMargin)),
+
     // SRP-LSH near-dup: approximate scale path. The hyperplanes are
     // deterministic integer-derived coefficients (Similarity.srpBucket),
     // so the oracle replays the identical signature: same coefficient

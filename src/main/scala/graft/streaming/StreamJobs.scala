@@ -150,6 +150,31 @@ object StreamJobs {
         ()
     }
 
+  /** [[annLookupStream]] on the PLAIN IVF unit (float vectors, no PQ
+    * coding — the exact-scoring serving tier): each micro-batch of
+    * (id, embedding) queries ranks against the persisted
+    * `Similarity.IvfIndex` — nlist centroid scores per query + a
+    * probe-capped scan of the assigned table; no training, no
+    * re-clustering. Index re-read per batch, so rows appended by a
+    * concurrent [[annIngestStream]] become visible to the next
+    * micro-batch; same batch_id-subdir overwrite idempotence as every
+    * serve here. */
+  def ivfLookupStream(queries: DataFrame, indexDir: String,
+      outDir: String, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val idx = graft.operators.Similarity.readIvfIndex(
+          batch.sparkSession, indexDir, idCol, vecCol)
+        graft.operators.Similarity.ivfTopKWithIndex(batch, idx, k,
+          nprobe)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+        ()
+    }
+
   /** Streaming lexical retrieval serving — [[annLookupStream]]'s
     * pattern applied to the SIXTH persistence unit: each arriving
     * micro-batch of text queries ranks BM25 top-k against the
