@@ -172,34 +172,55 @@ object FsUtil {
     try body finally fs.delete(lock, false)
   }
 
-  /** Write a small text sidecar (e.g. a params manifest) ATOMICALLY:
-    * the content lands in a hidden uuid temp file first, then renames
-    * over the target with overwrite semantics (POSIX rename(2) /
-    * HDFS overwrite-rename — atomic on both). A reader concurrent
-    * with the write sees the OLD content or the NEW content, never a
-    * truncated prefix — the plain create-truncate-write shape left a
-    * window where a crash (or a concurrent `readSidecar`) produced a
-    * torn manifest that poisoned every later read: for the streaming
-    * ingest log that meant a replay could throw forever instead of
-    * converging. A crash before the rename leaves the target
-    * untouched (plus one hidden temp file, overwritten next
-    * attempt). */
+  /** Write a small text sidecar (e.g. a params manifest) ATOMICALLY
+    * where the filesystem allows: the content lands in a hidden temp
+    * file first, then renames over the target with overwrite
+    * semantics (POSIX rename(2) / HDFS overwrite-rename — atomic on
+    * both). A reader concurrent with the write sees the OLD content
+    * or the NEW content, never a truncated prefix — the plain
+    * create-truncate-write shape left a window where a crash (or a
+    * concurrent [[readSidecar]]) produced a torn manifest that
+    * poisoned every later read: for the streaming ingest log that
+    * meant a replay could throw forever instead of converging. A
+    * crash before the rename leaves the target untouched plus one
+    * FIXED-NAME hidden temp (`.{name}.tmp`), truncated and reused by
+    * the next attempt — a crash-looping writer leaves one orphan,
+    * not one per attempt; sidecar writers are single-writer-per-file
+    * by the store contracts, which is what makes the fixed name safe.
+    *
+    * Filesystems with no AbstractFileSystem binding (object stores
+    * like s3a, which implement only the FileSystem API) cannot take
+    * the FileContext overwrite-rename; they FALL BACK to the plain
+    * create-overwrite write — rename is not atomic on those stores
+    * anyway, so the fallback gives up nothing the store could have
+    * provided. */
   def writeSidecar(fs: FileSystem, file: Path, content: String): Unit = {
     val parent = Option(file.getParent).getOrElse(new Path("."))
     fs.mkdirs(parent)
-    val tmp = new Path(parent,
-      s".${file.getName}.tmp-${java.util.UUID.randomUUID}")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    try {
-      val ctx = org.apache.hadoop.fs.FileContext.getFileContext(
-        file.toUri, fs.getConf)
-      ctx.rename(tmp, file,
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch { case e: Throwable =>
-      try fs.delete(tmp, false) catch { case _: Throwable => () }
-      throw e
+    def plainWrite(target: Path): Unit = {
+      val out = fs.create(target, true)
+      try out.write(
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val ctx =
+      try Some(org.apache.hadoop.fs.FileContext.getFileContext(
+        file.toUri, fs.getConf))
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          None
+      }
+    ctx match {
+      case None => plainWrite(file) // non-atomic, documented above
+      case Some(c) =>
+        val tmp = new Path(parent, s".${file.getName}.tmp")
+        plainWrite(tmp)
+        try c.rename(tmp, file,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        catch { case e: Throwable =>
+          try fs.delete(tmp, false) catch { case _: Throwable => () }
+          throw e
+        }
     }
   }
 

@@ -395,6 +395,17 @@ object TextProfile {
     val spark = batch.sparkSession
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // the two append modes are mutually exclusive per store epoch: a
+    // live ingest log recomputes params as base + Σ(logged entries),
+    // which would WIPE this unlogged batch's contribution from the
+    // totals on the next streamed batch — and compaction's log fold
+    // would do the same. Compact (which folds and drops the log)
+    // before switching a streamed store back to batch appends.
+    require(!fs.exists(new Path(dir, "ingest.json")),
+      s"bm25IndexAppend: $dir has a streaming ingest log — batch " +
+        "appends on a mid-stream store would be dropped from the " +
+        "N/T totals; run bm25IndexCompact (or Maintenance.compactAll) " +
+        "first")
     val b = bm25Index(batch, index.idCol, textCol)
     b.dfreq.write.mode("append").parquet(s"$dir/df.parquet")
     b.postings.write.mode("append").parquet(s"$dir/postings.parquet")
@@ -534,17 +545,36 @@ object TextProfile {
     val params = graft.core.FsUtil.readSidecar(fs,
       new Path(dir, "ingest.json")) match {
       case Some(log) =>
-        def p(k: String): Long =
+        def p(k: String): Option[Long] =
           s""""$k":(\\d+)""".r.findFirstMatchIn(log).map(_.group(1).toLong)
-            .getOrElse(throw new java.io.IOException(
-              s"bm25IndexCompact: $dir: malformed ingest.json: $log"))
-        val entries =
-          """\["[A-Za-z0-9_.-]+",(\d+),(\d+)\]""".r.findAllMatchIn(log)
-            .map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
-        val d = p("baseDocs") + entries.map(_._1).sum
-        val t = p("baseTokens") + entries.map(_._2).sum
-        params0.replaceAll(""""docs":\d+""", s""""docs":$d""")
-          .replaceAll(""""tokens":\d+""", s""""tokens":$t""")
+        (p("baseDocs"), p("baseTokens")) match {
+          case (Some(bd), Some(bt)) =>
+            val entries =
+              """\["[A-Za-z0-9_.-]+",(\d+),(\d+)\]""".r
+                .findAllMatchIn(log)
+                .map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
+            def cur(k: String): Long =
+              s""""$k":(\\d+)""".r.findFirstMatchIn(params0)
+                .map(_.group(1).toLong).getOrElse(0L)
+            // max() as a belt: with batch/stream appends mutually
+            // exclusive (bm25IndexAppend fail-fasts on a live log)
+            // the log sum is >= the possibly-stale params, but a
+            // store written before that guard could hold the reverse
+            val d = math.max(bd + entries.map(_._1).sum, cur("docs"))
+            val t = math.max(bt + entries.map(_._2).sum, cur("tokens"))
+            params0.replaceAll(""""docs":\d+""", s""""docs":$d""")
+              .replaceAll(""""tokens":\d+""", s""""tokens":$t""")
+          case _ =>
+            // a log torn by a pre-atomic-sidecar crash: best effort is
+            // the stored params (the old behavior); warn, and the
+            // compact drops the unparseable log — self-healing rather
+            // than failing every future maintenance run
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"bm25IndexCompact: $dir: unparseable ingest.json " +
+                s"(pre-atomic-write crash?); folding skipped, totals " +
+                s"from params.json. Log was: $log")
+            params0
+        }
       case None => params0
     }
     // readBm25Index hands postings back without a declared idCol on

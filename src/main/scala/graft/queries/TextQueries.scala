@@ -12,48 +12,59 @@ import QHelp._
   */
 object TextQueries extends QueryPack {
 
+  /** ONE generator for every BM25 oracle chain — the base gate chain
+    * (`oBm25Ctes`, empty suffix) and the live-retrieval epoch chains
+    * (`oBm25EpochChain`) are the SAME arithmetic by construction, so
+    * a future scoring change cannot silently diverge them (the
+    * shared-bandArrayCol discipline applied to the oracle side).
+    * `sfx` suffixes every CTE name, `corpusPred` restricts the
+    * scored corpus (e.g. the ingested prefix), `qIdExpr` shapes the
+    * emitted query id (e.g. epoch-offset). */
+  private def oBm25ChainFor(sfx: String, corpusPred: String,
+      qIdExpr: String): String =
+    s"""tok$sfx AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(trim(text), '\\s+')) AS len,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents$corpusPred),
+       |tf$sfx AS (SELECT doc_id, len, term, count(*) AS tf
+       |       FROM tok$sfx GROUP BY 1, 2, 3),
+       |tot$sfx AS (SELECT count(*) AS nd FROM documents$corpusPred),
+       |tt$sfx AS (SELECT CAST(count(*) AS HUGEINT) AS t FROM tok$sfx),
+       |dfq$sfx AS (SELECT term, count(*) AS df FROM tf$sfx GROUP BY 1),
+       |kept$sfx AS (
+       |  SELECT term,
+       |    CAST(length(bin(1 + (2 * (SELECT nd FROM tot$sfx) - 2 * df + 1)
+       |      // (2 * df + 1))) AS HUGEINT) AS idf
+       |  FROM dfq$sfx),
+       |qt$sfx AS (
+       |  SELECT DISTINCT q_id, term FROM (
+       |    SELECT $qIdExpr AS q_id,
+       |      unnest((string_split_regex(trim(text), '\\s+'))[1:6])
+       |        AS term
+       |    FROM documents WHERE doc_id % 100 = 0)),
+       |posting$sfx AS (
+       |  SELECT qt$sfx.q_id, tf$sfx.doc_id,
+       |    (kept$sfx.idf * 22 * (SELECT t FROM tt$sfx) * tf$sfx.tf * 10000)
+       |      // (10 * (SELECT t FROM tt$sfx) * tf$sfx.tf
+       |         + 3 * (SELECT t FROM tt$sfx)
+       |         + 9 * CAST(tf$sfx.len AS HUGEINT) * (SELECT nd FROM tot$sfx))
+       |      AS contrib
+       |  FROM qt$sfx JOIN tf$sfx USING (term) JOIN kept$sfx USING (term)),
+       |scored$sfx AS (
+       |  SELECT q_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score
+       |  FROM posting$sfx GROUP BY 1, 2),
+       |ranked$sfx AS (
+       |  SELECT q_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, doc_id ASC) AS rn
+       |  FROM scored$sfx)""".stripMargin
+
   /** The q_text_bm25 oracle's CTE chain through `ranked` (rn = the
     * BM25 rank) — shared with the hybrid-retrieval oracle
     * (SimilarityQueries), whose lexical arm must be THIS chain
     * verbatim. */
-  private[queries] val oBm25Ctes =
-    """tok AS (
-             |  SELECT doc_id,
-             |    len(string_split_regex(trim(text), '\s+')) AS len,
-             |    unnest(string_split_regex(trim(text), '\s+')) AS term
-             |  FROM documents),
-             |tf AS (SELECT doc_id, len, term, count(*) AS tf
-             |       FROM tok GROUP BY 1, 2, 3),
-             |tot AS (SELECT count(*) AS nd FROM documents),
-             |tt AS (SELECT CAST(count(*) AS HUGEINT) AS t FROM tok),
-             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-             |kept AS (
-             |  SELECT term,
-             |    CAST(length(bin(1 + (2 * (SELECT nd FROM tot) - 2 * df + 1)
-             |      // (2 * df + 1))) AS HUGEINT) AS idf
-             |  FROM dfq),
-             |qt AS (
-             |  SELECT DISTINCT q_id, term FROM (
-             |    SELECT doc_id AS q_id,
-             |      unnest((string_split_regex(trim(text), '\s+'))[1:6])
-             |        AS term
-             |    FROM documents WHERE doc_id % 100 = 0)),
-             |posting AS (
-             |  SELECT qt.q_id, tf.doc_id,
-             |    (kept.idf * 22 * (SELECT t FROM tt) * tf.tf * 10000)
-             |      // (10 * (SELECT t FROM tt) * tf.tf
-             |         + 3 * (SELECT t FROM tt)
-             |         + 9 * CAST(tf.len AS HUGEINT) * (SELECT nd FROM tot))
-             |      AS contrib
-             |  FROM qt JOIN tf USING (term) JOIN kept USING (term)),
-             |scored AS (
-             |  SELECT q_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score
-             |  FROM posting GROUP BY 1, 2),
-             |ranked AS (
-             |  SELECT q_id, doc_id, score,
-             |    row_number() OVER (PARTITION BY q_id
-             |      ORDER BY score DESC, doc_id ASC) AS rn
-             |  FROM scored)""".stripMargin
+  private[queries] val oBm25Ctes = oBm25ChainFor("", "", "doc_id")
 
   /** Shared by q_text_bm25, q_text_bm25_index, and q_stream_bm25 —
     * the persisted posting index's probe and the streaming serve must
@@ -72,44 +83,8 @@ object TextQueries extends QueryPack {
     * re-sent each epoch carry q_id = doc_id·10 + e, so the epochs'
     * rankings stay disjoint in one union. */
   private def oBm25EpochChain(e: Int): String =
-    s"""tok_$e AS (
-       |  SELECT doc_id,
-       |    len(string_split_regex(trim(text), '\\s+')) AS len,
-       |    unnest(string_split_regex(trim(text), '\\s+')) AS term
-       |  FROM documents WHERE doc_id % 3 <= $e),
-       |tf_$e AS (SELECT doc_id, len, term, count(*) AS tf
-       |       FROM tok_$e GROUP BY 1, 2, 3),
-       |tot_$e AS (SELECT count(*) AS nd FROM documents
-       |           WHERE doc_id % 3 <= $e),
-       |tt_$e AS (SELECT CAST(count(*) AS HUGEINT) AS t FROM tok_$e),
-       |dfq_$e AS (SELECT term, count(*) AS df FROM tf_$e GROUP BY 1),
-       |kept_$e AS (
-       |  SELECT term,
-       |    CAST(length(bin(1 + (2 * (SELECT nd FROM tot_$e) - 2 * df + 1)
-       |      // (2 * df + 1))) AS HUGEINT) AS idf
-       |  FROM dfq_$e),
-       |qt_$e AS (
-       |  SELECT DISTINCT q_id, term FROM (
-       |    SELECT doc_id * 10 + $e AS q_id,
-       |      unnest((string_split_regex(trim(text), '\\s+'))[1:6])
-       |        AS term
-       |    FROM documents WHERE doc_id % 100 = 0)),
-       |posting_$e AS (
-       |  SELECT qt_$e.q_id, tf_$e.doc_id,
-       |    (kept_$e.idf * 22 * (SELECT t FROM tt_$e) * tf_$e.tf * 10000)
-       |      // (10 * (SELECT t FROM tt_$e) * tf_$e.tf
-       |         + 3 * (SELECT t FROM tt_$e)
-       |         + 9 * CAST(tf_$e.len AS HUGEINT) * (SELECT nd FROM tot_$e))
-       |      AS contrib
-       |  FROM qt_$e JOIN tf_$e USING (term) JOIN kept_$e USING (term)),
-       |scored_$e AS (
-       |  SELECT q_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score
-       |  FROM posting_$e GROUP BY 1, 2),
-       |ranked_$e AS (
-       |  SELECT q_id, doc_id, score,
-       |    row_number() OVER (PARTITION BY q_id
-       |      ORDER BY score DESC, doc_id ASC) AS rn
-       |  FROM scored_$e)""".stripMargin
+    oBm25ChainFor(s"_$e", s" WHERE doc_id % 3 <= $e",
+      s"doc_id * 10 + $e")
 
   /** Shared by q_profile_incremental and q_stream_profile_ingest —
     * the merged per-language summary recomputed directly over the

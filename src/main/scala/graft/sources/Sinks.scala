@@ -151,9 +151,14 @@ object Sinks {
         .foreach(f => fs.delete(f.getPath, false))
   }
 
+  // ASCII-only, matching the ingest-log entry regex exactly: Unicode
+  // isLetterOrDigit would admit tags (e.g. a runId with an accent)
+  // whose log entries the [A-Za-z0-9_.-] parser then silently drops —
+  // totals would exclude those batches forever while their files live
   private def requireTag(tag: String): Unit =
-    require(tag.nonEmpty && tag.forall(c => c.isLetterOrDigit ||
-      c == '_' || c == '.' || c == '-'),
+    require(tag.nonEmpty && tag.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '.' || c == '-'),
       s"ingest tag must be [A-Za-z0-9_.-]+, got '$tag'")
 
   /** The output file count a sized write should use for `df` at

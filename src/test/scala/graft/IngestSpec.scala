@@ -140,6 +140,14 @@ class IngestSpec extends SparkSpec {
     assert(sidecar("params.json") === cleanParams)
     assert(probe() === want, "repair after sidecar-stale failed")
 
+    // batch appends are rejected on a mid-stream store: a live ingest
+    // log recomputes totals as base + Σ(logged entries), which would
+    // silently wipe an unlogged batch's contribution
+    intercept[IllegalArgumentException] {
+      TextProfile.bm25IndexAppend(
+        TextProfile.readBm25Index(s, dir, "doc_id"), b1, "text", dir)
+    }
+
     // the ABANDONED-stream crash (died between its log write and its
     // params write, never replayed): params stale, log authoritative.
     // Compaction must fold the log's totals instead of baking the
