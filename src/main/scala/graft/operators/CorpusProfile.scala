@@ -106,7 +106,8 @@ object CorpusProfile {
     * periodic compaction safe to run against a store owned by a live
     * streaming query (between that query's batches — single writer
     * per dir still assumed). */
-  def write(profile: Profile, dir: String): Unit = {
+  def write(profile: Profile, dir: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
     val spark = profile.strata.sparkSession
     val fs = fsFor(spark, dir)
     // read BEFORE the swap: the staging write below may take long
@@ -121,6 +122,7 @@ object CorpusProfile {
       // sized + floored so profile-fed scoring scans it in parallel
       graft.sources.Sinks.writeSizedParquet(profile.tokens,
         new Path(staging, "tokens.parquet").toString,
+        targetFileBytes = targetFileBytes,
         minFiles = profile.tokens.sparkSession.sparkContext
           .defaultParallelism)
       graft.core.FsUtil.writeSidecar(fs,
@@ -225,21 +227,30 @@ object CorpusProfile {
     * aggregation cost stays bounded by |vocab|, not by batches since
     * the last compaction. */
   def compact(spark: SparkSession, dir: String, strataCol: String,
+      textCol: String, targetFileBytes: Long): Unit =
+    write(aggregated(read(spark, dir, strataCol, textCol)), dir,
+      targetFileBytes)
+
+  def compact(spark: SparkSession, dir: String, strataCol: String,
       textCol: String): Unit =
-    write(aggregated(read(spark, dir, strataCol, textCol)), dir)
+    compact(spark, dir, strataCol, textCol, 128L << 20)
 
   /** [[compact]] with (strataCol, textCol) recovered from the stored
     * params sidecar — the form a maintenance pass that only knows the
     * DIRECTORY can call ([[Maintenance.compactAll]]). Fails fast on a
     * store without a sidecar (pre-sidecar stores need the explicit
     * form: the caller's columns are the contract there). */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long): Unit = {
     val (sc, tc) = readParams(fsFor(spark, dir), dir).getOrElse(
       throw new java.io.IOException(
         s"corpus profile $dir has no $ParamsSidecar — use " +
           "compact(spark, dir, strataCol, textCol)"))
-    compact(spark, dir, sc, tc)
+    compact(spark, dir, sc, tc, targetFileBytes)
   }
+
+  def compact(spark: SparkSession, dir: String): Unit =
+    compact(spark, dir, 128L << 20)
 
   /** Whether the stored partials have drifted from fully-compacted
     * form: more token rows than distinct (stratum, token) groups —

@@ -108,7 +108,7 @@ object Maintenance {
       TextProfile.bm25HasPartials(spark, dir) ||
       overPacked(fs, s"$dir/postings.parquet", target,
         spark.sparkContext.defaultParallelism, slack)
-    if (need) TextProfile.bm25IndexCompact(spark, dir)
+    if (need) TextProfile.bm25IndexCompact(spark, dir, target)
     UnitReport("bm25-index", Map("postings.parquet" ->
       (before, fileCount(fs, s"$dir/postings.parquet"))))
   }
@@ -120,7 +120,7 @@ object Maintenance {
     val need = CorpusProfile.hasPartials(spark, dir) ||
       overPacked(fs, s"$dir/tokens.parquet", target,
         spark.sparkContext.defaultParallelism, slack)
-    if (need) CorpusProfile.compact(spark, dir)
+    if (need) CorpusProfile.compact(spark, dir, target)
     UnitReport("corpus-profile", Map("tokens.parquet" ->
       (before, fileCount(fs, s"$dir/tokens.parquet"))))
   }

@@ -27,12 +27,6 @@ import org.apache.spark.sql.functions._
   * retrievals cost; the fusion itself is query-batch-sized. */
 object Retrieval {
 
-  /** Fuse ranked lists by integer-exact RRF. Each input must carry
-    * `qCol`, `idCol`, `rankCol` (rank 1-based within its list; pass
-    * each list already truncated to its own top-k — the caller owns
-    * per-list depth). Returns (qCol, rank, idCol, rrf_score) with
-    * rank 1..k per query, ordered by fused score desc, id asc —
-    * deterministic under ties by construction. */
   /** Recall@k of one ranked list against a reference list — the
     * evaluation operator that turns "the ANN config is good" into a
     * measured number: run the approximate retrieval and the exact
@@ -70,6 +64,16 @@ object Retrieval {
           .as("recall_bp"))
   }
 
+  /** Fuse ranked lists by integer-exact RRF. Each input must carry
+    * `qCol`, `idCol`, `rankCol` (rank 1-based within its list; pass
+    * each list already truncated to its own top-k — the caller owns
+    * per-list depth). Returns (qCol, rank, idCol, rrf_score) with
+    * rank 1..k per query, ordered by fused score desc, id asc —
+    * deterministic under ties by construction. The id column keeps
+    * its native type end-to-end (it rides as the BoundedTopK
+    * tie-break field, which accepts any orderable type) — string /
+    * UUID doc ids fuse correctly; lists whose id types disagree fail
+    * the union's type check instead of silently collapsing. */
   def rrfFuse(lists: Seq[DataFrame], qCol: String, idCol: String,
       rankCol: String, k: Int, k0: Int = 60,
       scale: Long = 1000000L): DataFrame = {
@@ -77,7 +81,7 @@ object Retrieval {
     require(k >= 1 && k0 >= 0 && scale >= 1, "rrfFuse: bad parameters")
     val shaped = lists.map(_.select(
       col(qCol).as("q_id"),
-      col(idCol).cast("long").as("__rid"),
+      col(idCol).as("__rid"),
       col(rankCol).cast("long").as("__rank")))
     val union = shaped.reduce(_ unionByName _)
     // integer-quantized reciprocal rank: exact on every engine

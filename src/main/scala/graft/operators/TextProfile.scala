@@ -520,7 +520,7 @@ object TextProfile {
     * stage+swap as [[Bm25Index.write]]; quiesce appenders while
     * compacting (single-writer-per-dir, as everywhere). */
   def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
+      dir: String, targetFileBytes: Long = 128L << 20): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -586,6 +586,7 @@ object TextProfile {
       // composite (term, id) range key — see Bm25Index.write's skew note
       val n = graft.sources.Sinks.writeSizedParquet(postings,
         new Path(staging, "postings.parquet").toString,
+        targetFileBytes = targetFileBytes,
         sortCols = Seq("term", idCol),
         minFiles = spark.sparkContext.defaultParallelism)
       dfAgg.write.mode("overwrite")

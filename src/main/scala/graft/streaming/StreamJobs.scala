@@ -223,11 +223,23 @@ object StreamJobs {
     * union (each query lives in one batch) — what lets the streaming
     * form share the batch oracle. Both indexes re-read per batch;
     * same batch_id-overwrite replay idempotence as the component
-    * serves. */
+    * serves.
+    *
+    * Self-match asymmetry: the semantic arm inherits
+    * `ivfTopKWithIndex`'s ANN convention of dropping the query's own
+    * id (`q_id =!= nn_id`), while the lexical BM25 arm retains it —
+    * so when query ids share the corpus id space, a query's own
+    * document arrives with only its lexical rank contribution. That
+    * is the default (`excludeSelf = false`, the shape the gate oracle
+    * replays); pass `excludeSelf = true` to filter the lexical arm's
+    * self-matches too, making both arms treat the query's own id
+    * consistently — the setting a real serving deployment whose query
+    * ids alias doc ids should use. */
   def hybridLookupStream(queries: DataFrame, bm25Dir: String,
       ivfDir: String, outDir: String, qIdCol: String, qTextCol: String,
       qVecCol: String, docIdCol: String, vecIdCol: String, k: Int,
-      stopwordCut: Boolean = true, nprobe: Int = 0, k0: Int = 60)
+      stopwordCut: Boolean = true, nprobe: Int = 0, k0: Int = 60,
+      excludeSelf: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     queries.writeStream.foreachBatch {
@@ -237,8 +249,26 @@ object StreamJobs {
           bm25Dir, docIdCol)
         val ivf = graft.operators.Similarity.readIvfIndex(spark,
           ivfDir, vecIdCol, qVecCol)
-        val lex = graft.operators.TextProfile.bm25TopKWithIndex(
-          batch, qIdCol, qTextCol, bm, k, stopwordCut)
+        val lex =
+          if (excludeSelf) {
+            // mirror the semantic arm's PRE-ranking exclusion: fetch
+            // one extra, drop the self row, close its rank gap (at
+            // most one self-match per query), truncate back to k —
+            // ranks stay dense 1..k exactly as ivfTopKWithIndex's do
+            val raw = graft.operators.TextProfile.bm25TopKWithIndex(
+              batch, qIdCol, qTextCol, bm, k + 1, stopwordCut)
+            val selfRank = raw
+              .filter(col("q_id") === col(docIdCol))
+              .select(col("q_id"), col("rank").as("__self_rank"))
+            raw.filter(col("q_id") =!= col(docIdCol))
+              .join(selfRank, Seq("q_id"), "left")
+              .withColumn("rank",
+                when(col("__self_rank") < col("rank"),
+                  col("rank") - 1).otherwise(col("rank")))
+              .filter(col("rank") <= k)
+              .drop("__self_rank")
+          } else graft.operators.TextProfile.bm25TopKWithIndex(
+            batch, qIdCol, qTextCol, bm, k, stopwordCut)
         val sem = graft.operators.Similarity.ivfTopKWithIndex(
           batch.select(col(qIdCol).as(vecIdCol), col(qVecCol)),
           ivf, k, nprobe)

@@ -20,10 +20,17 @@ object BarPair {
     val spark = graft.core.GraftSession("graft-barpair",
       master = Some(s"local[$cpus]"), shufflePartitions = Some(cpus.toInt))
 
-    val warmDir = "/root/testdata/sf0.001"
+    // warm pass (JIT/classload) against the smallest data that exists:
+    // SPARK_GRAFT_WARM_DIR if set, else sfDir itself — no machine-
+    // specific path, and a failing warm-up is LOGGED (a silent no-op
+    // would let pass A's bars absorb JIT noise on a box without the
+    // warm dir)
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
     names.foreach { n =>
       try graft.SparkEntry.queries(n)(spark, warmDir).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[barpair] warm-up $n on $warmDir failed: $e")
+      }
     }
     spark.catalog.clearCache()
 

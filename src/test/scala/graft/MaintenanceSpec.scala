@@ -89,6 +89,32 @@ class MaintenanceSpec extends SparkSpec {
     assert(stats() == before)
   }
 
+  test("compactAll threads targetFileBytes into the BM25 re-pack") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.load(s, sf0001, "documents")
+    val dir = tmp("bm25target")
+    TextProfile.bm25Index(docs.filter($"doc_id" % 2 === 0), "doc_id",
+      "text").write(dir)
+    TextProfile.bm25IndexAppend(
+      TextProfile.readBm25Index(s, dir, "doc_id"),
+      docs.filter($"doc_id" % 2 === 1), "text", dir)
+    val bytes = new java.io.File(s"$dir/postings.parquet").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length).sum
+    val p = s.sparkContext.defaultParallelism
+    // a target small enough that the size-derived count (~3p) clears
+    // the minFiles parallelism floor: before the threading fix the
+    // re-pack used writeSizedParquet's built-in 128 MB default and
+    // landed exactly p files regardless of this parameter
+    Maintenance.compactAll(s, Seq(dir),
+      targetFileBytes = math.max(1L, bytes / (3L * p)))
+    assert(!TextProfile.bm25HasPartials(s, dir), "re-pack did not run")
+    assert(files(s"$dir/postings.parquet") > p,
+      s"targetFileBytes ignored: ${files(s"$dir/postings.parquet")} " +
+        s"files at floor $p")
+  }
+
   test("append-grown IVF store: bin-packed back to scan parallelism, probe identical") {
     val s = spark
     import s.implicits._

@@ -58,6 +58,79 @@ class RetrievalSpec extends SparkSpec {
       (3L, 1L, 1L, 10000L)), got.mkString(", "))
   }
 
+  test("rrfFuse carries non-numeric ids natively (no silent long cast)") {
+    val s = spark
+    import s.implicits._
+    // string/UUID-style doc ids: under the old cast-to-long shaping
+    // these all became null and every doc collapsed into one group
+    val lex = Seq((1L, "doc-a", 1L), (1L, "doc-b", 2L))
+      .toDF("q", "id", "rank")
+    val sem = Seq((1L, "doc-c", 1L), (1L, "doc-a", 2L))
+      .toDF("q", "id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(lex, sem), "q", "id", "rank",
+      k = 3)
+    assert(fused.schema("id").dataType ==
+      org.apache.spark.sql.types.StringType, fused.schema.treeString)
+    val rows = fused.as[(Long, Long, String, Long)].collect()
+      .sortBy(_._2)
+    val r1 = 1000000L / 61; val r2 = 1000000L / 62
+    assert(rows === Array(
+      (1L, 1L, "doc-a", r1 + r2),
+      (1L, 2L, "doc-c", r1),
+      (1L, 3L, "doc-b", r2)), rows.mkString(", "))
+  }
+
+  test("hybridLookupStream excludeSelf drops the lexical self-match and keeps ranks dense") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-hybrid-self").toString
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"),
+      (3L, "alpha epsilon zeta"), (4L, "beta gamma eta"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(0.9f, 0.2f)),
+      (3L, Array(0.1f, 1.0f)), (4L, Array(0.8f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    graft.operators.TextProfile.bm25Index(docs, "doc_id", "text")
+      .write(s"$root/bm25")
+    graft.operators.Similarity
+      .ivfIndex(emb, "vec_id", "embedding", nlist = 2)
+      .write(s"$root/ivf")
+
+    def serve(excludeSelf: Boolean, tag: String) = {
+      implicit val sqlCtx = s.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Array[Float])]
+      val out = s"$root/out-$tag"
+      val q = graft.streaming.StreamJobs.hybridLookupStream(
+          input.toDS().toDF("q_id", "qtext", "embedding"),
+          s"$root/bm25", s"$root/ivf", out, "q_id", "qtext",
+          "embedding", docIdCol = "doc_id", vecIdCol = "vec_id",
+          k = 3, stopwordCut = false, nprobe = 2,
+          excludeSelf = excludeSelf)
+        .option("checkpointLocation", s"$root/ckpt-$tag").start()
+      try {
+        input.addData(Seq((1L, "alpha beta gamma", Array(1.0f, 0.1f))))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(out).select("q_id", "rank", "doc_id").collect()
+    }
+
+    // default: the lexical arm retains the query's own document
+    val kept = serve(excludeSelf = false, "keep")
+    assert(kept.exists(_.getLong(2) == 1L),
+      s"default serve lost the self doc: ${kept.mkString(", ")}")
+    // excludeSelf: gone from BOTH arms, and the fused ranks stay
+    // dense 1..n (the lexical gap closed before fusion)
+    val excl = serve(excludeSelf = true, "excl")
+    assert(excl.nonEmpty && !excl.exists(_.getLong(2) == 1L),
+      s"self doc survived excludeSelf: ${excl.mkString(", ")}")
+    assert(excl.map(_.getLong(1)).sorted.toSeq ==
+      (1L to excl.length).toSeq, excl.mkString(", "))
+  }
+
   test("rrfFuse plans the bounded-heap aggregate, not a rank window") {
     val s = spark
     import s.implicits._
