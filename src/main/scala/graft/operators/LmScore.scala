@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Language-model quality scoring for training-data curation — the
+  * CCNet pattern (Wenzek et al., "CCNet: Extracting High Quality
+  * Monolingual Datasets from Web Crawl Data", LREC 2020): train a
+  * small n-gram LM on a clean reference corpus, score every candidate
+  * document by its per-token cross-entropy under that model, and
+  * keep/bucket by the score. Here the model is an add-one-smoothed
+  * BIGRAM model and the cross-entropy is quantized to INTEGER bits:
+  *
+  *   cost(w1 w2) = bitlen(c(w1·) + V) − bitlen(c(w1 w2) + 1)
+  *
+  * with `bitlen(n) = length(bin(n))` (= ⌊log2 n⌋ + 1 for n ≥ 1),
+  * `c(w1 w2)` the bigram's reference count, `c(w1·)` the count of
+  * reference bigrams starting at w1 (= Σ_w2 c(w1 w2)), and V the
+  * reference unigram vocabulary. That is −log2 of the Laplace
+  * estimate (c12+1)/(c1+V) at bit granularity — the same
+  * floor-log2-as-binary-digit-count discipline as
+  * [[TextProfile]]'s BM25 idf: a float ln() is faithful only to
+  * 1 ulp, so floor(ln ...) can disagree across engines on boundary
+  * values, while a binary digit count is integer-exact everywhere
+  * (the DuckDB oracle replays `len(bin(...))` verbatim). Unseen
+  * bigrams cost bitlen(c1+V) − 1; unseen FIRST words read c1 = 0 —
+  * smoothing keeps every cost defined and ≥ 0.
+  *
+  * Scale shape (100 TB corpus, reference ≪ corpus as in CCNet):
+  * training is one map-side-combined groupBy over the reference's
+  * bigrams (reference-sized, not corpus-sized); scoring explodes the
+  * corpus into bigrams once and joins the two count tables — the
+  * bigram table is reference-vocab-bounded, the firsts table
+  * unigram-vocab-bounded, both shuffle-hash-joinable (broadcast when
+  * the reference is small). Hot first-words ("the") skew the w1 join
+  * key on the PROBE side only — each key has exactly one dim row, so
+  * AQE's skew split handles it without salting. The per-doc
+  * aggregation is map-side combined (sum/count). No float crosses an
+  * engine boundary: scores are integer bits and integer milli-bits.
+  */
+object LmScore {
+
+  /** A trained bigram model: `bigrams` (w1, w2, c12), `firsts`
+    * (w1, c1 = Σ c12), and the reference unigram vocabulary size.
+    * The frames are lazy plans over the reference — persist them (or
+    * write them out) before scoring many corpora against one model. */
+  final case class Model(bigrams: DataFrame, firsts: DataFrame,
+      vocab: Long)
+
+  /** (idCols..., w1, w2) — one row per CONSECUTIVE token pair of each
+    * document with ≥ 2 whitespace tokens, in document order. */
+  private def bigramsOf(df: DataFrame, idCols: Seq[String],
+      textCol: String): DataFrame = {
+    val t = col("__t")
+    df.select(idCols.map(col) :+ tokens(col(textCol)).as("__t"): _*)
+      .filter(size(t) >= 2)
+      .select(idCols.map(col) :+ explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"): _*)
+      .select(idCols.map(col) :+ col("__bg.w1") :+ col("__bg.w2"): _*)
+  }
+
+  /** Train the bigram model over a reference corpus: one bigram
+    * groupBy (map-side combined) plus one distinct-token count. The
+    * `vocab` scalar is a driver action by design — it is ONE number,
+    * and baking it into the scoring expressions keeps the score a
+    * pure column computation. */
+  def train(docs: DataFrame, textCol: String): Model = {
+    val counts = bigramsOf(docs, Nil, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val firsts = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = docs.select(explode(tokens(col(textCol))).as("__tok"))
+      .agg(count_distinct(col("__tok"))).head().getLong(0)
+    Model(counts, firsts, vocab)
+  }
+
+  /** Score documents under a trained model. Returns one row per
+    * document with ≥ 2 tokens: (idCol, n_bigrams, bits,
+    * milli_bits) where `bits` is the summed quantized cross-entropy
+    * and `milli_bits = bits·1000 DIV n_bigrams` the length-normalized
+    * score curation thresholds on (lower = more reference-like; the
+    * integer analog of CCNet's per-token perplexity). */
+  def score(model: Model, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    bigramsOf(docs, Seq(idCol), textCol)
+      .join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.firsts, Seq("w1"), "left")
+      .withColumn("__cost",
+        length(bin(coalesce(col("c1"), lit(0L)) + lit(model.vocab))) -
+          length(bin(coalesce(col("c12"), lit(0L)) + lit(1L))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__cost")).cast("long").as("bits"))
+      .withColumn("milli_bits", expr("bits * 1000 DIV n_bigrams"))
+
+  /** Train-and-score in one call — the CCNet shape: `reference` is
+    * the clean corpus the model learns, `docs` the candidates being
+    * scored. */
+  def bitsPerBigram(reference: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    score(train(reference, textCol), docs, idCol, textCol)
+}

@@ -114,6 +114,32 @@ object Similarity {
     graft.plans.GraftCall(graft.plans.VectorExpressions.SrpName, vec,
       lit(dim), lit(planes))
 
+  /** JL random projection column: the `outDim`-dim image of `vec`
+    * under the deterministic hyperplane family shared with
+    * [[srpBucket]] (the bucket is this projection's sign bits). See
+    * [[graft.plans.SrpKernel.project]] for the guarantee and the
+    * short/null poisoning rule. */
+  def srpProject(vec: Column, dim: Int, outDim: Int): Column =
+    graft.plans.GraftCall(graft.plans.VectorExpressions.SrpProjectName,
+      vec, lit(dim), lit(outDim))
+
+  /** Dimensionality-reduce an embedding table: (idCol, p, proj) —
+    * one row per output dimension p ∈ [0, outDim), proj rounded to 6
+    * decimals (the cross-engine float discipline every cosine in this
+    * file uses). One narrow codegen'd pass, no shuffle; at 100 TB
+    * this is the pre-pass that cuts ANN / k-means / near-dup compute
+    * and shuffle bytes by outDim/dim while JL preserves pairwise
+    * geometry to 1±ε for outDim = O(log n / ε²). Feed the projected
+    * vectors to [[ivfIndex]]/[[lshNearDup]] via a `collect_list`
+    * re-pack or keep them exploded for columnar storage. */
+  def project(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      outDim: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(srpProject(col(vecCol), dim, outDim))
+          .as(Seq("p", "__proj")))
+      .select(col(idCol), col("p").cast("long").as("p"),
+        round(col("__proj"), 6).as("proj"))
+
   /** Size-derived IVF codebook width: nlist ≈ √N keeps the per-query
     * work (score nlist centroids + scan ~nprobe/nlist of the corpus)
     * balanced as N grows — the classic IVF sizing rule. A fixed nlist

@@ -130,6 +130,90 @@ object SrpKernel {
     }
     b
   }
+
+  /** Unthresholded image of the vector under the SAME deterministic
+    * hyperplane family as [[bucket]] — [[bucket]] is exactly the sign
+    * bits of this projection. With `planes` < dim this is
+    * Johnson–Lindenstrauss dimensionality reduction by a fixed
+    * zero-mean uniform(−0.5, 0.5) family (any zero-mean sub-Gaussian
+    * family satisfies JL; the database-friendly ±1 family of
+    * Achlioptas 2003 is the usual citation): pairwise distances are
+    * preserved to 1±ε at planes = O(log n / ε²), so downstream ANN /
+    * k-means / near-dup runs on `planes` dims at cost ∝ planes/dim.
+    * Same left-fold accumulation order (the DuckDB replay contract);
+    * a short vector or a null element yields an EMPTY array — the
+    * projection analog of [[bucket]]'s 0. */
+  def project(vec: ArrayData, isFloat: Boolean, dim: Int,
+      planes: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val empty = Array.empty[Double]
+    if (vec.numElements() < dim) return new GenericArrayData(empty)
+    var d0 = 0
+    while (d0 < dim) {
+      if (vec.isNullAt(d0)) return new GenericArrayData(empty)
+      d0 += 1
+    }
+    val out = new Array[Double](planes)
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var d = 0
+      while (d < dim) {
+        val mixed = ((p * 2654435761L + d * 40503L + 97L) % 1000L +
+          1000L) % 1000L
+        val coef = mixed / 1000.0 - 0.5
+        val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+        proj += x * coef
+        d += 1
+      }
+      out(p) = proj
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd JL random projection over an embedding column: dim →
+  * planes doubles under [[SrpKernel.project]]'s fixed hyperplanes.
+  * One JIT loop per row, no shuffle — the narrow pass that cuts every
+  * downstream vector operator's cost by planes/dim at 100 TB. */
+case class SrpProject(child: Expression, dim: Int, planes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _ if planes < 1 || planes > 4096 =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_srp_project planes must be in [1, 4096], got $planes")
+      case _ if dim < 1 =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_srp_project dim must be >= 1, got $dim")
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_srp_project expects float/double array, got " +
+            t.simpleString)
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SrpKernel.project(input.asInstanceOf[ArrayData], isFloat, dim,
+      planes)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.SrpKernel.project($c, $isFloat, $dim, $planes)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SrpProject = copy(child = newChild)
 }
 
 /** Codegen'd SRP-LSH bucket key over an embedding column. The composed
@@ -178,6 +262,7 @@ case class SrpBucket(child: Expression, dim: Int, planes: Int)
 object VectorExpressions {
   val DotName = "graft_dot"
   val SrpName = "graft_srp_bucket"
+  val SrpProjectName = "graft_srp_project"
   val TopKName = "graft_topk"
 
   /** Idempotent per-session registration so `call_function` resolves. */
@@ -189,6 +274,11 @@ object VectorExpressions {
       { exprs =>
         SrpBucket(exprs(0), LitArg.int(SrpName, exprs(1)),
           LitArg.int(SrpName, exprs(2)))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(SrpProjectName,
+      { exprs =>
+        SrpProject(exprs(0), LitArg.int(SrpProjectName, exprs(1)),
+          LitArg.int(SrpProjectName, exprs(2)))
       }, "built-in")
     reg.createOrReplaceTempFunction(TopKName,
       { exprs => BoundedTopK(exprs(0), LitArg.int(TopKName, exprs(1))) },

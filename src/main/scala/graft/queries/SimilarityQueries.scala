@@ -453,6 +453,35 @@ object SimilarityQueries extends QueryPack {
     // int8 embedding quantization stats: the compression pass before
     // storage/ANN. All outputs are integers or order-free IEEE doubles,
     // so the oracle matches bit-exactly with no rounding.
+    // JL dimensionality reduction (Similarity.project): embeddings
+    // 64 → 8 dims under the SAME deterministic hyperplane family as
+    // the SRP-LSH bucket (the bucket is this projection's sign
+    // bits — oSrpPairCtes replays the identical coefficients). One
+    // codegen'd narrow pass, zero shuffle; at 100 TB it is the
+    // pre-pass that cuts every downstream vector operator's compute
+    // and shuffle bytes by outDim/dim. The oracle replays the
+    // per-plane left fold verbatim and zips range(0,8) against the
+    // projection list.
+    "q_embed_project" -> Q(
+      (s, d) => Similarity.project(t(s, d, "embeddings"), "vec_id",
+        "embedding", dim = 64, outDim = 8),
+      Some {
+        def oProj(p: Int) =
+          s"""list_reduce(list_transform(range(1, 65),
+             |      i -> CAST(embedding[i] AS DOUBLE) *
+             |           (((($p * 2654435761 + (i-1) * 40503 + 97) % 1000
+             |              + 1000) % 1000) / 1000.0 - 0.5)),
+             |    (x, y) -> x + y)""".stripMargin
+        val projs = (0 until 8)
+          .map(p => s"round(${oProj(p)}, 6)").mkString(",\n    ")
+        s"""SELECT vec_id,
+           |  unnest(range(0, 8)) AS p,
+           |  unnest(list_value(
+           |    $projs)) AS proj
+           |FROM embeddings
+           |""".stripMargin
+      }),
+
     "q_embed_quantize_int8" -> Q(
       (s, d) => Similarity.quantizeInt8Stats(s, t(s, d, "embeddings"),
         idCol = "vec_id", vecCol = "embedding").toDF(),

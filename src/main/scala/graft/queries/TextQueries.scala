@@ -764,6 +764,53 @@ object TextQueries extends QueryPack {
              |FROM tok GROUP BY lang
              |""".stripMargin)),
 
+    // CCNet-style LM quality scoring (Wenzek et al., LREC 2020):
+    // train an add-one-smoothed bigram model on the clean reference
+    // stratum (lang='en' here), score EVERY document by quantized
+    // cross-entropy in integer bits — cost(w1 w2) = bitlen(c1+V) −
+    // bitlen(c12+1), bitlen = len(bin(n)) — the binary-digit-count
+    // log2 that is bit-exact on both engines (the BM25-idf
+    // discipline applied to LM scoring; a float ln() perplexity
+    // would diverge at ulp boundaries). Training is reference-sized;
+    // scoring is one bigram explode + two vocab-bounded joins + a
+    // map-side-combined per-doc sum.
+    "q_text_lm_score" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.LmScore.bitsPerBigram(
+          docs.filter(col("lang") === "en"), docs, "doc_id", "text")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, lang,
+             |         string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents),
+             |v AS (SELECT count(DISTINCT tk) AS v FROM (
+             |        SELECT unnest(w) AS tk FROM w WHERE lang = 'en')),
+             |tb AS (
+             |  SELECT
+             |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+             |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+             |  FROM w WHERE lang = 'en' AND len(w) >= 2),
+             |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tb GROUP BY 1, 2),
+             |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+             |       FROM c12 GROUP BY 1),
+             |db AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+             |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+             |  FROM w WHERE len(w) >= 2),
+             |sc AS (
+             |  SELECT d.doc_id,
+             |    len(bin(coalesce(c1.c1, 0) + (SELECT v FROM v))) -
+             |    len(bin(coalesce(c12.c12, 0) + 1)) AS cost
+             |  FROM db d LEFT JOIN c12 USING (w1, w2)
+             |            LEFT JOIN c1 USING (w1))
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(cost) AS BIGINT) AS bits,
+             |  CAST(sum(cost) AS BIGINT) * 1000 // count(*) AS milli_bits
+             |FROM sc GROUP BY 1
+             |""".stripMargin)),
+
     "q_text_repetition" -> Q(
       (s, d) => graft.operators.TextProfile.repetition(
         t(s, d, "documents"), "doc_id", "text"),

@@ -26,6 +26,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("srpProject: hand-computed coefficients; bucket = sign bits; short vector poisons") {
+    val s = spark
+    import s.implicits._
+    // coef(p,d) for dim=2, planes=2 (the kernel's mix, by hand):
+    //   (0,0) 97/1000-0.5   = -0.403   (0,1) 600/1000-0.5 =  0.100
+    //   (1,0) 858/1000-0.5  =  0.358   (1,1) 361/1000-0.5 = -0.139
+    // vec [1, 2]: p0 = -0.403 + 0.2 = -0.203 ; p1 = 0.358 - 0.278 = 0.08
+    val df = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.project(df, "vec_id", "embedding",
+      dim = 2, outDim = 2).as[(Long, Long, Double)].collect().sortBy(_._2)
+    assert(got === Array((1L, 0L, -0.203), (1L, 1L, 0.08)),
+      got.mkString(", "))
+    // the LSH bucket is exactly this projection's sign bit-pack:
+    // p0 < 0 (bit clear), p1 >= 0 (bit set) -> bucket 2
+    val b = df.select(Similarity.srpBucket(col("embedding"), 2, 2))
+      .head().getLong(0)
+    assert(b == 2L, s"bucket $b")
+    // short vector: empty projection (the analog of bucket = 0)
+    val short = Seq((2L, Array(1.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.srpProject(col("embedding"), 2, 2).as("pr"))
+      .head().getSeq[Double](0)
+    assert(short.isEmpty, short.toString)
+  }
+
+  test("srpProject stays inside whole-stage codegen") {
+    val s = spark
+    // a parquet-backed frame (a local Seq folds into LocalTableScan
+    // and bypasses codegen entirely)
+    val emb = Tables.load(s, sf0001, "embeddings")
+    val plan = emb.select(Similarity.srpProject(col("embedding"), 64, 8))
+      .queryExecution.executedPlan
+    assert(plan.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      plan.toString)
+  }
+
   private def topkPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
     val s = spark
     import s.implicits._
