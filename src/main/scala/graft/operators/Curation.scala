@@ -209,6 +209,132 @@ object Curation {
       .agg(count(lit(1)).as("n_matches"),
         max(col("jaccard")).as("max_jaccard"))
 
+  // ── persisted decontamination set ──────────────────────────────────
+  //
+  // The benchmark-gram store the STREAMING decontamination serve
+  // probes (StreamJobs.deconLookupStream): eval benchmarks change
+  // rarely, corpora arrive forever, so the gram extraction over the
+  // benchmark should be paid once at write time, not once per batch.
+  // Layout: grams.parquet (distinct word n-grams, gram-sorted sized
+  // files so the probe's semi join gets file-level min/max pruning)
+  // + params.json ({"n":…,"sortedFiles":…} — the bm25-style stamp
+  // maintenance reads). Unlike the stats-bearing units this store
+  // needs NO exactly-once ingest machinery: the probe is a semi
+  // join, so duplicate grams from an at-least-once replayed append
+  // are semantically invisible — idempotence by construction.
+
+  /** Write a benchmark's distinct word n-grams as a persisted
+    * decontamination set at `dir` (staged + atomically swapped). */
+  def writeDeconSet(bench: DataFrame, idCol: String, textCol: String,
+      n: Int, dir: String, targetFileBytes: Long = 128L << 20): Unit = {
+    require(n >= 1, "writeDeconSet: n must be >= 1")
+    val spark = bench.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val grams = gramsOf(bench, idCol, textCol, n).select("gram").distinct()
+    graft.core.FsUtil.swapInto(fs, new org.apache.hadoop.fs.Path(dir)) {
+      staging =>
+        val files = graft.sources.Sinks.writeSizedParquet(grams,
+          new org.apache.hadoop.fs.Path(staging, "grams.parquet").toString,
+          targetFileBytes = targetFileBytes,
+          sortCols = Seq("gram"),
+          minFiles = spark.sparkContext.defaultParallelism)
+        graft.core.FsUtil.writeSidecar(fs,
+          new org.apache.hadoop.fs.Path(staging, "params.json"),
+          s"""{"n":$n,"sortedFiles":$files}""")
+    }
+  }
+
+  /** The stored set's (grams frame, gram width n). Fails fast on a
+    * directory without the params sidecar. */
+  def readDeconSet(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Int) =
+    (spark.read.parquet(s"$dir/grams.parquet"), deconSetN(spark, dir))
+
+  private def deconSetN(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    graft.core.FsUtil.readSidecar(fs,
+        new org.apache.hadoop.fs.Path(dir, "params.json"))
+      .flatMap(""""n":(\d+)""".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt)
+      .getOrElse(throw new java.io.IOException(
+        s"readDeconSet: $dir has no params.json with n — not a decon set"))
+  }
+
+  /** O(batch) append of a new benchmark's grams to a stored set. The
+    * batch's grams land as unsorted extra files (term-sort drift —
+    * the sidecar is re-written WITHOUT the sortedFiles stamp so
+    * [[deconSetSortDrifted]] flags it for maintenance); probe
+    * results are correct immediately, because the semi-join probe is
+    * duplicate- and order-insensitive. Single-writer-per-dir is the
+    * caller's contract, as for every persistence unit. */
+  def deconSetAppend(bench: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = bench.sparkSession
+    val n = deconSetN(spark, dir)
+    gramsOf(bench, idCol, textCol, n).select("gram").distinct()
+      .write.mode("append").parquet(s"$dir/grams.parquet")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    graft.core.FsUtil.writeSidecar(fs,
+      new org.apache.hadoop.fs.Path(dir, "params.json"), s"""{"n":$n}""")
+  }
+
+  /** Whether appends broke the stored set's gram-sorted layout: the
+    * sortedFiles stamp is missing or disagrees with the current file
+    * count. One listing + one sidecar read ([[graft.operators
+    * .TextProfile.bm25SortDrifted]]'s rule on this unit). */
+  def deconSetSortDrifted(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stamped = graft.core.FsUtil.readSidecar(fs,
+        new org.apache.hadoop.fs.Path(dir, "params.json"))
+      .flatMap(""""sortedFiles":(\d+)""".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt)
+    val files = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/grams.parquet")).toSeq
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    !stamped.contains(files)
+  }
+
+  /** Re-distinct + re-sort + re-pack the stored set and restore the
+    * stamp — the maintenance pass appends accumulate toward
+    * ([[graft.operators.Maintenance.compactAll]] dispatches here). */
+  def deconSetCompact(spark: org.apache.spark.sql.SparkSession,
+      dir: String, targetFileBytes: Long = 128L << 20): Unit = {
+    val n = deconSetN(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val grams = spark.read.parquet(s"$dir/grams.parquet").distinct()
+    graft.core.FsUtil.swapInto(fs, new org.apache.hadoop.fs.Path(dir)) {
+      staging =>
+        val files = graft.sources.Sinks.writeSizedParquet(grams,
+          new org.apache.hadoop.fs.Path(staging, "grams.parquet").toString,
+          targetFileBytes = targetFileBytes,
+          sortCols = Seq("gram"),
+          minFiles = spark.sparkContext.defaultParallelism)
+        graft.core.FsUtil.writeSidecar(fs,
+          new org.apache.hadoop.fs.Path(staging, "params.json"),
+          s"""{"n":$n,"sortedFiles":$files}""")
+    }
+  }
+
+  /** [[decontaminate]] against a STORED set: count each document's
+    * distinct grams present in the set. The semi join makes this
+    * identical to the inner-join-distinct form while staying exact
+    * over a set holding duplicates (post-append state). Broadcast
+    * when the set is small; at benchmark scale it always is —
+    * Catalyst picks it from the store's file-size stats. */
+  def decontaminateWithSet(corpus: DataFrame, set: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame =
+    gramsOf(corpus, idCol, textCol, n)
+      .join(set.select("gram"), Seq("gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+
   /** PII patterns masked by [[maskPii]], in application order. Kept
     * deliberately RE2-compatible (no backrefs/lookaround) so the same
     * pattern strings run identically on Spark's Java regex and

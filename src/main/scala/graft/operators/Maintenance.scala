@@ -4,8 +4,9 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** ONE maintenance entry point for every append-mode store this
-  * library persists. All six persistence units (MinhashIndex,
-  * IvfIndex, PqIndex, IvfPqIndex, CorpusProfile, Bm25Index) plus the
+  * library persists. All seven persistence units (MinhashIndex,
+  * IvfIndex, PqIndex, IvfPqIndex, CorpusProfile, Bm25Index, and the
+  * decontamination gram set) plus the
   * generic parquet layouts accumulate files and/or layout drift BY
   * DESIGN — O(batch) appends never rewrite the corpus-sized table —
   * and each has its own restoring pass (`Layout.compact`'s bin-pack,
@@ -79,6 +80,8 @@ object Maintenance {
     else if (has("codebook.parquet") && has("assigned.parquet"))
       tablesUnit(spark, fs, dir, "ivf-index", Seq("assigned.parquet"),
         target, slack)
+    else if (has("grams.parquet"))
+      deconUnit(spark, fs, dir, target, slack)
     else {
       val entries = fs.listStatus(root).toSeq
       val flatParquet = entries.exists(f =>
@@ -123,6 +126,21 @@ object Maintenance {
     if (need) CorpusProfile.compact(spark, dir, target)
     UnitReport("corpus-profile", Map("tokens.parquet" ->
       (before, fileCount(fs, s"$dir/tokens.parquet"))))
+  }
+
+  private def deconUnit(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, target: Long,
+      slack: Double): UnitReport = {
+    val before = fileCount(fs, s"$dir/grams.parquet")
+    // two drift signals: the sortedFiles stamp (ANY append breaks the
+    // gram-sorted pruning layout) and raw small-file growth; the
+    // dedicated pass also re-distincts what appends duplicated
+    val need = Curation.deconSetSortDrifted(spark, dir) ||
+      overPacked(fs, s"$dir/grams.parquet", target,
+        spark.sparkContext.defaultParallelism, slack)
+    if (need) Curation.deconSetCompact(spark, dir, target)
+    UnitReport("decon-set", Map("grams.parquet" ->
+      (before, fileCount(fs, s"$dir/grams.parquet"))))
   }
 
   private def tablesUnit(spark: SparkSession,

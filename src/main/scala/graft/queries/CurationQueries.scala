@@ -45,6 +45,54 @@ object CurationQueries extends QueryPack {
               |GROUP BY c.doc_id
               |""".stripMargin)),
 
+    // the decontamination stack actually SERVING: the same gram
+    // check driven as a STREAM against the PERSISTED decon set —
+    // Curation.writeDeconSet pays the benchmark's gram extraction
+    // once, StreamJobs.deconLookupStream probes it per micro-batch
+    // of arriving corpus documents with a semi join, each batch
+    // overwriting its batch_id=<id> subdir. n_hits is doc-local, so
+    // the cross-batch union equals the batch oracle exactly (each
+    // doc lives in exactly one micro-batch) — q_stream_bm25's
+    // discipline applied to the curation path, and the serve is
+    // replay-safe twice over (batch_id overwrite + the semi join's
+    // duplicate insensitivity).
+    "q_stream_decontaminate" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_stream_decon_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        val run = s"$dir/run_${System.nanoTime()}"
+        val setDir = s"$dir/set"
+        Curation.writeDeconSet(docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 4, setDir)
+        val rows = docs.filter(col("source") =!= "src0")
+          .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+        implicit val sqlCtx = s.sqlContext
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val outDir = s"$run/out"
+        val q = graft.streaming.StreamJobs.deconLookupStream(
+            input.toDS().toDF("doc_id", "text"), setDir, outDir,
+            "doc_id", "text")
+          .option("checkpointLocation", s"$run/ckpt").start()
+        try {
+          rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.read.parquet(outDir).select(col("doc_id"), col("n_hits"))
+      },
+      Some(s"""WITH $oGrams4,
+              |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+              |corpus AS (SELECT doc_id, gram FROM g WHERE source <> 'src0')
+              |SELECT c.doc_id, count(*) AS n_hits
+              |FROM corpus c JOIN bench b USING (gram)
+              |GROUP BY c.doc_id
+              |""".stripMargin)),
+
     // the same decontamination on the 100 TB scale path: bloom-filter
     // prefilter (join-free codegen'd scan filter) then the exact
     // broadcast gram join over the fpp-sized survivors only. Output is

@@ -210,6 +210,36 @@ object StreamJobs {
         ()
     }
 
+  /** Streaming benchmark decontamination — the serve pattern applied
+    * to the persisted decon set (`Curation.writeDeconSet`): each
+    * arriving micro-batch of DOCUMENTS probes the stored benchmark
+    * grams with a semi join and lands (idCol, n_hits) — its
+    * contaminated members and their distinct-gram hit counts — under
+    * `outDir/batch_id=<id>/`. This is the shape a 100 TB ingest
+    * actually runs: benchmarks are tiny and change rarely (gram
+    * extraction paid once, at set-write time), corpora arrive
+    * forever, and each batch pays one batch-gram explode + one
+    * broadcast-sized semi join. The set is re-read per batch, so
+    * `deconSetAppend`ed benchmarks take effect from the next
+    * micro-batch. Replay safety is DOUBLE here: batch_id-scoped
+    * overwrite (the serve convention) AND semi-join semantics (a
+    * duplicate-holding set probes identically). Returns the writer —
+    * caller picks trigger/checkpoint and starts it. */
+  def deconLookupStream(docs: DataFrame, setDir: String,
+      outDir: String, idCol: String, textCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val (set, n) = graft.operators.Curation.readDeconSet(
+          batch.sparkSession, setDir)
+        graft.operators.Curation
+          .decontaminateWithSet(batch, set, idCol, textCol, n)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+        ()
+    }
+
   /** Streaming HYBRID retrieval serving — the composed form of
     * [[bm25LookupStream]] + [[annLookupStream]]: each micro-batch of
     * queries (carrying BOTH a text column and an embedding column)

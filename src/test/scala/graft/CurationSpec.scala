@@ -466,4 +466,37 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
+
+  test("decon set: stored probe == batch decontaminate; appends visible, duplicate-proof, drift-flagged") {
+    val s = spark
+    val docs = Tables.load(s, sf001, "documents")
+    val bench = docs.filter(col("source") === "src0")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-deconset").toString + "/set"
+
+    Curation.writeDeconSet(bench, "doc_id", "text", n = 4, dir)
+    assert(!Curation.deconSetSortDrifted(s, dir), "fresh store drifted?")
+    val (set, n) = Curation.readDeconSet(s, dir)
+    assert(n == 4)
+    def probe() = Curation
+      .decontaminateWithSet(corpus, Curation.readDeconSet(s, dir)._1,
+        "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Curation.decontaminate(corpus, bench, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe() == batch, "stored probe diverged from batch form")
+
+    // append a SECOND benchmark: hits may only grow; the sort stamp
+    // must flag the drift; a replayed (duplicate) append of the same
+    // benchmark changes nothing — the semi join's idempotence claim
+    val bench2 = corpus.limit(3)
+    Curation.deconSetAppend(bench2, "doc_id", "text", dir)
+    assert(Curation.deconSetSortDrifted(s, dir), "append left no drift")
+    val afterAppend = probe()
+    assert(batch.map(_._1).subsetOf(afterAppend.map(_._1)),
+      "append lost previously contaminated docs")
+    Curation.deconSetAppend(bench2, "doc_id", "text", dir)
+    assert(probe() == afterAppend, "duplicate append changed the probe")
+  }
 }

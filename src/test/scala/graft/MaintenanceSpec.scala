@@ -146,6 +146,36 @@ class MaintenanceSpec extends SparkSpec {
     assert(probe() == before, "probe changed across compaction")
   }
 
+  test("append-drifted decon set: detected, re-distinct + re-sort + restamp, probe identical") {
+    val s = spark
+    val docs = Tables.load(s, sf0001, "documents")
+    val bench = docs.filter(col("source") === "src0")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val dir = tmp("decon")
+    graft.operators.Curation.writeDeconSet(bench, "doc_id", "text",
+      n = 4, dir)
+    // append the SAME benchmark: pure duplicates — the probe must not
+    // move, but layout drift must be detected and compacted away
+    graft.operators.Curation.deconSetAppend(bench, "doc_id", "text", dir)
+    assert(graft.operators.Curation.deconSetSortDrifted(s, dir))
+    def probe() = graft.operators.Curation.decontaminateWithSet(corpus,
+        graft.operators.Curation.readDeconSet(s, dir)._1,
+        "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probe()
+    val grown = files(s"$dir/grams.parquet")
+    val rep = Maintenance.compactAll(s, Seq(dir))(dir)
+    assert(rep.kind == "decon-set", rep.kind)
+    assert(!graft.operators.Curation.deconSetSortDrifted(s, dir),
+      "compact did not restamp")
+    assert(files(s"$dir/grams.parquet") < grown,
+      s"duplicates not collapsed: $grown -> ${files(s"$dir/grams.parquet")}")
+    assert(probe() == before, "probe changed across compaction")
+    // idle second pass: nothing to do
+    val rep2 = Maintenance.compactAll(s, Seq(dir))(dir)
+    assert(!rep2.compacted, rep2.toString)
+  }
+
   test("generic layouts and unknown dirs: detected / rejected") {
     val s = spark
     import s.implicits._
