@@ -101,4 +101,142 @@ object LmScore {
   def bitsPerBigram(reference: DataFrame, docs: DataFrame,
       idCol: String, textCol: String): DataFrame =
     score(train(reference, textCol), docs, idCol, textCol)
+
+  // ── persisted LM model ──────────────────────────────────────────────
+  //
+  // The reference corpus is scanned once per model LIFETIME, not once
+  // per scoring run: bigrams.parquet ((w1, w2, c12) partials,
+  // (w1, w2)-sorted sized files) + unigrams.parquet (reference
+  // tokens, duplicate-tolerant — vocab is count_distinct at read, the
+  // only merge rule that stays exact under appends: vocab sizes do
+  // NOT add) + params.json ({"sortedFiles":…}). Appends land O(batch)
+  // count partials; read-time aggregation collapses them exactly
+  // (CorpusProfile's partials discipline), so a stored-model score is
+  // bit-identical to a fresh train at every moment.
+
+  /** Train on `reference` and persist the model at `dir` (staged +
+    * atomically swapped). */
+  def writeModel(reference: DataFrame, textCol: String, dir: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val spark = reference.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val bigrams = bigramsOf(reference, Nil, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val unigrams = reference
+      .select(explode(tokens(col(textCol))).as("token")).distinct()
+    graft.core.FsUtil.swapInto(fs,
+        new org.apache.hadoop.fs.Path(dir)) { staging =>
+      val files = graft.sources.Sinks.writeSizedParquet(bigrams,
+        new org.apache.hadoop.fs.Path(staging, "bigrams.parquet").toString,
+        targetFileBytes = targetFileBytes,
+        sortCols = Seq("w1", "w2"),
+        minFiles = spark.sparkContext.defaultParallelism)
+      graft.sources.Sinks.writeSizedParquet(unigrams,
+        new org.apache.hadoop.fs.Path(staging, "unigrams.parquet").toString,
+        targetFileBytes = targetFileBytes,
+        sortCols = Seq("token"),
+        minFiles = spark.sparkContext.defaultParallelism)
+      graft.core.FsUtil.writeSidecar(fs,
+        new org.apache.hadoop.fs.Path(staging, "params.json"),
+        s"""{"sortedFiles":$files}""")
+    }
+  }
+
+  /** The stored model, partials collapsed at read: counts re-summed
+    * per (w1, w2), firsts derived from them, vocab as count_distinct
+    * over the stored token table — all vocab-bounded work, the
+    * reference corpus itself is never re-read. Bit-identical to
+    * [[train]] over the union of everything written + appended. */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Model = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (graft.core.FsUtil.readSidecar(fs,
+        new org.apache.hadoop.fs.Path(dir, "params.json")).isEmpty)
+      throw new java.io.IOException(
+        s"readModel: $dir has no params.json — not a stored LM model")
+    val counts = spark.read.parquet(s"$dir/bigrams.parquet")
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c12")).as("c12"))
+    val firsts = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = spark.read.parquet(s"$dir/unigrams.parquet")
+      .agg(count_distinct(col("token"))).head().getLong(0)
+    Model(counts, firsts, vocab)
+  }
+
+  /** O(batch) append of a new reference batch: its bigram counts land
+    * as partial rows, its tokens as (possibly duplicate) unigram
+    * rows — both collapsed exactly at read. The sidecar is re-written
+    * WITHOUT the sortedFiles stamp so maintenance sees the drift.
+    * Single-writer-per-dir is the caller's contract. */
+  def appendModel(reference: DataFrame, textCol: String,
+      dir: String): Unit = {
+    val spark = reference.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (graft.core.FsUtil.readSidecar(fs,
+        new org.apache.hadoop.fs.Path(dir, "params.json")).isEmpty)
+      throw new java.io.IOException(
+        s"appendModel: $dir has no params.json — not a stored LM model")
+    bigramsOf(reference, Nil, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .write.mode("append").parquet(s"$dir/bigrams.parquet")
+    reference.select(explode(tokens(col(textCol))).as("token"))
+      .distinct()
+      .write.mode("append").parquet(s"$dir/unigrams.parquet")
+    graft.core.FsUtil.writeSidecar(fs,
+      new org.apache.hadoop.fs.Path(dir, "params.json"), "{}")
+  }
+
+  /** Whether the stored model drifted from compacted form: bigram
+    * count partials (one vocab-bounded aggregation), duplicate
+    * unigrams, or a missing/stale sortedFiles stamp. */
+  def modelDrifted(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stamped = graft.core.FsUtil.readSidecar(fs,
+        new org.apache.hadoop.fs.Path(dir, "params.json"))
+      .flatMap(""""sortedFiles":(\d+)""".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt)
+    val files = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/bigrams.parquet")).toSeq
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (!stamped.contains(files)) return true
+    val b = spark.read.parquet(s"$dir/bigrams.parquet")
+      .agg(count(lit(1)),
+        count_distinct(struct(col("w1"), col("w2")))).head()
+    if (b.getLong(0) > b.getLong(1)) return true
+    val u = spark.read.parquet(s"$dir/unigrams.parquet")
+      .agg(count(lit(1)), count_distinct(col("token"))).head()
+    u.getLong(0) > u.getLong(1)
+  }
+
+  /** Collapse partials/duplicates, re-sort, re-pack, restamp — the
+    * maintenance pass ([[graft.operators.Maintenance.compactAll]]
+    * dispatches here). */
+  def modelCompact(spark: org.apache.spark.sql.SparkSession,
+      dir: String, targetFileBytes: Long = 128L << 20): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val bigrams = spark.read.parquet(s"$dir/bigrams.parquet")
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c12")).as("c12"))
+    val unigrams = spark.read.parquet(s"$dir/unigrams.parquet").distinct()
+    graft.core.FsUtil.swapInto(fs,
+        new org.apache.hadoop.fs.Path(dir)) { staging =>
+      val files = graft.sources.Sinks.writeSizedParquet(bigrams,
+        new org.apache.hadoop.fs.Path(staging, "bigrams.parquet").toString,
+        targetFileBytes = targetFileBytes,
+        sortCols = Seq("w1", "w2"),
+        minFiles = spark.sparkContext.defaultParallelism)
+      graft.sources.Sinks.writeSizedParquet(unigrams,
+        new org.apache.hadoop.fs.Path(staging, "unigrams.parquet").toString,
+        targetFileBytes = targetFileBytes,
+        sortCols = Seq("token"),
+        minFiles = spark.sparkContext.defaultParallelism)
+      graft.core.FsUtil.writeSidecar(fs,
+        new org.apache.hadoop.fs.Path(staging, "params.json"),
+        s"""{"sortedFiles":$files}""")
+    }
+  }
 }

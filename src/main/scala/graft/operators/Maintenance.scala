@@ -82,6 +82,8 @@ object Maintenance {
         target, slack)
     else if (has("grams.parquet"))
       deconUnit(spark, fs, dir, target, slack)
+    else if (has("bigrams.parquet") && has("unigrams.parquet"))
+      lmUnit(spark, fs, dir, target, slack)
     else {
       val entries = fs.listStatus(root).toSeq
       val flatParquet = entries.exists(f =>
@@ -141,6 +143,20 @@ object Maintenance {
     if (need) Curation.deconSetCompact(spark, dir, target)
     UnitReport("decon-set", Map("grams.parquet" ->
       (before, fileCount(fs, s"$dir/grams.parquet"))))
+  }
+
+  private def lmUnit(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, target: Long,
+      slack: Double): UnitReport = {
+    val before = fileCount(fs, s"$dir/bigrams.parquet")
+    // modelDrifted covers the stamp AND the stored partials/duplicate
+    // unigrams; overPacked adds the raw small-file growth arm
+    val need = LmScore.modelDrifted(spark, dir) ||
+      overPacked(fs, s"$dir/bigrams.parquet", target,
+        spark.sparkContext.defaultParallelism, slack)
+    if (need) LmScore.modelCompact(spark, dir, target)
+    UnitReport("lm-model", Map("bigrams.parquet" ->
+      (before, fileCount(fs, s"$dir/bigrams.parquet"))))
   }
 
   private def tablesUnit(spark: SparkSession,

@@ -137,6 +137,41 @@ object TextQueries extends QueryPack {
       |GROUP BY doc_id
       |""".stripMargin
 
+  /** Shared by q_text_lm_score, q_text_lm_model, and
+    * q_stream_lm_score — the stored-model and streaming paths must be
+    * bit-identical to the fresh train-and-score. */
+  private val oLmScoreSql =
+    """WITH w AS (
+      |  SELECT doc_id, lang,
+      |         string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |v AS (SELECT count(DISTINCT tk) AS v FROM (
+      |        SELECT unnest(w) AS tk FROM w WHERE lang = 'en')),
+      |tb AS (
+      |  SELECT
+      |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      |  FROM w WHERE lang = 'en' AND len(w) >= 2),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tb GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+      |       FROM c12 GROUP BY 1),
+      |db AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      |  FROM w WHERE len(w) >= 2),
+      |sc AS (
+      |  SELECT d.doc_id,
+      |    len(bin(coalesce(c1.c1, 0) + (SELECT v FROM v))) -
+      |    len(bin(coalesce(c12.c12, 0) + 1)) AS cost
+      |  FROM db d LEFT JOIN c12 USING (w1, w2)
+      |            LEFT JOIN c1 USING (w1))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(cost) AS BIGINT) AS bits,
+      |  CAST(sum(cost) AS BIGINT) * 1000 // count(*) AS milli_bits
+      |FROM sc GROUP BY 1
+      |""".stripMargin
+
   override def queries: Map[String, Q] = Map(
 
     "q_text_token_count" -> Q(
@@ -780,36 +815,66 @@ object TextQueries extends QueryPack {
         graft.operators.LmScore.bitsPerBigram(
           docs.filter(col("lang") === "en"), docs, "doc_id", "text")
       },
-      Some("""WITH w AS (
-             |  SELECT doc_id, lang,
-             |         string_split_regex(trim(text), '\s+') AS w
-             |  FROM documents),
-             |v AS (SELECT count(DISTINCT tk) AS v FROM (
-             |        SELECT unnest(w) AS tk FROM w WHERE lang = 'en')),
-             |tb AS (
-             |  SELECT
-             |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
-             |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
-             |  FROM w WHERE lang = 'en' AND len(w) >= 2),
-             |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tb GROUP BY 1, 2),
-             |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
-             |       FROM c12 GROUP BY 1),
-             |db AS (
-             |  SELECT doc_id,
-             |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
-             |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
-             |  FROM w WHERE len(w) >= 2),
-             |sc AS (
-             |  SELECT d.doc_id,
-             |    len(bin(coalesce(c1.c1, 0) + (SELECT v FROM v))) -
-             |    len(bin(coalesce(c12.c12, 0) + 1)) AS cost
-             |  FROM db d LEFT JOIN c12 USING (w1, w2)
-             |            LEFT JOIN c1 USING (w1))
-             |SELECT doc_id, count(*) AS n_bigrams,
-             |  CAST(sum(cost) AS BIGINT) AS bits,
-             |  CAST(sum(cost) AS BIGINT) * 1000 // count(*) AS milli_bits
-             |FROM sc GROUP BY 1
-             |""".stripMargin)),
+      Some(oLmScoreSql)),
+
+    // the same scoring from a STORED model (LmScore.writeModel /
+    // readModel — the eighth persistence unit): the reference corpus
+    // is scanned once at model-write time; scoring reads two
+    // vocab-bounded count tables with partials collapsed at read.
+    // Shares q_text_lm_score's oracle — the amortized path may not
+    // change a single bit (the tokenRarityWithProfile discipline).
+    "q_text_lm_model" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_lm_model_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        graft.operators.LmScore.writeModel(
+          docs.filter(col("lang") === "en"), "text", dir)
+        graft.operators.LmScore.score(
+          graft.operators.LmScore.readModel(s, dir), docs,
+          "doc_id", "text")
+      },
+      Some(oLmScoreSql)),
+
+    // the LM quality filter actually SERVING: corpus documents arrive
+    // as a STREAM and score per micro-batch against the persisted
+    // model (StreamJobs.lmLookupStream), each batch overwriting its
+    // batch_id=<id> subdir. Scores are doc-local, so the cross-batch
+    // union equals the batch oracle exactly — q_stream_bm25's
+    // discipline applied to quality filtering.
+    "q_stream_lm_score" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_stream_lm_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        val run = s"$dir/run_${System.nanoTime()}"
+        val modelDir = s"$dir/model"
+        graft.operators.LmScore.writeModel(
+          docs.filter(col("lang") === "en"), "text", modelDir)
+        val rows = docs.select($"doc_id", $"text")
+          .as[(Long, String)].collect().toSeq
+        implicit val sqlCtx = s.sqlContext
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val outDir = s"$run/out"
+        val q = graft.streaming.StreamJobs.lmLookupStream(
+            input.toDS().toDF("doc_id", "text"), modelDir, outDir,
+            "doc_id", "text")
+          .option("checkpointLocation", s"$run/ckpt").start()
+        try {
+          rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.read.parquet(outDir).select(col("doc_id"), col("n_bigrams"),
+          col("bits"), col("milli_bits"))
+      },
+      Some(oLmScoreSql)),
 
     "q_text_repetition" -> Q(
       (s, d) => graft.operators.TextProfile.repetition(

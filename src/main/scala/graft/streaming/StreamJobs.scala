@@ -240,6 +240,34 @@ object StreamJobs {
         ()
     }
 
+  /** Streaming LM quality scoring — the serve pattern applied to the
+    * persisted bigram model (`LmScore.writeModel`): each arriving
+    * micro-batch of documents scores against the STORED model (two
+    * vocab-bounded count reads, partials collapsed at read — the
+    * reference corpus is never touched) and lands (idCol, n_bigrams,
+    * bits, milli_bits) under `outDir/batch_id=<id>/`. The quality-
+    * filtering shape a 100 TB ingest runs: the reference model
+    * changes rarely (appendModel takes new reference batches in
+    * O(batch); they take effect from the next micro-batch, because
+    * the model is re-read per batch), corpora arrive forever, and
+    * scores are doc-local, so the cross-batch union equals the batch
+    * scorer exactly. Batch_id-scoped overwrite = replay idempotent.
+    * Returns the writer — caller picks trigger/checkpoint and starts
+    * it. */
+  def lmLookupStream(docs: DataFrame, modelDir: String,
+      outDir: String, idCol: String, textCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val model = graft.operators.LmScore.readModel(
+          batch.sparkSession, modelDir)
+        graft.operators.LmScore.score(model, batch, idCol, textCol)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+        ()
+    }
+
   /** Streaming HYBRID retrieval serving — the composed form of
     * [[bm25LookupStream]] + [[annLookupStream]]: each micro-batch of
     * queries (carrying BOTH a text column and an embedding column)

@@ -36,6 +36,41 @@ class LmScoreSpec extends SparkSpec {
       (20L, 1L, 1L, 1000L)), got.mkString(", "))
   }
 
+  test("stored model: score bit-identical to fresh train; appends fold exactly; drift flagged") {
+    val s = spark
+    import s.implicits._
+    val refA = Seq((1L, "a b a c"), (2L, "b c a b")).toDF("id", "text")
+    val refB = Seq((3L, "a b d a")).toDF("id", "text")
+    val docs = Seq((10L, "a b z"), (20L, "c a b d"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lm-model").toString + "/model"
+    def scored(m: LmScore.Model) = LmScore.score(m, docs, "doc_id",
+      "text").as[(Long, Long, Long, Long)].collect().toSet
+
+    LmScore.writeModel(refA, "text", dir)
+    assert(!LmScore.modelDrifted(s, dir), "fresh store drifted?")
+    assert(scored(LmScore.readModel(s, dir)) ==
+      scored(LmScore.train(refA, "text")),
+      "stored model diverged from fresh train")
+
+    // append refB: stored scoring must equal a fresh train over the
+    // UNION — count partials summed, vocab as distinct over both
+    // (vocab sizes do NOT add: 'a','b' repeat across batches)
+    LmScore.appendModel(refB, "text", dir)
+    assert(LmScore.modelDrifted(s, dir), "append left no drift")
+    assert(scored(LmScore.readModel(s, dir)) ==
+      scored(LmScore.train(refA.unionByName(refB), "text")),
+      "appended model diverged from union train")
+
+    // compact: same scores, drift cleared
+    LmScore.modelCompact(s, dir)
+    assert(!LmScore.modelDrifted(s, dir), "compact did not clear drift")
+    assert(scored(LmScore.readModel(s, dir)) ==
+      scored(LmScore.train(refA.unionByName(refB), "text")),
+      "compaction changed the stored model's scores")
+  }
+
   test("reference-like text scores lower than shuffled/junk text") {
     val s = spark
     import s.implicits._

@@ -176,6 +176,31 @@ class MaintenanceSpec extends SparkSpec {
     assert(!rep2.compacted, rep2.toString)
   }
 
+  test("append-drifted LM model: detected, partials collapsed, score identical") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.load(s, sf0001, "documents")
+    val ref = docs.filter(col("lang") === "en")
+    val dir = tmp("lm")
+    graft.operators.LmScore.writeModel(
+      ref.filter($"doc_id" % 2 === 0), "text", dir)
+    graft.operators.LmScore.appendModel(
+      ref.filter($"doc_id" % 2 === 1), "text", dir)
+    assert(graft.operators.LmScore.modelDrifted(s, dir))
+    def probe() = graft.operators.LmScore.score(
+        graft.operators.LmScore.readModel(s, dir),
+        docs.filter($"doc_id" % 10 === 0), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val before = probe()
+    val rep = Maintenance.compactAll(s, Seq(dir))(dir)
+    assert(rep.kind == "lm-model", rep.kind)
+    assert(!graft.operators.LmScore.modelDrifted(s, dir),
+      "compact did not clear drift")
+    assert(probe() == before, "score changed across compaction")
+    val rep2 = Maintenance.compactAll(s, Seq(dir))(dir)
+    assert(!rep2.compacted, rep2.toString)
+  }
+
   test("generic layouts and unknown dirs: detected / rejected") {
     val s = spark
     import s.implicits._
