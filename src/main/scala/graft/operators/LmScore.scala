@@ -115,7 +115,12 @@ object LmScore {
   // bit-identical to a fresh train at every moment.
 
   /** Train on `reference` and persist the model at `dir` (staged +
-    * atomically swapped). */
+    * atomically swapped). The compacted layout also materializes what
+    * a serve would otherwise recompute per probe: the derived firsts
+    * table lands as `firsts.parquet` and the exact vocab count rides
+    * the sidecar — so [[readModel]] on a compacted store is three
+    * plain reads with ZERO re-aggregation (the per-batch cost
+    * `StreamJobs.lmLookupStream` pays per micro-batch). */
   def writeModel(reference: DataFrame, textCol: String, dir: String,
       targetFileBytes: Long = 128L << 20): Unit = {
     val spark = reference.sparkSession
@@ -125,6 +130,17 @@ object LmScore {
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val unigrams = reference
       .select(explode(tokens(col(textCol))).as("token")).distinct()
+    writeCompacted(spark, fs, dir, bigrams, unigrams, targetFileBytes)
+  }
+
+  /** Shared by [[writeModel]] and [[modelCompact]]: stage the three
+    * tables (bigram counts already one-row-per-group, derived firsts,
+    * distinct unigrams), stamp sortedFiles + the exact vocab, swap. */
+  private def writeCompacted(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      bigrams: DataFrame, unigrams: DataFrame,
+      targetFileBytes: Long): Unit = {
+    val firsts = bigrams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     graft.core.FsUtil.swapInto(fs,
         new org.apache.hadoop.fs.Path(dir)) { staging =>
       val files = graft.sources.Sinks.writeSizedParquet(bigrams,
@@ -132,36 +148,60 @@ object LmScore {
         targetFileBytes = targetFileBytes,
         sortCols = Seq("w1", "w2"),
         minFiles = spark.sparkContext.defaultParallelism)
+      graft.sources.Sinks.writeSizedParquet(firsts,
+        new org.apache.hadoop.fs.Path(staging, "firsts.parquet").toString,
+        targetFileBytes = targetFileBytes,
+        sortCols = Seq("w1"),
+        minFiles = spark.sparkContext.defaultParallelism)
       graft.sources.Sinks.writeSizedParquet(unigrams,
         new org.apache.hadoop.fs.Path(staging, "unigrams.parquet").toString,
         targetFileBytes = targetFileBytes,
         sortCols = Seq("token"),
         minFiles = spark.sparkContext.defaultParallelism)
+      val vocab = spark.read.parquet(
+        new org.apache.hadoop.fs.Path(staging, "unigrams.parquet")
+          .toString).count()
       graft.core.FsUtil.writeSidecar(fs,
         new org.apache.hadoop.fs.Path(staging, "params.json"),
-        s"""{"sortedFiles":$files}""")
+        s"""{"sortedFiles":$files,"vocab":$vocab}""")
     }
   }
 
-  /** The stored model, partials collapsed at read: counts re-summed
-    * per (w1, w2), firsts derived from them, vocab as count_distinct
-    * over the stored token table — all vocab-bounded work, the
-    * reference corpus itself is never re-read. Bit-identical to
-    * [[train]] over the union of everything written + appended. */
+  /** The stored model. On a COMPACTED store (stamp present — the
+    * steady state between appends) this is three plain table reads
+    * with the vocab from the sidecar: zero re-aggregation, the fast
+    * path every `lmLookupStream` micro-batch takes. After appends the
+    * stamp is gone and the read falls back to collapsing partials
+    * exactly (counts re-summed per (w1, w2), firsts re-derived, vocab
+    * as count_distinct over the token table — vocab-bounded work).
+    * Either way the result is bit-identical to [[train]] over the
+    * union of everything written + appended; the reference corpus
+    * itself is never re-read. */
   def readModel(spark: org.apache.spark.sql.SparkSession,
       dir: String): Model = {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    if (graft.core.FsUtil.readSidecar(fs,
-        new org.apache.hadoop.fs.Path(dir, "params.json")).isEmpty)
-      throw new java.io.IOException(
-        s"readModel: $dir has no params.json — not a stored LM model")
-    val counts = spark.read.parquet(s"$dir/bigrams.parquet")
-      .groupBy(col("w1"), col("w2")).agg(sum(col("c12")).as("c12"))
-    val firsts = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val vocab = spark.read.parquet(s"$dir/unigrams.parquet")
-      .agg(count_distinct(col("token"))).head().getLong(0)
-    Model(counts, firsts, vocab)
+    val params = graft.core.FsUtil.readSidecar(fs,
+        new org.apache.hadoop.fs.Path(dir, "params.json"))
+      .getOrElse(throw new java.io.IOException(
+        s"readModel: $dir has no params.json — not a stored LM model"))
+    val stampedVocab = """"vocab":(\d+)""".r.findFirstMatchIn(params)
+      .map(_.group(1).toLong)
+    val fsExists = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/firsts.parquet"))
+    stampedVocab match {
+      case Some(v) if fsExists =>
+        Model(spark.read.parquet(s"$dir/bigrams.parquet"),
+          spark.read.parquet(s"$dir/firsts.parquet"), v)
+      case _ =>
+        val counts = spark.read.parquet(s"$dir/bigrams.parquet")
+          .groupBy(col("w1"), col("w2")).agg(sum(col("c12")).as("c12"))
+        val firsts = counts.groupBy(col("w1"))
+          .agg(sum(col("c12")).as("c1"))
+        val vocab = spark.read.parquet(s"$dir/unigrams.parquet")
+          .agg(count_distinct(col("token"))).head().getLong(0)
+        Model(counts, firsts, vocab)
+    }
   }
 
   /** O(batch) append of a new reference batch: its bigram counts land
@@ -212,9 +252,11 @@ object LmScore {
     u.getLong(0) > u.getLong(1)
   }
 
-  /** Collapse partials/duplicates, re-sort, re-pack, restamp — the
-    * maintenance pass ([[graft.operators.Maintenance.compactAll]]
-    * dispatches here). */
+  /** Collapse partials/duplicates, re-sort, re-pack, re-materialize
+    * the firsts table, restamp sortedFiles + vocab — the maintenance
+    * pass ([[graft.operators.Maintenance.compactAll]] dispatches
+    * here), which also restores [[readModel]]'s zero-aggregation fast
+    * path. */
   def modelCompact(spark: org.apache.spark.sql.SparkSession,
       dir: String, targetFileBytes: Long = 128L << 20): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
@@ -222,21 +264,6 @@ object LmScore {
     val bigrams = spark.read.parquet(s"$dir/bigrams.parquet")
       .groupBy(col("w1"), col("w2")).agg(sum(col("c12")).as("c12"))
     val unigrams = spark.read.parquet(s"$dir/unigrams.parquet").distinct()
-    graft.core.FsUtil.swapInto(fs,
-        new org.apache.hadoop.fs.Path(dir)) { staging =>
-      val files = graft.sources.Sinks.writeSizedParquet(bigrams,
-        new org.apache.hadoop.fs.Path(staging, "bigrams.parquet").toString,
-        targetFileBytes = targetFileBytes,
-        sortCols = Seq("w1", "w2"),
-        minFiles = spark.sparkContext.defaultParallelism)
-      graft.sources.Sinks.writeSizedParquet(unigrams,
-        new org.apache.hadoop.fs.Path(staging, "unigrams.parquet").toString,
-        targetFileBytes = targetFileBytes,
-        sortCols = Seq("token"),
-        minFiles = spark.sparkContext.defaultParallelism)
-      graft.core.FsUtil.writeSidecar(fs,
-        new org.apache.hadoop.fs.Path(staging, "params.json"),
-        s"""{"sortedFiles":$files}""")
-    }
+    writeCompacted(spark, fs, dir, bigrams, unigrams, targetFileBytes)
   }
 }

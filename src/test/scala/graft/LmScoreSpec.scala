@@ -53,6 +53,13 @@ class LmScoreSpec extends SparkSpec {
     assert(scored(LmScore.readModel(s, dir)) ==
       scored(LmScore.train(refA, "text")),
       "stored model diverged from fresh train")
+    // compacted store = the zero-aggregation fast path: both count
+    // frames are plain reads (firsts materialized, vocab stamped)
+    val fast = LmScore.readModel(s, dir)
+    assert(!fast.bigrams.queryExecution.analyzed.toString
+      .contains("Aggregate"), "fast path re-aggregated bigrams")
+    assert(!fast.firsts.queryExecution.analyzed.toString
+      .contains("Aggregate"), "fast path re-aggregated firsts")
 
     // append refB: stored scoring must equal a fresh train over the
     // UNION — count partials summed, vocab as distinct over both
