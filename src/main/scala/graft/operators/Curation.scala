@@ -460,6 +460,42 @@ object Curation {
       .select(col(strataCol), col("__e.__id").as(idCol))
   }
 
+  /** Deterministic WEIGHTED sampling — Duffield–Lund–Thorup priority
+    * sampling ("Priority sampling for estimation of arbitrary subset
+    * sums", JACM 2007) with the uniform made hash-seeded integer:
+    * u = the seed's first 12 md5 hex digits (48-bit fixed point),
+    * priority = u DIV weight, keep the k SMALLEST priorities per
+    * stratum (order-equivalent to DLT's keep-largest weight/u; ties
+    * break by ascending id). Selection probability rises with weight —
+    * the quality-weighted subsampling a mixture builder runs — while
+    * staying deterministic across reruns, partitionings, and corpus
+    * growth like every sampler here, and the committed contract is
+    * the INTEGER rule itself, replayed verbatim by the DuckDB oracle.
+    * Rows with non-positive weight are never sampled (filtered).
+    * Weights should sit well below 2^48, or priorities collapse into
+    * id-ordered ties. Per-stratum bounded-heap top-k — map-side
+    * partials, a hot stratum never lands on one task; never a
+    * window. */
+  def sampleWeighted(df: DataFrame, strataCol: String, idCol: String,
+      weightCol: String, k: Int, seedCols: Seq[String]): DataFrame = {
+    require(k >= 1, "sampleWeighted: k must be >= 1")
+    require(seedCols.nonEmpty, "sampleWeighted: seedCols must be non-empty")
+    val u = conv(substring(md5(concat_ws(":",
+      seedCols.map(c => col(c).cast("string")): _*)), 1, 12), 16, 10)
+      .cast("long")
+    df.filter(col(weightCol).cast("long") >= 1)
+      .withColumn("__u", u)
+      .withColumn("__pri",
+        expr(s"__u DIV CAST(`$weightCol` AS BIGINT)"))
+      .groupBy(col(strataCol))
+      .agg(graft.plans.GraftCall(graft.plans.VectorExpressions.TopKName,
+        struct((-col("__pri")).as("__s"), col(idCol).as("__tb"),
+          col(idCol).as("__id")),
+        lit(k)).as("__top"))
+      .select(col(strataCol), explode(col("__top")).as("__e"))
+      .select(col(strataCol), col("__e.__id").as(idCol))
+  }
+
   /** Domain-mixture composer: deterministically subsample each stratum
     * so the surviving corpus approximates the target `weights` over a
     * total token budget — the re-weighting step that turns a raw crawl

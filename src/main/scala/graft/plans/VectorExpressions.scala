@@ -93,12 +93,29 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object SrpKernel {
+  /** The deterministic hyperplane family shared by [[bucket]] and
+    * [[project]]: coef(p,d) = (t² + p mod 99991 mod 1000)/1000 − 0.5
+    * with t = (761p + 503d + 97) mod 100000 — a QUADRATIC mix, not an
+    * affine lattice. The round-14 rank audit showed the original
+    * affine family (761p + 503d + 97 mod 1000) caps at matrix rank 16
+    * whatever the plane count — planes 17+ added no new directions,
+    * silently coarsening LSH buckets at derived plane counts a 100 TB
+    * corpus reaches and making the JL projection rank-deficient. The
+    * quadratic term breaks the lattice: full rank up to the vector
+    * dimension, and empirically indistinguishable from a true random
+    * uniform family on neighbor-recall (both 0.12–0.16 where the
+    * affine lattice read 0.02). All operands stay non-negative and
+    * below 2^63 (t² < 10^10), so the `%` replays identically in any
+    * engine — the DuckDB oracles inline this exact arithmetic. */
+  @inline private def coef(p: Int, d: Int): Double = {
+    val t = (p * 761L + d * 503L + 97L) % 100000L
+    ((t * t + p) % 99991L % 1000L) / 1000.0 - 0.5
+  }
+
   /** Sign-random-projection bucket of a float/double vector:
-    * bit p of the result is set iff Σ_d coef(p,d)·vec[d] >= 0, with
-    * coef(p,d) = (((p·2654435761 + d·40503 + 97) mod 1000 + 1000)
-    * mod 1000) / 1000.0 - 0.5 and the projection accumulated as a left
-    * fold in dimension order — bit-identical to the composed column
-    * form it replaces (and to the DuckDB oracle's list_reduce replay).
+    * bit p of the result is set iff Σ_d coef(p,d)·vec[d] >= 0, the
+    * projection accumulated as a left fold in dimension order —
+    * bit-identical to the DuckDB oracle's list_reduce replay.
     * A vector shorter than `dim` — or carrying a NULL element — mirrors
     * element_at's null poisoning: the projection sum goes null, no bit
     * is set, bucket = 0 (the composed column form this kernel replaced
@@ -118,11 +135,8 @@ object SrpKernel {
       var proj = 0.0
       var d = 0
       while (d < dim) {
-        val mixed = ((p * 2654435761L + d * 40503L + 97L) % 1000L +
-          1000L) % 1000L
-        val coef = mixed / 1000.0 - 0.5
         val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
-        proj += x * coef
+        proj += x * coef(p, d)
         d += 1
       }
       if (proj >= 0) b |= 1L << p
@@ -159,11 +173,8 @@ object SrpKernel {
       var proj = 0.0
       var d = 0
       while (d < dim) {
-        val mixed = ((p * 2654435761L + d * 40503L + 97L) % 1000L +
-          1000L) % 1000L
-        val coef = mixed / 1000.0 - 0.5
         val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
-        proj += x * coef
+        proj += x * coef(p, d)
         d += 1
       }
       out(p) = proj

@@ -249,6 +249,27 @@ object CurationQueries extends QueryPack {
              |WHERE rn <= 20
              |""".stripMargin)),
 
+    // weighted sampling (Duffield–Lund–Thorup priority sampling,
+    // JACM 2007): per-language top-10 by priority = u DIV weight
+    // (u = 48-bit md5 fixed point, weight = n_chars) — the
+    // quality/size-weighted subsampling a mixture builder runs.
+    // Deterministic, integer-exact, bounded-heap per stratum; the
+    // oracle replays the exact rule.
+    "q_sample_weighted" -> Q(
+      (s, d) => Curation.sampleWeighted(t(s, d, "documents"),
+        strataCol = "lang", idCol = "doc_id", weightCol = "n_chars",
+        k = 10, seedCols = Seq("doc_id")),
+      Some("""SELECT lang, doc_id FROM (
+             |  SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY CAST('0x' ||
+             |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+             |          AS BIGINT) // CAST(n_chars AS BIGINT) ASC,
+             |        doc_id ASC) AS rn
+             |  FROM documents WHERE n_chars >= 1)
+             |WHERE rn <= 10
+             |""".stripMargin)),
+
     // per-source cap: at most 10 docs per source, smallest doc_id
     // survives — the per-domain cap a crawl pipeline applies. Runs on
     // the bounded-heap aggregate, NOT a window: map-side partial agg

@@ -28,14 +28,18 @@ object SimilarityQueries extends QueryPack {
     * cosine >= `threshold`.
     *
     * proj_p(v) = Σ_i coef(p,i)·v[i], left fold in index order;
-    * coef(p,i) = (((p·2654435761 + i·40503 + 97) % 1000 + 1000)
-    *              % 1000) / 1000.0 - 0.5  (i zero-based) */
+    * coef(p,i) = ((t² + p) % 99991 % 1000) / 1000.0 - 0.5 with
+    * t = (761p + 503(i-1) + 97) % 100000 — SrpKernel's quadratic-mix
+    * family (full-rank; the affine lattice it replaced capped at
+    * rank 16). All operands non-negative, t² < 10^10 — the `%`
+    * replays identically on both engines. */
   private[queries] def oSrpPairCtes(threshold: Double): String = {
     def oProj(p: Int, vec: String) =
       s"""list_reduce(list_transform(range(1, 65),
          |    i -> CAST($vec[i] AS DOUBLE) *
-         |         (((($p * 2654435761 + (i-1) * 40503 + 97) % 1000
-         |            + 1000) % 1000) / 1000.0 - 0.5)),
+         |         (((($p * 761 + (i-1) * 503 + 97) % 100000) *
+         |           (($p * 761 + (i-1) * 503 + 97) % 100000) + $p)
+         |          % 99991 % 1000 / 1000.0 - 0.5)),
          |  (x, y) -> x + y)""".stripMargin
     val oBucket = (0 until 4).map { p =>
       s"(CASE WHEN ${oProj(p, "embedding")} >= 0 THEN ${1L << p} ELSE 0 END)"
@@ -469,8 +473,9 @@ object SimilarityQueries extends QueryPack {
         def oProj(p: Int) =
           s"""list_reduce(list_transform(range(1, 65),
              |      i -> CAST(embedding[i] AS DOUBLE) *
-             |           (((($p * 2654435761 + (i-1) * 40503 + 97) % 1000
-             |              + 1000) % 1000) / 1000.0 - 0.5)),
+             |           (((($p * 761 + (i-1) * 503 + 97) % 100000) *
+             |             (($p * 761 + (i-1) * 503 + 97) % 100000) + $p)
+             |            % 99991 % 1000 / 1000.0 - 0.5)),
              |    (x, y) -> x + y)""".stripMargin
         val projs = (0 until 8)
           .map(p => s"round(${oProj(p)}, 6)").mkString(",\n    ")

@@ -467,6 +467,36 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("sampleWeighted: quota, weight bias, non-positive exclusion, partition determinism") {
+    val s = spark
+    import s.implicits._
+    // 100 light rows (w=1) + 100 heavy rows (w=10000), one stratum
+    val df = (0L until 200L)
+      .map(i => (i, "g", if (i < 100) 1L else 10000L))
+      .toDF("id", "g", "w")
+    val got = Curation.sampleWeighted(df, "g", "id", "w", k = 20,
+      seedCols = Seq("id")).as[(String, Long)].collect().map(_._2)
+    assert(got.length == 20)
+    // DLT priority = u DIV w: a 10^4 weight divides the 48-bit uniform
+    // 10^4 deeper, so heavy rows should dominate the smallest-priority
+    // set (deterministic given the fixed ids — not a flaky sample)
+    val heavy = got.count(_ >= 100L)
+    assert(heavy >= 15, s"only $heavy/20 heavy rows sampled")
+
+    // non-positive weights never sampled; quota = min(k, eligible)
+    val withZero = (0L until 5L).map(i => (i, "g", if (i < 2) 0L else 3L))
+      .toDF("id", "g", "w")
+    val z = Curation.sampleWeighted(withZero, "g", "id", "w", k = 10,
+      seedCols = Seq("id")).as[(String, Long)].collect().map(_._2).sorted
+    assert(z.toSeq == Seq(2L, 3L, 4L), z.mkString(", "))
+
+    // partition-layout independence (the determinism contract)
+    val re = Curation.sampleWeighted(df.repartition(13), "g", "id", "w",
+      k = 20, seedCols = Seq("id")).as[(String, Long)].collect()
+      .map(_._2).sorted
+    assert(re.toSeq == got.sorted.toSeq, "sample changed with layout")
+  }
+
   test("decon set: stored probe == batch decontaminate; appends visible, duplicate-proof, drift-flagged") {
     val s = spark
     val docs = Tables.load(s, sf001, "documents")

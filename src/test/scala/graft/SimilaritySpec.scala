@@ -29,25 +29,64 @@ class SimilaritySpec extends SparkSpec {
   test("srpProject: hand-computed coefficients; bucket = sign bits; short vector poisons") {
     val s = spark
     import s.implicits._
-    // coef(p,d) for dim=2, planes=2 (the kernel's mix, by hand):
-    //   (0,0) 97/1000-0.5   = -0.403   (0,1) 600/1000-0.5 =  0.100
-    //   (1,0) 858/1000-0.5  =  0.358   (1,1) 361/1000-0.5 = -0.139
-    // vec [1, 2]: p0 = -0.403 + 0.2 = -0.203 ; p1 = 0.358 - 0.278 = 0.08
-    val df = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    // coef(p,d) for dim=2, planes=2 (the quadratic mix, by hand):
+    //   t(0,0)=97   t²%99991=9409  →  409/1000-0.5 = -0.091
+    //   t(0,1)=600  t²%99991=60027 →   27/1000-0.5 = -0.473
+    //   t(1,0)=858  (t²+1)%99991=36228 → 228/1000-0.5 = -0.272
+    //   t(1,1)=1361 (t²+1)%99991=52484 → 484/1000-0.5 = -0.016
+    // vec [1, -2]: p0 = -0.091 + 0.946 = 0.855
+    //              p1 = -0.272 + 0.032 = -0.24
+    val df = Seq((1L, Array(1.0f, -2.0f))).toDF("vec_id", "embedding")
     val got = Similarity.project(df, "vec_id", "embedding",
       dim = 2, outDim = 2).as[(Long, Long, Double)].collect().sortBy(_._2)
-    assert(got === Array((1L, 0L, -0.203), (1L, 1L, 0.08)),
+    assert(got === Array((1L, 0L, 0.855), (1L, 1L, -0.24)),
       got.mkString(", "))
     // the LSH bucket is exactly this projection's sign bit-pack:
-    // p0 < 0 (bit clear), p1 >= 0 (bit set) -> bucket 2
+    // p0 >= 0 (bit set), p1 < 0 (bit clear) -> bucket 1
     val b = df.select(Similarity.srpBucket(col("embedding"), 2, 2))
       .head().getLong(0)
-    assert(b == 2L, s"bucket $b")
+    assert(b == 1L, s"bucket $b")
     // short vector: empty projection (the analog of bucket = 0)
     val short = Seq((2L, Array(1.0f))).toDF("vec_id", "embedding")
       .select(Similarity.srpProject(col("embedding"), 2, 2).as("pr"))
       .head().getSeq[Double](0)
     assert(short.isEmpty, short.toString)
+  }
+
+  test("srpProject: full-rank family preserves cluster structure through 64->16") {
+    val s = spark
+    import s.implicits._
+    // 8 planted clusters x 40 points in 64 dims: membership is the
+    // robust neighbor signal (within-cluster ORDER is margin-fragile
+    // by construction, so the assertion is cluster recall, not list
+    // parity). The affine-lattice family this replaced read ~chance
+    // here past rank 16; the quadratic mix must carry membership.
+    val pts = for {
+      c <- 0 until 8; i <- 0 until 40
+    } yield {
+      val id = c * 100L + i
+      val v = Array.tabulate(64) { j =>
+        ((c * 31 + j * 17) % 13 - 6).toFloat +
+          (((i * 7 + j) % 3) - 1) * 0.05f
+      }
+      (id, v)
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    val projected = Similarity
+      .project(emb, "vec_id", "embedding", dim = 64, outDim = 16)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("p"), col("proj"))))
+        .as("ps"))
+      .select(col("vec_id"),
+        expr("transform(ps, x -> x.proj)").as("embedding"))
+    val queries = projected.filter($"vec_id" % 100 < 3)
+    val nn = Similarity.bruteForceTopK(queries, projected, "vec_id",
+      "embedding", k = 5)
+      .select(col("q_id"), col("nn_id")).as[(Long, Long)].collect()
+    val sameCluster = nn.count { case (q, n) => q / 100 == n / 100 }
+    val frac = sameCluster.toDouble / nn.length
+    info(f"projected 64->16 same-cluster top-5 fraction: $frac%.3f")
+    assert(frac >= 0.9, f"cluster structure lost: $frac%.3f")
   }
 
   test("srpProject stays inside whole-stage codegen") {
