@@ -129,9 +129,11 @@ object Similarity {
     * file uses). One narrow codegen'd pass, no shuffle; at 100 TB
     * this is the pre-pass that cuts ANN / k-means / near-dup compute
     * and shuffle bytes by outDim/dim while JL preserves pairwise
-    * geometry to 1±ε for outDim = O(log n / ε²). Feed the projected
-    * vectors to [[ivfIndex]]/[[lshNearDup]] via a `collect_list`
-    * re-pack or keep them exploded for columnar storage. */
+    * geometry to 1±ε for outDim = O(log n / ε²). This exploded form
+    * is the columnar-storage/gate shape; to COMPOSE with
+    * [[ivfIndex]]/[[bruteForceTopK]] use [[srpProject]] directly —
+    * it already yields the packed array<double> column, no explode,
+    * no re-pack, no shuffle. */
   def project(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       outDim: Int): DataFrame =
     df.select(col(idCol),

@@ -89,6 +89,22 @@ class SimilaritySpec extends SparkSpec {
     assert(frac >= 0.9, f"cluster structure lost: $frac%.3f")
   }
 
+  test("srpProject composes packed with IVF: no explode, no shuffle, probe works") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, sf0001, "embeddings")
+    val projected = emb.select($"vec_id",
+      Similarity.srpProject($"embedding", 64, 16).as("embedding"))
+    // the projection itself is a narrow map — zero exchanges
+    assert(!projected.queryExecution.executedPlan.toString
+      .contains("Exchange"), "projection shuffled")
+    val idx = Similarity.ivfIndex(projected, "vec_id", "embedding",
+      nlist = 8)
+    val got = Similarity.ivfTopKWithIndex(
+      projected.filter($"vec_id" % 100 === 0), idx, k = 5, nprobe = 2)
+    assert(got.count() > 0, "projected IVF probe returned nothing")
+  }
+
   test("srpProject stays inside whole-stage codegen") {
     val s = spark
     // a parquet-backed frame (a local Seq folds into LocalTableScan
