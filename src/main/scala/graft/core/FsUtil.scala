@@ -224,6 +224,29 @@ object FsUtil {
     }
   }
 
+  /** One integer field of a JSON sidecar — the shared parse every
+    * persistence unit's params/stamp read uses (`"key":<digits>`).
+    * None if the sidecar is absent or lacks the key. */
+  def sidecarLong(fs: FileSystem, file: Path, key: String): Option[Long] =
+    readSidecar(fs, file).flatMap(
+      ("\"" + java.util.regex.Pattern.quote(key) + "\":(\\d+)").r
+        .findFirstMatchIn(_))
+      .map(_.group(1).toLong)
+
+  /** Whether a table's stamped sorted-write file count still matches
+    * its on-disk parquet file count — the shared sort-drift rule
+    * (stamp absent or stale ⇒ drifted; a sorted-write re-pack
+    * restamps). Used by every unit whose probe-side pruning depends
+    * on a sorted sized layout. */
+  def stampMatchesFileCount(fs: FileSystem, sidecar: Path,
+      key: String, tableDir: Path): Boolean = {
+    val files =
+      if (!fs.exists(tableDir)) 0
+      else fs.listStatus(tableDir)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    sidecarLong(fs, sidecar, key).contains(files.toLong)
+  }
+
   /** Read a sidecar written by [[writeSidecar]]; None if absent. */
   def readSidecar(fs: FileSystem, file: Path): Option[String] =
     if (!fs.exists(file)) None

@@ -255,10 +255,9 @@ object Curation {
       dir: String): Int = {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    graft.core.FsUtil.readSidecar(fs,
-        new org.apache.hadoop.fs.Path(dir, "params.json"))
-      .flatMap(""""n":(\d+)""".r.findFirstMatchIn(_))
-      .map(_.group(1).toInt)
+    graft.core.FsUtil.sidecarLong(fs,
+        new org.apache.hadoop.fs.Path(dir, "params.json"), "n")
+      .map(_.toInt)
       .getOrElse(throw new java.io.IOException(
         s"readDeconSet: $dir has no params.json with n — not a decon set"))
   }
@@ -290,14 +289,9 @@ object Curation {
       dir: String): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val stamped = graft.core.FsUtil.readSidecar(fs,
-        new org.apache.hadoop.fs.Path(dir, "params.json"))
-      .flatMap(""""sortedFiles":(\d+)""".r.findFirstMatchIn(_))
-      .map(_.group(1).toInt)
-    val files = fs.listStatus(
-        new org.apache.hadoop.fs.Path(s"$dir/grams.parquet")).toSeq
-      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    !stamped.contains(files)
+    !graft.core.FsUtil.stampMatchesFileCount(fs,
+      new org.apache.hadoop.fs.Path(dir, "params.json"), "sortedFiles",
+      new org.apache.hadoop.fs.Path(s"$dir/grams.parquet"))
   }
 
   /** Re-distinct + re-sort + re-pack the stored set and restore the
@@ -480,6 +474,21 @@ object Curation {
       weightCol: String, k: Int, seedCols: Seq[String]): DataFrame = {
     require(k >= 1, "sampleWeighted: k must be >= 1")
     require(seedCols.nonEmpty, "sampleWeighted: seedCols must be non-empty")
+    // integral weights only: a silent cast("long") would TRUNCATE
+    // fractional weights (0.9 -> excluded as 0, 1.7 -> 1), changing
+    // selection probabilities without any error — fail fast instead;
+    // callers with fractional weights own the scaling to integers
+    val wt = df.schema(weightCol).dataType
+    if (!Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(wt))
+      throw new IllegalArgumentException(
+        s"sampleWeighted: weight column `$weightCol` must be integral " +
+          s"(got ${wt.simpleString}); scale fractional weights to " +
+          "integers explicitly — a silent truncation would change " +
+          "selection probabilities")
     val u = conv(substring(md5(concat_ws(":",
       seedCols.map(c => col(c).cast("string")): _*)), 1, 12), 16, 10)
       .cast("long")

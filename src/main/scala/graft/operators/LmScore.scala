@@ -140,7 +140,6 @@ object LmScore {
       fs: org.apache.hadoop.fs.FileSystem, dir: String,
       bigrams: DataFrame, unigrams: DataFrame,
       targetFileBytes: Long): Unit = {
-    val firsts = bigrams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     graft.core.FsUtil.swapInto(fs,
         new org.apache.hadoop.fs.Path(dir)) { staging =>
       val files = graft.sources.Sinks.writeSizedParquet(bigrams,
@@ -148,7 +147,16 @@ object LmScore {
         targetFileBytes = targetFileBytes,
         sortCols = Seq("w1", "w2"),
         minFiles = spark.sparkContext.defaultParallelism)
-      graft.sources.Sinks.writeSizedParquet(firsts,
+      // firsts and vocab derive from the STAGED tables, not the input
+      // plans: re-evaluating the lazy bigram plan would re-run the
+      // whole reference scan + explode + aggregation a second time —
+      // at 100 TB that doubles the dominant model-build cost for a
+      // vocab-bounded result the staged parquet already holds
+      val stagedBigrams = spark.read.parquet(
+        new org.apache.hadoop.fs.Path(staging, "bigrams.parquet")
+          .toString)
+      graft.sources.Sinks.writeSizedParquet(
+        stagedBigrams.groupBy(col("w1")).agg(sum(col("c12")).as("c1")),
         new org.apache.hadoop.fs.Path(staging, "firsts.parquet").toString,
         targetFileBytes = targetFileBytes,
         sortCols = Seq("w1"),
@@ -181,12 +189,11 @@ object LmScore {
       dir: String): Model = {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val params = graft.core.FsUtil.readSidecar(fs,
-        new org.apache.hadoop.fs.Path(dir, "params.json"))
-      .getOrElse(throw new java.io.IOException(
-        s"readModel: $dir has no params.json — not a stored LM model"))
-    val stampedVocab = """"vocab":(\d+)""".r.findFirstMatchIn(params)
-      .map(_.group(1).toLong)
+    val sidecar = new org.apache.hadoop.fs.Path(dir, "params.json")
+    if (graft.core.FsUtil.readSidecar(fs, sidecar).isEmpty)
+      throw new java.io.IOException(
+        s"readModel: $dir has no params.json — not a stored LM model")
+    val stampedVocab = graft.core.FsUtil.sidecarLong(fs, sidecar, "vocab")
     val fsExists = fs.exists(
       new org.apache.hadoop.fs.Path(s"$dir/firsts.parquet"))
     stampedVocab match {
@@ -204,13 +211,32 @@ object LmScore {
     }
   }
 
-  /** O(batch) append of a new reference batch: its bigram counts land
-    * as partial rows, its tokens as (possibly duplicate) unigram
-    * rows — both collapsed exactly at read. The sidecar is re-written
-    * WITHOUT the sortedFiles stamp so maintenance sees the drift.
+  /** O(batch) EXACTLY-ONCE append of a new reference batch under a
+    * caller-stable `tag` (runId-batchId for a stream): its bigram
+    * counts land as tagged partial rows, its tokens as tagged
+    * (possibly duplicate) unigram rows — both collapsed exactly at
+    * read. Ordering is the whole safety story:
+    *
+    *  1. The fast-path stamp is dropped FIRST (sidecar → `{}`), so a
+    *     concurrent [[readModel]] falls back to the collapse path
+    *     before any partial lands — the fast path over duplicated
+    *     (w1, w2) keys would double-count (a reader mid-append sees a
+    *     between-states model, which converges; never a structurally
+    *     wrong one).
+    *  2. The appends are TAGGED ([[graft.sources.Sinks.appendTagged]]):
+    *     a replay of the same tag first purges whatever its crashed
+    *     attempt left, so foreachBatch's at-least-once converges to
+    *     exactly-once from any crash point — counts ADD here, so the
+    *     decon set's duplicate-insensitivity argument does not apply.
+    *  3. Unigrams land BEFORE bigrams: an ABANDONED mid-append crash
+    *     (no replay — the residual every tagged unit documents)
+    *     leaves at worst vocab-without-counts, a uniform smoothing
+    *     shift; the reverse order would leave bigram mass whose
+    *     tokens V never saw.
+    *
     * Single-writer-per-dir is the caller's contract. */
   def appendModel(reference: DataFrame, textCol: String,
-      dir: String): Unit = {
+      dir: String, tag: String): Unit = {
     val spark = reference.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -218,14 +244,16 @@ object LmScore {
         new org.apache.hadoop.fs.Path(dir, "params.json")).isEmpty)
       throw new java.io.IOException(
         s"appendModel: $dir has no params.json — not a stored LM model")
-    bigramsOf(reference, Nil, textCol)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .write.mode("append").parquet(s"$dir/bigrams.parquet")
-    reference.select(explode(tokens(col(textCol))).as("token"))
-      .distinct()
-      .write.mode("append").parquet(s"$dir/unigrams.parquet")
     graft.core.FsUtil.writeSidecar(fs,
       new org.apache.hadoop.fs.Path(dir, "params.json"), "{}")
+    graft.sources.Sinks.appendTagged(
+      reference.select(explode(tokens(col(textCol))).as("token"))
+        .distinct(),
+      s"$dir/unigrams.parquet", tag)
+    graft.sources.Sinks.appendTagged(
+      bigramsOf(reference, Nil, textCol)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")),
+      s"$dir/bigrams.parquet", tag)
   }
 
   /** Whether the stored model drifted from compacted form: bigram
@@ -235,14 +263,10 @@ object LmScore {
       dir: String): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val stamped = graft.core.FsUtil.readSidecar(fs,
-        new org.apache.hadoop.fs.Path(dir, "params.json"))
-      .flatMap(""""sortedFiles":(\d+)""".r.findFirstMatchIn(_))
-      .map(_.group(1).toInt)
-    val files = fs.listStatus(
-        new org.apache.hadoop.fs.Path(s"$dir/bigrams.parquet")).toSeq
-      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    if (!stamped.contains(files)) return true
+    if (!graft.core.FsUtil.stampMatchesFileCount(fs,
+        new org.apache.hadoop.fs.Path(dir, "params.json"), "sortedFiles",
+        new org.apache.hadoop.fs.Path(s"$dir/bigrams.parquet")))
+      return true
     val b = spark.read.parquet(s"$dir/bigrams.parquet")
       .agg(count(lit(1)),
         count_distinct(struct(col("w1"), col("w2")))).head()

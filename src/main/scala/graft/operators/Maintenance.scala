@@ -4,9 +4,9 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** ONE maintenance entry point for every append-mode store this
-  * library persists. All seven persistence units (MinhashIndex,
-  * IvfIndex, PqIndex, IvfPqIndex, CorpusProfile, Bm25Index, and the
-  * decontamination gram set) plus the
+  * library persists. All eight persistence units (MinhashIndex,
+  * IvfIndex, PqIndex, IvfPqIndex, CorpusProfile, Bm25Index, the
+  * decontamination gram set, and the LM bigram model) plus the
   * generic parquet layouts accumulate files and/or layout drift BY
   * DESIGN — O(batch) appends never rewrite the corpus-sized table —
   * and each has its own restoring pass (`Layout.compact`'s bin-pack,

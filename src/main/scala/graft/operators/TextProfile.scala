@@ -634,13 +634,9 @@ object TextProfile {
     import org.apache.hadoop.fs.Path
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val stamp = graft.core.FsUtil.readSidecar(fs,
-        new Path(dir, "params.json"))
-      .flatMap(s => """"sortedFiles":(\d+)""".r.findFirstMatchIn(s))
-      .map(_.group(1).toInt)
-    val current = fs.listStatus(new Path(dir, "postings.parquet"))
-      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    !stamp.contains(current)
+    !graft.core.FsUtil.stampMatchesFileCount(fs,
+      new Path(dir, "params.json"), "sortedFiles",
+      new Path(dir, "postings.parquet"))
   }
 
   /** Probe a prebuilt [[Bm25Index]]: identical output to

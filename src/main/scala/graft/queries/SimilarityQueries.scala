@@ -479,11 +479,20 @@ object SimilarityQueries extends QueryPack {
              |    (x, y) -> x + y)""".stripMargin
         val projs = (0 until 8)
           .map(p => s"round(${oProj(p)}, 6)").mkString(",\n    ")
+        // the WHERE replays SrpKernel.project's poisoning rule: a
+        // vector shorter than dim or carrying a NULL element projects
+        // to an EMPTY array on the Spark side (posexplode emits no
+        // rows), so the oracle must emit none either — without it, a
+        // dirty embedding row would unnest 8 NULL-proj rows here and
+        // break the gate on exactly the input class the kernel's
+        // contract exists for
         s"""SELECT vec_id,
            |  unnest(range(0, 8)) AS p,
            |  unnest(list_value(
            |    $projs)) AS proj
            |FROM embeddings
+           |WHERE len(embedding) >= 64
+           |  AND len(list_filter(embedding, x -> x IS NULL)) = 0
            |""".stripMargin
       }),
 

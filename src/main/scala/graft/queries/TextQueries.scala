@@ -876,6 +876,45 @@ object TextQueries extends QueryPack {
       },
       Some(oLmScoreSql)),
 
+    // the LM model's WRITE path under streaming: the reference corpus
+    // arrives as a stream — seed model from a third of the en
+    // stratum, the rest ingested by StreamJobs.lmIngestStream in
+    // three tagged exactly-once batches, then a quiesced compactAll
+    // restores the sorted layout and scoring runs from the store.
+    // Shares q_text_lm_score's oracle: a stream-built model must be
+    // bit-identical to the full-reference fresh train.
+    "q_stream_lm_ingest" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.LmScore
+        val docs = t(s, d, "documents")
+        val en = docs.filter(col("lang") === "en")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_lm_ingest_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        val run = s"$dir/run_${System.nanoTime()}"
+        val mDir = s"$run/model"
+        LmScore.writeModel(en.filter($"doc_id" % 3 === 0), "text", mDir)
+        val rest = en.filter($"doc_id" % 3 =!= 0)
+          .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+        implicit val sqlCtx = s.sqlContext
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = graft.streaming.StreamJobs.lmIngestStream(
+            input.toDS().toDF("doc_id", "text"), mDir, "text",
+            runId = "r0")
+          .option("checkpointLocation", s"$run/ckpt").start()
+        try {
+          rest.grouped(math.max(1, rest.size / 3 + 1)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        graft.operators.Maintenance.compactAll(s, Seq(mDir))
+        LmScore.score(LmScore.readModel(s, mDir), docs, "doc_id", "text")
+      },
+      Some(oLmScoreSql)),
+
     "q_text_repetition" -> Q(
       (s, d) => graft.operators.TextProfile.repetition(
         t(s, d, "documents"), "doc_id", "text"),

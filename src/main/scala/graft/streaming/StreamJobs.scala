@@ -268,6 +268,30 @@ object StreamJobs {
         ()
     }
 
+  /** [[lmLookupStream]]'s WRITE-path twin: each micro-batch of
+    * REFERENCE documents appends to the persisted bigram model in
+    * O(batch) via `LmScore.appendModel` — tagged `runId-batchId`
+    * files, so foreachBatch's at-least-once replay converges to
+    * exactly-once (see appendModel's ordering scaladoc for the full
+    * argument: stamp drop first, vocab before counts, purge-by-tag
+    * on replay). A concurrent lookup stream on the same dir scores
+    * against the growing reference from its next micro-batch on;
+    * quiesced `Maintenance.compactAll` restores the sorted/sized
+    * layout and the zero-aggregation serve path. Same runId
+    * discipline as every ingest stream: fresh per (checkpoint,
+    * stream) pair. */
+  def lmIngestStream(reference: DataFrame, modelDir: String,
+      textCol: String, runId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    reference.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.LmScore.appendModel(batch, textCol, modelDir,
+            s"$runId-$batchId")
+        ()
+    }
+
   /** Streaming HYBRID retrieval serving — the composed form of
     * [[bm25LookupStream]] + [[annLookupStream]]: each micro-batch of
     * queries (carrying BOTH a text column and an embedding column)

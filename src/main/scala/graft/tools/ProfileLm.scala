@@ -63,7 +63,7 @@ object ProfileLm {
     }
     time("appendModel (1/16 reference batch)") {
       LmScore.appendModel(ref.filter(col("doc_id") % 16 === 0), "text",
-        dir)
+        dir, tag = "batch16")
       1L
     }
     time("stored score over partials (post-append, pre-compact)") {

@@ -64,11 +64,18 @@ class LmScoreSpec extends SparkSpec {
     // append refB: stored scoring must equal a fresh train over the
     // UNION — count partials summed, vocab as distinct over both
     // (vocab sizes do NOT add: 'a','b' repeat across batches)
-    LmScore.appendModel(refB, "text", dir)
+    LmScore.appendModel(refB, "text", dir, tag = "b1")
     assert(LmScore.modelDrifted(s, dir), "append left no drift")
     assert(scored(LmScore.readModel(s, dir)) ==
       scored(LmScore.train(refA.unionByName(refB), "text")),
       "appended model diverged from union train")
+
+    // replayed append of the SAME tag (foreachBatch at-least-once):
+    // the purge-first contract makes it converge, not double-count
+    LmScore.appendModel(refB, "text", dir, tag = "b1")
+    assert(scored(LmScore.readModel(s, dir)) ==
+      scored(LmScore.train(refA.unionByName(refB), "text")),
+      "replayed append double-counted")
 
     // compact: same scores, drift cleared
     LmScore.modelCompact(s, dir)

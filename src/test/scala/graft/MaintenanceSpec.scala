@@ -185,7 +185,7 @@ class MaintenanceSpec extends SparkSpec {
     graft.operators.LmScore.writeModel(
       ref.filter($"doc_id" % 2 === 0), "text", dir)
     graft.operators.LmScore.appendModel(
-      ref.filter($"doc_id" % 2 === 1), "text", dir)
+      ref.filter($"doc_id" % 2 === 1), "text", dir, tag = "odd")
     assert(graft.operators.LmScore.modelDrifted(s, dir))
     def probe() = graft.operators.LmScore.score(
         graft.operators.LmScore.readModel(s, dir),
