@@ -228,9 +228,13 @@ object FsUtil {
     * persistence unit's params/stamp read uses (`"key":<digits>`).
     * None if the sidecar is absent or lacks the key. */
   def sidecarLong(fs: FileSystem, file: Path, key: String): Option[Long] =
-    readSidecar(fs, file).flatMap(
-      ("\"" + java.util.regex.Pattern.quote(key) + "\":(\\d+)").r
-        .findFirstMatchIn(_))
+    readSidecar(fs, file).flatMap(sidecarLong(_, key))
+
+  /** The parse-from-string form, for callers that already hold the
+    * sidecar content (one filesystem read, several fields). */
+  def sidecarLong(content: String, key: String): Option[Long] =
+    ("\"" + java.util.regex.Pattern.quote(key) + "\":(\\d+)").r
+      .findFirstMatchIn(content)
       .map(_.group(1).toLong)
 
   /** Whether a table's stamped sorted-write file count still matches

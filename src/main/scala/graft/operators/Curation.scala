@@ -478,12 +478,22 @@ object Curation {
     // fractional weights (0.9 -> excluded as 0, 1.7 -> 1), changing
     // selection probabilities without any error — fail fast instead;
     // callers with fractional weights own the scaling to integers
-    val wt = df.schema(weightCol).dataType
-    if (!Seq[org.apache.spark.sql.types.DataType](
-        org.apache.spark.sql.types.ByteType,
-        org.apache.spark.sql.types.ShortType,
-        org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.LongType).contains(wt))
+    // resolve case-insensitively, as the analyzer will (a guard that
+    // is stricter than the query it guards would reject working calls)
+    val wt = df.schema.fields
+      .find(_.name.equalsIgnoreCase(weightCol)).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"sampleWeighted: no column `$weightCol`"))
+    val integral = wt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      // scale-0 decimals (parquet count columns) truncate nothing
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => false
+    }
+    if (!integral)
       throw new IllegalArgumentException(
         s"sampleWeighted: weight column `$weightCol` must be integral " +
           s"(got ${wt.simpleString}); scale fractional weights to " +

@@ -189,11 +189,11 @@ object LmScore {
       dir: String): Model = {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val sidecar = new org.apache.hadoop.fs.Path(dir, "params.json")
-    if (graft.core.FsUtil.readSidecar(fs, sidecar).isEmpty)
-      throw new java.io.IOException(
-        s"readModel: $dir has no params.json — not a stored LM model")
-    val stampedVocab = graft.core.FsUtil.sidecarLong(fs, sidecar, "vocab")
+    val params = graft.core.FsUtil.readSidecar(fs,
+        new org.apache.hadoop.fs.Path(dir, "params.json"))
+      .getOrElse(throw new java.io.IOException(
+        s"readModel: $dir has no params.json — not a stored LM model"))
+    val stampedVocab = graft.core.FsUtil.sidecarLong(params, "vocab")
     val fsExists = fs.exists(
       new org.apache.hadoop.fs.Path(s"$dir/firsts.parquet"))
     stampedVocab match {
@@ -228,11 +228,16 @@ object LmScore {
     *     attempt left, so foreachBatch's at-least-once converges to
     *     exactly-once from any crash point — counts ADD here, so the
     *     decon set's duplicate-insensitivity argument does not apply.
-    *  3. Unigrams land BEFORE bigrams: an ABANDONED mid-append crash
-    *     (no replay — the residual every tagged unit documents)
-    *     leaves at worst vocab-without-counts, a uniform smoothing
-    *     shift; the reverse order would leave bigram mass whose
-    *     tokens V never saw.
+    *  3. The tag's BIGRAM leftovers are purged up front (before the
+    *     unigram append's own purge-then-write), and the fresh
+    *     unigrams land before the fresh bigrams. So at EVERY crash
+    *     point — first attempt or replay, including an ABANDONED one
+    *     (no further replay, the residual every tagged unit
+    *     documents) — the store holds at worst vocab-without-counts,
+    *     a uniform smoothing shift; never bigram mass whose tokens V
+    *     never saw. (Without the up-front bigram purge, a replay that
+    *     died between its unigram purge and its unigram write would
+    *     strand the PRIOR attempt's bigram files exactly so.)
     *
     * Single-writer-per-dir is the caller's contract. */
   def appendModel(reference: DataFrame, textCol: String,
@@ -246,6 +251,8 @@ object LmScore {
         s"appendModel: $dir has no params.json — not a stored LM model")
     graft.core.FsUtil.writeSidecar(fs,
       new org.apache.hadoop.fs.Path(dir, "params.json"), "{}")
+    graft.sources.Sinks.purgeTagged(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/bigrams.parquet"), tag)
     graft.sources.Sinks.appendTagged(
       reference.select(explode(tokens(col(textCol))).as("token"))
         .distinct(),

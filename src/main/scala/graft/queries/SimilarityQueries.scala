@@ -492,7 +492,7 @@ object SimilarityQueries extends QueryPack {
            |    $projs)) AS proj
            |FROM embeddings
            |WHERE len(embedding) >= 64
-           |  AND len(list_filter(embedding, x -> x IS NULL)) = 0
+           |  AND len(list_filter(embedding[1:64], x -> x IS NULL)) = 0
            |""".stripMargin
       }),
 

@@ -279,7 +279,16 @@ object StreamJobs {
     * quiesced `Maintenance.compactAll` restores the sorted/sized
     * layout and the zero-aggregation serve path. Same runId
     * discipline as every ingest stream: fresh per (checkpoint,
-    * stream) pair. */
+    * stream) pair.
+    *
+    * Concurrent-serve residual (bm25IngestStream's, verbatim):
+    * during NORMAL operation a concurrent lookup sees only added
+    * files and the atomic sidecar. During a REPLAY (failure recovery
+    * only) the purge-by-tag deletes the crashed attempt's files, so
+    * a serve batch that listed them mid-purge can fail once with a
+    * missing-file error — its own checkpoint restart re-runs it
+    * against the repaired store. Serves that cannot tolerate that
+    * one-batch hiccup should probe a snapshot copy. */
   def lmIngestStream(reference: DataFrame, modelDir: String,
       textCol: String, runId: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
