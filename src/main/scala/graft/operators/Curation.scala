@@ -489,16 +489,22 @@ object Curation {
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.LongType => true
-      // scale-0 decimals (parquet count columns) truncate nothing
-      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      // scale-0 decimals (parquet count columns) truncate nothing —
+      // but only up to precision 18: a wider decimal can exceed Long
+      // range, and the non-ANSI cast("long") below would yield NULL
+      // for such rows, silently dropping them at the >= 1 filter (the
+      // exact silent-exclusion class this guard exists to prevent)
+      case d: org.apache.spark.sql.types.DecimalType =>
+        d.scale == 0 && d.precision <= 18
       case _ => false
     }
     if (!integral)
       throw new IllegalArgumentException(
         s"sampleWeighted: weight column `$weightCol` must be integral " +
-          s"(got ${wt.simpleString}); scale fractional weights to " +
-          "integers explicitly — a silent truncation would change " +
-          "selection probabilities")
+          s"and Long-ranged (got ${wt.simpleString}); scale fractional " +
+          "weights to integers explicitly — a silent truncation would " +
+          "change selection probabilities (for milli-unit fixed-point " +
+          "scaling use Curation.weightScaledMilli)")
     val u = conv(substring(md5(concat_ws(":",
       seedCols.map(c => col(c).cast("string")): _*)), 1, 12), 16, 10)
       .cast("long")
@@ -514,6 +520,22 @@ object Curation {
       .select(col(strataCol), explode(col("__top")).as("__e"))
       .select(col(strataCol), col("__e.__id").as(idCol))
   }
+
+  /** Fixed-point scaling for FRACTIONAL weights feeding
+    * [[sampleWeighted]] (whose guard rejects fractional columns
+    * outright): round(w·1000) as a Long — milli-unit precision, the
+    * deliberate, visible quantization that replaces the silent
+    * truncating cast the guard exists to prevent. Weights below
+    * 0.0005 round to 0 and are then NEVER SAMPLED (sampleWeighted
+    * filters non-positive weights); callers whose weights live below
+    * that floor should scale by a larger factor themselves rather
+    * than let the floor silently zero their tail. Negative and null
+    * weights pass through (→ filtered downstream as non-positive /
+    * null-excluded) — this helper changes precision, not
+    * eligibility. */
+  def weightScaledMilli(w: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    round(w * lit(1000)).cast("long")
 
   /** Domain-mixture composer: deterministically subsample each stratum
     * so the surviving corpus approximates the target `weights` over a

@@ -196,19 +196,40 @@ object LmScore {
     val stampedVocab = graft.core.FsUtil.sidecarLong(params, "vocab")
     val fsExists = fs.exists(
       new org.apache.hadoop.fs.Path(s"$dir/firsts.parquet"))
+    // fast-path validity is decided AFTER the frames list their
+    // files, not before: appendModel drops the stamp FIRST, then
+    // lands partials, so a reader that fetched the sidecar just
+    // before the drop but listed bigrams.parquet after partials
+    // landed would double-count c12 on the fast path. spark.read
+    // snapshots the file listing at the read call; if the stamp is
+    // STILL present after that snapshot, the listing provably
+    // predates any concurrent append's stamp drop — otherwise fall
+    // back to the collapse path, which is append-safe by design.
     stampedVocab match {
       case Some(v) if fsExists =>
-        Model(spark.read.parquet(s"$dir/bigrams.parquet"),
+        val fast = Model(spark.read.parquet(s"$dir/bigrams.parquet"),
           spark.read.parquet(s"$dir/firsts.parquet"), v)
-      case _ =>
-        val counts = spark.read.parquet(s"$dir/bigrams.parquet")
-          .groupBy(col("w1"), col("w2")).agg(sum(col("c12")).as("c12"))
-        val firsts = counts.groupBy(col("w1"))
-          .agg(sum(col("c12")).as("c1"))
-        val vocab = spark.read.parquet(s"$dir/unigrams.parquet")
-          .agg(count_distinct(col("token"))).head().getLong(0)
-        Model(counts, firsts, vocab)
+        val stampStillThere = graft.core.FsUtil.readSidecar(fs,
+            new org.apache.hadoop.fs.Path(dir, "params.json"))
+          .flatMap(graft.core.FsUtil.sidecarLong(_, "vocab"))
+          .contains(v)
+        if (stampStillThere) fast else collapseRead(spark, dir)
+      case _ => collapseRead(spark, dir)
     }
+  }
+
+  /** The append-tolerant read arm of [[readModel]]: collapse count
+    * partials exactly, re-derive firsts, count the vocab — all
+    * vocab-bounded work. */
+  private def collapseRead(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Model = {
+    val counts = spark.read.parquet(s"$dir/bigrams.parquet")
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c12")).as("c12"))
+    val firsts = counts.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val vocab = spark.read.parquet(s"$dir/unigrams.parquet")
+      .agg(count_distinct(col("token"))).head().getLong(0)
+    Model(counts, firsts, vocab)
   }
 
   /** O(batch) EXACTLY-ONCE append of a new reference batch under a
@@ -220,9 +241,11 @@ object LmScore {
     *  1. The fast-path stamp is dropped FIRST (sidecar → `{}`), so a
     *     concurrent [[readModel]] falls back to the collapse path
     *     before any partial lands — the fast path over duplicated
-    *     (w1, w2) keys would double-count (a reader mid-append sees a
-    *     between-states model, which converges; never a structurally
-    *     wrong one).
+    *     (w1, w2) keys would double-count. readModel closes the
+    *     remaining list-then-drop race on its side by re-checking the
+    *     stamp AFTER its frames snapshot their file listing, so a
+    *     reader mid-append sees a between-states model, which
+    *     converges; never a structurally wrong one.
     *  2. The appends are TAGGED ([[graft.sources.Sinks.appendTagged]]):
     *     a replay of the same tag first purges whatever its crashed
     *     attempt left, so foreachBatch's at-least-once converges to

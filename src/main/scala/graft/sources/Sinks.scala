@@ -72,7 +72,14 @@ object Sinks {
     * size-accurate-but-single file otherwise serializes every later
     * scan onto one or two tasks (measured: the BM25 stored-index
     * probe read 914 s vs 147 s fresh at 500k docs off a 1-file
-    * posting table). Returns the file count it chose. */
+    * posting table). Returns the ACTUAL data-file count on disk
+    * after the write (one listStatus), not the planned partition
+    * count: repartitionByRange over skewed/few-distinct sort keys
+    * can leave planned partitions empty, and empty partitions write
+    * no file — a planned-count stamp would then permanently disagree
+    * with the directory, so every `stampMatchesFileCount` drift check
+    * reads stale forever and maintenance re-compacts an already-clean
+    * store on every pass. */
   def writeSizedParquet(df: DataFrame, path: String,
       targetFileBytes: Long = 128L << 20,
       sortCols: Seq[String] = Nil, minFiles: Int = 1): Int = {
@@ -84,7 +91,10 @@ object Sinks {
           .sortWithinPartitions(sortCols.map(col): _*)
       else df.repartition(n)
     shaped.write.mode(SaveMode.Overwrite).parquet(path)
-    n
+    val out = new org.apache.hadoop.fs.Path(path)
+    out.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .listStatus(out)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
   }
 
   /** Replay-idempotent parquet append for streaming ingest: stage

@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   *      compaction).
   *
   * Usage: runMain graft.tools.ProfileLm <sfDir>
+  * (or set SPARK_GRAFT_SF_DIR — no machine-specific default)
   */
 object ProfileLm {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/repo/benchdata/sf1")
+    val sfDir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse(sys.error(
+        "ProfileLm: pass <sfDir> or set SPARK_GRAFT_SF_DIR"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession("graft-profile-lm",
       master = Some(s"local[$cpus]"), shufflePartitions = Some(cpus.toInt))

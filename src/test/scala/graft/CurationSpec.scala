@@ -497,6 +497,42 @@ class CurationSpec extends SparkSpec {
     assert(re.toSeq == got.sorted.toSeq, "sample changed with layout")
   }
 
+  test("sampleWeighted: decimal guard and weightScaledMilli fixed-point path") {
+    val s = spark
+    import s.implicits._
+    val frac = (0L until 50L)
+      .map(i => (i, "g", if (i < 25) 0.1 else 100.0)).toDF("id", "g", "w")
+    // fractional weights fail fast, and the message points at the helper
+    val e = intercept[IllegalArgumentException] {
+      Curation.sampleWeighted(frac, "g", "id", "w", k = 5, Seq("id"))
+    }
+    assert(e.getMessage.contains("weightScaledMilli"), e.getMessage)
+    // Long-overflowing decimal(38,0) rejected: its cast("long") yields
+    // null (non-ANSI) and the >= 1 filter would drop rows silently
+    val wide = frac.withColumn("w",
+      col("w").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    intercept[IllegalArgumentException] {
+      Curation.sampleWeighted(wide, "g", "id", "w", k = 5, Seq("id"))
+    }
+    // scale-0 decimal within Long range still accepted
+    val ok = frac.withColumn("w",
+      (col("w") * 10).cast(org.apache.spark.sql.types.DecimalType(18, 0)))
+    assert(Curation.sampleWeighted(ok, "g", "id", "w", k = 5, Seq("id"))
+      .count() == 5L)
+    // the helper: milli-unit quantization keeps the weight bias (0.1 →
+    // 100, 100.0 → 100000), and sub-0.0005 weights floor to 0 → excluded
+    val scaled = frac.withColumn("w", Curation.weightScaledMilli(col("w")))
+    val got = Curation.sampleWeighted(scaled, "g", "id", "w", k = 10,
+      Seq("id")).as[(String, Long)].collect().map(_._2)
+    assert(got.length == 10)
+    assert(got.count(_ >= 25L) >= 8, s"heavy rows under-sampled: ${got.toSeq}")
+    val tiny = Seq((1L, "g", 0.0004), (2L, "g", 2.0)).toDF("id", "g", "w")
+      .withColumn("w", Curation.weightScaledMilli(col("w")))
+    val t = Curation.sampleWeighted(tiny, "g", "id", "w", k = 5, Seq("id"))
+      .as[(String, Long)].collect().map(_._2).toSeq
+    assert(t == Seq(2L), s"sub-milli weight should floor out: $t")
+  }
+
   test("decon set: stored probe == batch decontaminate; appends visible, duplicate-proof, drift-flagged") {
     val s = spark
     val docs = Tables.load(s, sf001, "documents")
