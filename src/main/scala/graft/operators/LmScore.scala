@@ -102,6 +102,54 @@ object LmScore {
       idCol: String, textCol: String): DataFrame =
     score(train(reference, textCol), docs, idCol, textCol)
 
+  /** [[score]] with interpolated UNIGRAM BACKOFF — the CCNet-grade
+    * refinement the bigram-only cost lacks: under [[score]] every
+    * unseen bigram after the same w1 costs the same
+    * `bitlen(c1+V) − 1` bits whether w2 is a common reference word in
+    * a novel combination ("rare continuation") or a token the
+    * reference never saw at all ("garbage"). Backoff separates them:
+    *
+    *   cost = least( bitlen(c1+V)  − bitlen(c12+1),            // bigram
+    *                 bitlen(N+V)   − bitlen(c2+1) + backoffBits ) // unigram
+    *
+    * where `c2(w2) = Σ_w1 c12` (reference bigrams ENDING at w2) and
+    * `N = Σ c12` (total reference bigrams) — both derived from the
+    * model's bigram table, so a STORED model needs no extra tables
+    * and no retrain (the unigram arm is one more vocab-bounded
+    * aggregation + join). `backoffBits` is the fixed escape penalty
+    * (Katz's α as integer bits): a known-word unigram fallback costs
+    * its corpus-frequency bits plus the penalty, an OOV w2 costs the
+    * maximal `bitlen(N+V) − 1 + backoffBits`. Everything stays in the
+    * integer-bitlen discipline, so the DuckDB oracle replays the rule
+    * verbatim (`least(len(bin(..)), len(bin(..)))`). Scale shape is
+    * [[score]]'s plus one vocab-bounded join on w2 (AQE skew-split
+    * covers hot continuations exactly as it covers hot firsts) and
+    * one scalar aggregate over the firsts table for N. */
+  def scoreBackoff(model: Model, docs: DataFrame, idCol: String,
+      textCol: String, backoffBits: Int = 4): DataFrame = {
+    require(backoffBits >= 0, "scoreBackoff: backoffBits must be >= 0")
+    val n = model.firsts.agg(sum(col("c1")).cast("long")).head() match {
+      case r if r.isNullAt(0) => 0L // empty reference: all-smoothing
+      case r => r.getLong(0)
+    }
+    val seconds = model.bigrams.groupBy(col("w2"))
+      .agg(sum(col("c12")).as("c2"))
+    bigramsOf(docs, Seq(idCol), textCol)
+      .join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.firsts, Seq("w1"), "left")
+      .join(seconds, Seq("w2"), "left")
+      .withColumn("__cost", least(
+        length(bin(coalesce(col("c1"), lit(0L)) + lit(model.vocab))) -
+          length(bin(coalesce(col("c12"), lit(0L)) + lit(1L))),
+        length(bin(lit(n) + lit(model.vocab))) -
+          length(bin(coalesce(col("c2"), lit(0L)) + lit(1L))) +
+          lit(backoffBits)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__cost")).cast("long").as("bits"))
+      .withColumn("milli_bits", expr("bits * 1000 DIV n_bigrams"))
+  }
+
   // ── persisted LM model ──────────────────────────────────────────────
   //
   // The reference corpus is scanned once per model LIFETIME, not once

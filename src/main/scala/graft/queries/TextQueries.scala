@@ -838,6 +838,61 @@ object TextQueries extends QueryPack {
       },
       Some(oLmScoreSql)),
 
+    // interpolated unigram BACKOFF over the same model: cost =
+    // least(bigram cost, unigram cost + 4 escape bits), the unigram
+    // arm reading c2(w2) = Σ_w1 c12 and N = Σ c12 — both DERIVED from
+    // the bigram table (a stored model needs no retrain). Separates
+    // "rare continuation of a known word" (cheap unigram fallback)
+    // from "token the reference never saw" (maximal cost) — the
+    // distinction CCNet-grade filtering needs and bigram-only
+    // smoothing cannot make. Integer-bitlen throughout; the oracle
+    // replays least(len(bin(..)), len(bin(..)) + 4) verbatim.
+    "q_text_lm_backoff" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.LmScore.scoreBackoff(
+          graft.operators.LmScore.train(
+            docs.filter(col("lang") === "en"), "text"),
+          docs, "doc_id", "text")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, lang,
+             |         string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents),
+             |v AS (SELECT count(DISTINCT tk) AS v FROM (
+             |        SELECT unnest(w) AS tk FROM w WHERE lang = 'en')),
+             |tb AS (
+             |  SELECT
+             |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+             |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+             |  FROM w WHERE lang = 'en' AND len(w) >= 2),
+             |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tb GROUP BY 1, 2),
+             |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+             |       FROM c12 GROUP BY 1),
+             |c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2
+             |       FROM c12 GROUP BY 1),
+             |nn AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM c12),
+             |db AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+             |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+             |  FROM w WHERE len(w) >= 2),
+             |sc AS (
+             |  SELECT d.doc_id,
+             |    least(
+             |      len(bin(coalesce(c1.c1, 0) + (SELECT v FROM v))) -
+             |      len(bin(coalesce(c12.c12, 0) + 1)),
+             |      len(bin((SELECT n FROM nn) + (SELECT v FROM v))) -
+             |      len(bin(coalesce(c2.c2, 0) + 1)) + 4) AS cost
+             |  FROM db d LEFT JOIN c12 USING (w1, w2)
+             |            LEFT JOIN c1 USING (w1)
+             |            LEFT JOIN c2 USING (w2))
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(cost) AS BIGINT) AS bits,
+             |  CAST(sum(cost) AS BIGINT) * 1000 // count(*) AS milli_bits
+             |FROM sc GROUP BY 1
+             |""".stripMargin)),
+
     // the LM quality filter actually SERVING: corpus documents arrive
     // as a STREAM and score per micro-batch against the persisted
     // model (StreamJobs.lmLookupStream), each batch overwriting its

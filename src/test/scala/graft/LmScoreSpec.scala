@@ -99,4 +99,43 @@ class LmScoreSpec extends SparkSpec {
     assert(sc(0)._4 < sc(1)._4,
       s"in-domain doc not cheaper: ${sc.mkString(", ")}")
   }
+
+  test("scoreBackoff: OOV garbage ranks worse than a rare known continuation; bigram-only cannot tell them apart; stored model needs no retrain") {
+    val s = spark
+    import s.implicits._
+    // 'the' is a very common FIRST word (c1 large), 'r' a word the
+    // reference knows well — but only ever after 'of', never after
+    // 'the'. So (the, r) and (the, qx) are BOTH unseen bigrams with
+    // the same w1: bigram-only smoothing prices them identically,
+    // while backoff's unigram arm sees c2(r) = 150 vs c2(qx) = 0.
+    val ref = ((1L to 50L).map(i =>
+        (i, "the a the b the c the d the e the f")) ++
+      Seq((99L, Seq.fill(150)("of r").mkString(" "))))
+      .toDF("id", "text")
+    val docs = Seq((1L, "the r"), (2L, "the qx")).toDF("doc_id", "text")
+    val m = LmScore.train(ref, "text")
+
+    val plain = LmScore.score(m, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(plain(0)._3 == plain(1)._3,
+      s"bigram-only should tie these: ${plain.mkString(", ")}")
+
+    val bo = LmScore.scoreBackoff(m, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(bo(0)._3 < bo(1)._3,
+      s"backoff did not separate OOV from rare: ${bo.mkString(", ")}")
+    // least() can only reduce the bigram-only cost, never raise it
+    assert(bo(0)._3 <= plain(0)._3 && bo(1)._3 <= plain(1)._3,
+      s"backoff raised a cost: ${bo.mkString(", ")} vs ${plain.mkString(", ")}")
+
+    // the unigram arm derives from the stored bigram table — a model
+    // written BEFORE backoff existed serves it with no retrain
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lm-backoff").toString + "/model"
+    LmScore.writeModel(ref, "text", dir)
+    val stored = LmScore.scoreBackoff(LmScore.readModel(s, dir), docs,
+      "doc_id", "text").as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(stored.toSeq == bo.toSeq,
+      "stored-model backoff diverged from fresh train")
+  }
 }
