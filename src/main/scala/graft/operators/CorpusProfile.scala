@@ -218,8 +218,10 @@ object CorpusProfile {
   def read(spark: SparkSession, dir: String, strataCol: String,
       textCol: String): Profile = {
     requireParamsMatch(fsFor(spark, dir), dir, strataCol, textCol)
-    Profile(spark.read.parquet(s"$dir/strata.parquet"),
-      spark.read.parquet(s"$dir/tokens.parquet"), strataCol, textCol)
+    Profile(
+      graft.sources.Sinks.readTagged(spark, s"$dir/strata.parquet"),
+      graft.sources.Sinks.readTagged(spark, s"$dir/tokens.parquet"),
+      strataCol, textCol)
   }
 
   /** Collapse accumulated per-batch partials to one row per group and
@@ -257,7 +259,7 @@ object CorpusProfile {
     * i.e. at least one append landed since the last [[compact]]. One
     * vocab-bounded aggregation, no corpus scan. */
   def hasPartials(spark: SparkSession, dir: String): Boolean = {
-    val tok = spark.read.parquet(s"$dir/tokens.parquet")
+    val tok = graft.sources.Sinks.readTagged(spark, s"$dir/tokens.parquet")
     val r = tok.agg(count(lit(1)).as("rows"),
       count_distinct(struct(col("stratum"), col("token"))).as("groups"))
       .head()

@@ -501,7 +501,8 @@ object Dedup {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     requireParamsMatch(fs, dir, n, numHashes, rowsPerBand)
-    MinhashIndex(spark.read.parquet(s"$dir/signed.parquet"), idCol,
+    MinhashIndex(
+      graft.sources.Sinks.readTagged(spark, s"$dir/signed.parquet"), idCol,
       textCol, n, numHashes, rowsPerBand)
   }
 

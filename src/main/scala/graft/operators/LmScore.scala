@@ -255,7 +255,8 @@ object LmScore {
     // back to the collapse path, which is append-safe by design.
     stampedVocab match {
       case Some(v) if fsExists =>
-        val fast = Model(spark.read.parquet(s"$dir/bigrams.parquet"),
+        val fast = Model(
+          graft.sources.Sinks.readTagged(spark, s"$dir/bigrams.parquet"),
           spark.read.parquet(s"$dir/firsts.parquet"), v)
         val stampStillThere = graft.core.FsUtil.readSidecar(fs,
             new org.apache.hadoop.fs.Path(dir, "params.json"))
@@ -271,11 +272,13 @@ object LmScore {
     * vocab-bounded work. */
   private def collapseRead(spark: org.apache.spark.sql.SparkSession,
       dir: String): Model = {
-    val counts = spark.read.parquet(s"$dir/bigrams.parquet")
+    val counts = graft.sources.Sinks
+      .readTagged(spark, s"$dir/bigrams.parquet")
       .groupBy(col("w1"), col("w2")).agg(sum(col("c12")).as("c12"))
     val firsts = counts.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"))
-    val vocab = spark.read.parquet(s"$dir/unigrams.parquet")
+    val vocab = graft.sources.Sinks
+      .readTagged(spark, s"$dir/unigrams.parquet")
       .agg(count_distinct(col("token"))).head().getLong(0)
     Model(counts, firsts, vocab)
   }
@@ -295,20 +298,22 @@ object LmScore {
     *     reader mid-append sees a between-states model, which
     *     converges; never a structurally wrong one.
     *  2. The appends are TAGGED ([[graft.sources.Sinks.appendTagged]]):
-    *     a replay of the same tag first purges whatever its crashed
-    *     attempt left, so foreachBatch's at-least-once converges to
-    *     exactly-once from any crash point — counts ADD here, so the
-    *     decon set's duplicate-insensitivity argument does not apply.
-    *  3. The tag's BIGRAM leftovers are purged up front (before the
-    *     unigram append's own purge-then-write), and the fresh
-    *     unigrams land before the fresh bigrams. So at EVERY crash
-    *     point — first attempt or replay, including an ABANDONED one
-    *     (no further replay, the residual every tagged unit
-    *     documents) — the store holds at worst vocab-without-counts,
-    *     a uniform smoothing shift; never bigram mass whose tokens V
-    *     never saw. (Without the up-front bigram purge, a replay that
-    *     died between its unigram purge and its unigram write would
-    *     strand the PRIOR attempt's bigram files exactly so.)
+    *     each table's batch is COMMITTED by its manifest update, a
+    *     replayed tag is a no-op once committed, and a crashed
+    *     attempt's uncommitted files are invisible to every reader
+    *     ([[graft.sources.Sinks.readTagged]]) until the replay purges
+    *     them — so foreachBatch's at-least-once converges to
+    *     exactly-once from any crash point, and a serve concurrent
+    *     with crash recovery never observes a missing file. Counts
+    *     ADD here, so the decon set's duplicate-insensitivity
+    *     argument does not apply.
+    *  3. Unigrams append (and commit) before bigrams. So at EVERY
+    *     crash point — first attempt or replay, including an
+    *     ABANDONED one (no further replay) — the VISIBLE store holds
+    *     at worst vocab-without-counts, a uniform smoothing shift;
+    *     never bigram mass whose tokens V never saw. An abandoned
+    *     attempt's residual is now just invisible orphan files, which
+    *     the next compaction discards.
     *
     * Single-writer-per-dir is the caller's contract. */
   def appendModel(reference: DataFrame, textCol: String,
@@ -322,8 +327,6 @@ object LmScore {
         s"appendModel: $dir has no params.json — not a stored LM model")
     graft.core.FsUtil.writeSidecar(fs,
       new org.apache.hadoop.fs.Path(dir, "params.json"), "{}")
-    graft.sources.Sinks.purgeTagged(fs,
-      new org.apache.hadoop.fs.Path(s"$dir/bigrams.parquet"), tag)
     graft.sources.Sinks.appendTagged(
       reference.select(explode(tokens(col(textCol))).as("token"))
         .distinct(),
@@ -345,11 +348,11 @@ object LmScore {
         new org.apache.hadoop.fs.Path(dir, "params.json"), "sortedFiles",
         new org.apache.hadoop.fs.Path(s"$dir/bigrams.parquet")))
       return true
-    val b = spark.read.parquet(s"$dir/bigrams.parquet")
+    val b = graft.sources.Sinks.readTagged(spark, s"$dir/bigrams.parquet")
       .agg(count(lit(1)),
         count_distinct(struct(col("w1"), col("w2")))).head()
     if (b.getLong(0) > b.getLong(1)) return true
-    val u = spark.read.parquet(s"$dir/unigrams.parquet")
+    val u = graft.sources.Sinks.readTagged(spark, s"$dir/unigrams.parquet")
       .agg(count(lit(1)), count_distinct(col("token"))).head()
     u.getLong(0) > u.getLong(1)
   }
@@ -363,9 +366,11 @@ object LmScore {
       dir: String, targetFileBytes: Long = 128L << 20): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val bigrams = spark.read.parquet(s"$dir/bigrams.parquet")
+    val bigrams = graft.sources.Sinks
+      .readTagged(spark, s"$dir/bigrams.parquet")
       .groupBy(col("w1"), col("w2")).agg(sum(col("c12")).as("c12"))
-    val unigrams = spark.read.parquet(s"$dir/unigrams.parquet").distinct()
+    val unigrams = graft.sources.Sinks
+      .readTagged(spark, s"$dir/unigrams.parquet").distinct()
     writeCompacted(spark, fs, dir, bigrams, unigrams, targetFileBytes)
   }
 }

@@ -341,7 +341,8 @@ object Similarity {
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       idCol: String, vecCol: String): IvfIndex =
     IvfIndex(spark.read.parquet(s"$dir/codebook.parquet"),
-      spark.read.parquet(s"$dir/assigned.parquet"), idCol, vecCol)
+      graft.sources.Sinks.readTagged(spark, s"$dir/assigned.parquet"),
+      idCol, vecCol)
 
   /** Build an [[IvfIndex]]: deterministic md5-rank centroid seeds,
     * `refine` Lloyd iterations, one narrow argmax assignment pass.
@@ -940,7 +941,7 @@ object Similarity {
         .getOrElse(throw new java.io.IOException(
           s"PqIndex $dir: malformed params.json: $params")).group(1).toInt
     PqIndex(spark.read.parquet(s"$dir/codebooks.parquet"),
-      spark.read.parquet(s"$dir/codes.parquet"),
+      graft.sources.Sinks.readTagged(spark, s"$dir/codes.parquet"),
       idCol, p("dim"), p("m"), p("ksub"))
   }
 
@@ -1276,7 +1277,7 @@ object Similarity {
       .group(1).toBoolean
     IvfPqIndex(spark.read.parquet(s"$dir/codebook.parquet"),
       spark.read.parquet(s"$dir/pqcodebooks.parquet"),
-      spark.read.parquet(s"$dir/codes.parquet"),
+      graft.sources.Sinks.readTagged(spark, s"$dir/codes.parquet"),
       idCol, vecCol, p("dim"), p("m"), p("ksub"), residual)
   }
 

@@ -361,8 +361,9 @@ object TextProfile {
         .getOrElse(throw new java.io.IOException(
           s"Bm25Index $dir: malformed params.json: $params"))
         .group(1).toLong
-    Bm25Index(spark.read.parquet(s"$dir/postings.parquet"),
-      spark.read.parquet(s"$dir/df.parquet")
+    Bm25Index(
+      graft.sources.Sinks.readTagged(spark, s"$dir/postings.parquet"),
+      graft.sources.Sinks.readTagged(spark, s"$dir/df.parquet")
         .groupBy(col("term")).agg(sum(col("__df")).as("__df")),
       idCol, p("docs"), p("tokens"))
   }
@@ -426,8 +427,10 @@ object TextProfile {
     * from three pieces, each idempotent under re-execution with the
     * same `tag`:
     *  1. the batch's posting/df rows land as `tag`-named files
-    *     ([[graft.sources.Sinks.appendTagged]]) — a replay first
-    *     purges whatever a crashed attempt left, however torn;
+    *     ([[graft.sources.Sinks.appendTagged]]) — each table's batch
+    *     commits via its manifest, a committed tag replays as a
+    *     no-op, and a crashed attempt's uncommitted files are
+    *     invisible to readers until the replay purges them;
     *  2. the per-tag doc/token contribution is recorded in an
     *     `ingest.json` sidecar (base totals captured from params.json
     *     when the log is created, one entry per applied tag — an
@@ -470,7 +473,8 @@ object TextProfile {
       throw new java.io.IOException(
         s"bm25IngestBatch: $dir has no params.json — not an index dir"))
     // recover the id column structurally, as bm25IndexCompact does
-    val idCol = spark.read.parquet(s"$dir/postings.parquet").columns
+    val idCol = graft.sources.Sinks
+      .readTagged(spark, s"$dir/postings.parquet").columns
       .filterNot(c => c == "term" || c.startsWith("__")).head
     def pLong(src: String, k: String): Long =
       s""""$k":(\\d+)""".r.findFirstMatchIn(src).getOrElse(
@@ -524,8 +528,10 @@ object TextProfile {
     import org.apache.hadoop.fs.Path
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val postings = spark.read.parquet(s"$dir/postings.parquet")
-    val dfAgg = spark.read.parquet(s"$dir/df.parquet")
+    val postings = graft.sources.Sinks
+      .readTagged(spark, s"$dir/postings.parquet")
+    val dfAgg = graft.sources.Sinks
+      .readTagged(spark, s"$dir/df.parquet")
       .groupBy(col("term")).agg(sum(col("__df")).as("__df"))
     val params0 = graft.core.FsUtil.readSidecar(fs,
       new Path(dir, "params.json")).getOrElse(
@@ -612,7 +618,7 @@ object TextProfile {
     * (the stamp check), and maintenance consults both. */
   def bm25HasPartials(spark: org.apache.spark.sql.SparkSession,
       dir: String): Boolean = {
-    val r = spark.read.parquet(s"$dir/df.parquet")
+    val r = graft.sources.Sinks.readTagged(spark, s"$dir/df.parquet")
       .agg(count(lit(1)).as("rows"),
         count_distinct(col("term")).as("terms")).head()
     r.getLong(0) > r.getLong(1)

@@ -98,31 +98,66 @@ object Sinks {
   }
 
   /** Replay-idempotent parquet append for streaming ingest: stage
-    * `df` beside `tableDir`, then rename each data file in under a
-    * `tag`-prefixed name (`ingest-<tag>-part-…`). Re-running with the
-    * SAME tag first [[purgeTagged]]s every file a previous attempt
-    * landed, so a replayed foreachBatch micro-batch (the engine's
-    * at-least-once contract) converges to exactly-once no matter
-    * where the prior attempt died — the append-mode analog of the
-    * serve jobs' batch_id-subdir overwrite, for stores whose readers
-    * need ONE flat parquet table (an index's posting/assigned table,
-    * where a partition subdir per batch would change the schema and
-    * defeat sized-file compaction).
+    * `df` beside `tableDir`, rename each data file in under a
+    * `tag`-prefixed name (`ingest-<tag>-part-…`), then COMMIT the
+    * batch by adding those names to the table's `_manifest.json`
+    * (atomic sidecar swap — the manifest update IS the commit point).
+    * [[readTagged]] shows a tagged file only once its tag is in the
+    * manifest, so:
+    *
+    *  - a replayed foreachBatch micro-batch (the engine's
+    *    at-least-once contract) converges to exactly-once from any
+    *    crash point: a tag already in the manifest is a committed
+    *    batch and the replay is a no-op (returns 0); a tag absent
+    *    from the manifest first deletes the crashed attempt's ORPHAN
+    *    files — which no reader can be holding, because they were
+    *    never committed — and redoes the append;
+    *  - a serve stream CONCURRENT with crash-recovery never observes
+    *    a mid-purge directory: committed files are never deleted
+    *    outside quiesced compaction, and uncommitted files are never
+    *    visible. (Before the manifest, a replay's purge could fail
+    *    one concurrent serve batch with a missing-file error — an
+    *    operational page at always-on-serving scale.)
+    *
+    * This is the append-mode analog of the serve jobs'
+    * batch_id-subdir overwrite, for stores whose readers need ONE
+    * flat parquet table (an index's posting/assigned table, where a
+    * partition subdir per batch would change the schema and defeat
+    * sized-file compaction). The manifest tracks ONLY `ingest-*`
+    * files: compacted base files and plain (non-tagged) appends stay
+    * visible by directory listing, so compaction never has to
+    * maintain it — a fresh compacted dir simply has no manifest. The
+    * name is `_`-prefixed so Spark's own file index ignores it.
     *
     * The tag must be unique per logical batch ACROSS stream runs —
     * pass runId+batchId, never batchId alone: a later run's fresh
-    * checkpoint restarts batch ids at 0, and its batch-0 purge would
-    * silently delete the first run's batch-0 rows. Tags are
-    * restricted to [A-Za-z0-9_.-] so the purge prefix-match can never
+    * checkpoint restarts batch ids at 0, and its batch-0 replay would
+    * silently adopt the first run's batch-0 rows as its own. Tags are
+    * restricted to [A-Za-z0-9_.-] so the tag-anchored match can never
     * be confused by separator characters. Returns the data file count
-    * renamed in. */
+    * renamed in (0 for an already-committed tag). */
   def appendTagged(df: DataFrame, tableDir: String, tag: String): Int = {
     import org.apache.hadoop.fs.Path
     requireTag(tag)
     val table = new Path(tableDir)
     val fs = table.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    purgeTagged(fs, table, tag)
+    fs.mkdirs(table)
+    // adopt-or-init: a store whose tagged files predate the manifest
+    // (or a fresh store) gets one listing all current ingest files as
+    // committed — written BEFORE any file of THIS batch exists, so
+    // every later crash point is covered by the commit protocol
+    val committed = readManifest(fs, table).getOrElse {
+      val existing = listIngestFiles(fs, table)
+      writeManifestNames(fs, table, existing)
+      existing.toSet
+    }
+    if (committed.exists(matchesTag(_, tag))) return 0 // already committed
+    // purge this tag's ORPHANS (a crashed attempt's uncommitted
+    // files; invisible to every reader, so deletion is race-free)
+    listIngestFiles(fs, table)
+      .filter(n => matchesTag(n, tag) && !committed.contains(n))
+      .foreach(n => fs.delete(new Path(table, n), false))
     val staging = new Path(Option(table.getParent)
       .getOrElse(new Path(".")),
       s".${table.getName}-ingest-$tag-staging")
@@ -131,35 +166,107 @@ object Sinks {
     val parts = fs.listStatus(staging).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") &&
         p.getName.endsWith(".parquet")).sortBy(_.getName)
-    fs.mkdirs(table)
-    parts.foreach { p =>
-      val dest = new Path(table, s"ingest-$tag-${p.getName}")
+    val names = parts.map(p => s"ingest-$tag-${p.getName}")
+    parts.zip(names).foreach { case (p, n) =>
+      val dest = new Path(table, n)
       if (!fs.rename(p, dest)) throw new java.io.IOException(
         s"appendTagged: rename $p -> $dest failed")
     }
     fs.delete(staging, true)
+    writeManifestNames(fs, table, (committed ++ names).toSeq) // commit
     parts.length
   }
 
-  /** Remove every data file [[appendTagged]] landed under `tag` in
-    * `tableDir` (no-op when none exist — the fresh-batch case). The
-    * match is anchored on Spark's `part-NNNNN-` data-file stem, not a
-    * bare prefix: tags may contain '-', so tag `r0` must not purge
-    * tag `r0-b`'s files (`ingest-r0-b-part-…` fails the anchored
-    * pattern, `ingest-r0-part-…` matches it). */
+  /** Read a parquet table that may receive [[appendTagged]] batches,
+    * honoring the commit manifest: every non-ingest file (compacted
+    * base parts, plain appends) plus only the COMMITTED ingest files.
+    * A table with no manifest (never tagged-appended, or freshly
+    * compacted) is a plain directory read. Every reader of an
+    * append-receiving store — serve probes AND compaction — must come
+    * through here: a directory read would see a crashed attempt's
+    * orphans (double-count on replay) and could race their purge. */
+  def readTagged(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tableDir)
+    val fs = table.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, table) match {
+      case None => spark.read.parquet(tableDir)
+      case Some(m) =>
+        val names = fs.listStatus(table).map(_.getPath.getName)
+          .filter(n => n.endsWith(".parquet") &&
+            (!n.startsWith("ingest-") || m.contains(n)))
+          .sorted
+        if (names.isEmpty) spark.read.parquet(tableDir)
+        else spark.read.parquet(names.map(n => s"$tableDir/$n"): _*)
+    }
+  }
+
+  /** Un-commit and remove every data file [[appendTagged]] landed
+    * under `tag` in `tableDir` (no-op when none exist). Order is
+    * manifest-first: the names leave `_manifest.json` (atomic swap)
+    * before any file is deleted, so a reader either has a manifest
+    * that still lists the files (which then still exist — deletion
+    * has not started) or one that no longer does (and never opens
+    * them). The match is anchored on Spark's `part-NNNNN-` data-file
+    * stem, not a bare prefix: tags may contain '-', so tag `r0` must
+    * not purge tag `r0-b`'s files (`ingest-r0-b-part-…` fails the
+    * anchored pattern, `ingest-r0-part-…` matches it).
+    *
+    * NOTE a reader holding a PRE-purge manifest snapshot can still
+    * race the file deletes — use this only quiesced or for files that
+    * were never committed; [[appendTagged]]'s crash recovery purges
+    * only uncommitted orphans and so is fully race-free. */
   def purgeTagged(fs: org.apache.hadoop.fs.FileSystem,
       tableDir: org.apache.hadoop.fs.Path, tag: String): Unit = {
     requireTag(tag)
-    // \d{5,}, not \d{5}: Spark zero-pads task indices to five digits
-    // but keeps counting past part-99999 — a fixed-width anchor would
-    // stop purging exactly at the scale the contract exists for
-    val pat = ("ingest-" + java.util.regex.Pattern.quote(tag) +
-      "-part-\\d{5,}-.*").r
+    readManifest(fs, tableDir).foreach { m =>
+      val keep = m.filterNot(matchesTag(_, tag))
+      if (keep.size != m.size) writeManifestNames(fs, tableDir, keep.toSeq)
+    }
     if (fs.exists(tableDir))
       fs.listStatus(tableDir)
-        .filter(f => pat.pattern.matcher(f.getPath.getName).matches())
+        .filter(f => matchesTag(f.getPath.getName, tag))
         .foreach(f => fs.delete(f.getPath, false))
   }
+
+  /** The tagged-append commit manifest's file name — `_`-prefixed so
+    * Spark's file index (and every `*.parquet` file-count stamp)
+    * ignores it. */
+  val ManifestFile = "_manifest.json"
+
+  // \d{5,}, not \d{5}: Spark zero-pads task indices to five digits
+  // but keeps counting past part-99999 — a fixed-width anchor would
+  // stop matching exactly at the scale the contract exists for
+  private def matchesTag(name: String, tag: String): Boolean =
+    ("ingest-" + java.util.regex.Pattern.quote(tag) +
+      "-part-\\d{5,}-.*").r.pattern.matcher(name).matches()
+
+  private def listIngestFiles(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(table)) Nil
+    else fs.listStatus(table).map(_.getPath.getName)
+      .filter(n => n.startsWith("ingest-") && n.endsWith(".parquet"))
+      .toSeq
+
+  /** The committed ingest-file names, or None when the table has no
+    * manifest (never tagged-appended / freshly compacted). */
+  private[graft] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path): Option[Set[String]] =
+    graft.core.FsUtil.readSidecar(fs,
+        new org.apache.hadoop.fs.Path(table, ManifestFile))
+      .map(json => "\"([^\"]+\\.parquet)\"".r
+        .findAllMatchIn(json).map(_.group(1)).toSet)
+
+  // private[graft]: specs doctor manifests to simulate crash states
+  private[graft] def writeManifestNames(
+      fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, names: Seq[String]): Unit =
+    graft.core.FsUtil.writeSidecar(fs,
+      new org.apache.hadoop.fs.Path(table, ManifestFile),
+      names.sorted.map(n => "\"" + n + "\"")
+        .mkString("{\"files\":[", ",", "]}"))
 
   // ASCII-only, matching the ingest-log entry regex exactly: Unicode
   // isLetterOrDigit would admit tags (e.g. a runId with an accent)

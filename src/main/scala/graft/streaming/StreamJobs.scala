@@ -273,22 +273,17 @@ object StreamJobs {
     * O(batch) via `LmScore.appendModel` — tagged `runId-batchId`
     * files, so foreachBatch's at-least-once replay converges to
     * exactly-once (see appendModel's ordering scaladoc for the full
-    * argument: stamp drop first, vocab before counts, purge-by-tag
-    * on replay). A concurrent lookup stream on the same dir scores
-    * against the growing reference from its next micro-batch on;
-    * quiesced `Maintenance.compactAll` restores the sorted/sized
-    * layout and the zero-aggregation serve path. Same runId
-    * discipline as every ingest stream: fresh per (checkpoint,
-    * stream) pair.
-    *
-    * Concurrent-serve residual (bm25IngestStream's, verbatim):
-    * during NORMAL operation a concurrent lookup sees only added
-    * files and the atomic sidecar. During a REPLAY (failure recovery
-    * only) the purge-by-tag deletes the crashed attempt's files, so
-    * a serve batch that listed them mid-purge can fail once with a
-    * missing-file error — its own checkpoint restart re-runs it
-    * against the repaired store. Serves that cannot tolerate that
-    * one-batch hiccup should probe a snapshot copy. */
+    * argument: stamp drop first, vocab before counts,
+    * manifest-committed batches). A concurrent lookup stream on the
+    * same dir scores against the growing reference from its next
+    * micro-batch on, and is SAFE against crash recovery: batches
+    * commit via the table manifest (`Sinks.appendTagged` /
+    * `readTagged`), committed files are never deleted, and a replay
+    * purges only uncommitted orphans no reader can see — a serve
+    * never observes a missing file. Quiesced
+    * `Maintenance.compactAll` restores the sorted/sized layout and
+    * the zero-aggregation serve path. Same runId discipline as every
+    * ingest stream: fresh per (checkpoint, stream) pair. */
   def lmIngestStream(reference: DataFrame, modelDir: String,
       textCol: String, runId: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
@@ -392,14 +387,12 @@ object StreamJobs {
     * unsorted tagged files by design; `Maintenance.compactAll`
     * (quiesced) restores the term-sorted sized layout.
     *
-    * Concurrent-serve residual: during NORMAL operation a concurrent
-    * lookup stream sees old-or-new sidecars (atomic rename) and
-    * append-only data files. During a REPLAY (failure recovery only)
-    * the purge deletes the crashed attempt's files, so a serve batch
-    * that listed them mid-purge can fail once with a missing-file
-    * error — its own checkpoint restart re-runs it against the
-    * repaired store. Serves that cannot tolerate that one-batch
-    * hiccup should probe a snapshot copy. Returns the writer —
+    * Concurrent serves are safe through crash recovery: batches
+    * commit via the table manifest (`Sinks.appendTagged` /
+    * `readTagged`), committed files are never deleted outside
+    * quiesced compaction, and a replay purges only uncommitted
+    * orphans no reader can see — a lookup stream on the same dir
+    * never observes a missing file. Returns the writer —
     * caller picks trigger/checkpoint and starts it. */
   def bm25IngestStream(docs: DataFrame, indexDir: String,
       textCol: String, runId: String)

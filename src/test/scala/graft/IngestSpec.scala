@@ -29,34 +29,106 @@ class IngestSpec extends SparkSpec {
     new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
 
-  test("appendTagged: replay purges the same tag, neighbors survive, prefix tags do not collide") {
+  test("appendTagged: committed replay no-ops, uncommitted replay replaces, neighbors survive, prefix tags do not collide") {
     val s = spark
     import s.implicits._
     val dir = tmp("tagged") + "/table"
+    val table = new org.apache.hadoop.fs.Path(dir)
     Sinks.appendTagged(Seq(1L, 2L).toDF("v"), dir, "r0-0")
     Sinks.appendTagged(Seq(3L).toDF("v"), dir, "r0-1")
     // r0-1 is a '-'-joined prefix of r0-1x and r0-1-b: neither may be
-    // purged by an r0-1 replay
+    // disturbed by an r0-1 replay
     Sinks.appendTagged(Seq(4L).toDF("v"), dir, "r0-1x")
     Sinks.appendTagged(Seq(5L).toDF("v"), dir, "r0-1-b")
+    val fs = fsOf(dir)
     val before = dataFiles(dir)
-    // replay tag r0-1 with different content: only its rows change
+    // a COMMITTED tag replays as a no-op: the manifest is the commit
+    // point, so the batch's original content wins and the replay
+    // returns 0 files
+    assert(Sinks.appendTagged(Seq(30L).toDF("v"), dir, "r0-1") === 0)
+    assert(Sinks.readTagged(s, dir).as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+    assert(dataFiles(dir) === before, "committed replay touched files")
+
+    // an UNCOMMITTED attempt (crashed before its manifest commit)
+    // leaves orphans that readers never see and a replay replaces
+    val committed = Sinks.readManifest(fs, table).get
+    val r01files = committed.filter(_.startsWith("ingest-r0-1-part"))
+    Sinks.writeManifestNames(fs, table,
+      (committed -- r01files).toSeq) // simulate: commit never happened
+    assert(Sinks.readTagged(s, dir).as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 4L, 5L), "orphans visible to readTagged")
     Sinks.appendTagged(Seq(30L).toDF("v"), dir, "r0-1")
-    assert(s.read.parquet(dir).as[Long].collect().sorted.toSeq ===
-      Seq(1L, 2L, 4L, 5L, 30L))
-    // and the other tags' files are untouched (same names on disk)
-    val after = dataFiles(dir)
+    assert(Sinks.readTagged(s, dir).as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 4L, 5L, 30L), "uncommitted replay did not replace")
+    assert(!r01files.exists(dataFiles(dir).contains(_)),
+      "replay left the crashed attempt's orphan files")
+    // other tags' files untouched through both replays
     assert(before.filterNot(_.contains("ingest-r0-1-part")).toSet
-      .subsetOf(after.toSet))
+      .subsetOf(dataFiles(dir).toSet))
+
     // the purge anchor is \d{5,}: Spark zero-pads to five digits but
     // counts past part-99999 at high task counts — a six-digit part
-    // file must still purge
-    val fs = fsOf(dir)
+    // file must still purge; purgeTagged also un-commits the tag
     val six = new org.apache.hadoop.fs.Path(dir,
       "ingest-r0-1-part-123456-deadbeef.snappy.parquet")
     fs.create(six, true).close()
-    Sinks.purgeTagged(fs, new org.apache.hadoop.fs.Path(dir), "r0-1")
+    Sinks.purgeTagged(fs, table, "r0-1")
     assert(!fs.exists(six), "six-digit part index escaped the purge")
+    assert(!Sinks.readManifest(fs, table).get
+      .exists(_.startsWith("ingest-r0-1-part")),
+      "purgeTagged left the tag committed")
+  }
+
+  test("a serve loop concurrent with crash-replayed appends observes zero failed reads and only committed states") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("concurrent") + "/table"
+    val table = new org.apache.hadoop.fs.Path(dir)
+    // base store + one committed batch, then FIVE stranded attempts:
+    // files renamed in but the manifest commit "crashed" (stripped) —
+    // the only torn state the commit protocol can reach. Readers must
+    // never see the stranded files, and the concurrent replays below
+    // purge + redo them while the serve loop hammers the table.
+    Sinks.writeSizedParquet((0L until 1000L).toDF("v"), dir)
+    Sinks.appendTagged((1000L until 1100L).toDF("v"), dir, "r0-0")
+    val fs = fsOf(dir)
+    val tags = (1 to 5).map(i => s"r0-$i")
+    tags.zipWithIndex.foreach { case (tag, i) =>
+      val lo = 1100L + i * 100L
+      Sinks.appendTagged((lo until lo + 100L).toDF("v"), dir, tag)
+    }
+    val m = Sinks.readManifest(fs, table).get
+    Sinks.writeManifestNames(fs, table, m.filter(n =>
+      !tags.exists(t => n.startsWith(s"ingest-$t-part"))).toSeq)
+    assert(Sinks.readTagged(s, dir).count() === 1100L,
+      "stranded attempts visible before replay")
+
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+    val serve = new Thread(() => {
+      while (!stop.get()) {
+        try { seen.add(Sinks.readTagged(s, dir).count()); reads
+          .incrementAndGet() }
+        catch { case e: Throwable => failures.add(e) }
+      }
+    }, "graft-serve-loop")
+    serve.start()
+    try tags.zipWithIndex.foreach { case (tag, i) =>
+      val lo = 1100L + i * 100L
+      Sinks.appendTagged((lo until lo + 100L).toDF("v"), dir, tag)
+    } finally { stop.set(true); serve.join() }
+    assert(failures.isEmpty,
+      s"concurrent serve failed: ${failures.peek()}")
+    assert(reads.get() >= 3, s"serve loop barely ran (${reads.get()})")
+    val legal = (0 to 5).map(i => 1100L + i * 100L).toSet
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.subsetOf(legal),
+      s"serve observed a non-committed state: ${seen.asScala}")
+    assert(Sinks.readTagged(s, dir).count() === 1600L)
   }
 
   test("bm25IngestBatch: replay of a clean batch and of every torn prefix converges to single-apply") {
@@ -116,9 +188,14 @@ class IngestSpec extends SparkSpec {
     assert(probe() === want, "repair after postings-missing failed")
     assert(sidecar("params.json") === cleanParams)
     assert(sidecar("ingest.json") === cleanLog)
-    // (b) died mid-append: half of each table's tagged files gone,
-    // sidecars pre-batch
+    // (b) died mid-append: the tag never committed (manifest without
+    // its names — the only reachable torn state under the manifest
+    // protocol; committed files cannot vanish), half its renamed
+    // files stranded as orphans, sidecars pre-batch
     Seq(post, dfp).foreach { t =>
+      val m = Sinks.readManifest(fs, t).get
+      Sinks.writeManifestNames(fs, t,
+        m.filterNot(_.startsWith("ingest-r0-1-part")).toSeq)
       val tagged = fs.listStatus(t)
         .filter(_.getPath.getName.startsWith("ingest-r0-1-"))
       tagged.take(math.max(1, tagged.length / 2))
