@@ -594,18 +594,32 @@ object Curation {
     * same 6-decimal value and cannot flip a bucket. Ties at a
     * threshold fall to the lower bucket (deterministic). */
   def qualityBuckets(df: DataFrame, idCol: String, textCol: String,
-      strataCol: String, nBuckets: Int = 10): DataFrame = {
+      strataCol: String, nBuckets: Int = 10): DataFrame =
+    scoreBuckets(df.select(col(idCol), col(strataCol),
+      alphaRatio(col(textCol)).as("score")), idCol, "score",
+      strataCol, nBuckets)
+
+  /** [[qualityBuckets]] over a CALLER-PROVIDED score column — the
+    * form a CCNet pipeline needs to tier documents by LM milli-bits
+    * (head/middle/tail terciles per language) instead of the built-in
+    * alpha-ratio heuristic. Same scale shape and cross-engine
+    * discipline: exact percentile thresholds per stratum (never an
+    * ntile window sorting a whole stratum on one task), thresholds
+    * rounded to 6 decimals on both engines, ties fall to the lower
+    * bucket. Bucket 1 holds the SMALLEST scores — for milli-bits that
+    * is the most reference-like tier. */
+  def scoreBuckets(df: DataFrame, idCol: String, scoreCol: String,
+      strataCol: String, nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
-    val scored = df.select(col(idCol), col(strataCol),
-      alphaRatio(col(textCol)).as("score"))
+    val scored = df.select(col(idCol), col(strataCol), col(scoreCol))
     val qs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val thresholds = scored.groupBy(col(strataCol))
-      .agg(transform(percentile(col("score"), lit(qs)),
+      .agg(transform(percentile(col(scoreCol), lit(qs)),
         t => round(t, 6)).as("__th"))
     scored.join(broadcast(thresholds), strataCol)
-      .select(col(idCol), col(strataCol), col("score"),
+      .select(col(idCol), col(strataCol), col(scoreCol),
         aggregate(col("__th"), lit(1L),
-          (acc, t) => acc + when(col("score") > t, 1L).otherwise(0L))
+          (acc, t) => acc + when(col(scoreCol) > t, 1L).otherwise(0L))
           .as("bucket"))
   }
 

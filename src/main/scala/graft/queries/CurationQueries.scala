@@ -489,6 +489,197 @@ object CurationQueries extends QueryPack {
               |FROM kept
               |""".stripMargin)),
 
+    // the CCNet curation chain END TO END FROM STORED ARTIFACTS —
+    // the deployment shape: the decontamination set and the bigram
+    // LM are persisted units built once (paid per benchmark / per
+    // reference-corpus lifetime), and the corpus pass composes
+    // near-dup survivor selection (best alpha-ratio copy per minhash
+    // cluster) -> stored-set decontamination (semi-join probe) ->
+    // stored-model LM scoring (CCNet's perplexity tiering as integer
+    // milli-bits; keep the head+middle terciles per language) ->
+    // domain-mixture thinning to a token budget -> deterministic
+    // training order. Stage boundaries persisted (q_pipeline_pretrain
+    // discipline: later stages reference each frame 2-3 times; the
+    // harness clears the session cache per query). The oracle replays
+    // the WHOLE chain: minhash clusters, gram semi-join, the bitlen
+    // cross-entropy, tercile thresholds, mixture rates, md5 order.
+    "q_pipeline_ccnet" -> Q(
+      (s, d) => {
+        import graft.operators.LmScore
+        val docs = t(s, d, "documents")
+        val root = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_ccnet_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        val deconDir = s"$root/decon"
+        val modelDir = s"$root/model"
+        Curation.writeDeconSet(docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 4, deconDir)
+        LmScore.writeModel(docs.filter(col("lang") === "en"), "text",
+          modelDir)
+        val scored = docs.select(col("doc_id"), col("lang"),
+          col("source"), col("text"),
+          graft.functions.TextFunctions.alphaRatio(col("text"))
+            .as("score"))
+        val deduped = Curation.survivorsBest(scored, "doc_id", "score",
+          Dedup.dupClusters(Dedup.minhashLshPairs(docs, "doc_id",
+            "text", n = 3, numHashes = 16, rowsPerBand = 4,
+            threshold = 0.5))).persist()
+        val corpus = deduped.filter(col("source") =!= "src0")
+        val contaminated = Curation.decontaminateWithSet(corpus,
+            Curation.readDeconSet(s, deconDir)._1, "doc_id", "text",
+            n = 4)
+          .select("doc_id")
+        val clean = corpus.join(broadcast(contaminated), Seq("doc_id"),
+          "left_anti").persist()
+        val milli = LmScore.score(LmScore.readModel(s, modelDir),
+            clean, "doc_id", "text")
+          .join(clean.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        val gated = Curation.scoreBuckets(milli, "doc_id",
+            "milli_bits", "lang", nBuckets = 3)
+          .filter(col("bucket") <= 2)
+          .select(col("doc_id"), col("bucket"))
+        val kept = clean.join(gated, Seq("doc_id")).persist()
+        val budgetRow = kept
+          .filter(col("lang").isin("en", "de", "fr", "es"))
+          .agg(sum(graft.functions.TextFunctions
+            .bpeTokenCount(col("text")))).head()
+        val budget =
+          (if (budgetRow.isNullAt(0)) 0L else budgetRow.getLong(0)) / 2
+        val mixed = Curation.mixDomains(kept, "lang", "text",
+          weights = Map("en" -> 0.4, "de" -> 0.3, "fr" -> 0.2,
+            "es" -> 0.1),
+          totalTokens = budget, seedCols = Seq("doc_id", "text"))
+          .persist()
+        Curation.trainOrder(mixed, "doc_id", Seq("doc_id", "text"),
+            numShards = 8)
+          .join(mixed.select(col("doc_id"), col("lang"), col("bucket")),
+            Seq("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${DedupQueries.oMinhashCtes},
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM jp
+              |  UNION
+              |  SELECT id_b AS src, id_a AS dst FROM jp),
+              |nodes AS (SELECT DISTINCT src AS id FROM edges),
+              |reach(src, dst) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT r.src, e.dst FROM reach r
+              |  JOIN edges e ON r.dst = e.src),
+              |clusters AS (
+              |  SELECT src AS doc_id, min(dst) AS cluster_id
+              |  FROM reach GROUP BY src),
+              |qsc AS (
+              |  SELECT doc_id,
+              |    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              |      / CAST(length(text) AS DOUBLE), 4) AS score
+              |  FROM documents),
+              |best AS (
+              |  SELECT doc_id FROM (
+              |    SELECT c.doc_id,
+              |      row_number() OVER (PARTITION BY c.cluster_id
+              |        ORDER BY qsc.score DESC, c.doc_id ASC) AS rn
+              |    FROM clusters c JOIN qsc USING (doc_id))
+              |  WHERE rn = 1),
+              |corp AS (
+              |  SELECT doc_id, lang, text FROM documents d
+              |  WHERE d.source <> 'src0'
+              |    AND (d.doc_id NOT IN (SELECT doc_id FROM clusters)
+              |      OR d.doc_id IN (SELECT doc_id FROM best))),
+              |gw AS (SELECT doc_id,
+              |         string_split_regex(trim(text), '\\s+') AS wl
+              |       FROM corp),
+              |gg AS (SELECT DISTINCT doc_id, gram FROM (
+              |  SELECT doc_id,
+              |    unnest(list_transform(range(1, len(wl)-2), i ->
+              |      wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] || ' '
+              |        || wl[i+3])) AS gram
+              |  FROM gw WHERE len(wl) >= 4)),
+              |bw AS (SELECT doc_id,
+              |         string_split_regex(trim(text), '\\s+') AS wl
+              |       FROM documents WHERE source = 'src0'),
+              |bg AS (SELECT DISTINCT gram FROM (
+              |  SELECT unnest(list_transform(range(1, len(wl)-2), i ->
+              |      wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] || ' '
+              |        || wl[i+3])) AS gram
+              |  FROM bw WHERE len(wl) >= 4)),
+              |cont AS (SELECT DISTINCT gg.doc_id
+              |         FROM gg JOIN bg USING (gram)),
+              |clean AS (
+              |  SELECT doc_id, lang, text FROM corp
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+              |lw AS (
+              |  SELECT doc_id, lang,
+              |         string_split_regex(trim(text), '\\s+') AS w
+              |  FROM documents),
+              |v AS (SELECT count(DISTINCT tk) AS v FROM (
+              |        SELECT unnest(w) AS tk FROM lw WHERE lang = 'en')),
+              |tb AS (
+              |  SELECT
+              |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+              |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+              |  FROM lw WHERE lang = 'en' AND len(w) >= 2),
+              |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tb GROUP BY 1, 2),
+              |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+              |       FROM c12 GROUP BY 1),
+              |db AS (
+              |  SELECT lw.doc_id,
+              |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+              |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+              |  FROM lw JOIN (SELECT doc_id FROM clean) cl USING (doc_id)
+              |  WHERE len(w) >= 2),
+              |sc AS (
+              |  SELECT doc_id,
+              |    CAST(sum(cost) AS BIGINT) * 1000 // count(*) AS milli
+              |  FROM (
+              |    SELECT d.doc_id,
+              |      len(bin(coalesce(c1.c1, 0) + (SELECT v FROM v))) -
+              |      len(bin(coalesce(c12.c12, 0) + 1)) AS cost
+              |    FROM db d LEFT JOIN c12 USING (w1, w2)
+              |              LEFT JOIN c1 USING (w1))
+              |  GROUP BY doc_id),
+              |th AS (
+              |  SELECT clean.lang,
+              |    list_transform(quantile_cont(sc.milli, [1.0/3, 2.0/3]),
+              |      x -> round(x, 6)) AS q
+              |  FROM sc JOIN clean USING (doc_id) GROUP BY clean.lang),
+              |gated AS (
+              |  SELECT sc.doc_id, clean.lang, clean.text,
+              |    CAST(1 + len(list_filter(th.q, x -> sc.milli > x))
+              |      AS BIGINT) AS bucket
+              |  FROM sc JOIN clean USING (doc_id) JOIN th USING (lang)
+              |  WHERE CAST(1 + len(list_filter(th.q,
+              |    x -> sc.milli > x)) AS BIGINT) <= 2),
+              |tok AS (
+              |  SELECT doc_id, lang, bucket, text,
+              |    CAST(len(regexp_extract_all(text,
+              |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok
+              |  FROM gated),
+              |b AS (SELECT CAST(SUM(n_tok) // 2 AS BIGINT) AS budget
+              |      FROM tok WHERE lang IN ('en','de','fr','es')),
+              |rt AS (
+              |  SELECT lang, LEAST(CAST(1 AS DOUBLE),
+              |    CAST(b.budget AS DOUBLE) *
+              |    CAST(CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.3
+              |                   WHEN 'fr' THEN 0.2 WHEN 'es' THEN 0.1
+              |                   ELSE 0.0 END AS DOUBLE) /
+              |    CAST(SUM(n_tok) AS DOUBLE)) AS rate
+              |  FROM tok, b GROUP BY lang, b.budget),
+              |mixed AS (
+              |  SELECT t.doc_id, t.lang, t.bucket, t.text
+              |  FROM tok t JOIN rt USING (lang)
+              |  WHERE rt.rate >= 1.0
+              |     OR substr(md5(CAST(t.doc_id AS VARCHAR) || ':' || t.text),
+              |               1, 4)
+              |        < printf('%04x', CAST(floor(rt.rate * 65536) AS INT)))
+              |SELECT doc_id, lang, bucket, doc_id % 8 AS shard,
+              |  CAST(row_number() OVER (PARTITION BY doc_id % 8
+              |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || text),
+              |             doc_id) AS BIGINT) AS pos
+              |FROM mixed
+              |""".stripMargin)),
+
     // PII redaction: mask emails / IPv4s / phone-shaped numbers and
     // count matches per pattern — RE2-compatible patterns by
     // construction, so the oracle replays the masking bit-for-bit.
