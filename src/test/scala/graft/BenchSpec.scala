@@ -105,18 +105,61 @@ class BenchSpec extends AnyFunSuite {
     assert(picked.head == 59)
   }
 
-  test("retry candidates order by bar-ratio, not absolute seconds") {
+  test("retry candidates: multi-second 2x-bar rows take guaranteed slots, then ratio order") {
     // the round-12 failure: a wide burst inflates an expensive row to
     // 2.2x bar and two cheap rows to 4.5-5x bar; seconds-ordering
     // spent the slots on the expensive row and shipped the MOST
-    // anomalous (and cheapest-to-retry) rows uncorrected
+    // anomalous (and cheapest-to-retry) rows uncorrected. Round 14
+    // then showed the pure-ratio fix over-rotates: the only
+    // multi-second breach (q_dedup_jaccard, 11 s at 2.6x) ranked 21st
+    // of 20 slots behind sub-second high-ratio rows the ±noise rule
+    // adjudicates anyway. So: (>= 1 s AND >= 2x bar) rows first by
+    // ratio, then the remaining candidates by ratio, then bar-less.
     val times = IndexedSeq(12.0, 1.0, 0.5, 6.0)
     val barsV = IndexedSeq(Some(5.5), Some(0.22), Some(0.1), Some(4.0))
     val picked = retryCandidates(times, 2, 0.1, Seq(0.1), 0.09, barsV)
-    // row 3 sits at 1.5x bar — not a candidate; the rest rank by
-    // ratio: row 2 (5.0x), row 1 (4.5x), row 0 (2.2x) — seconds
-    // ordering would have said 0, 3, 1, 2
-    assert(picked == Seq(2, 1, 0), picked)
+    // row 3 sits at 1.5x bar — not a candidate; rows 0 (12 s, 2.2x)
+    // and 1 (1.0 s, 4.5x) are multi-second breaches → guaranteed
+    // first, by ratio (1 before 0); the sub-second row 2 (5.0x)
+    // queues after them despite the highest ratio
+    assert(picked == Seq(1, 0, 2), picked)
+  }
+
+  test("a multi-second breach can never be squeezed out by sub-second candidates (round-14 rank-21 case)") {
+    // 21 sub-second rows at 5x bar + one 11 s row at 2.6x bar: under
+    // pure ratio order the expensive row ranked 21st and the 20-slot
+    // budget cut exactly it. The priority arm guarantees it a slot.
+    val times = IndexedSeq.tabulate(22)(i =>
+      if (i == 21) 11.0 else 0.5 + i * 0.001)
+    val barsV = IndexedSeq.tabulate(22)(i =>
+      if (i == 21) Some(4.25) else Some(0.1))
+    val picked = retryCandidates(times, 30, 0.1, Seq(0.1), 0.09, barsV)
+    assert(picked.size == 20)
+    assert(picked.head == 21,
+      s"the multi-second breach must retry first: $picked")
+  }
+
+  test("retry-cal bracketing: a breach retried under a degraded cal is suppressed as burst") {
+    // round 14: retries ran at end-of-run under a ~4x throttle
+    // (cal3 0.33 vs cal 0.07) and their still-breached minima shipped
+    // as formal breaches. With the retry's own probe on record the
+    // verdict is mechanical.
+    val cal = 0.07; val mids = Seq(0.1, 0.53, 0.64); val cal2 = 0.33
+    // line = max(2*0.07, 0.17) = 0.17; a retry cal of 0.33 certifies
+    // the retry ran degraded, 0.12 certifies it ran clean
+    assert(retryCalDegraded(0.33, cal, mids, cal2))
+    assert(!retryCalDegraded(0.12, cal, mids, cal2))
+    // suppression needs BOTH a live breach and a degraded retry cal
+    assert(suppressAsBurst(12.0, Some(5.83), Some(0.33), cal, mids,
+      cal2), "q_stream_ann's round-14 shape must suppress")
+    assert(!suppressAsBurst(12.0, Some(5.83), Some(0.12), cal, mids,
+      cal2), "a clean-cal retry verdict must ship")
+    assert(!suppressAsBurst(5.9, Some(5.83), Some(0.33), cal, mids,
+      cal2), "an at-bar row has no breach to suppress")
+    assert(!suppressAsBurst(12.0, None, Some(0.33), cal, mids, cal2),
+      "bar-less rows never suppress")
+    assert(!suppressAsBurst(12.0, Some(5.83), None, cal, mids, cal2),
+      "never-retried rows never suppress")
   }
 
   test("barless probe-flagged rows queue after every barred candidate") {
