@@ -367,13 +367,23 @@ object Bench {
           if (budget > 0) {
             val (name, orig) = raw(i)
             val p0 = System.nanoTime()
-            val rcal = midProbe() // min-of-2, settle between (as mid)
+            // bracketing means BOTH SIDES: a pre-only probe can read
+            // degraded for a throttle that lifted before the retry
+            // body ran (false suppression of a true regression), and
+            // clean for one that started mid-retry (a contaminated
+            // minimum shipping as trusted). Each side is min-of-2
+            // with a settle (the midProbe rationale: the sample right
+            // after a heavy query absorbs its trailing load); the
+            // recorded cal is the WORSE side — degraded-any-side
+            // makes the verdict untrustworthy.
+            val pre = midProbe()
             val t0 = System.nanoTime()
             val ok =
               try { ordered(i)._2(spark, sfDir).count(); true }
               catch { case _: Throwable => false }
             val again = (System.nanoTime() - t0) / 1e9
             spark.catalog.clearCache()
+            val rcal = math.max(pre, midProbe())
             budget -= (System.nanoTime() - p0) / 1e9
             // a THROWING retry is not a faster timing — its wall time
             // is failure time; keep the original reading and record
@@ -481,8 +491,12 @@ object Bench {
     // probe over the burst line) carries an untrustworthy verdict:
     // suppressed from the breach dict into "qburst" (values stay at
     // full fidelity in bench_last.json's retried map)
+    // only SUCCESSFUL retries can certify a burst: a throwing retry
+    // (-1) produced no timing to adjudicate with, so its row must
+    // ship its breach rather than vanish into qburst on the strength
+    // of a cal probe alone
     val retryCalOf =
-      retried.map { case (n, _, _, rc) => n -> rc }.toMap
+      retried.collect { case (n, _, r, rc) if r >= 0 => n -> rc }.toMap
     def burstSuppressed(k: String, v: Double): Boolean =
       BenchAdjudication.suppressAsBurst(v, bars.get(k),
         retryCalOf.get(k), cal, midCals.toSeq, cal2)

@@ -143,20 +143,30 @@ object Sinks {
     val fs = table.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
     fs.mkdirs(table)
+    val tagPat = tagPattern(tag)
     // adopt-or-init: a store whose tagged files predate the manifest
-    // (or a fresh store) gets one listing all current ingest files as
-    // committed — written BEFORE any file of THIS batch exists, so
-    // every later crash point is covered by the commit protocol
+    // (or a fresh store) gets one listing the current ingest files as
+    // committed — EXCEPT the current tag's. A pre-manifest store can
+    // only be mid-append of exactly this tag (the old protocol purged
+    // a replayed tag before rewriting it), so adopting its files as
+    // committed would turn a torn crashed attempt into a permanent
+    // half-applied batch via the already-committed no-op below;
+    // excluding them makes the upgrade-path replay purge-and-redo,
+    // the old semantics. The manifest is written BEFORE any file of
+    // THIS batch exists, so every later crash point is covered by the
+    // commit protocol.
     val committed = readManifest(fs, table).getOrElse {
       val existing = listIngestFiles(fs, table)
+        .filterNot(n => tagPat.matcher(n).matches())
       writeManifestNames(fs, table, existing)
       existing.toSet
     }
-    if (committed.exists(matchesTag(_, tag))) return 0 // already committed
+    if (committed.exists(n => tagPat.matcher(n).matches()))
+      return 0 // already committed
     // purge this tag's ORPHANS (a crashed attempt's uncommitted
     // files; invisible to every reader, so deletion is race-free)
     listIngestFiles(fs, table)
-      .filter(n => matchesTag(n, tag) && !committed.contains(n))
+      .filter(n => tagPat.matcher(n).matches() && !committed.contains(n))
       .foreach(n => fs.delete(new Path(table, n), false))
     val staging = new Path(Option(table.getParent)
       .getOrElse(new Path(".")),
@@ -194,12 +204,22 @@ object Sinks {
     readManifest(fs, table) match {
       case None => spark.read.parquet(tableDir)
       case Some(m) =>
-        val names = fs.listStatus(table).map(_.getPath.getName)
-          .filter(n => n.endsWith(".parquet") &&
-            (!n.startsWith("ingest-") || m.contains(n)))
-          .sorted
-        if (names.isEmpty) spark.read.parquet(tableDir)
-        else spark.read.parquet(names.map(n => s"$tableDir/$n"): _*)
+        val all = fs.listStatus(table).map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).sorted
+        val names = all.filter(n => !n.startsWith("ingest-") ||
+          m.contains(n))
+        if (names.nonEmpty)
+          spark.read.parquet(names.map(n => s"$tableDir/$n"): _*)
+        else if (all.isEmpty) spark.read.parquet(tableDir) // schema err
+        else
+          // ZERO committed rows but orphans on disk (first batch
+          // crashed pre-commit): the committed state is EMPTY — a
+          // plain directory read here would expose the orphans and
+          // race their replay purge, the exact failures the protocol
+          // removes. Borrow the orphans' schema (same table), return
+          // no rows (constant-false folds to an empty relation — no
+          // file is opened at execution).
+          spark.read.parquet(tableDir).where(lit(false))
     }
   }
 
@@ -221,13 +241,14 @@ object Sinks {
   def purgeTagged(fs: org.apache.hadoop.fs.FileSystem,
       tableDir: org.apache.hadoop.fs.Path, tag: String): Unit = {
     requireTag(tag)
+    val pat = tagPattern(tag)
     readManifest(fs, tableDir).foreach { m =>
-      val keep = m.filterNot(matchesTag(_, tag))
+      val keep = m.filterNot(n => pat.matcher(n).matches())
       if (keep.size != m.size) writeManifestNames(fs, tableDir, keep.toSeq)
     }
     if (fs.exists(tableDir))
       fs.listStatus(tableDir)
-        .filter(f => matchesTag(f.getPath.getName, tag))
+        .filter(f => pat.matcher(f.getPath.getName).matches())
         .foreach(f => fs.delete(f.getPath, false))
   }
 
@@ -238,10 +259,14 @@ object Sinks {
 
   // \d{5,}, not \d{5}: Spark zero-pads task indices to five digits
   // but keeps counting past part-99999 — a fixed-width anchor would
-  // stop matching exactly at the scale the contract exists for
-  private def matchesTag(name: String, tag: String): Boolean =
-    ("ingest-" + java.util.regex.Pattern.quote(tag) +
-      "-part-\\d{5,}-.*").r.pattern.matcher(name).matches()
+  // stop matching exactly at the scale the contract exists for.
+  // Compiled ONCE per call site: append/purge filter thousands of
+  // file names through it between compactions, and a per-name compile
+  // was pure waste on the streaming hot path.
+  private def tagPattern(tag: String): java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      "ingest-" + java.util.regex.Pattern.quote(tag) +
+        "-part-\\d{5,}-.*")
 
   private def listIngestFiles(fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path): Seq[String] =

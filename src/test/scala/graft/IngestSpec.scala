@@ -80,6 +80,54 @@ class IngestSpec extends SparkSpec {
       "purgeTagged left the tag committed")
   }
 
+  test("pre-manifest upgrade path: a torn legacy append purges-and-redoes; other legacy tags adopt as committed") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("legacy") + "/table"
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(dir)
+    // build a legacy store: two committed tags, then strip the
+    // manifest entirely (the pre-manifest on-disk state) and tear
+    // half of r0-1's files — the mid-append crash the OLD protocol
+    // repaired by unconditional purge-then-redo
+    Sinks.appendTagged(Seq(1L, 2L).toDF("v"), dir, "r0-0")
+    Sinks.appendTagged((10L until 20L).toDF("v").repartition(4), dir,
+      "r0-1")
+    fs.delete(new org.apache.hadoop.fs.Path(table, Sinks.ManifestFile),
+      false)
+    val r01 = dataFiles(dir).filter(_.startsWith("ingest-r0-1-part"))
+    assert(r01.size >= 2, s"need >= 2 files to tear: $r01")
+    fs.delete(new org.apache.hadoop.fs.Path(table, r01.head), false)
+    // the replay must NOT adopt the torn subset as committed (that
+    // would no-op and lose the deleted file's rows forever) — it
+    // purges the leftovers and redoes the batch; r0-0 adopts
+    Sinks.appendTagged((10L until 20L).toDF("v").repartition(4), dir,
+      "r0-1")
+    assert(Sinks.readTagged(s, dir).as[Long].collect().sorted.toSeq ===
+      (Seq(1L, 2L) ++ (10L until 20L)), "torn legacy replay lost rows")
+    assert(Sinks.readManifest(fs, table).get
+      .exists(_.startsWith("ingest-r0-0-part")),
+      "legacy committed tag not adopted")
+  }
+
+  test("readTagged on a store whose only files are uncommitted orphans returns zero rows, never the orphans") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("orphans") + "/table"
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(dir)
+    // first-ever batch crashed before its manifest commit: manifest
+    // holds an empty committed set, orphan files sit on disk
+    Sinks.appendTagged(Seq(1L, 2L, 3L).toDF("v"), dir, "r0-0")
+    Sinks.writeManifestNames(fs, table, Nil)
+    assert(Sinks.readTagged(s, dir).count() === 0L,
+      "uncommitted orphans leaked through readTagged")
+    // the replay then commits them and they become visible
+    Sinks.appendTagged(Seq(1L, 2L, 3L).toDF("v"), dir, "r0-0")
+    assert(Sinks.readTagged(s, dir).as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L))
+  }
+
   test("a serve loop concurrent with crash-replayed appends observes zero failed reads and only committed states") {
     val s = spark
     import s.implicits._
