@@ -124,18 +124,26 @@ object LmScore {
     * verbatim (`least(len(bin(..)), len(bin(..)))`). Scale shape is
     * [[score]]'s plus one vocab-bounded join on w2 (AQE skew-split
     * covers hot continuations exactly as it covers hot firsts) and
-    * one scalar aggregate over the firsts table for N. */
+    * one scalar aggregate over the persisted bigram table for N. */
   def scoreBackoff(model: Model, docs: DataFrame, idCol: String,
       textCol: String, backoffBits: Int = 4): DataFrame = {
     require(backoffBits >= 0, "scoreBackoff: backoffBits must be >= 0")
-    val n = model.firsts.agg(sum(col("c1")).cast("long")).head() match {
+    // persist the bigram table FIRST: on a fresh (lazy) model the N
+    // scalar, the c2 aggregation, and the score join would otherwise
+    // each re-run the whole reference scan + explode + count — at
+    // sf10 that tripled the query (5.3 s vs lm_score's 2.0; with the
+    // persist the reference is scanned once and every arm reads the
+    // vocab-bounded cache). On a stored model it caches a small
+    // parquet read — harmless.
+    val bigrams = model.bigrams.persist()
+    val n = bigrams.agg(sum(col("c12")).cast("long")).head() match {
       case r if r.isNullAt(0) => 0L // empty reference: all-smoothing
       case r => r.getLong(0)
     }
-    val seconds = model.bigrams.groupBy(col("w2"))
+    val seconds = bigrams.groupBy(col("w2"))
       .agg(sum(col("c12")).as("c2"))
     bigramsOf(docs, Seq(idCol), textCol)
-      .join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(bigrams, Seq("w1", "w2"), "left")
       .join(model.firsts, Seq("w1"), "left")
       .join(seconds, Seq("w2"), "left")
       .withColumn("__cost", least(
