@@ -64,6 +64,58 @@ object Retrieval {
           .as("recall_bp"))
   }
 
+  /** The NDCG position weights as milli-integers — round(1000 /
+    * log2(i+1)) for positions 1..k — and their prefix sums (the ideal
+    * DCG for a query with n relevant results). Computed ONCE in Scala
+    * and interpolated as literals into BOTH the Spark plan and the
+    * generated oracle SQL, so cross-engine parity never depends on
+    * two log() implementations agreeing: the integers ARE the
+    * contract (the BM25-idf discipline applied to rank discounting). */
+  def ndcgWeights(k: Int): IndexedSeq[Long] =
+    (1 to k).map(i =>
+      math.round(1000.0 * math.log(2) / math.log(i + 1.0))).toIndexedSeq
+
+  /** Rank-aware retrieval metrics of one ranked list against a
+    * reference — [[recallAtK]]'s order-sensitive siblings, per
+    * reference query: `first_rank` (candidate rank of the first
+    * relevant result; 0 = none found), `mrr_milli` = 1000 DIV
+    * first_rank (integer reciprocal rank), and `ndcg_milli` =
+    * DCG·1000 DIV idealDCG with the [[ndcgWeights]] milli-integer
+    * discount table (relevance is binary: membership in the
+    * reference's top-k). Everything integer — the DuckDB oracle
+    * replays the weight table verbatim.
+    *
+    * Scale shape: identical to [[recallAtK]] — both inputs arrive
+    * top-k-per-query (≤ k·|Q| rows), the relevance semi join and both
+    * aggregations shuffle only those rows; the corpus is touched only
+    * by the retrievals themselves. */
+  def rankMetricsAtK(candidate: DataFrame, reference: DataFrame,
+      qCol: String, idCol: String, rankCol: String, k: Int)
+      : DataFrame = {
+    require(k >= 1, "rankMetricsAtK: k must be >= 1")
+    val w = ndcgWeights(k)
+    val cum = w.scanLeft(0L)(_ + _).tail
+    val a = candidate.filter(col(rankCol) <= k)
+      .select(col(qCol).as("q_id"), col(idCol).as("__id"),
+        col(rankCol).cast("long").as("__rank"))
+    val e = reference.filter(col(rankCol) <= k)
+      .select(col(qCol).as("q_id"), col(idCol).as("__id"))
+    val base = e.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+    val rel = a.join(e, Seq("q_id", "__id"), "left_semi")
+    val agg = rel.groupBy(col("q_id")).agg(
+      min(col("__rank")).as("__fr"),
+      sum(element_at(array(w.map(lit): _*), col("__rank").cast("int")))
+        .as("__dcg"))
+    base.join(agg, Seq("q_id"), "left")
+      .withColumn("__idcg",
+        element_at(array(cum.map(lit): _*), col("n_exact").cast("int")))
+      .select(col("q_id").as(qCol), col("n_exact"),
+        coalesce(col("__fr"), lit(0L)).as("first_rank"),
+        expr("CASE WHEN __fr IS NULL THEN 0L ELSE 1000L DIV __fr END")
+          .as("mrr_milli"),
+        expr("coalesce(__dcg, 0L) * 1000L DIV __idcg").as("ndcg_milli"))
+  }
+
   /** Fuse ranked lists by integer-exact RRF. Each input must carry
     * `qCol`, `idCol`, `rankCol` (rank 1-based within its list; pass
     * each list already truncated to its own top-k — the caller owns

@@ -222,6 +222,77 @@ object SimilarityQueries extends QueryPack {
               |FROM base LEFT JOIN h USING (q_id)
               |""".stripMargin)),
 
+    // rank-aware evaluation over the same IVF-vs-exact pair:
+    // MRR (1000 DIV first relevant rank) and binary-relevance NDCG
+    // with the milli-integer discount table round(1000/log2(i+1)) —
+    // the weights are computed ONCE in Scala and interpolated into
+    // BOTH engines as literals, so parity never depends on two log()
+    // implementations agreeing. Complements q_ann_recall: recall says
+    // whether the neighbors were found, these say WHERE in the list.
+    "q_ann_rank_metrics" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val qs = emb.filter($"vec_id" % 100 === 0)
+        graft.operators.Retrieval.rankMetricsAtK(
+          candidate = Similarity.ivfTopK(qs, emb, "vec_id",
+            "embedding", k = 5, nlist = 16, nprobe = 4),
+          reference = Similarity.bruteForceTopK(qs, emb, "vec_id",
+            "embedding", k = 5),
+          "q_id", "nn_id", "rank", k = 5)
+      },
+      Some {
+        val w = graft.operators.Retrieval.ndcgWeights(5)
+        val cum = w.scanLeft(0L)(_ + _).tail
+        val wCase = w.zipWithIndex.map { case (v, i) =>
+          s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+        val cCase = cum.zipWithIndex.map { case (v, i) =>
+          s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+        s"""WITH $ivfChainCtes,
+           |ascored AS (
+           |  SELECT q_id, nn_id,
+           |    ${oDot("q_vec", "nn_vec")} / (q_nrm * nn_nrm) AS cos
+           |  FROM probes JOIN assigned USING (cell)
+           |  WHERE q_id <> nn_id),
+           |apr AS (
+           |  SELECT q_id, nn_id, rank FROM (
+           |    SELECT q_id, nn_id,
+           |      row_number() OVER (PARTITION BY q_id
+           |        ORDER BY cos DESC, nn_id) AS rank
+           |    FROM ascored)
+           |  WHERE rank <= 5),
+           |escored AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+           |    ${oDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+           |      AS cos
+           |  FROM n q JOIN n c ON q.vec_id % 100 = 0
+           |                   AND q.vec_id <> c.vec_id),
+           |ex AS (
+           |  SELECT q_id, nn_id FROM (
+           |    SELECT q_id, nn_id,
+           |      row_number() OVER (PARTITION BY q_id
+           |        ORDER BY cos DESC, nn_id) AS rank
+           |    FROM escored)
+           |  WHERE rank <= 5),
+           |base AS (SELECT q_id, count(*) AS n_exact
+           |         FROM ex GROUP BY q_id),
+           |m AS (
+           |  SELECT a.q_id, a.rank FROM apr a
+           |  JOIN ex ON ex.q_id = a.q_id AND ex.nn_id = a.nn_id),
+           |agg AS (
+           |  SELECT q_id, min(rank) AS fr,
+           |    CAST(sum(CASE rank $wCase END) AS BIGINT) AS dcg
+           |  FROM m GROUP BY q_id)
+           |SELECT base.q_id, base.n_exact,
+           |  COALESCE(agg.fr, 0) AS first_rank,
+           |  CASE WHEN agg.fr IS NULL THEN 0
+           |       ELSE 1000 // agg.fr END AS mrr_milli,
+           |  COALESCE(agg.dcg, 0) * 1000 //
+           |    (CASE base.n_exact $cCase END) AS ndcg_milli
+           |FROM base LEFT JOIN agg USING (q_id)
+           |""".stripMargin
+      }),
+
     // the vector indexing stack's WRITE path under streaming —
     // q_stream_bm25_ingest's twin on the IVF unit: the codebook is
     // trained once over the full corpus (the production shape:

@@ -58,6 +58,34 @@ class RetrievalSpec extends SparkSpec {
       (3L, 1L, 1L, 10000L)), got.mkString(", "))
   }
 
+  test("rankMetricsAtK: hand-computed MRR and NDCG, zero-hit queries retained, weights are the milli-integer table") {
+    val s = spark
+    import s.implicits._
+    // the committed contract: w(i) = round(1000/log2(i+1))
+    val w = Retrieval.ndcgWeights(5)
+    assert(w === IndexedSeq(1000L, 631L, 500L, 431L, 387L), w)
+    // q1: reference {10,20,30}; candidate ranks: 99@1, 10@2, 30@3
+    //   first_rank 2, mrr = 1000 DIV 2 = 500
+    //   dcg = w(2)+w(3) = 631+500 = 1131; idcg(3) = 1000+631+500 = 2131
+    //   ndcg = 1131*1000 DIV 2131 = 530
+    // q2: reference {40,50}; candidate misses -> 0/0/0, retained
+    // q3: reference {80}; candidate 80@1 -> mrr 1000, ndcg 1000
+    // rank > k rows ignored on both sides
+    val ref = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 40L, 1L), (2L, 50L, 2L), (3L, 80L, 1L), (3L, 99L, 6L))
+      .toDF("q", "id", "rank")
+    val cand = Seq((1L, 99L, 1L), (1L, 10L, 2L), (1L, 30L, 3L),
+      (2L, 60L, 1L), (3L, 80L, 1L), (1L, 20L, 6L))
+      .toDF("q", "id", "rank")
+    val got = Retrieval.rankMetricsAtK(cand, ref, "q", "id", "rank",
+        k = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, 3L, 2L, 500L, 530L),
+      (2L, 2L, 0L, 0L, 0L),
+      (3L, 1L, 1L, 1000L, 1000L)), got.mkString(", "))
+  }
+
   test("rrfFuse carries non-numeric ids natively (no silent long cast)") {
     val s = spark
     import s.implicits._

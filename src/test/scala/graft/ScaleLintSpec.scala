@@ -271,16 +271,18 @@ class ScaleLintSpec extends SparkSpec {
     // ranker, which scores RECONSTRUCTIONS through the same
     // broadcast-queries stage — its scale lever is code-size
     // compression (and composing with IVF probe pruning), not join
-    // shape (Similarity.scala) — and q_ann_recall, whose REFERENCE
-    // arm is that same brute-force baseline by definition (exact
-    // ground truth over the sampled query set; the candidate arm
-    // under evaluation is the probe-pruned IVF).
+    // shape (Similarity.scala) — and q_ann_recall / q_ann_rank_metrics,
+    // whose REFERENCE arm is that same brute-force baseline by
+    // definition (exact ground truth over the sampled query set; the
+    // candidate arm under evaluation is the probe-pruned IVF).
     val allowed = Map(
       "q_ann_bruteforce_topk" -> Set("CARTESIAN", "CARTESIAN_PHYSICAL",
         "NESTED_LOOP_JOIN"),
       "q_ann_pq_topk" -> Set("CARTESIAN", "CARTESIAN_PHYSICAL",
         "NESTED_LOOP_JOIN"),
       "q_ann_recall" -> Set("CARTESIAN", "CARTESIAN_PHYSICAL",
+        "NESTED_LOOP_JOIN"),
+      "q_ann_rank_metrics" -> Set("CARTESIAN", "CARTESIAN_PHYSICAL",
         "NESTED_LOOP_JOIN"))
     val bad = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val errs = ScaleLint.errors(q.run(spark, sf0001))
