@@ -834,4 +834,46 @@ object Dedup {
       .agg(count(lit(1)).as("shared_spans"))
       .filter(col("shared_spans") >= minShared)
   }
+
+  /** Per-document DUPLICATED-SPAN FRACTION — the doc-level signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022): for each document, the fraction of its word
+    * k-gram window POSITIONS whose k-gram also appears in at least
+    * one OTHER document. [[sharedSpanPairs]] answers "which pairs
+    * overlap"; this answers "how much of THIS document is boilerplate
+    * the corpus already has" — the number a curation pipeline
+    * thresholds on to drop near-template documents without ever
+    * materializing the quadratic pair set. Returns (idCol, n_windows,
+    * n_shared, shared_bp) with shared_bp = n_shared·10⁴ DIV
+    * n_windows in integer basis points; documents with fewer than k
+    * tokens are excluded (no windows to score). Positions are counted
+    * raw (a doc-internal repeat of a shared gram counts each
+    * occurrence — it IS duplicated surface), but "shared" means ≥ 2
+    * DISTINCT documents, so purely internal repetition never marks a
+    * document.
+    *
+    * Scale shape: one gram explode (k·tokens rows, the decontaminate
+    * envelope), one map-side-combined distinct-doc count per gram,
+    * and one gram-keyed join back — the gram-count side has ONE row
+    * per distinct gram, so hot-gram skew is probe-side only and AQE's
+    * skew split covers it (the LmScore join argument). Never a pair
+    * join: cost is linear in corpus tokens where the pair set is
+    * quadratic in duplicate-cluster sizes. */
+  def dupSpanFraction(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "dupSpanFraction: k must be >= 1")
+    val grams = df
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__t")) - (k - 1)),
+        i => concat_ws(" ", slice(col("__t"), i, lit(k))))).as("__gram"))
+    val perGram = grams.groupBy(col("__gram"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+    grams.join(perGram, Seq("__gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_bp", expr("n_shared * 10000 DIV n_windows"))
+  }
 }

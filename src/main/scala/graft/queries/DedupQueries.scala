@@ -266,6 +266,36 @@ object DedupQueries extends QueryPack {
              |  GROUP BY 1, 2)
              |SELECT id_a, id_b, shared_spans FROM p
              |WHERE shared_spans >= 2
+             |""".stripMargin)),
+
+    // doc-level duplicated-span fraction (Lee et al., ACL 2022):
+    // the fraction of each document's 4-gram window positions whose
+    // gram appears in >= 2 distinct documents — the threshold signal
+    // that drops near-template docs WITHOUT materializing the
+    // quadratic pair set q_dedup_spans/q_dedup_jaccard carry. Linear
+    // in corpus tokens: one gram explode + one distinct-doc count +
+    // one gram-keyed join back (probe-side skew only, AQE-covered).
+    "q_dedup_span_fraction" -> Q(
+      (s, d) => Dedup.dupSpanFraction(t(s, d, "documents"), "doc_id",
+        "text", k = 4),
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS wl
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(wl) - 2),
+             |      i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] || ' ' ||
+             |           wl[i+3])) AS gram
+             |  FROM w WHERE len(wl) >= 4),
+             |dfq AS (SELECT gram, count(DISTINCT doc_id) AS nd
+             |        FROM g GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_windows,
+             |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_shared,
+             |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    * 10000 // count(*) AS shared_bp
+             |FROM g JOIN dfq USING (gram)
+             |GROUP BY doc_id
              |""".stripMargin))
   )
 }

@@ -336,6 +336,33 @@ class TextKernelsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("dupSpanFraction: hand-computed window fractions; internal repeats never mark a doc") {
+    val s = spark
+    import s.implicits._
+    // doc 0: "a b c d e f" — windows (a b c),(b c d),(c d e),(d e f);
+    //   (b c d) and (c d e) also occur in doc 1 → 2/4 shared = 5000 bp
+    // doc 1: "x b c d e y" — (x b c),(b c d),(c d e),(d e y): 2/4
+    // doc 2: "p q r p q r p q" — internal repeats only: (p q r) etc.
+    //   occur multiple times WITHIN the doc but in no other doc →
+    //   0 shared (the >= 2 DISTINCT docs rule), 6 windows
+    // doc 3: "s t" — fewer than k tokens: excluded entirely
+    val df = docsDf(Seq(
+      "a b c d e f", "x b c d e y", "p q r p q r p q", "s t"))
+    val got = Dedup.dupSpanFraction(df, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (0L, 4L, 2L, 5000L),
+      (1L, 4L, 2L, 5000L),
+      (2L, 6L, 0L, 0L)), got.mkString(", "))
+    // a shared gram repeated internally counts EVERY position: doc 4
+    // repeats (m n o) twice and doc 5 has it once → doc 4 marks 2
+    val df2 = docsDf(Seq("m n o m n o", "m n o z z z"))
+    val g2 = Dedup.dupSpanFraction(df2, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(g2(0) === ((0L, 4L, 2L, 5000L)), g2.mkString(", "))
+    assert(g2(1) === ((1L, 4L, 1L, 2500L)), g2.mkString(", "))
+  }
+
   test("sharedSpanPairs postings cap preserves counts exactly") {
     val s = spark
     import s.implicits._
