@@ -66,10 +66,25 @@ object LmScore {
     * groupBy (map-side combined) plus one distinct-token count. The
     * `vocab` scalar is a driver action by design — it is ONE number,
     * and baking it into the scoring expressions keeps the score a
-    * pure column computation. */
-  def train(docs: DataFrame, textCol: String): Model = {
+    * pure column computation.
+    *
+    * `minCount` > 1 PRUNES rare bigrams after counting (KenLM's count
+    * cutoff): under Zipf most of the table's ROWS are hapax bigrams
+    * carrying almost no probability mass, so a small cutoff shrinks
+    * the stored/broadcast model by an order of magnitude — the size
+    * lever that keeps a 100 TB reference's model join-able. The
+    * pruned model is SELF-CONSISTENT: c1 re-derives from the
+    * surviving counts (pruned grams score as unseen, exactly the
+    * add-one smoothing arm), and the vocabulary V stays the FULL
+    * distinct-token count — pruning tunes the table size, not the
+    * smoothing denominator, so scores of documents that never touch a
+    * pruned gram shift only through the reduced c1 mass. */
+  def train(docs: DataFrame, textCol: String,
+      minCount: Long = 1L): Model = {
+    require(minCount >= 1, "train: minCount must be >= 1")
     val counts = bigramsOf(docs, Nil, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
     val firsts = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = docs.select(explode(tokens(col(textCol))).as("__tok"))
       .agg(count_distinct(col("__tok"))).head().getLong(0)

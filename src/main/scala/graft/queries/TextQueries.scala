@@ -838,6 +838,55 @@ object TextQueries extends QueryPack {
       },
       Some(oLmScoreSql)),
 
+    // count-cutoff PRUNED model (KenLM's size lever): bigrams with
+    // c12 < 2 dropped after counting — under Zipf most table ROWS are
+    // hapax grams carrying almost no mass, so the cutoff shrinks the
+    // model an order of magnitude while pruned grams simply score as
+    // unseen (the add-one arm) and c1 re-derives from survivors; V
+    // stays the FULL vocabulary (pruning tunes table size, not the
+    // smoothing denominator). Scoring-side lever only — the persisted
+    // unit stays unpruned so stored ≡ fresh-train-over-union holds
+    // exactly under appends.
+    "q_text_lm_pruned" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.LmScore.score(
+          graft.operators.LmScore.train(
+            docs.filter(col("lang") === "en"), "text", minCount = 2L),
+          docs, "doc_id", "text")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, lang,
+             |         string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents),
+             |v AS (SELECT count(DISTINCT tk) AS v FROM (
+             |        SELECT unnest(w) AS tk FROM w WHERE lang = 'en')),
+             |tb AS (
+             |  SELECT
+             |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+             |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+             |  FROM w WHERE lang = 'en' AND len(w) >= 2),
+             |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tb
+             |        GROUP BY 1, 2 HAVING count(*) >= 2),
+             |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+             |       FROM c12 GROUP BY 1),
+             |db AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+             |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+             |  FROM w WHERE len(w) >= 2),
+             |sc AS (
+             |  SELECT d.doc_id,
+             |    len(bin(coalesce(c1.c1, 0) + (SELECT v FROM v))) -
+             |    len(bin(coalesce(c12.c12, 0) + 1)) AS cost
+             |  FROM db d LEFT JOIN c12 USING (w1, w2)
+             |            LEFT JOIN c1 USING (w1))
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(cost) AS BIGINT) AS bits,
+             |  CAST(sum(cost) AS BIGINT) * 1000 // count(*) AS milli_bits
+             |FROM sc GROUP BY 1
+             |""".stripMargin)),
+
     // interpolated unigram BACKOFF over the same model: cost =
     // least(bigram cost, unigram cost + 4 escape bits), the unigram
     // arm reading c2(w2) = Σ_w1 c12 and N = Σ c12 — both DERIVED from

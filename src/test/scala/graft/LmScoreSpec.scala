@@ -138,4 +138,27 @@ class LmScoreSpec extends SparkSpec {
     assert(stored.toSeq == bo.toSeq,
       "stored-model backoff diverged from fresh train")
   }
+
+  test("train minCount: hapax bigrams pruned, c1 re-derived from survivors, vocab stays full") {
+    val s = spark
+    import s.implicits._
+    // "a b" x3, "a c" x1 (hapax), "b a" x2 — minCount=2 keeps
+    // (a,b) and (b,a), drops (a,c); c1(a) = 3 (not 4); V = 3 (a,b,c —
+    // pruning must not shrink the smoothing denominator)
+    val ref = Seq((1L, "a b a b a c"), (2L, "b a b a b")).toDF("id", "text")
+    // counts: doc1 pairs: ab, ba, ab, ba?? compute: tokens a b a b a c →
+    // (a,b),(b,a),(a,b),(b,a),(a,c); doc2: b a b a b →
+    // (b,a),(a,b),(b,a),(a,b). totals: (a,b)=4, (b,a)=4, (a,c)=1
+    val m = LmScore.train(ref, "text", minCount = 2L)
+    val c12 = m.bigrams.as[(String, String, Long)].collect().toSet
+    assert(c12 === Set(("a", "b", 4L), ("b", "a", 4L)), c12)
+    val c1 = m.firsts.as[(String, Long)].collect().toSet
+    assert(c1 === Set(("a", 4L), ("b", 4L)), c1)
+    assert(m.vocab === 3L, "pruning must not shrink V")
+    // a pruned gram scores exactly as unseen: (a,c) cost =
+    // bitlen(c1(a)+V) - bitlen(0+1) = bitlen(7) - 1 = 2
+    val sc = LmScore.score(m, Seq((9L, "a c")).toDF("doc_id", "text"),
+      "doc_id", "text").as[(Long, Long, Long, Long)].collect()
+    assert(sc.toSeq === Seq((9L, 1L, 2L, 2000L)), sc.mkString(", "))
+  }
 }
