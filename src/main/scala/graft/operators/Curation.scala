@@ -694,6 +694,38 @@ object Curation {
           .as("tok_end"))
   }
 
+  /** [[chunkSequences]] with OVERLAP — the RAG / long-context
+    * chunking shape: windows of `budget` tokens starting every
+    * `stride` tokens (stride < budget ⇒ consecutive chunks share
+    * budget − stride tokens of context, so a span near a boundary is
+    * fully contained in at least one chunk — the retrieval property
+    * non-overlapping chunking loses). Emits one row per chunk:
+    * (idCol, n_tok, chunk_id, tok_start, tok_end) with half-open
+    * spans [i·stride, min(n_tok, i·stride + budget)) and chunk count
+    * 1 + ⌈max(0, n_tok − budget) / stride⌉ — one chunk for any
+    * document that fits the budget, and the last window always
+    * reaches the document's end. Pure narrow explode, no shuffle;
+    * output volume is the deliberate budget/stride redundancy
+    * factor. */
+  def chunkSequencesOverlap(df: DataFrame, idCol: String,
+      textCol: String, budget: Int, stride: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(stride > 0 && stride <= budget,
+      s"stride must be in [1, budget], got $stride")
+    df.select(col(idCol), bpeTokenCount(col(textCol)).as("n_tok"))
+      .filter(col("n_tok") > 0)
+      // last chunk id via INTEGER ceil division — a double divide
+      // would wobble at large counts
+      .select(col(idCol), col("n_tok"),
+        explode(sequence(lit(0L), expr(
+          s"(greatest(n_tok - $budget, 0L) + ${stride - 1}L) " +
+            s"DIV ${stride}L"))).as("chunk_id"))
+      .select(col(idCol), col("n_tok"), col("chunk_id"),
+        (col("chunk_id") * stride).as("tok_start"),
+        least(col("n_tok"), col("chunk_id") * stride + budget)
+          .as("tok_end"))
+  }
+
   /** Deterministic training-order assignment — the "global shuffle"
     * stage that decorrelates document order from crawl/source order
     * before training. Each row gets (shard, pos): shard = id mod

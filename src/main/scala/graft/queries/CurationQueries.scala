@@ -306,6 +306,75 @@ object CurationQueries extends QueryPack {
              |FROM tok WHERE n_tok > 0
              |""".stripMargin)),
 
+    // overlapping chunking (the RAG / long-context window shape):
+    // 64-token windows every 32 tokens — consecutive chunks share 32
+    // tokens of context so no span near a boundary is lost; chunk
+    // count = 1 + ceil(max(0, n_tok-64)/32), last window reaches the
+    // end. Pure narrow explode; integer ceil division (no double
+    // wobble at large counts).
+    "q_chunk_overlap" -> Q(
+      (s, d) => Curation.chunkSequencesOverlap(t(s, d, "documents"),
+        idCol = "doc_id", textCol = "text", budget = 64, stride = 32),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text,
+             |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+             |  FROM documents)
+             |SELECT doc_id, n_tok,
+             |  unnest(range(0,
+             |    (greatest(n_tok - 64, 0) + 31) // 32 + 1)) AS chunk_id,
+             |  unnest(range(0,
+             |    (greatest(n_tok - 64, 0) + 31) // 32 + 1)) * 32
+             |    AS tok_start,
+             |  LEAST(n_tok,
+             |    unnest(range(0,
+             |      (greatest(n_tok - 64, 0) + 31) // 32 + 1)) * 32 + 64)
+             |    AS tok_end
+             |FROM tok WHERE n_tok > 0
+             |""".stripMargin)),
+
+    // train/test LEAKAGE report — the eval-hygiene composition: split
+    // the corpus with the frozen md5-boundary rule, then run the
+    // 4-gram decontamination check from the TEST split against the
+    // TRAIN split. Output = every train doc sharing a 4-gram with any
+    // test doc, with its shared-gram count: the report a pipeline
+    // audits BEFORE training (assignSplits freezes membership under
+    // growth; this row proves the splits' content independence is
+    // measurable with the machinery already on hand).
+    "q_split_leakage" -> Q(
+      (s, d) => {
+        val sp = Curation.assignSplits(t(s, d, "documents"),
+          seedCols = Seq("doc_id", "text"),
+          splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        Curation.decontaminate(
+          sp.filter(col("split") === "train"),
+          sp.filter(col("split") === "test"),
+          "doc_id", "text", n = 4)
+      },
+      Some("""WITH sp AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+             |           text), 1, 4) < 'cccc' THEN 'train'
+             |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+             |           text), 1, 4) < 'e666' THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM documents),
+             |w AS (SELECT doc_id, split,
+             |        string_split_regex(trim(text), '\s+') AS wl
+             |      FROM sp),
+             |g AS (SELECT DISTINCT doc_id, split, gram FROM (
+             |  SELECT doc_id, split,
+             |    unnest(list_transform(range(1, len(wl)-2), i ->
+             |      wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] || ' '
+             |        || wl[i+3])) AS gram
+             |  FROM w WHERE len(wl) >= 4)),
+             |bench AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+             |corpus AS (SELECT doc_id, gram FROM g WHERE split = 'train')
+             |SELECT c.doc_id, count(*) AS n_hits
+             |FROM corpus c JOIN bench b USING (gram)
+             |GROUP BY c.doc_id
+             |""".stripMargin)),
+
     // contiguous sequence packing into 256-token bins, parallel over
     // (lang, doc_id % 8) shards — the explicit-shard shape that keeps
     // packing parallel when one language dominates the corpus.

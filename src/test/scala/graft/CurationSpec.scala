@@ -533,6 +533,32 @@ class CurationSpec extends SparkSpec {
     assert(t == Seq(2L), s"sub-milli weight should floor out: $t")
   }
 
+  test("chunkSequencesOverlap: windows every stride, tail always covered, one chunk when it fits") {
+    val s = spark
+    import s.implicits._
+    // bpe tokens = plain [A-Za-z]+ runs — letter-only words, one
+    // token each (a digit suffix would split into two)
+    val words = ('a' to 'j').map(c => s"$c$c").mkString(" ") // 10 tokens
+    val df = Seq((1L, words), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val got = Curation.chunkSequencesOverlap(df, "doc_id", "text",
+        budget = 4, stride = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().sorted
+    // doc 1: 10 tokens, budget 4, stride 2 → last id = ceil(6/2)=3 →
+    // 4 chunks [0,4) [2,6) [4,8) [6,10): every consecutive pair
+    // shares 2 tokens, the tail is covered exactly
+    // doc 2: 3 tokens ≤ budget → ONE chunk [0,3)
+    // doc 3: zero tokens → no rows
+    assert(got === Array(
+      (1L, 10L, 0L, 0L, 4L), (1L, 10L, 1L, 2L, 6L),
+      (1L, 10L, 2L, 4L, 8L), (1L, 10L, 3L, 6L, 10L),
+      (2L, 3L, 0L, 0L, 3L)), got.mkString(", "))
+    // a boundary-straddling span is fully inside some chunk: with
+    // stride <= budget/2 any span of <= stride+1 tokens is covered
+    intercept[IllegalArgumentException] {
+      Curation.chunkSequencesOverlap(df, "doc_id", "text", 4, 5)
+    }
+  }
+
   test("decon set: stored probe == batch decontaminate; appends visible, duplicate-proof, drift-flagged") {
     val s = spark
     val docs = Tables.load(s, sf001, "documents")
