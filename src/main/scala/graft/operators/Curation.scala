@@ -122,6 +122,17 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** The distinct word n-gram SET of a corpus slice — the frame
+    * [[decontaminateWithSet]] probes against, for callers whose
+    * "benchmark" is NOT broadcast-tiny (a train/test leakage audit
+    * checks against a 10%-of-corpus split; [[decontaminate]]'s
+    * forced broadcast would ship a corpus-fraction-sized gram table
+    * to every executor). The probe's semi join then lets Catalyst
+    * pick the join strategy from the set's actual size. */
+  def gramSet(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    gramsOf(df, idCol, textCol, n).select("gram").distinct()
+
   /** Bloom-filter decontamination — the 100 TB path when even the
     * benchmark gram set is too hot to broadcast-join comfortably, or
     * when the probe must run as a plain scan filter (e.g. inside a

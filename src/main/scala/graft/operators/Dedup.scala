@@ -852,13 +852,19 @@ object Dedup {
     * DISTINCT documents, so purely internal repetition never marks a
     * document.
     *
-    * Scale shape: one gram explode (k·tokens rows, the decontaminate
-    * envelope), one map-side-combined distinct-doc count per gram,
-    * and one gram-keyed join back — the gram-count side has ONE row
-    * per distinct gram, so hot-gram skew is probe-side only and AQE's
-    * skew split covers it (the LmScore join argument). Never a pair
-    * join: cost is linear in corpus tokens where the pair set is
-    * quadratic in duplicate-cluster sizes. */
+    * Scale shape: the corpus is tokenized+exploded TWICE (once per
+    * aggregation arm — column pruning gives the arms different
+    * aggregate subtrees, so the exchange cannot be reused, and
+    * caching the k·tokens-row exploded frame measurably LOSES, the
+    * [[sharedSpanPairs]] A/B), but both passes are narrow codegen
+    * scans feeding map-side-combined aggregates, and — the part that
+    * matters — the JOIN carries only aggregated rows: distinct
+    * (doc, gram) on the probe side against one row per distinct gram
+    * on the build side, never the raw positions frame. Hot-gram skew
+    * is probe-side only and AQE's skew split covers it (the LmScore
+    * join argument). Never a pair join: cost is linear in corpus
+    * tokens where the pair set is quadratic in duplicate-cluster
+    * sizes. */
   def dupSpanFraction(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "dupSpanFraction: k must be >= 1")
@@ -868,12 +874,17 @@ object Dedup {
       .select(col(idCol), explode(transform(
         sequence(lit(1), size(col("__t")) - (k - 1)),
         i => concat_ws(" ", slice(col("__t"), i, lit(k))))).as("__gram"))
-    val perGram = grams.groupBy(col("__gram"))
-      .agg(count_distinct(col(idCol)).as("__nd"))
-    grams.join(perGram, Seq("__gram"))
+    // (doc, gram) -> position count: the ONLY pass over the exploded
+    // frame; both arms below share its exchange
+    val perDocGram = grams.groupBy(col(idCol), col("__gram"))
+      .agg(count(lit(1)).as("__np"))
+    val perGram = perDocGram.groupBy(col("__gram"))
+      .agg(count(lit(1)).as("__nd")) // rows are distinct (doc, gram)
+    perDocGram.join(perGram, Seq("__gram"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .agg(sum(col("__np")).as("n_windows"),
+        sum(when(col("__nd") >= 2, col("__np")).otherwise(0L))
+          .as("n_shared"))
       .withColumn("shared_bp", expr("n_shared * 10000 DIV n_windows"))
   }
 }

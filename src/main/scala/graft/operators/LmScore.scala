@@ -82,9 +82,14 @@ object LmScore {
   def train(docs: DataFrame, textCol: String,
       minCount: Long = 1L): Model = {
     require(minCount >= 1, "train: minCount must be >= 1")
-    val counts = bigramsOf(docs, Nil, textCol)
+    val raw = bigramsOf(docs, Nil, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= minCount)
+    // guard the no-op case: counts are >= 1 by construction but the
+    // optimizer cannot prove it, so an unconditional filter would
+    // insert a dead Filter node into EVERY default-trained model plan
+    // (perturbing exchange/cache matching for zero benefit)
+    val counts =
+      if (minCount > 1L) raw.filter(col("c12") >= minCount) else raw
     val firsts = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = docs.select(explode(tokens(col(textCol))).as("__tok"))
       .agg(count_distinct(col("__tok"))).head().getLong(0)

@@ -107,8 +107,12 @@ object Retrieval {
       sum(element_at(array(w.map(lit): _*), col("__rank").cast("int")))
         .as("__dcg"))
     base.join(agg, Seq("q_id"), "left")
-      .withColumn("__idcg",
-        element_at(array(cum.map(lit): _*), col("n_exact").cast("int")))
+      // least() clamps a reference list carrying MORE than k rows at
+      // rank <= k (duplicate/tied ranks from a sloppy ranker):
+      // element_at past the array end would return NULL in non-ANSI
+      // Spark and silently null the whole ndcg column
+      .withColumn("__idcg", element_at(array(cum.map(lit): _*),
+        least(col("n_exact"), lit(k.toLong)).cast("int")))
       .select(col("q_id").as(qCol), col("n_exact"),
         coalesce(col("__fr"), lit(0L)).as("first_rank"),
         expr("CASE WHEN __fr IS NULL THEN 0L ELSE 1000L DIV __fr END")

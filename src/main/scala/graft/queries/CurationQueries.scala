@@ -338,17 +338,20 @@ object CurationQueries extends QueryPack {
     // 4-gram decontamination check from the TEST split against the
     // TRAIN split. Output = every train doc sharing a 4-gram with any
     // test doc, with its shared-gram count: the report a pipeline
-    // audits BEFORE training (assignSplits freezes membership under
-    // growth; this row proves the splits' content independence is
-    // measurable with the machinery already on hand).
+    // audits BEFORE training. NOT decontaminate(): that path
+    // force-broadcasts its benchmark side (tiny eval sets), while a
+    // 10%-of-corpus test split's gram table is corpus-fraction-sized
+    // — the gramSet + semi-join probe lets Catalyst pick the join
+    // from the set's actual size.
     "q_split_leakage" -> Q(
       (s, d) => {
         val sp = Curation.assignSplits(t(s, d, "documents"),
           seedCols = Seq("doc_id", "text"),
           splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        Curation.decontaminate(
+        Curation.decontaminateWithSet(
           sp.filter(col("split") === "train"),
-          sp.filter(col("split") === "test"),
+          Curation.gramSet(sp.filter(col("split") === "test"),
+            "doc_id", "text", n = 4),
           "doc_id", "text", n = 4)
       },
       Some("""WITH sp AS (

@@ -142,13 +142,12 @@ class LmScoreSpec extends SparkSpec {
   test("train minCount: hapax bigrams pruned, c1 re-derived from survivors, vocab stays full") {
     val s = spark
     import s.implicits._
-    // "a b" x3, "a c" x1 (hapax), "b a" x2 — minCount=2 keeps
-    // (a,b) and (b,a), drops (a,c); c1(a) = 3 (not 4); V = 3 (a,b,c —
-    // pruning must not shrink the smoothing denominator)
+    // doc1 "a b a b a c" → (a,b),(b,a),(a,b),(b,a),(a,c); doc2
+    // "b a b a b" → (b,a),(a,b),(b,a),(a,b). Totals: (a,b)=4,
+    // (b,a)=4, (a,c)=1 (hapax). minCount=2 drops (a,c), so
+    // c1(a) = 4 (surviving (a,b) only — NOT 5, the pre-prune mass);
+    // V = 3 (a,b,c — pruning must not shrink the denominator)
     val ref = Seq((1L, "a b a b a c"), (2L, "b a b a b")).toDF("id", "text")
-    // counts: doc1 pairs: ab, ba, ab, ba?? compute: tokens a b a b a c →
-    // (a,b),(b,a),(a,b),(b,a),(a,c); doc2: b a b a b →
-    // (b,a),(a,b),(b,a),(a,b). totals: (a,b)=4, (b,a)=4, (a,c)=1
     val m = LmScore.train(ref, "text", minCount = 2L)
     val c12 = m.bigrams.as[(String, String, Long)].collect().toSet
     assert(c12 === Set(("a", "b", 4L), ("b", "a", 4L)), c12)

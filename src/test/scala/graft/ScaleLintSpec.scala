@@ -287,6 +287,12 @@ class ScaleLintSpec extends SparkSpec {
     val bad = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val errs = ScaleLint.errors(q.run(spark, sf0001))
         .filterNot(f => allowed.getOrElse(name, Set.empty).contains(f.code))
+      // per-query cache hygiene (LintReport's rule): a persisted
+      // intermediate from one query must not substitute
+      // InMemoryRelations into a later query's linted plan — an
+      // error-severity finding under a cached subtree would be
+      // invisible to this very assertion
+      spark.catalog.clearCache()
       if (errs.isEmpty) None else Some(name -> errs.map(_.code))
     }
     assert(bad.isEmpty, s"queries with scale errors: $bad")
