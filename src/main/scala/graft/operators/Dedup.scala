@@ -858,13 +858,21 @@ object Dedup {
     * caching the k·tokens-row exploded frame measurably LOSES, the
     * [[sharedSpanPairs]] A/B), but both passes are narrow codegen
     * scans feeding map-side-combined aggregates, and — the part that
-    * matters — the JOIN carries only aggregated rows: distinct
-    * (doc, gram) on the probe side against one row per distinct gram
-    * on the build side, never the raw positions frame. Hot-gram skew
-    * is probe-side only and AQE's skew split covers it (the LmScore
-    * join argument). Never a pair join: cost is linear in corpus
-    * tokens where the pair set is quadratic in duplicate-cluster
-    * sizes. */
+    * matters — every shuffled row carries a 60-BIT FINGERPRINT, not
+    * gram text: grams are hashed to a long before the first exchange
+    * (the [[sharedSpanPairs]] fingerprint trick; at sf10 the
+    * text-keyed shuffle spilled and run-to-run spill placement
+    * swung the query 27→80 s), and the JOIN carries only aggregated
+    * rows — distinct (doc, fp) against one row per distinct fp,
+    * never the raw positions frame. The fingerprint is the md5-hex
+    * prefix BOTH engines compute identically (the weighted-sampler
+    * idiom), so the ~n²/2⁶¹ collision mass (a conflated gram marks a
+    * few windows spuriously shared) is replayed bit-for-bit by the
+    * oracle — the fingerprinted gram IS the committed contract.
+    * Hot-gram skew is probe-side only and AQE's skew split covers it
+    * (the LmScore join argument). Never a pair join: cost is linear
+    * in corpus tokens where the pair set is quadratic in
+    * duplicate-cluster sizes. */
   def dupSpanFraction(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "dupSpanFraction: k must be >= 1")
@@ -873,7 +881,9 @@ object Dedup {
       .filter(size(col("__t")) >= k)
       .select(col(idCol), explode(transform(
         sequence(lit(1), size(col("__t")) - (k - 1)),
-        i => concat_ws(" ", slice(col("__t"), i, lit(k))))).as("__gram"))
+        i => conv(substring(md5(
+          concat_ws(" ", slice(col("__t"), i, lit(k)))), 1, 15), 16, 10)
+          .cast("long"))).as("__gram"))
     // (doc, gram) -> position count: the ONLY pass over the exploded
     // frame; both arms below share its exchange
     val perDocGram = grams.groupBy(col(idCol), col("__gram"))

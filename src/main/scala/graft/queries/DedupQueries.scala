@@ -283,9 +283,10 @@ object DedupQueries extends QueryPack {
              |  FROM documents),
              |g AS (
              |  SELECT doc_id,
-             |    unnest(list_transform(range(1, len(wl) - 2),
-             |      i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] || ' ' ||
-             |           wl[i+3])) AS gram
+             |    CAST('0x' || substr(md5(
+             |      unnest(list_transform(range(1, len(wl) - 2),
+             |        i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] || ' '
+             |          || wl[i+3]))), 1, 15) AS BIGINT) AS gram
              |  FROM w WHERE len(wl) >= 4),
              |dfq AS (SELECT gram, count(DISTINCT doc_id) AS nd
              |        FROM g GROUP BY 1)
