@@ -717,7 +717,17 @@ object Curation {
     * document that fits the budget, and the last window always
     * reaches the document's end. Pure narrow explode, no shuffle;
     * output volume is the deliberate budget/stride redundancy
-    * factor. */
+    * factor.
+    *
+    * BOUNDARY SEMANTICS DIVERGE from [[chunkSequences]] even at
+    * stride < budget: the trailing window here is a FULL-budget
+    * window pulled back to end at the document's last token
+    * (tok_end = n_tok, tok_start = chunk_id·stride, width ≤ budget
+    * only via the clamp), whereas [[chunkSequences]] tiles exhaustive
+    * half-open spans and so ends with a SHORT tail chunk
+    * [⌊(n−1)/budget⌋·budget, n). A 100 TB consumer switching chunkers
+    * must not assume the last chunk's width or start offset carries
+    * over. */
   def chunkSequencesOverlap(df: DataFrame, idCol: String,
       textCol: String, budget: Int, stride: Int): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")

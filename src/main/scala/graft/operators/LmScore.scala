@@ -154,8 +154,19 @@ object LmScore {
     // sf10 that tripled the query (5.3 s vs lm_score's 2.0; with the
     // persist the reference is scanned once and every arm reads the
     // vocab-bounded cache). On a stored model it caches a small
-    // parquet read — harmless.
-    val bigrams = model.bigrams.persist()
+    // parquet read — harmless. The cache must OUTLIVE this call (the
+    // returned plan joins it lazily), so release is the CALLER's
+    // obligation: [[releaseBackoffCache]] after the scores are
+    // consumed. Re-scoring against the same Model does NOT stack
+    // cache entries (already-persisted frames are left as-is), so
+    // only a caller that builds a fresh Model per batch — the
+    // lmLookupStream serving shape — accumulates pinned caches
+    // without the release call.
+    val bigrams =
+      if (model.bigrams.storageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE)
+        model.bigrams.persist()
+      else model.bigrams
     val n = bigrams.agg(sum(col("c12")).cast("long")).head() match {
       case r if r.isNullAt(0) => 0L // empty reference: all-smoothing
       case r => r.getLong(0)
@@ -176,6 +187,151 @@ object LmScore {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("__cost")).cast("long").as("bits"))
       .withColumn("milli_bits", expr("bits * 1000 DIV n_bigrams"))
+  }
+
+  // ── trigram extension ───────────────────────────────────────────────
+
+  /** A trained trigram model: `trigrams` (w1, w2, w3, c123) and the
+    * reference unigram vocabulary size. EVERY lower-order table the
+    * backoff chain needs derives from the trigram table by summing
+    * out context words (KenLM's continuation-count discipline), so
+    * one stored table serves the whole
+    * trigram → bigram → unigram chain with no retrain. Lazy frames —
+    * [[scoreTrigram]] persists them for the duration of a scoring
+    * plan ([[releaseTrigramCache]] is the caller's release hook). */
+  final case class TrigramModel(trigrams: DataFrame, vocab: Long)
+
+  /** (idCols..., w1, w2, w3) — one row per CONSECUTIVE token triple
+    * of each document with ≥ 3 whitespace tokens, in document
+    * order. */
+  private def trigramsOf(df: DataFrame, idCols: Seq[String],
+      textCol: String): DataFrame = {
+    val t = col("__t")
+    df.select(idCols.map(col) :+ tokens(col(textCol)).as("__t"): _*)
+      .filter(size(t) >= 3)
+      .select(idCols.map(col) :+ explode(zip_with(
+        zip_with(
+          slice(t, lit(1), size(t) - 2), slice(t, lit(2), size(t) - 2),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        slice(t, lit(3), size(t) - 2),
+        (ab, c) => struct(ab.getField("w1").as("w1"),
+          ab.getField("w2").as("w2"), c.as("w3")))).as("__tg"): _*)
+      .select(idCols.map(col) :+ col("__tg.w1") :+ col("__tg.w2") :+
+        col("__tg.w3"): _*)
+  }
+
+  /** Train a trigram model: one trigram groupBy (map-side combined)
+    * plus the distinct-token count. `minCount` prunes rare trigrams
+    * after counting exactly as [[train]]'s cutoff does for bigrams —
+    * under Zipf the trigram table is hapax-dominated even harder than
+    * the bigram table, so the cutoff is usually MANDATORY at 100 TB
+    * reference scale, not an option. Pruned self-consistency is
+    * inherited: every lower-order table re-derives from the surviving
+    * trigrams, V stays the full vocabulary. */
+  def trainTrigram(docs: DataFrame, textCol: String,
+      minCount: Long = 1L): TrigramModel = {
+    require(minCount >= 1, "trainTrigram: minCount must be >= 1")
+    val raw = trigramsOf(docs, Nil, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+    val counts =
+      if (minCount > 1L) raw.filter(col("c123") >= minCount) else raw
+    val vocab = docs.select(explode(tokens(col(textCol))).as("__tok"))
+      .agg(count_distinct(col("__tok"))).head().getLong(0)
+    TrigramModel(counts, vocab)
+  }
+
+  /** Score documents under a trigram model with full
+    * trigram → bigram → unigram backoff — the CCNet filter one order
+    * closer to its 5-gram KenLM shape than [[scoreBackoff]], built
+    * from the SAME integer-bitlen contract:
+    *
+    *   cost = least(
+    *     bitlen(cc12+V) − bitlen(c123+1),                    // trigram
+    *     bitlen(c2x +V) − bitlen(b23 +1) +   backoffBits,    // bigram
+    *     bitlen(N   +V) − bitlen(u3  +1) + 2·backoffBits )   // unigram
+    *
+    * with every count summed out of the trigram table: context mass
+    * cc12(w1,w2) = Σ_w3 c123, lower-order bigram b23(w2,w3) = Σ_w1
+    * c123 with its context mass c2x(w2) = Σ_{w1,w3} c123, unigram
+    * u3(w3) = Σ_{w1,w2} c123, and N = Σ c123. Each arm is the Laplace
+    * bit cost at its order plus one escape penalty per backed-off
+    * level (Katz's α as integer bits); b23 ≤ c2x and u3 ≤ N and
+    * c123 ≤ cc12 keep every arm ≥ 0. A distance-2 word scramble
+    * preserves a document's BIGRAM multiset — [[score]] and
+    * [[scoreBackoff]] provably tie it with its unscrambled twin —
+    * while the trigram arm prices the novel triples (LmScoreSpec pins
+    * exactly that separation).
+    *
+    * Returns one row per document with ≥ 3 tokens: (idCol,
+    * n_trigrams, bits, milli_bits = bits·1000 DIV n_trigrams). The
+    * DuckDB oracle replays the least(...) rule verbatim.
+    *
+    * Scale shape: [[scoreBackoff]]'s with one more explode column and
+    * three more vocab-bounded dim joins — probe side explodes the
+    * corpus once; all five dims (c123, cc12, b23, c2x, u3) are
+    * reference-bounded and shuffle-hash/broadcast-joinable; hot
+    * contexts skew the PROBE side only, AQE's skew split covers them.
+    * The trigram table is persisted for the duration
+    * ([[releaseTrigramCache]] afterwards — the [[scoreBackoff]]
+    * release contract). */
+  def scoreTrigram(model: TrigramModel, docs: DataFrame, idCol: String,
+      textCol: String, backoffBits: Int = 4): DataFrame = {
+    require(backoffBits >= 0, "scoreTrigram: backoffBits must be >= 0")
+    val trigrams =
+      if (model.trigrams.storageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE)
+        model.trigrams.persist()
+      else model.trigrams
+    val n = trigrams.agg(sum(col("c123")).cast("long")).head() match {
+      case r if r.isNullAt(0) => 0L // empty reference: all-smoothing
+      case r => r.getLong(0)
+    }
+    val cc12 = trigrams.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).as("cc12"))
+    val b23 = trigrams.groupBy(col("w2"), col("w3"))
+      .agg(sum(col("c123")).as("b23"))
+    val c2x = trigrams.groupBy(col("w2"))
+      .agg(sum(col("c123")).as("c2x"))
+    val u3 = trigrams.groupBy(col("w3"))
+      .agg(sum(col("c123")).as("u3"))
+    trigramsOf(docs, Seq(idCol), textCol)
+      .join(trigrams, Seq("w1", "w2", "w3"), "left")
+      .join(cc12, Seq("w1", "w2"), "left")
+      .join(b23, Seq("w2", "w3"), "left")
+      .join(c2x, Seq("w2"), "left")
+      .join(u3, Seq("w3"), "left")
+      .withColumn("__cost", least(
+        length(bin(coalesce(col("cc12"), lit(0L)) + lit(model.vocab))) -
+          length(bin(coalesce(col("c123"), lit(0L)) + lit(1L))),
+        length(bin(coalesce(col("c2x"), lit(0L)) + lit(model.vocab))) -
+          length(bin(coalesce(col("b23"), lit(0L)) + lit(1L))) +
+          lit(backoffBits),
+        length(bin(lit(n) + lit(model.vocab))) -
+          length(bin(coalesce(col("u3"), lit(0L)) + lit(1L))) +
+          lit(2 * backoffBits)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("__cost")).cast("long").as("bits"))
+      .withColumn("milli_bits", expr("bits * 1000 DIV n_trigrams"))
+  }
+
+  /** Release the trigram cache [[scoreTrigram]] pinned for `model` —
+    * [[releaseBackoffCache]]'s contract, trigram model. Idempotent. */
+  def releaseTrigramCache(model: TrigramModel): Unit = {
+    model.trigrams.unpersist()
+    ()
+  }
+
+  /** Release the bigram cache [[scoreBackoff]] pinned for `model`.
+    * Call once the returned scores are fully consumed (a later action
+    * on an un-consumed result simply recomputes — correct, slower).
+    * A long-lived serve session scoring many batches against
+    * per-batch models MUST call this per batch or the pinned
+    * vocab-bounded caches accumulate executor storage. Idempotent. */
+  def releaseBackoffCache(model: Model): Unit = {
+    model.bigrams.unpersist()
+    ()
   }
 
   // ── persisted LM model ──────────────────────────────────────────────

@@ -95,10 +95,15 @@ object Retrieval {
     require(k >= 1, "rankMetricsAtK: k must be >= 1")
     val w = ndcgWeights(k)
     val cum = w.scanLeft(0L)(_ + _).tail
-    val a = candidate.filter(col(rankCol) <= k)
+    // between(1, k), not <= k: ranks are 1-based array indices into
+    // the weight table — a malformed rank 0 would throw at runtime
+    // and a negative rank would silently index the array from the
+    // end, corrupting the DCG. Out-of-domain ranks are dropped on
+    // BOTH arms.
+    val a = candidate.filter(col(rankCol).between(1, k))
       .select(col(qCol).as("q_id"), col(idCol).as("__id"),
         col(rankCol).cast("long").as("__rank"))
-    val e = reference.filter(col(rankCol) <= k)
+    val e = reference.filter(col(rankCol).between(1, k))
       .select(col(qCol).as("q_id"), col(idCol).as("__id"))
     val base = e.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
     val rel = a.join(e, Seq("q_id", "__id"), "left_semi")

@@ -497,7 +497,7 @@ object CurationQueries extends QueryPack {
               |  UNION
               |  SELECT r.src, e.dst FROM reach r
               |  JOIN edges e ON r.dst = e.src),
-              |clusters AS (
+              |clusters AS MATERIALIZED (
               |  SELECT src AS doc_id, min(dst) AS cluster_id
               |  FROM reach GROUP BY src),
               |qsc AS (
@@ -512,7 +512,7 @@ object CurationQueries extends QueryPack {
               |        ORDER BY qsc.score DESC, c.doc_id ASC) AS rn
               |    FROM clusters c JOIN qsc USING (doc_id))
               |  WHERE rn = 1),
-              |corp AS (
+              |corp AS MATERIALIZED (
               |  SELECT doc_id, lang, text FROM documents d
               |  WHERE d.source <> 'src0'
               |    AND (d.doc_id NOT IN (SELECT doc_id FROM clusters)
@@ -536,7 +536,7 @@ object CurationQueries extends QueryPack {
               |  FROM bw WHERE len(wl) >= 4)),
               |cont AS (SELECT DISTINCT gg.doc_id
               |         FROM gg JOIN bg USING (gram)),
-              |clean AS (
+              |clean AS MATERIALIZED (
               |  SELECT corp.*,
               |    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
               |      / CAST(length(text) AS DOUBLE), 4) AS score
@@ -589,6 +589,16 @@ object CurationQueries extends QueryPack {
           "doc_id", "text", n = 4, deconDir)
         LmScore.writeModel(docs.filter(col("lang") === "en"), "text",
           modelDir)
+        // serve-state certification: both writers land COMPACTED
+        // stores by construction (sorted sized files + stamps), and
+        // this maintenance pass verifies it — inspect, find no
+        // drift, re-pack nothing — so the chain reads its stores
+        // through the same post-compaction gate a deployment's serve
+        // does after its maintenance window
+        val reports = graft.operators.Maintenance.compactAll(s,
+          Seq(deconDir, modelDir))
+        require(reports.values.forall(!_.compacted),
+          s"ccnet stores drifted at write time: $reports")
         val scored = docs.select(col("doc_id"), col("lang"),
           col("source"), col("text"),
           graft.functions.TextFunctions.alphaRatio(col("text"))
@@ -602,7 +612,12 @@ object CurationQueries extends QueryPack {
             Curation.readDeconSet(s, deconDir)._1, "doc_id", "text",
             n = 4)
           .select("doc_id")
-        val clean = corpus.join(broadcast(contaminated), Seq("doc_id"),
+        // no broadcast hint: `contaminated` is an OUTPUT of a
+        // corpus-sized computation (tiny when the benchmark overlap
+        // is small, unbounded in principle) — AQE sizes the anti-join
+        // side at runtime, the same rule q_split_leakage documents
+        // for its corpus-fraction-sized gram table
+        val clean = corpus.join(contaminated, Seq("doc_id"),
           "left_anti").persist()
         val milli = LmScore.score(LmScore.readModel(s, modelDir),
             clean, "doc_id", "text")
@@ -639,7 +654,7 @@ object CurationQueries extends QueryPack {
               |  UNION
               |  SELECT r.src, e.dst FROM reach r
               |  JOIN edges e ON r.dst = e.src),
-              |clusters AS (
+              |clusters AS MATERIALIZED (
               |  SELECT src AS doc_id, min(dst) AS cluster_id
               |  FROM reach GROUP BY src),
               |qsc AS (
@@ -654,7 +669,7 @@ object CurationQueries extends QueryPack {
               |        ORDER BY qsc.score DESC, c.doc_id ASC) AS rn
               |    FROM clusters c JOIN qsc USING (doc_id))
               |  WHERE rn = 1),
-              |corp AS (
+              |corp AS MATERIALIZED (
               |  SELECT doc_id, lang, text FROM documents d
               |  WHERE d.source <> 'src0'
               |    AND (d.doc_id NOT IN (SELECT doc_id FROM clusters)
@@ -678,7 +693,7 @@ object CurationQueries extends QueryPack {
               |  FROM bw WHERE len(wl) >= 4)),
               |cont AS (SELECT DISTINCT gg.doc_id
               |         FROM gg JOIN bg USING (gram)),
-              |clean AS (
+              |clean AS MATERIALIZED (
               |  SELECT doc_id, lang, text FROM corp
               |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
               |lw AS (
@@ -701,7 +716,7 @@ object CurationQueries extends QueryPack {
               |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
               |  FROM lw JOIN (SELECT doc_id FROM clean) cl USING (doc_id)
               |  WHERE len(w) >= 2),
-              |sc AS (
+              |sc AS MATERIALIZED (
               |  SELECT doc_id,
               |    CAST(sum(cost) AS BIGINT) * 1000 // count(*) AS milli
               |  FROM (
@@ -711,19 +726,19 @@ object CurationQueries extends QueryPack {
               |    FROM db d LEFT JOIN c12 USING (w1, w2)
               |              LEFT JOIN c1 USING (w1))
               |  GROUP BY doc_id),
-              |th AS (
+              |th AS MATERIALIZED (
               |  SELECT clean.lang,
               |    list_transform(quantile_cont(sc.milli, [1.0/3, 2.0/3]),
               |      x -> round(x, 6)) AS q
               |  FROM sc JOIN clean USING (doc_id) GROUP BY clean.lang),
-              |gated AS (
+              |gated AS MATERIALIZED (
               |  SELECT sc.doc_id, clean.lang, clean.text,
               |    CAST(1 + len(list_filter(th.q, x -> sc.milli > x))
               |      AS BIGINT) AS bucket
               |  FROM sc JOIN clean USING (doc_id) JOIN th USING (lang)
               |  WHERE CAST(1 + len(list_filter(th.q,
               |    x -> sc.milli > x)) AS BIGINT) <= 2),
-              |tok AS (
+              |tok AS MATERIALIZED (
               |  SELECT doc_id, lang, bucket, text,
               |    CAST(len(regexp_extract_all(text,
               |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok
@@ -738,7 +753,7 @@ object CurationQueries extends QueryPack {
               |                   ELSE 0.0 END AS DOUBLE) /
               |    CAST(SUM(n_tok) AS DOUBLE)) AS rate
               |  FROM tok, b GROUP BY lang, b.budget),
-              |mixed AS (
+              |mixed AS MATERIALIZED (
               |  SELECT t.doc_id, t.lang, t.bucket, t.text
               |  FROM tok t JOIN rt USING (lang)
               |  WHERE rt.rate >= 1.0
@@ -839,7 +854,7 @@ object CurationQueries extends QueryPack {
               |  UNION
               |  SELECT r.src, e.dst FROM reach r
               |  JOIN edges e ON r.dst = e.src),
-              |clusters AS (
+              |clusters AS MATERIALIZED (
               |  SELECT src AS doc_id, min(dst) AS cluster_id
               |  FROM reach GROUP BY src),
               |qsc AS (

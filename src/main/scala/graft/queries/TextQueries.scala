@@ -942,6 +942,72 @@ object TextQueries extends QueryPack {
              |FROM sc GROUP BY 1
              |""".stripMargin)),
 
+    // TRIGRAM backoff — one order closer to CCNet's 5-gram KenLM
+    // shape: cost = least(trigram, bigram + 4, unigram + 8) with
+    // every lower-order count summed OUT of the trigram table
+    // (KenLM's continuation-count discipline — one stored table
+    // serves the whole chain, no retrain). A distance-2 word scramble
+    // preserves the bigram multiset, so q_text_lm_backoff provably
+    // ties it with its unscrambled twin; the trigram arm prices the
+    // novel triples (LmScoreSpec pins the separation). Integer-bitlen
+    // throughout; the oracle replays the three-arm least() verbatim.
+    "q_text_lm_trigram" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.LmScore.scoreTrigram(
+          graft.operators.LmScore.trainTrigram(
+            docs.filter(col("lang") === "en"), "text"),
+          docs, "doc_id", "text")
+      },
+      Some("""WITH w AS MATERIALIZED (
+             |  SELECT doc_id, lang,
+             |         string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents),
+             |v AS (SELECT count(DISTINCT tk) AS v FROM (
+             |        SELECT unnest(w) AS tk FROM w WHERE lang = 'en')),
+             |tt AS (
+             |  SELECT
+             |    unnest(list_transform(range(1, len(w)-1), i -> w[i])) AS w1,
+             |    unnest(list_transform(range(1, len(w)-1), i -> w[i+1])) AS w2,
+             |    unnest(list_transform(range(1, len(w)-1), i -> w[i+2])) AS w3
+             |  FROM w WHERE lang = 'en' AND len(w) >= 3),
+             |c123 AS MATERIALIZED (
+             |  SELECT w1, w2, w3, count(*) AS c123 FROM tt GROUP BY 1, 2, 3),
+             |cc12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS cc12
+             |         FROM c123 GROUP BY 1, 2),
+             |b23 AS (SELECT w2, w3, CAST(sum(c123) AS BIGINT) AS b23
+             |        FROM c123 GROUP BY 1, 2),
+             |c2x AS (SELECT w2, CAST(sum(c123) AS BIGINT) AS c2x
+             |        FROM c123 GROUP BY 1),
+             |u3 AS (SELECT w3, CAST(sum(c123) AS BIGINT) AS u3
+             |       FROM c123 GROUP BY 1),
+             |nn AS (SELECT CAST(sum(c123) AS BIGINT) AS n FROM c123),
+             |db AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(w)-1), i -> w[i])) AS w1,
+             |    unnest(list_transform(range(1, len(w)-1), i -> w[i+1])) AS w2,
+             |    unnest(list_transform(range(1, len(w)-1), i -> w[i+2])) AS w3
+             |  FROM w WHERE len(w) >= 3),
+             |sc AS (
+             |  SELECT d.doc_id,
+             |    least(
+             |      len(bin(coalesce(cc12.cc12, 0) + (SELECT v FROM v))) -
+             |      len(bin(coalesce(c123.c123, 0) + 1)),
+             |      len(bin(coalesce(c2x.c2x, 0) + (SELECT v FROM v))) -
+             |      len(bin(coalesce(b23.b23, 0) + 1)) + 4,
+             |      len(bin((SELECT n FROM nn) + (SELECT v FROM v))) -
+             |      len(bin(coalesce(u3.u3, 0) + 1)) + 8) AS cost
+             |  FROM db d LEFT JOIN c123 USING (w1, w2, w3)
+             |            LEFT JOIN cc12 USING (w1, w2)
+             |            LEFT JOIN b23 USING (w2, w3)
+             |            LEFT JOIN c2x USING (w2)
+             |            LEFT JOIN u3 USING (w3))
+             |SELECT doc_id, count(*) AS n_trigrams,
+             |  CAST(sum(cost) AS BIGINT) AS bits,
+             |  CAST(sum(cost) AS BIGINT) * 1000 // count(*) AS milli_bits
+             |FROM sc GROUP BY 1
+             |""".stripMargin)),
+
     // the LM quality filter actually SERVING: corpus documents arrive
     // as a STREAM and score per micro-batch against the persisted
     // model (StreamJobs.lmLookupStream), each batch overwriting its

@@ -129,6 +129,18 @@ object Sinks {
     * maintain it — a fresh compacted dir simply has no manifest. The
     * name is `_`-prefixed so Spark's own file index ignores it.
     *
+    * COMPACTION ERASES COMMIT HISTORY: the compacted dir has no
+    * manifest, so a tag committed BEFORE compaction that replays
+    * AFTER it (a stream restarted from an old checkpoint) finds no
+    * commit record and re-appends rows already folded into the base —
+    * a silent double-count. Quiesced compaction therefore requires
+    * not just "no concurrent writer" but "no tag that could still
+    * replay": run it only once every stream writing this store is
+    * past the checkpoint of its last committed batch (stopped after a
+    * clean commit, or its checkpoint advanced beyond every tag in the
+    * manifest). The pre-manifest purge protocol had the same
+    * residual; the manifest makes it precise rather than fixing it.
+    *
     * The tag must be unique per logical batch ACROSS stream runs —
     * pass runId+batchId, never batchId alone: a later run's fresh
     * checkpoint restarts batch ids at 0, and its batch-0 replay would

@@ -80,6 +80,120 @@ class IngestSpec extends SparkSpec {
       "purgeTagged left the tag committed")
   }
 
+  test("manifest protocol property: readTagged ≡ union of committed batches, exactly once, under 100+ generated crash interleavings") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.hadoop.fs.Path
+
+    // Abstract op stream interpreted against BOTH the real store and
+    // a trivially-correct model (base rows + committed-batch map).
+    // Crash(keep) lands a torn attempt: keep ∈ {0,1,2} data files
+    // renamed in, manifest never updated — exactly the states a kill
+    // between appendTagged's rename loop and its commit produces.
+    // Replay/Purge pick from live tags; Compact folds the committed
+    // rows into a plain base table (manifest gone — the documented
+    // quiesced-compaction shape; no retired tag is ever replayed
+    // afterwards, per the scaladoc precondition). The invariant at
+    // every Read and at sequence end: readTagged sees base rows plus
+    // every committed batch EXACTLY once and nothing else — the
+    // class-level claim the enumerated crash-point tests instantiate.
+    sealed trait Op
+    case object Append extends Op
+    final case class Crash(keep: Int) extends Op
+    final case class Replay(pick: Int) extends Op
+    final case class PurgeOp(pick: Int) extends Op
+    case object Read extends Op
+    case object Compact extends Op
+
+    val opGen: Gen[Op] = Gen.frequency(
+      4 -> Gen.const(Append),
+      3 -> Gen.choose(0, 2).map(Crash(_)),
+      3 -> Gen.choose(0, 99).map(Replay(_)),
+      1 -> Gen.choose(0, 99).map(PurgeOp(_)),
+      2 -> Gen.const(Read),
+      1 -> Gen.const(Compact))
+    val seqGen = Gen.listOfN(7, opGen)
+
+    def valuesOf(tag: Int): Seq[Long] = (0 until 3).map(i => tag * 100L + i)
+
+    var interleavings = 0
+    (0 until 110).foreach { caseIdx =>
+      val ops = seqGen(Gen.Parameters.default, Seed(4242L + caseIdx))
+        .getOrElse(fail(s"case $caseIdx: generator produced nothing"))
+      val dir = tmp(s"prop$caseIdx") + "/table"
+      val table = new Path(dir)
+      val fs = fsOf(dir)
+      var nextTag = 0
+      var base = Vector.empty[Long]
+      val committed = scala.collection.mutable.LinkedHashMap.empty[Int, Seq[Long]]
+      val crashed = scala.collection.mutable.LinkedHashMap.empty[Int, Seq[Long]]
+      def expect: Seq[Long] = (base ++ committed.values.flatten).sorted
+      def check(where: String): Unit =
+        if (fs.exists(table)) {
+          // a store with ZERO parquet files (every attempt crashed at
+          // keep=0 / everything purged) has no schema to read — the
+          // model must agree it holds nothing
+          if (dataFiles(dir).isEmpty)
+            assert(expect.isEmpty,
+              s"case $caseIdx ($where): model expects rows, store has no files")
+          else
+            assert(Sinks.readTagged(s, dir).as[Long].collect().sorted.toSeq
+              === expect, s"case $caseIdx ($where): store diverged from model")
+        }
+      ops.foreach {
+        case Append =>
+          val tag = nextTag; nextTag += 1
+          Sinks.appendTagged(valuesOf(tag).toDF("v").coalesce(1), dir,
+            s"t$tag")
+          committed(tag) = valuesOf(tag)
+        case Crash(keep) =>
+          val tag = nextTag; nextTag += 1
+          Sinks.appendTagged(valuesOf(tag).toDF("v").repartition(2), dir,
+            s"t$tag")
+          // doctor to the torn state: strip the commit, keep only the
+          // first `keep` renamed files (deterministic by name sort)
+          val m = Sinks.readManifest(fs, table).get
+          val mine = m.filter(_.startsWith(s"ingest-t$tag-part"))
+          Sinks.writeManifestNames(fs, table, (m -- mine).toSeq)
+          mine.toSeq.sorted.drop(keep)
+            .foreach(n => fs.delete(new Path(table, n), false))
+          crashed(tag) = valuesOf(tag)
+        case Replay(p) =>
+          val pool = (crashed.keys ++ committed.keys).toVector.sorted
+          if (pool.nonEmpty) {
+            val tag = pool(p % pool.size)
+            val ret = Sinks.appendTagged(
+              valuesOf(tag).toDF("v").coalesce(1), dir, s"t$tag")
+            if (committed.contains(tag))
+              assert(ret === 0,
+                s"case $caseIdx: committed replay of t$tag not a no-op")
+            else { committed(tag) = valuesOf(tag); crashed.remove(tag) }
+          }
+        case PurgeOp(p) =>
+          val pool = (crashed.keys ++ committed.keys).toVector.sorted
+          if (pool.nonEmpty) {
+            val tag = pool(p % pool.size)
+            Sinks.purgeTagged(fs, table, s"t$tag")
+            committed.remove(tag); crashed.remove(tag)
+          }
+        case Read => check("mid-sequence")
+        case Compact =>
+          if (fs.exists(table)) {
+            val rows = expect
+            rows.toDF("v").coalesce(1).write
+              .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+            base = rows.toVector
+            committed.clear(); crashed.clear()
+          }
+      }
+      check("final")
+      interleavings += 1
+    }
+    assert(interleavings >= 100)
+  }
+
   test("pre-manifest upgrade path: a torn legacy append purges-and-redoes; other legacy tags adopt as committed") {
     val s = spark
     import s.implicits._

@@ -139,6 +139,85 @@ class LmScoreSpec extends SparkSpec {
       "stored-model backoff diverged from fresh train")
   }
 
+  test("scoreTrigram: exact three-arm costs incl. unseen continuation / unseen context; <3-token exclusion") {
+    val s = spark
+    import s.implicits._
+    // ref "a b c": c123(a,b,c)=1; V=3; N=1; cc12(a,b)=1; b23(b,c)=1;
+    // c2x(b)=1; u3(c)=1
+    val m = LmScore.trainTrigram(Seq((1L, "a b c")).toDF("id", "text"),
+      "text")
+    assert(m.vocab == 3L)
+    val docs = Seq(
+      (10L, "a b c"), // tri arm: bitlen(1+3)-bitlen(1+1) = 3-2 = 1
+                      // (bi 1+4, uni 1+8 lose)
+      (20L, "a b z"), // tri: bitlen(4)-bitlen(0+1) = 2; bi: b23=0,
+                      // c2x(b)=1 -> 3-1+4 = 6; uni: u3=0 -> 10
+      (30L, "x y z"), // all-unseen: tri bitlen(0+3)-bitlen(1) = 1
+      (40L, "a b"))   // 2 tokens: excluded
+      .toDF("doc_id", "text")
+    val got = LmScore.scoreTrigram(m, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (10L, 1L, 1L, 1000L),
+      (20L, 1L, 2L, 2000L),
+      (30L, 1L, 1L, 1000L)), got.mkString(", "))
+    LmScore.releaseTrigramCache(m)
+  }
+
+  test("scoreTrigram: a distance-2 scramble ties under bigram scoring but ranks worse under trigram context") {
+    val s = spark
+    import s.implicits._
+    // doc2 is doc1 with words at distance 2 exchanged: both carry the
+    // bigram MULTISET {aa, ab, ab, ba, bb}, so the bigram scorers
+    // CANNOT separate them — but doc2's triple 'b a a' never occurs
+    // in the reference.
+    val ref = (1L to 50L).map(i => (i, "a a b a b b")).toDF("id", "text")
+    val docs = Seq(
+      (1L, "a a b a b b"),  // the reference sentence itself
+      (2L, "a b a a b b"))  // same bigrams, novel trigram 'b a a'
+      .toDF("doc_id", "text")
+    val bm = LmScore.train(ref, "text")
+    val bi = LmScore.score(bm, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(bi(0)._3 == bi(1)._3,
+      s"bigram scoring should tie a distance-2 scramble: ${bi.mkString(", ")}")
+    val bo = LmScore.scoreBackoff(bm, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(bo(0)._3 == bo(1)._3,
+      s"bigram backoff should tie a distance-2 scramble: ${bo.mkString(", ")}")
+    LmScore.releaseBackoffCache(bm)
+    val tm = LmScore.trainTrigram(ref, "text")
+    val tri = LmScore.scoreTrigram(tm, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(tri(0)._3 < tri(1)._3,
+      s"trigram context did not separate the scramble: ${tri.mkString(", ")}")
+    LmScore.releaseTrigramCache(tm)
+  }
+
+  test("scoreBackoff: repeated calls on one model pin ONE cache; releaseBackoffCache returns storage to baseline") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq((1L, "a b a c b a")).toDF("id", "text")
+    val docs = Seq((10L, "a b"), (20L, "b a c")).toDF("doc_id", "text")
+    s.sharedState.cacheManager.clearCache()
+    val baseline = s.sparkContext.getPersistentRDDs.size
+    val m = LmScore.train(ref, "text")
+    LmScore.scoreBackoff(m, docs, "doc_id", "text").collect()
+    val afterOne = s.sparkContext.getPersistentRDDs.size
+    assert(afterOne >= baseline, "persist did not register")
+    // re-scoring against the SAME model must not stack cache entries
+    (1 to 3).foreach { _ =>
+      LmScore.scoreBackoff(m, docs, "doc_id", "text").collect()
+    }
+    assert(s.sparkContext.getPersistentRDDs.size == afterOne,
+      "repeated scoreBackoff calls grew the persisted-RDD set")
+    LmScore.releaseBackoffCache(m)
+    assert(s.sparkContext.getPersistentRDDs.size == baseline,
+      "releaseBackoffCache did not return storage to baseline")
+    // idempotent
+    LmScore.releaseBackoffCache(m)
+  }
+
   test("train minCount: hapax bigrams pruned, c1 re-derived from survivors, vocab stays full") {
     val s = spark
     import s.implicits._
