@@ -4,9 +4,10 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** ONE maintenance entry point for every append-mode store this
-  * library persists. All eight persistence units (MinhashIndex,
+  * library persists. All nine persistence units (MinhashIndex,
   * IvfIndex, PqIndex, IvfPqIndex, CorpusProfile, Bm25Index, the
-  * decontamination gram set, and the LM bigram model) plus the
+  * decontamination gram set, the LM bigram model, and the NB
+  * classifier model) plus the
   * generic parquet layouts accumulate files and/or layout drift BY
   * DESIGN — O(batch) appends never rewrite the corpus-sized table —
   * and each has its own restoring pass (`Layout.compact`'s bin-pack,
@@ -84,6 +85,8 @@ object Maintenance {
       deconUnit(spark, fs, dir, target, slack)
     else if (has("bigrams.parquet") && has("unigrams.parquet"))
       lmUnit(spark, fs, dir, target, slack)
+    else if (has("counts.parquet") && has("classes.parquet"))
+      nbUnit(spark, fs, dir, target, slack)
     else {
       val entries = fs.listStatus(root).toSeq
       val flatParquet = entries.exists(f =>
@@ -157,6 +160,20 @@ object Maintenance {
     if (need) LmScore.modelCompact(spark, dir, target)
     UnitReport("lm-model", Map("bigrams.parquet" ->
       (before, fileCount(fs, s"$dir/bigrams.parquet"))))
+  }
+
+  private def nbUnit(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, target: Long,
+      slack: Double): UnitReport = {
+    val before = fileCount(fs, s"$dir/counts.parquet")
+    // nbDrifted covers the stamp AND stored partials/duplicate
+    // vocabulary; overPacked adds the raw small-file growth arm
+    val need = Classify.nbDrifted(spark, dir) ||
+      overPacked(fs, s"$dir/counts.parquet", target,
+        spark.sparkContext.defaultParallelism, slack)
+    if (need) Classify.nbCompact(spark, dir, target)
+    UnitReport("nb-model", Map("counts.parquet" ->
+      (before, fileCount(fs, s"$dir/counts.parquet"))))
   }
 
   private def tablesUnit(spark: SparkSession,

@@ -10,6 +10,7 @@ object Registry {
     StreamParityQueries,
     SqlSurfaceQueries,
     TextQueries,
+    ClassifyQueries,
     DedupQueries,
     CurationQueries,
     SimilarityQueries,

@@ -296,6 +296,65 @@ object StreamJobs {
         ()
     }
 
+  /** Streaming NB classification — [[lmLookupStream]]'s serve pattern
+    * applied to the persisted classifier model
+    * (`Classify.writeNbModel`): each arriving micro-batch of documents
+    * classifies against the STORED model (model-bounded count reads,
+    * partials collapsed at read — the labeled training set is never
+    * touched) and lands (idCol, label, n_tokens, bits, milli_bits)
+    * under `outDir/batch_id=<id>/`. The classifier-routing shape a
+    * 100 TB ingest runs: the model changes rarely (appendNbModel takes
+    * new labeled batches in O(batch); they take effect from the next
+    * micro-batch, because the model is re-read per batch), corpora
+    * arrive forever, and class decisions are doc-local, so the
+    * cross-batch union equals the batch classifier exactly.
+    * Batch_id-scoped overwrite = replay idempotent. The per-batch
+    * model caches [[graft.operators.Classify.classifyNb]] pins are
+    * released after the batch lands ([[graft.operators.Classify
+    * .releaseNbCache]]) — the serve session never accumulates pinned
+    * storage. Returns the writer — caller picks trigger/checkpoint
+    * and starts it. */
+  def nbLookupStream(docs: DataFrame, modelDir: String,
+      outDir: String, idCol: String, textCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val model = graft.operators.Classify.readNbModel(
+          batch.sparkSession, modelDir)
+        try graft.operators.Classify
+          .classifyNb(model, batch, idCol, textCol)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+        finally graft.operators.Classify.releaseNbCache(model)
+        ()
+    }
+
+  /** [[nbLookupStream]]'s WRITE-path twin: each micro-batch of
+    * LABELED documents appends to the persisted classifier model in
+    * O(batch) via `Classify.appendNbModel` — tagged `runId-batchId`
+    * files, so foreachBatch's at-least-once replay converges to
+    * exactly-once (see appendNbModel's ordering scaladoc: stamp drop
+    * first, vocabulary before counts before class priors,
+    * manifest-committed batches). A concurrent lookup stream on the
+    * same dir classifies against the growing model from its next
+    * micro-batch on, and is safe against crash recovery exactly as
+    * [[lmIngestStream]] is. Quiesced `Maintenance.compactAll`
+    * restores the sorted/sized layout and the zero-aggregation serve
+    * path. Same runId discipline as every ingest stream: fresh per
+    * (checkpoint, stream) pair. */
+  def nbIngestStream(labeled: DataFrame, modelDir: String,
+      labelCol: String, textCol: String, runId: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    labeled.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Classify.appendNbModel(batch, labelCol,
+            textCol, modelDir, s"$runId-$batchId")
+        ()
+    }
+
   /** Streaming HYBRID retrieval serving — the composed form of
     * [[bm25LookupStream]] + [[annLookupStream]]: each micro-batch of
     * queries (carrying BOTH a text column and an embedding column)
