@@ -189,6 +189,83 @@ object LmScore {
       .withColumn("milli_bits", expr("bits * 1000 DIV n_bigrams"))
   }
 
+  // ── DSIR importance weighting ───────────────────────────────────────
+
+  /** Data Selection via Importance Resampling (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023), in the integer-bitlen contract: the importance
+    * weight of a document x is p_target(x) / p_source(x), so its LOG2
+    * is exactly
+    *
+    *   delta_bits = bits_source(x) − bits_target(x)
+    *
+    * — the document's quantized cross-entropy under the SOURCE (raw
+    * pool) model minus under the TARGET (clean/domain) model, both
+    * the add-one-smoothed bigram cost [[score]] computes. Positive =
+    * more target-like than source-pool-like; `delta_milli_bits =
+    * delta_bits·1000 DIV n_bigrams` is the length-normalized form
+    * thresholds and rankings should use (a long document's raw delta
+    * scales with its length, not its quality). Returns one row per
+    * document with ≥ 2 tokens: (idCol, n_bigrams, target_bits,
+    * source_bits, delta_bits, delta_milli_bits).
+    *
+    * Scale shape: ONE corpus explode shared by both models (not two
+    * [[score]] passes), then four vocab-bounded dim joins (each
+    * model's bigram + firsts tables) and a map-side-combined per-doc
+    * sum — [[score]]'s shape with two more reference-bounded dims.
+    * Both models' bigram frames are persisted for the duration
+    * ([[releaseBackoffCache]] on each afterwards — the standard
+    * release contract; on stored models the pin is a small parquet
+    * read). Hot first-word skew is probe-side only; AQE splits it. */
+  def importanceBits(target: Model, source: Model, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val tb = if (target.bigrams.storageLevel == none)
+      target.bigrams.persist() else target.bigrams
+    val sb = if (source.bigrams.storageLevel == none)
+      source.bigrams.persist() else source.bigrams
+    bigramsOf(docs, Seq(idCol), textCol)
+      .join(tb.withColumnRenamed("c12", "__t12"),
+        Seq("w1", "w2"), "left")
+      .join(target.firsts.withColumnRenamed("c1", "__t1"),
+        Seq("w1"), "left")
+      .join(sb.withColumnRenamed("c12", "__s12"),
+        Seq("w1", "w2"), "left")
+      .join(source.firsts.withColumnRenamed("c1", "__s1"),
+        Seq("w1"), "left")
+      .withColumn("__tc",
+        length(bin(coalesce(col("__t1"), lit(0L)) + lit(target.vocab))) -
+          length(bin(coalesce(col("__t12"), lit(0L)) + lit(1L))))
+      .withColumn("__sc",
+        length(bin(coalesce(col("__s1"), lit(0L)) + lit(source.vocab))) -
+          length(bin(coalesce(col("__s12"), lit(0L)) + lit(1L))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__tc")).cast("long").as("target_bits"),
+        sum(col("__sc")).cast("long").as("source_bits"))
+      .withColumn("delta_bits", col("source_bits") - col("target_bits"))
+      .withColumn("delta_milli_bits",
+        expr("delta_bits * 1000 DIV n_bigrams"))
+  }
+
+  /** DSIR selection: the k most target-like documents by
+    * length-normalized importance (`delta_milli_bits` DESC), ties
+    * broken by idCol ascending — deterministic across partitionings
+    * and engines. The global top-k plans as TakeOrderedAndProject
+    * (per-partition bounded heaps + one driver merge of k·P rows),
+    * never a full sort — the [[graft.operators.Curation]] top-k
+    * discipline. This is the deterministic analog of the paper's
+    * Gumbel resampling: the stochastic variant follows by composing
+    * [[importanceBits]] with `Curation.sampleWeighted` over
+    * hash-jittered milli weights. */
+  def dsirSelect(target: Model, source: Model, docs: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "dsirSelect: k must be >= 1")
+    importanceBits(target, source, docs, idCol, textCol)
+      .orderBy(col("delta_milli_bits").desc, col(idCol))
+      .limit(k)
+  }
+
   // ── trigram extension ───────────────────────────────────────────────
 
   /** A trained trigram model: `trigrams` (w1, w2, w3, c123) and the

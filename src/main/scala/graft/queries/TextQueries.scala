@@ -172,6 +172,63 @@ object TextQueries extends QueryPack {
       |FROM sc GROUP BY 1
       |""".stripMargin
 
+  /** Shared by q_text_dsir and q_text_dsir_select (which appends its
+    * ORDER BY/LIMIT): two bigram models (target = en stratum, source
+    * = whole pool) scored in one pass, integer bits throughout. */
+  private val oDsirSql =
+    """WITH w AS MATERIALIZED (
+      |  SELECT doc_id, lang,
+      |         string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |vt AS (SELECT count(DISTINCT tk) AS v FROM (
+      |         SELECT unnest(w) AS tk FROM w WHERE lang = 'en')),
+      |vs AS (SELECT count(DISTINCT tk) AS v FROM (
+      |         SELECT unnest(w) AS tk FROM w)),
+      |tbt AS (
+      |  SELECT
+      |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      |  FROM w WHERE lang = 'en' AND len(w) >= 2),
+      |t12 AS MATERIALIZED (
+      |  SELECT w1, w2, count(*) AS c12 FROM tbt GROUP BY 1, 2),
+      |t1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+      |       FROM t12 GROUP BY 1),
+      |tbs AS (
+      |  SELECT
+      |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      |  FROM w WHERE len(w) >= 2),
+      |s12 AS MATERIALIZED (
+      |  SELECT w1, w2, count(*) AS c12 FROM tbs GROUP BY 1, 2),
+      |s1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+      |       FROM s12 GROUP BY 1),
+      |db AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      |  FROM w WHERE len(w) >= 2),
+      |sc AS (
+      |  SELECT d.doc_id,
+      |    len(bin(coalesce(t1.c1, 0) + (SELECT v FROM vt))) -
+      |      len(bin(coalesce(t12.c12, 0) + 1)) AS tc,
+      |    len(bin(coalesce(s1.c1, 0) + (SELECT v FROM vs))) -
+      |      len(bin(coalesce(s12.c12, 0) + 1)) AS scst
+      |  FROM db d LEFT JOIN t12 USING (w1, w2)
+      |            LEFT JOIN t1 USING (w1)
+      |            LEFT JOIN s12 USING (w1, w2)
+      |            LEFT JOIN s1 USING (w1)),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(tc) AS BIGINT) AS target_bits,
+      |    CAST(sum(scst) AS BIGINT) AS source_bits
+      |  FROM sc GROUP BY 1)
+      |SELECT doc_id, n_bigrams, target_bits, source_bits,
+      |  source_bits - target_bits AS delta_bits,
+      |  (source_bits - target_bits) * 1000 // n_bigrams
+      |    AS delta_milli_bits
+      |FROM agg
+      |""".stripMargin
+
   override def queries: Map[String, Q] = Map(
 
     "q_text_token_count" -> Q(
@@ -1007,6 +1064,43 @@ object TextQueries extends QueryPack {
              |  CAST(sum(cost) AS BIGINT) * 1000 // count(*) AS milli_bits
              |FROM sc GROUP BY 1
              |""".stripMargin)),
+
+    // DSIR importance weighting (Xie et al. NeurIPS 2023): log2 of
+    // the target/source probability ratio = source bits − target bits
+    // under two bigram LMs — one corpus explode, four vocab-bounded
+    // dim joins, everything integer. Gate convention: target = the en
+    // stratum (the "clean domain"), source = the whole pool, every
+    // document weighted. Both engines truncate integer division
+    // toward zero, so the length-normalized delta_milli_bits agrees
+    // on NEGATIVE deltas too (docs less target-like than the pool).
+    "q_text_dsir" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val target = graft.operators.LmScore.train(
+          docs.filter(col("lang") === "en"), "text")
+        val source = graft.operators.LmScore.train(docs, "text")
+        val out = graft.operators.LmScore.importanceBits(
+          target, source, docs, "doc_id", "text")
+        out
+      },
+      Some(oDsirSql)),
+
+    // DSIR selection: the k most target-like documents by normalized
+    // importance, ties broken by doc_id — the deterministic analog of
+    // the paper's Gumbel resampling. Plans as TakeOrderedAndProject
+    // (bounded per-partition heaps), never a global sort.
+    "q_text_dsir_select" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.LmScore.dsirSelect(
+          graft.operators.LmScore.train(
+            docs.filter(col("lang") === "en"), "text"),
+          graft.operators.LmScore.train(docs, "text"),
+          docs, "doc_id", "text", k = 100)
+      },
+      Some(oDsirSql +
+        """ORDER BY delta_milli_bits DESC, doc_id LIMIT 100
+          |""".stripMargin)),
 
     // the LM quality filter actually SERVING: corpus documents arrive
     // as a STREAM and score per micro-batch against the persisted

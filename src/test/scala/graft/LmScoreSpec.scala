@@ -239,4 +239,38 @@ class LmScoreSpec extends SparkSpec {
       "doc_id", "text").as[(Long, Long, Long, Long)].collect()
     assert(sc.toSeq === Seq((9L, 1L, 2L, 2000L)), sc.mkString(", "))
   }
+
+  test("importanceBits: exact DSIR log2 ratio, both signs; select orders by normalized delta with id tie-break") {
+    val s = spark
+    import s.implicits._
+    // target "a b a c": V=3, c12 ab=ba=ac=1, c1 a=2 b=1
+    // source "a b a b": V=2, c12 ab=2 ba=1,   c1 a=2 b=1
+    val target = LmScore.train(Seq((1L, "a b a c")).toDF("id", "text"),
+      "text")
+    val source = LmScore.train(Seq((2L, "a b a b")).toDF("id", "text"),
+      "text")
+    val docs = Seq(
+      (10L, "a b"), // T: bl(5)-bl(2)=1; S: bl(4)-bl(3)=1  -> delta 0
+      (20L, "a c"), // T: bl(5)-bl(2)=1; S unseen: bl(4)-1=2 -> +1
+      (30L, "z q"), // both unseen first: bl(3)-1=1 / bl(2)-1=1 -> 0
+      (40L, "b a")) // T: bl(4)-bl(2)=1; S: bl(3)-bl(2)=0 -> -1
+      .toDF("doc_id", "text")
+    val got = LmScore.importanceBits(target, source, docs,
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (10L, 1L, 1L, 1L, 0L, 0L),
+      (20L, 1L, 1L, 2L, 1L, 1000L),
+      (30L, 1L, 1L, 1L, 0L, 0L),
+      (40L, 1L, 1L, 0L, -1L, -1000L)),
+      got.toSeq.sortBy(_._1).mkString(", "))
+    // top-2: doc 20 (milli 1000) first, then the 0-milli tie broken
+    // by doc_id ascending -> 10, never 30
+    val sel = LmScore.dsirSelect(target, source, docs,
+        "doc_id", "text", k = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().map(_._1)
+    assert(sel.toSeq == Seq(20L, 10L), sel.mkString(", "))
+    LmScore.releaseBackoffCache(target)
+    LmScore.releaseBackoffCache(source)
+  }
 }
