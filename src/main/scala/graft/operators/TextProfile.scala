@@ -58,6 +58,63 @@ object TextProfile {
         bp(col("__dup_occ"), col("n_bigrams")).as("dup2_bp"))
   }
 
+  /** Gopher-style quality rule filter (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", 2021
+    * §A1.1): the named heuristic gates a web-scale pretrain corpus
+    * runs BEFORE any model-based scoring. Returns one row per
+    * document: (idCol, n_words, rule_mask, keep) where bit i of
+    * `rule_mask` is set iff rule i is VIOLATED and
+    * `keep = (rule_mask == 0)`:
+    *
+    *   bit 0 — word count outside [minWords, maxWords]
+    *   bit 1 — mean word length outside [3, 10] chars
+    *   bit 2 — symbol-to-word ratio > 0.1 ('#' chars + '...' runs)
+    *   bit 3 — < 80% of words contain an alphabetic character
+    *   bit 4 — fewer than 2 distinct stopwords present (Gopher's
+    *           minimal-fluency check, over this library's standard
+    *           10-word stoplist)
+    *
+    * Every threshold is evaluated in INTEGER arithmetic — ratios
+    * become cross-multiplications (mean length ∈ [3, 10] ⇔
+    * 3·n ≤ Σlen ≤ 10·n; 80% ⇔ 5·alpha ≥ 4·n; 0.1 ⇔ 10·sym ≤ n) — so
+    * both engines compare exact integers and no rounding boundary can
+    * flip a rule. The mask (not just the boolean) is the useful
+    * output at 100 TB: per-rule violation rates are the corpus
+    * diagnostic that tunes thresholds, and `keep` re-derives from it
+    * for free. One narrow codegen pass, no shuffle, no UDF. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      "gopherRules: need 1 <= minWords <= maxWords")
+    val stops = Seq("the", "a", "an", "of", "and", "or", "to", "in",
+      "is", "it")
+    val t = col("__text"); val w = col("__w")
+    val n = col("n_words")
+    df.select(col(idCol), col(textCol).as("__text"),
+        tokens(col(textCol)).as("__w"))
+      .select(col(idCol), t, w,
+        size(w).cast("long").as("n_words"),
+        aggregate(transform(w, x => length(x)), lit(0L),
+          (acc, x) => acc + x).as("__sumlen"),
+        size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
+          .as("__alpha"),
+        ((length(t) - length(regexp_replace(t, "#", ""))) +
+          (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) /
+            lit(3)).cast("long").as("__sym"),
+        size(array_intersect(w,
+          array(stops.map(lit): _*))).cast("long").as("__stop"))
+      .select(col(idCol), n,
+        (when(n < minWords || n > maxWords, lit(1L)).otherwise(lit(0L)) +
+         when(lit(3L) * n > col("__sumlen") ||
+              col("__sumlen") > lit(10L) * n, lit(2L)).otherwise(lit(0L)) +
+         when(lit(10L) * col("__sym") > n, lit(4L)).otherwise(lit(0L)) +
+         when(lit(5L) * col("__alpha") < lit(4L) * n, lit(8L))
+           .otherwise(lit(0L)) +
+         when(col("__stop") < 2L, lit(16L)).otherwise(lit(0L)))
+          .as("rule_mask"))
+      .withColumn("keep", col("rule_mask") === 0L)
+  }
+
   /** Per-document token-commonness profile — the CCNet-family quality
     * signal (corpus-LM perplexity's oracle-exact integer cousin): a
     * document whose token occurrences have LOW corpus document

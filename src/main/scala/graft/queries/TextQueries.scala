@@ -271,6 +271,56 @@ object TextQueries extends QueryPack {
              |FROM documents
              |""".stripMargin)),
 
+    // Gopher-style rule filter: the named heuristic gate (word-count
+    // band, mean-word-length band, symbol ratio, alphabetic-word
+    // fraction, minimum distinct stopwords) as a per-rule violation
+    // BITMASK plus the keep decision. Every threshold is a
+    // cross-multiplication — both engines compare exact integers, so
+    // no rounding boundary can flip a rule. The mask is the corpus
+    // diagnostic (per-rule violation rates tune thresholds); keep
+    // re-derives from it for free.
+    "q_text_gopher_rules" -> Q(
+      (s, d) => graft.operators.TextProfile.gopherRules(
+        t(s, d, "documents"), "doc_id", "text",
+        minWords = 40L, maxWords = 10000L),
+      Some("""WITH w AS (
+             |  SELECT doc_id, text,
+             |         string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |    len(w) AS n_words,
+             |    list_sum(list_transform(w, tk -> length(tk))) AS sumlen,
+             |    len(list_filter(w,
+             |        tk -> regexp_matches(tk, '[A-Za-z]'))) AS alpha,
+             |    (length(text) - length(replace(text, '#', ''))) +
+             |      (length(text) -
+             |       length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3
+             |      AS sym,
+             |    len(list_filter(list_distinct(w),
+             |        tk -> tk IN ('the','a','an','of','and','or','to',
+             |                     'in','is','it'))) AS stopd
+             |  FROM w)
+             |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             |  CAST(
+             |    (CASE WHEN n_words < 40 OR n_words > 10000
+             |          THEN 1 ELSE 0 END) +
+             |    (CASE WHEN 3 * n_words > sumlen OR sumlen > 10 * n_words
+             |          THEN 2 ELSE 0 END) +
+             |    (CASE WHEN 10 * sym > n_words THEN 4 ELSE 0 END) +
+             |    (CASE WHEN 5 * alpha < 4 * n_words THEN 8 ELSE 0 END) +
+             |    (CASE WHEN stopd < 2 THEN 16 ELSE 0 END)
+             |    AS BIGINT) AS rule_mask,
+             |  ((CASE WHEN n_words < 40 OR n_words > 10000
+             |         THEN 1 ELSE 0 END) +
+             |   (CASE WHEN 3 * n_words > sumlen OR sumlen > 10 * n_words
+             |         THEN 2 ELSE 0 END) +
+             |   (CASE WHEN 10 * sym > n_words THEN 4 ELSE 0 END) +
+             |   (CASE WHEN 5 * alpha < 4 * n_words THEN 8 ELSE 0 END) +
+             |   (CASE WHEN stopd < 2 THEN 16 ELSE 0 END)) = 0 AS keep
+             |FROM m
+             |""".stripMargin)),
+
     "q_text_lang_id" -> Q(
       (s, d) => {
         import s.implicits._

@@ -680,4 +680,41 @@ class TextKernelsSpec extends SparkSpec {
       .collect().head
     assert(math.abs(approx._6 - 3.0) <= 1.0)
   }
+
+  test("gopherRules: each rule bit fires on exactly its planted violation; clean doc keeps") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // clean: 5 words in [4, 100], mean len 3.4 in [3, 10], no
+      // symbols, all alphabetic, stopwords {the, a} distinct >= 2
+      (1L, "the a quick brown foxes"),
+      // bit 0: word count 2 < minWords 4 (mean len 3 stays in range,
+      // still 2 distinct stopwords)
+      (2L, "the and"),
+      // bit 1: mean word length 2.6 < 3 (words of len 1-3; has the+a)
+      (3L, "the a bb cc d"),
+      // bit 1 high side: mean length > 10
+      (4L, "the a abcdefghijklmnopqrstuvwxyz abcdefghijklmnopqrstuvwxyz abcdefghijklmnopqrstuvwxyz"),
+      // bit 2: 1 '#' over 5 words = 0.2 > 0.1 (lengths keep mean >= 3)
+      (5L, "the a cats# dogs bird"),
+      // bit 3: 2 of 5 words alphabetic = 40% < 80%
+      (6L, "the 123 456 789 000"),
+      // bit 4: zero stopwords
+      (7L, "quick brown foxes jump high"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextProfile
+      .gopherRules(docs, "doc_id", "text", minWords = 4L,
+        maxWords = 100L)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (5L, 0L, true), got(1L).toString)
+    assert(got(2L) == (2L, 1L, false), got(2L).toString)
+    assert(got(3L) == (5L, 2L, false), got(3L).toString)
+    assert(got(4L) == (5L, 2L, false), got(4L).toString)
+    assert(got(5L) == (5L, 4L, false), got(5L).toString)
+    // doc 6: only "the" is alphabetic+stopword; 1 distinct stopword
+    // ALSO fires bit 4, and mean len (3+3*4+3)/5 = 3 is in range
+    assert(got(6L) == (5L, 8L + 16L, false), got(6L).toString)
+    assert(got(7L) == (5L, 16L, false), got(7L).toString)
+  }
 }
