@@ -203,6 +203,47 @@ object Classify {
         col("__m.bits").as("bits"),
         col("__m.milli_bits").as("milli_bits"))
 
+  /** kNN label propagation — auto-labeling a corpus from a small
+    * labeled seed (the semi-supervised step pretrain pipelines run to
+    * spread a few thousand human quality/domain labels over billions
+    * of documents): given a NEIGHBORS frame (any ANN stage's output —
+    * `Similarity.ivfTopKWithIndex`, `bruteForceTopK`, the stored
+    * IVF-PQ probe — as (qIdCol, nnIdCol, rankCol) rows) and the
+    * labeled seed, each query takes the MAJORITY label of its
+    * neighbors; ties break to the label ascending. Returns one row
+    * per query with ≥ 1 labeled neighbor: (qIdCol, label, votes,
+    * best_rank) — votes the winning label's neighbor count,
+    * best_rank the winner's nearest neighbor's rank (the calibration
+    * signal: a label that wins on far neighbors is weaker evidence
+    * than one that wins on rank 1-2).
+    *
+    * Scale shape: the seed is SMALL by construction (it is what got
+    * hand-labeled), so the label join broadcasts; the two
+    * aggregations are map-side combined over the queries×k neighbor
+    * frame — no window, no shuffle beyond the qId groupings. The
+    * expensive part is the ANN probe that PRODUCES `neighbors`, and
+    * that is the stored-index serving path with its own scale story.
+    * Everything is integer (votes, ranks) — the DuckDB oracle replays
+    * the vote verbatim on top of the ANN chain's oracle. */
+  def knnVote(neighbors: DataFrame, labeled: DataFrame,
+      qIdCol: String, nnIdCol: String, rankCol: String,
+      idCol: String, labelCol: String): DataFrame =
+    neighbors
+      .join(labeled.select(col(idCol).as(nnIdCol),
+        col(labelCol).as("label")), Seq(nnIdCol))
+      .groupBy(col(qIdCol), col("label"))
+      .agg(count(lit(1)).as("votes"),
+        min(col(rankCol)).cast("long").as("best_rank"))
+      .groupBy(col(qIdCol))
+      // (−votes, label) is unique per query, so the lexicographic min
+      // IS "most votes, then label ascending" — map-side combined,
+      // never a window
+      .agg(min(struct((-col("votes")).as("nv"), col("label"),
+        col("votes"), col("best_rank"))).as("__m"))
+      .select(col(qIdCol), col("__m.label").as("label"),
+        col("__m.votes").as("votes"),
+        col("__m.best_rank").as("best_rank"))
+
   /** Release the caches [[scoreNb]]/[[classifyNb]] pinned for
     * `model`. Call once the returned scores are fully consumed (a
     * later action on an un-consumed result recomputes — correct,

@@ -163,6 +163,53 @@ object SimilarityQueries extends QueryPack {
       },
       Some(ivfOracleSql)),
 
+    // kNN label propagation over the IVF probe: auto-label each
+    // query from the MAJORITY label of its 5 approximate nearest
+    // neighbors (ties to the label ascending), with the winner's
+    // best rank as the calibration signal — the semi-supervised step
+    // that spreads a small hand-labeled seed over a corpus. The
+    // oracle composes the IVF chain verbatim and replays the integer
+    // vote on top.
+    "q_embed_knn_classify" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        graft.operators.Classify.knnVote(
+          Similarity.ivfTopK(
+            queries = emb.filter($"vec_id" % 100 === 0),
+            corpus = emb, idCol = "vec_id", vecCol = "embedding",
+            k = 5, nlist = 16, nprobe = 4),
+          labeled = emb, qIdCol = "q_id", nnIdCol = "nn_id",
+          rankCol = "rank", idCol = "vec_id", labelCol = "label")
+      },
+      Some(s"""WITH $ivfChainCtes,
+              |scored AS (
+              |  SELECT q_id, nn_id,
+              |    ${oDot("q_vec", "nn_vec")} / (q_nrm * nn_nrm) AS cos
+              |  FROM probes JOIN assigned USING (cell)
+              |  WHERE q_id <> nn_id),
+              |ranked AS (
+              |  SELECT q_id, nn_id,
+              |    row_number() OVER (PARTITION BY q_id
+              |                       ORDER BY cos DESC, nn_id) AS rank
+              |  FROM scored),
+              |ap AS (SELECT q_id, nn_id, rank FROM ranked
+              |       WHERE rank <= 5),
+              |v AS (
+              |  SELECT ap.q_id, l.label, count(*) AS votes,
+              |         CAST(min(ap.rank) AS BIGINT) AS best_rank
+              |  FROM ap JOIN embeddings l ON ap.nn_id = l.vec_id
+              |  GROUP BY 1, 2),
+              |m AS (SELECT q_id, max(votes) AS mv FROM v GROUP BY 1),
+              |b AS (SELECT v.q_id, min(v.label) AS label
+              |      FROM v JOIN m ON v.q_id = m.q_id AND v.votes = m.mv
+              |      GROUP BY 1)
+              |SELECT b.q_id, b.label, CAST(m.mv AS BIGINT) AS votes,
+              |       v.best_rank
+              |FROM b JOIN m USING (q_id)
+              |     JOIN v ON v.q_id = b.q_id AND v.label = b.label
+              |""".stripMargin)),
+
     // retrieval-quality EVALUATION as a first-class operator: recall@5
     // of the IVF configuration against the exact brute-force baseline
     // over the same query sample — the measurement a 100 TB deployment

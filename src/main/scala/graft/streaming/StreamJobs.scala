@@ -254,6 +254,24 @@ object StreamJobs {
     * scorer exactly. Batch_id-scoped overwrite = replay idempotent.
     * Returns the writer — caller picks trigger/checkpoint and starts
     * it. */
+  /** Serve-side parallelism guard for the scorer streams: a
+    * micro-batch arrives with its SOURCE's partitioning (MemoryStream:
+    * one partition; a single Kafka partition: one), while a scorer's
+    * FIRST stage multiplies rows — tokens-per-doc × matched model rows
+    * — before any exchange, so on a narrow batch the whole fan-out
+    * runs in the source's task count. Measured at sf10: the NB serve's
+    * per-batch write read 28–40 s single-partition vs ~3 s wide — the
+    * explode+probe stage was one task chewing ~80M joined rows. One
+    * cheap round-robin shuffle of the RAW batch (pre-explode, so it
+    * moves doc rows, not the fan-out) buys scan parallelism for that
+    * stage; skipped when the source already delivers at least half the
+    * session's parallelism. */
+  private def widen(batch: DataFrame): DataFrame = {
+    val p = batch.sparkSession.sparkContext.defaultParallelism
+    if (batch.rdd.getNumPartitions * 2 >= p) batch
+    else batch.repartition(p)
+  }
+
   def lmLookupStream(docs: DataFrame, modelDir: String,
       outDir: String, idCol: String, textCol: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
@@ -262,7 +280,8 @@ object StreamJobs {
       (batch: DataFrame, batchId: Long) =>
         val model = graft.operators.LmScore.readModel(
           batch.sparkSession, modelDir)
-        graft.operators.LmScore.score(model, batch, idCol, textCol)
+        graft.operators.LmScore.score(model, widen(batch), idCol,
+            textCol)
           .write.mode("overwrite")
           .parquet(s"$outDir/batch_id=$batchId")
         ()
@@ -323,7 +342,7 @@ object StreamJobs {
         val model = graft.operators.Classify.readNbModel(
           batch.sparkSession, modelDir)
         try graft.operators.Classify
-          .classifyNb(model, batch, idCol, textCol)
+          .classifyNb(model, widen(batch), idCol, textCol)
           .write.mode("overwrite")
           .parquet(s"$outDir/batch_id=$batchId")
         finally graft.operators.Classify.releaseNbCache(model)

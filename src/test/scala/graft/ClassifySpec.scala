@@ -138,6 +138,28 @@ class ClassifySpec extends SparkSpec {
       "compacted store diverged from fresh train over the union")
   }
 
+  test("knnVote: majority label, label-ascending ties, best_rank payload, unlabeled neighbors dropped") {
+    val s = spark
+    import s.implicits._
+    val neighbors = Seq(
+      (10L, 1L, 1), (10L, 2L, 2), (10L, 3L, 3), // labels B, A, A -> A
+      (20L, 1L, 1), (20L, 4L, 2),               // B vs A tie -> A (asc)
+      (30L, 9L, 1))                             // only unlabeled nn
+      .toDF("q_id", "nn_id", "rank")
+    val labeled = Seq((1L, "B"), (2L, "A"), (3L, "A"), (4L, "A"))
+      .toDF("vec_id", "label")
+    val got = graft.operators.Classify.knnVote(neighbors, labeled,
+        "q_id", "nn_id", "rank", "vec_id", "label")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (10L, "A", 2L, 2L), // A wins 2-1; its nearest voter is rank 2
+      (20L, "A", 1L, 2L)),// 1-1 tie breaks to label asc; B's rank-1
+                          // proximity is visible only via best_rank
+      got.toSeq.sortBy(_._1).mkString(", "))
+    // query 30 has no labeled neighbor: absent, never a null label
+    assert(!got.exists(_._1 == 30L))
+  }
+
   test("cache contract: repeated scoring does not stack entries; releaseNbCache returns storage to baseline") {
     val s = spark
     import s.implicits._
