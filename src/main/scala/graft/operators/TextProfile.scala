@@ -731,13 +731,15 @@ object TextProfile {
           index.dfreq.filter(col("term").isin(qt.toSeq: _*)))
       else (index.postings, index.dfreq)
     bm25Agg(posts, index.idCol, queries, qIdCol, qTextCol, dfr,
-      index.totTokens, index.nDocs, k, stopwordCut)
+      index.totTokens, index.nDocs, k, stopwordCut,
+      preWeight = true)
   }
 
   private def bm25Agg(tfLen: DataFrame, idCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
       dfreq: DataFrame, totTokens: Long, nDocs: Long,
-      k: Int, stopwordCut: Boolean): DataFrame = {
+      k: Int, stopwordCut: Boolean,
+      preWeight: Boolean = false): DataFrame = {
     // optional stopword cut (see bm25TopK scaladoc); the Lucene-form
     // 1+odds keeps the integer quotient's bit length >= 1 for every
     // term, so uncut common terms score with idf 1 instead of
@@ -756,19 +758,49 @@ object TextProfile {
       s"(CAST(__idf AS DECIMAL(38,0)) * 22 * ${totTokens}L * __tf " +
         s"* 10000) DIV (10 * CAST(${totTokens}L AS DECIMAL(38,0)) " +
         s"* __tf + 3 * ${totTokens}L + 9 * __len * ${nDocs}L)")
-    // JOIN ORDER IS THE PLAN: the broadcast query-term join comes
-    // FIRST, so the corpus tf table is pruned map-side to query-term
-    // postings before anything vocab-sized joins — only then does the
-    // df/idf table attach, keyed on the few surviving terms. The
-    // original (tfLen ⋈ dfreq) ⋈ qterms shape scored the df join
-    // across the ENTIRE vocabulary before the query filter and
-    // measured 2× slower at sf10 (ProfileBm25) with an
-    // estimate-dependent join strategy on the vocab side.
-    val scored = tfLen
-      .join(broadcast(qterms), "term")
-      .join(keptDf, "term")
+    // JOIN ORDER IS THE PLAN, and the right order differs by SOURCE
+    // (both arms sf-measured, both exact — inner-join reorder plus a
+    // per-row long cast of an integral decimal, so sum-of-longs ≡
+    // long-of-decimal-sum):
+    //
+    //  - STORED-index probes (preWeight): the per-term-per-doc
+    //    CONTRIBUTION references only tf/len/idf — nothing from the
+    //    query — yet the query-first order evaluates the decimal
+    //    quotient once per (query, term, doc); a hot term sits in
+    //    thousands of postings AND hundreds of batch queries, so that
+    //    re-evaluates the heaviest expression per PAIR. Semi-pruning
+    //    the posting scan to the batch's distinct terms, weighting
+    //    each surviving (term, doc) ONCE, and fanning out only
+    //    (q_id, doc, long) took the sf10 5000-query stored-index
+    //    serve from 139 s to 82 s (ProfileBm25Ingest).
+    //
+    //  - FRESH paths (tfLen/df computed in-plan from the corpus):
+    //    the broadcast query-term join comes FIRST, so the corpus tf
+    //    table prunes map-side before anything vocab-sized joins —
+    //    the (tfLen ⋈ dfreq) ⋈ qterms shape measured 2× slower at
+    //    sf10 (ProfileBm25) with an estimate-dependent strategy on
+    //    the vocab side, and the preWeight shape measured 4× SLOWER
+    //    at sf1 on q_text_bm25 (4.7 → 19 s): with both dims computed
+    //    from the same corpus scan in-plan, the extra semi-join stage
+    //    re-shapes the shared subtrees against it. Stored posting
+    //    files have none of that interaction.
+    val scored = (if (preWeight) {
+      val qTermSet = qterms.select(col("term")).distinct()
+      tfLen
+        .join(broadcast(qTermSet), Seq("term"), "left_semi")
+        .join(keptDf, "term")
+        .select(col("term"), col(idCol),
+          contrib.cast("long").as("__w"))
+        .join(broadcast(qterms), "term")
+    } else {
+      tfLen
+        .join(broadcast(qterms), "term")
+        .join(keptDf, "term")
+        .select(col("q_id"), col(idCol),
+          contrib.cast("long").as("__w"))
+    })
       .groupBy(col("q_id"), col(idCol))
-      .agg(sum(contrib).cast("long").as("score"))
+      .agg(sum(col("__w")).as("score"))
     scored.groupBy(col("q_id"))
       .agg(graft.plans.GraftCall(graft.plans.VectorExpressions.TopKName,
         struct(col("score"), col(idCol).as("tb")), lit(k)).as("__top"))

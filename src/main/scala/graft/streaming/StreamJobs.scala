@@ -110,7 +110,7 @@ object StreamJobs {
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         graft.operators.CorpusProfile.appendOnce(
-          graft.operators.CorpusProfile.build(batch, idCol, strataCol,
+          graft.operators.CorpusProfile.build(widen(batch), idCol, strataCol,
             textCol), dir, batchId)
         ()
     }
@@ -234,7 +234,7 @@ object StreamJobs {
         val (set, n) = graft.operators.Curation.readDeconSet(
           batch.sparkSession, setDir)
         graft.operators.Curation
-          .decontaminateWithSet(batch, set, idCol, textCol, n)
+          .decontaminateWithSet(widen(batch), set, idCol, textCol, n)
           .write.mode("overwrite")
           .parquet(s"$outDir/batch_id=$batchId")
         ()
@@ -310,7 +310,7 @@ object StreamJobs {
     reference.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          graft.operators.LmScore.appendModel(batch, textCol, modelDir,
+          graft.operators.LmScore.appendModel(widen(batch), textCol, modelDir,
             s"$runId-$batchId")
         ()
     }
@@ -369,7 +369,7 @@ object StreamJobs {
     labeled.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          graft.operators.Classify.appendNbModel(batch, labelCol,
+          graft.operators.Classify.appendNbModel(widen(batch), labelCol,
             textCol, modelDir, s"$runId-$batchId")
         ()
     }
@@ -478,7 +478,7 @@ object StreamJobs {
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        graft.operators.TextProfile.bm25IngestBatch(batch, textCol,
+        graft.operators.TextProfile.bm25IngestBatch(widen(batch), textCol,
           indexDir, s"$runId-$batchId")
         ()
     }
@@ -496,7 +496,7 @@ object StreamJobs {
         org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        graft.operators.Similarity.ivfIngestBatch(batch, indexDir,
+        graft.operators.Similarity.ivfIngestBatch(widen(batch), indexDir,
           idCol, vecCol, s"$runId-$batchId")
         ()
     }
@@ -513,7 +513,7 @@ object StreamJobs {
         org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        graft.operators.Similarity.ivfPqIngestBatch(batch, indexDir,
+        graft.operators.Similarity.ivfPqIngestBatch(widen(batch), indexDir,
           idCol, vecCol, s"$runId-$batchId")
         ()
     }
@@ -529,7 +529,7 @@ object StreamJobs {
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        graft.operators.Dedup.minhashIngestBatch(batch, indexDir,
+        graft.operators.Dedup.minhashIngestBatch(widen(batch), indexDir,
           idCol, textCol, s"$runId-$batchId")
         ()
     }
