@@ -203,6 +203,36 @@ object Classify {
         col("__m.bits").as("bits"),
         col("__m.milli_bits").as("milli_bits"))
 
+  /** [[classifyNb]] with the decision MARGIN — the calibration signal
+    * a classifier-GATED curation stage thresholds on: `margin_bits` =
+    * runner-up cost − winning cost (0 when the model has one class).
+    * A document the model barely prefers (margin 0–2 bits — ties and
+    * near-ties) is weak evidence; quality gates keep only wins above
+    * a margin floor, and the margin distribution is the corpus
+    * diagnostic that sets it. Returns (idCol, label, n_tokens, bits,
+    * milli_bits, margin_bits) — one row per document.
+    *
+    * Scale shape: the per-doc class costs collect into ONE bounded
+    * array (L structs — class-bounded, the same bound that lets
+    * classDims ride the driver) and sort in-row; a two-pass
+    * min/second-min would re-shuffle the matrix for the same answer.
+    * The aggregation is partial-merge combined like any
+    * TypedImperativeAggregate. */
+  def classifyNbWithMargin(model: NbModel, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    scoreNb(model, docs, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("bits"), col("label"),
+        col("n_tokens"), col("milli_bits")))).as("__s"))
+      .select(col(idCol),
+        col("__s")(0).getField("label").as("label"),
+        col("__s")(0).getField("n_tokens").as("n_tokens"),
+        col("__s")(0).getField("bits").as("bits"),
+        col("__s")(0).getField("milli_bits").as("milli_bits"),
+        when(size(col("__s")) >= 2,
+          col("__s")(1).getField("bits") - col("__s")(0).getField("bits"))
+          .otherwise(lit(0L)).as("margin_bits"))
+
   /** kNN label propagation — auto-labeling a corpus from a small
     * labeled seed (the semi-supervised step pretrain pipelines run to
     * spread a few thousand human quality/domain labels over billions

@@ -121,6 +121,34 @@ object ClassifyQueries extends QueryPack {
       },
       Some(oClassifySql)),
 
+    // the decision with its MARGIN — runner-up bits minus winning
+    // bits, the confidence signal a classifier-gated curation stage
+    // thresholds on (a 0-margin win is a tie, weak evidence). The
+    // winner row is bit-identical to q_text_nb_classify's; the oracle
+    // ranks each doc's costs by (bits, label) and subtracts.
+    "q_text_nb_margin" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Classify.classifyNbWithMargin(
+          Classify.trainNb(trainSplit(docs), "source", "text"),
+          docs, "doc_id", "text")
+      },
+      Some(oCosts +
+        """, r AS (
+          |  SELECT doc_id, label, n_tokens, bits,
+          |    row_number() OVER (PARTITION BY doc_id
+          |                       ORDER BY bits, label) AS rn
+          |  FROM costs)
+          |SELECT r1.doc_id, r1.label, r1.n_tokens,
+          |  CAST(r1.bits AS BIGINT) AS bits,
+          |  CAST(r1.bits AS BIGINT) * 1000 // r1.n_tokens AS milli_bits,
+          |  CAST(coalesce(r2.bits - r1.bits, 0) AS BIGINT)
+          |    AS margin_bits
+          |FROM r r1 LEFT JOIN r r2
+          |  ON r1.doc_id = r2.doc_id AND r2.rn = 2
+          |WHERE r1.rn = 1
+          |""".stripMargin)),
+
     // the PERSISTED model exercised through its full lifecycle in the
     // state a deployment serves from: write a seed store (the
     // doc_id % 4 == 0 quarter), append the rest of the training split

@@ -138,6 +138,23 @@ class ClassifySpec extends SparkSpec {
       "compacted store diverged from fresh train over the union")
   }
 
+  test("classifyNbWithMargin: winner matches classifyNb; margin = runner-up minus best, 0 on exact ties") {
+    val s = spark
+    import s.implicits._
+    val m = Classify.trainNb(fixture(s), "label_in", "text")
+    val docs = Seq(
+      (10L, "a c z"), // x = y = 6: tie -> x, margin 0
+      (20L, "c c"))   // y 3 vs x 5 -> margin 2
+      .toDF("doc_id", "text")
+    val got = Classify.classifyNbWithMargin(m, docs, "doc_id", "text")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (10L, "x", 3L, 6L, 2000L, 0L),
+      (20L, "y", 2L, 3L, 1500L, 2L)),
+      got.toSeq.sortBy(_._1).mkString(", "))
+    Classify.releaseNbCache(m)
+  }
+
   test("knnVote: majority label, label-ascending ties, best_rank payload, unlabeled neighbors dropped") {
     val s = spark
     import s.implicits._
