@@ -248,7 +248,10 @@ object Classify {
     * than one that wins on rank 1-2).
     *
     * Scale shape: the seed is SMALL by construction (it is what got
-    * hand-labeled), so the label join broadcasts; the two
+    * hand-labeled), so the label join broadcasts — hinted explicitly,
+    * because the seed frame usually arrives stats-less (a fresh read
+    * or an in-memory relation) and an estimate-driven planner would
+    * otherwise shuffle the queries×k neighbor frame on nnId; the two
     * aggregations are map-side combined over the queries×k neighbor
     * frame — no window, no shuffle beyond the qId groupings. The
     * expensive part is the ANN probe that PRODUCES `neighbors`, and
@@ -259,8 +262,8 @@ object Classify {
       qIdCol: String, nnIdCol: String, rankCol: String,
       idCol: String, labelCol: String): DataFrame =
     neighbors
-      .join(labeled.select(col(idCol).as(nnIdCol),
-        col(labelCol).as("label")), Seq(nnIdCol))
+      .join(broadcast(labeled.select(col(idCol).as(nnIdCol),
+        col(labelCol).as("label"))), Seq(nnIdCol))
       .groupBy(col(qIdCol), col("label"))
       .agg(count(lit(1)).as("votes"),
         min(col(rankCol)).cast("long").as("best_rank"))

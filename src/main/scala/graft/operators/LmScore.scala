@@ -214,9 +214,10 @@ object LmScore {
     * model's bigram + firsts tables) and a map-side-combined per-doc
     * sum — [[score]]'s shape with two more reference-bounded dims.
     * Both models' bigram frames are persisted for the duration
-    * ([[releaseBackoffCache]] on each afterwards — the standard
-    * release contract; on stored models the pin is a small parquet
-    * read). Hot first-word skew is probe-side only; AQE splits it. */
+    * ([[releaseDsirCache]] on the pair afterwards — the standard
+    * release contract in its two-model form; on stored models the pin
+    * is a small parquet read). Hot first-word skew is probe-side
+    * only; AQE splits it. */
   def importanceBits(target: Model, source: Model, docs: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val none = org.apache.spark.storage.StorageLevel.NONE
@@ -408,6 +409,18 @@ object LmScore {
     * vocab-bounded caches accumulate executor storage. Idempotent. */
   def releaseBackoffCache(model: Model): Unit = {
     model.bigrams.unpersist()
+    ()
+  }
+
+  /** Release the TWO bigram caches [[importanceBits]] /
+    * [[dsirSelect]] pin for their (target, source) model pair —
+    * [[releaseBackoffCache]]'s contract for the two-model DSIR path,
+    * so a serve loop weighting batch after batch has ONE symmetric
+    * hook instead of remembering to release each model separately.
+    * Idempotent. */
+  def releaseDsirCache(target: Model, source: Model): Unit = {
+    target.bigrams.unpersist()
+    source.bigrams.unpersist()
     ()
   }
 

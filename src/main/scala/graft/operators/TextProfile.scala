@@ -81,7 +81,16 @@ object TextProfile {
     * flip a rule. The mask (not just the boolean) is the useful
     * output at 100 TB: per-rule violation rates are the corpus
     * diagnostic that tunes thresholds, and `keep` re-derives from it
-    * for free. One narrow codegen pass, no shuffle, no UDF. */
+    * for free. One narrow codegen pass, no shuffle, no UDF.
+    *
+    * NULL text coalesces to '' BEFORE tokenizing, so a null document
+    * fails the word-count rule (split('') is a single empty token,
+    * n_words = 1 < minWords) instead of riding engine-specific null
+    * propagation: Spark's size(split(NULL)) is -1 (which would fire
+    * bit 0 here) while SQL NULL zeroes every CASE arm (mask 0,
+    * keep = TRUE) — a real corpus with null rows would silently KEEP
+    * them on the SQL side and DROP them here. Coalescing makes both
+    * engines agree: null ≡ empty ≡ rejected. */
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
       minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
     require(minWords >= 1 && maxWords >= minWords,
@@ -90,8 +99,9 @@ object TextProfile {
       "is", "it")
     val t = col("__text"); val w = col("__w")
     val n = col("n_words")
-    df.select(col(idCol), col(textCol).as("__text"),
-        tokens(col(textCol)).as("__w"))
+    val txt = coalesce(col(textCol), lit(""))
+    df.select(col(idCol), txt.as("__text"),
+        tokens(txt).as("__w"))
       .select(col(idCol), t, w,
         size(w).cast("long").as("n_words"),
         aggregate(transform(w, x => length(x)), lit(0L),

@@ -183,32 +183,38 @@ object SimilarityQueries extends QueryPack {
           rankCol = "rank", idCol = "vec_id", labelCol = "label")
       },
       Some(s"""WITH $ivfChainCtes,
-              |scored AS (
-              |  SELECT q_id, nn_id,
-              |    ${oDot("q_vec", "nn_vec")} / (q_nrm * nn_nrm) AS cos
-              |  FROM probes JOIN assigned USING (cell)
-              |  WHERE q_id <> nn_id),
-              |ranked AS (
-              |  SELECT q_id, nn_id,
-              |    row_number() OVER (PARTITION BY q_id
-              |                       ORDER BY cos DESC, nn_id) AS rank
-              |  FROM scored),
-              |ap AS (SELECT q_id, nn_id, rank FROM ranked
-              |       WHERE rank <= 5),
-              |v AS (
-              |  SELECT ap.q_id, l.label, count(*) AS votes,
-              |         CAST(min(ap.rank) AS BIGINT) AS best_rank
-              |  FROM ap JOIN embeddings l ON ap.nn_id = l.vec_id
-              |  GROUP BY 1, 2),
-              |m AS (SELECT q_id, max(votes) AS mv FROM v GROUP BY 1),
-              |b AS (SELECT v.q_id, min(v.label) AS label
-              |      FROM v JOIN m ON v.q_id = m.q_id AND v.votes = m.mv
-              |      GROUP BY 1)
-              |SELECT b.q_id, b.label, CAST(m.mv AS BIGINT) AS votes,
-              |       v.best_rank
-              |FROM b JOIN m USING (q_id)
-              |     JOIN v ON v.q_id = b.q_id AND v.label = b.label
-              |""".stripMargin)),
+              |$oKnnVoteTail""".stripMargin)),
+
+    // kNN label propagation in its SERVING shape — the 100 TB path:
+    // a FIXED query batch (capped, not corpus-proportional) probes
+    // the PERSISTED IVF index (build → write → reload → probe, the
+    // q_ann_ivf_index discipline) and the vote runs on the probe's
+    // neighbors. Unlike q_embed_knn_classify — whose gate envelope
+    // deliberately rides the fresh in-query build plus a query
+    // sample that grows with the corpus — this row's recurring cost
+    // is the stored-index probe of a constant batch, so its
+    // cross-decade slope measures the serve, not the build envelope.
+    "q_embed_knn_stored" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_knn_stored_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+          .write(dir)
+        val idx = Similarity.readIvfIndex(s, dir, "vec_id", "embedding")
+        graft.operators.Classify.knnVote(
+          Similarity.ivfTopKWithIndex(
+            emb.filter($"vec_id" % 100 === 0 && $"vec_id" < 2000),
+            idx, k = 5, nprobe = 4),
+          labeled = emb, qIdCol = "q_id", nnIdCol = "nn_id",
+          rankCol = "rank", idCol = "vec_id", labelCol = "label")
+      },
+      Some(s"""WITH ${ivfChainCtesWith(
+                 "q.vec_id % 100 = 0 AND q.vec_id < 2000")},
+              |$oKnnVoteTail""".stripMargin)),
 
     // retrieval-quality EVALUATION as a first-class operator: recall@5
     // of the IVF configuration against the exact brute-force baseline
@@ -1063,7 +1069,46 @@ object SimilarityQueries extends QueryPack {
   // verbatim by q_ann_ivf_topk and q_ann_ivf_index — the persisted
   // index must reproduce the in-memory path bit-for-bit — and, as
   // [[ivfChainCtes]], by the composed q_ann_ivfpq_topk oracle.
-  private def ivfChainCtes: String = s"""n AS (
+  // `queryPred` selects the probe batch (default: the corpus-
+  // proportional every-100th sample; q_embed_knn_stored caps it to a
+  // FIXED batch).
+  private def ivfChainCtes: String = ivfChainCtesWith("q.vec_id % 100 = 0")
+
+  /** The majority-vote tail shared by q_embed_knn_classify and
+    * q_embed_knn_stored: exhaustive cosine scoring inside the probed
+    * cells, rank top-5, then the integer vote (majority label, ties
+    * to the label ascending, winner's best rank). Appends to the
+    * [[ivfChainCtesWith]] chain, which must end at `probes` /
+    * `assigned`. */
+  private def oKnnVoteTail: String =
+    s"""scored AS (
+       |  SELECT q_id, nn_id,
+       |    ${oDot("q_vec", "nn_vec")} / (q_nrm * nn_nrm) AS cos
+       |  FROM probes JOIN assigned USING (cell)
+       |  WHERE q_id <> nn_id),
+       |ranked AS (
+       |  SELECT q_id, nn_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |                       ORDER BY cos DESC, nn_id) AS rank
+       |  FROM scored),
+       |ap AS (SELECT q_id, nn_id, rank FROM ranked
+       |       WHERE rank <= 5),
+       |v AS (
+       |  SELECT ap.q_id, l.label, count(*) AS votes,
+       |         CAST(min(ap.rank) AS BIGINT) AS best_rank
+       |  FROM ap JOIN embeddings l ON ap.nn_id = l.vec_id
+       |  GROUP BY 1, 2),
+       |m AS (SELECT q_id, max(votes) AS mv FROM v GROUP BY 1),
+       |b AS (SELECT v.q_id, min(v.label) AS label
+       |      FROM v JOIN m ON v.q_id = m.q_id AND v.votes = m.mv
+       |      GROUP BY 1)
+       |SELECT b.q_id, b.label, CAST(m.mv AS BIGINT) AS votes,
+       |       v.best_rank
+       |FROM b JOIN m USING (q_id)
+       |     JOIN v ON v.q_id = b.q_id AND v.label = b.label
+       |""".stripMargin
+
+  private def ivfChainCtesWith(queryPred: String): String = s"""n AS (
               |  SELECT vec_id, embedding,
               |         sqrt(${oDot("embedding", "embedding")}) AS nrm
               |  FROM embeddings),
@@ -1121,7 +1166,7 @@ object SimilarityQueries extends QueryPack {
               |        ORDER BY ${oDot("q.embedding", "cent_vec")} /
               |                 (q.nrm * cent_nrm) DESC, cent_id ASC) AS r
               |    FROM n q, cent
-              |    WHERE q.vec_id % 100 = 0)
+              |    WHERE $queryPred)
               |  WHERE r <= 4)""".stripMargin
 
   private def ivfOracleSql: String =

@@ -284,8 +284,12 @@ object TextQueries extends QueryPack {
         t(s, d, "documents"), "doc_id", "text",
         minWords = 40L, maxWords = 10000L),
       Some("""WITH w AS (
-             |  SELECT doc_id, text,
-             |         string_split_regex(trim(text), '\s+') AS w
+             |  -- coalesce mirrors gopherRules' null-text contract:
+             |  -- null ≡ empty ≡ rejected in BOTH engines (plain NULL
+             |  -- would zero every CASE arm below and KEEP the doc)
+             |  SELECT doc_id, coalesce(text, '') AS text,
+             |         string_split_regex(trim(coalesce(text, '')),
+             |                            '\s+') AS w
              |  FROM documents),
              |m AS (
              |  SELECT doc_id,
@@ -1151,6 +1155,42 @@ object TextQueries extends QueryPack {
       Some(oDsirSql +
         """ORDER BY delta_milli_bits DESC, doc_id LIMIT 100
           |""".stripMargin)),
+
+    // DSIR in its DEPLOYMENT shape: both models come from PERSISTED
+    // stores (LmScore.writeModel / readModel — the discipline the LM
+    // and NB stacks already carry), so the whole-pool source model is
+    // trained ONCE per pool lifetime and every weighting run is the
+    // one corpus explode + four stored-dim joins. The gate row pays
+    // the full lifecycle (write both stores + certify + read + score
+    // — the q_text_nb_model convention); the amortized serve cost is
+    // what importanceBits costs over two already-stored models.
+    // Shares q_text_dsir's oracle verbatim: a stored-model weighting
+    // must be bit-identical to the fresh two-model train.
+    "q_text_dsir_stored" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val root = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_dsir_stored_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        val targetDir = s"$root/target"
+        val sourceDir = s"$root/source"
+        graft.operators.LmScore.writeModel(
+          docs.filter(col("lang") === "en"), "text", targetDir)
+        graft.operators.LmScore.writeModel(docs, "text", sourceDir)
+        // serve-state certification: writeModel lands compacted
+        // stores by construction; the maintenance pass verifies it
+        // (inspect, find no drift, re-pack nothing) — the ccnet rule
+        val reports = graft.operators.Maintenance.compactAll(s,
+          Seq(targetDir, sourceDir))
+        require(reports.values.forall(!_.compacted),
+          s"dsir stores drifted at write time: $reports")
+        graft.operators.LmScore.importanceBits(
+          graft.operators.LmScore.readModel(s, targetDir),
+          graft.operators.LmScore.readModel(s, sourceDir),
+          docs, "doc_id", "text")
+      },
+      Some(oDsirSql)),
 
     // the LM quality filter actually SERVING: corpus documents arrive
     // as a STREAM and score per micro-batch against the persisted

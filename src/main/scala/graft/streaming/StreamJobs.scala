@@ -265,10 +265,29 @@ object StreamJobs {
     * cheap round-robin shuffle of the RAW batch (pre-explode, so it
     * moves doc rows, not the fan-out) buys scan parallelism for that
     * stage; skipped when the source already delivers at least half the
-    * session's parallelism. */
-  private def widen(batch: DataFrame): DataFrame = {
+    * session's parallelism, and skipped when the batch is SMALL
+    * (under [[WidenRowFloor]] rows): a near-empty micro-batch gains
+    * nothing from the exchange but pays its latency, and on the
+    * non-aggregating ingest paths each widened tiny batch would land
+    * O(parallelism) near-empty files per append instead of O(source
+    * partitions), accelerating small-file layout drift between
+    * compactions. The size probe is BOUNDED, not a full count: a
+    * CollectLimit over the floor reads at most WidenRowFloor rows
+    * however large the batch is, so the probe's cost is a constant
+    * while the repartition it gates saved 2–4× at sf10
+    * (BASELINE.md round-16 serve-parallelism notes). Partition count
+    * comes from the executed plan's output partitioning — not
+    * `batch.rdd`, which would force an RDD conversion of every
+    * micro-batch plan just to read one integer. */
+  private[graft] val WidenRowFloor = 4096L
+
+  private[graft] def widen(batch: DataFrame): DataFrame = {
     val p = batch.sparkSession.sparkContext.defaultParallelism
-    if (batch.rdd.getNumPartitions * 2 >= p) batch
+    val parts =
+      batch.queryExecution.executedPlan.outputPartitioning.numPartitions
+    if (parts * 2 >= p) batch
+    else if (batch.limit(WidenRowFloor.toInt).count() < WidenRowFloor)
+      batch
     else batch.repartition(p)
   }
 

@@ -218,6 +218,34 @@ class LmScoreSpec extends SparkSpec {
     LmScore.releaseBackoffCache(m)
   }
 
+  test("importanceBits pins both models' bigram caches once; releaseDsirCache returns storage to baseline") {
+    val s = spark
+    import s.implicits._
+    val pool = Seq((1L, "a b a c"), (2L, "b a b")).toDF("id", "text")
+    val clean = Seq((1L, "a b a b")).toDF("id", "text")
+    val docs = Seq((10L, "a b"), (20L, "b a c")).toDF("doc_id", "text")
+    s.sharedState.cacheManager.clearCache()
+    val baseline = s.sparkContext.getPersistentRDDs.size
+    val target = LmScore.train(clean, "text")
+    val source = LmScore.train(pool, "text")
+    LmScore.importanceBits(target, source, docs, "doc_id", "text")
+      .collect()
+    val afterOne = s.sparkContext.getPersistentRDDs.size
+    assert(afterOne >= baseline, "persist did not register")
+    // re-weighting against the SAME model pair must not stack entries
+    (1 to 3).foreach { _ =>
+      LmScore.importanceBits(target, source, docs, "doc_id", "text")
+        .collect()
+    }
+    assert(s.sparkContext.getPersistentRDDs.size == afterOne,
+      "repeated importanceBits calls grew the persisted-RDD set")
+    LmScore.releaseDsirCache(target, source)
+    assert(s.sparkContext.getPersistentRDDs.size == baseline,
+      "releaseDsirCache did not return storage to baseline")
+    // idempotent
+    LmScore.releaseDsirCache(target, source)
+  }
+
   test("train minCount: hapax bigrams pruned, c1 re-derived from survivors, vocab stays full") {
     val s = spark
     import s.implicits._

@@ -181,4 +181,21 @@ class StreamingSpec extends SparkSpec {
       .filter(col("total") > col("count"))
     assert(joined.count() == 0)
   }
+
+  test("widen: small narrow batches keep their partitioning; only a large narrow batch pays the exchange") {
+    val s = spark
+    import s.implicits._
+    val p = s.sparkContext.defaultParallelism
+    // small + narrow: under the row floor → no repartition even
+    // though partitions < parallelism (the near-empty-micro-batch
+    // case that would otherwise land O(parallelism) files per append)
+    val small = s.range(0, 100, 1, 1).toDF("id")
+    assert(StreamJobs.widen(small).rdd.getNumPartitions === 1)
+    // large + narrow: at/over the floor → widened to parallelism
+    val large = s.range(0, StreamJobs.WidenRowFloor + 1, 1, 1).toDF("id")
+    assert(StreamJobs.widen(large).rdd.getNumPartitions === p)
+    // already wide: untouched regardless of size
+    val wide = s.range(0, 100, 1, p).toDF("id")
+    assert(StreamJobs.widen(wide).rdd.getNumPartitions === p)
+  }
 }

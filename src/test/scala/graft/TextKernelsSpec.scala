@@ -717,4 +717,26 @@ class TextKernelsSpec extends SparkSpec {
     assert(got(6L) == (5L, 8L + 16L, false), got(6L).toString)
     assert(got(7L) == (5L, 16L, false), got(7L).toString)
   }
+
+  test("gopherRules: null text ≡ empty text — both reject via the word-count rule, never n_words = -1") {
+    val s = spark
+    import s.implicits._
+    // null text coalesces to '' pre-tokenize: split('') is one empty
+    // token, so n_words = 1 (< minWords → bit 0), sumlen 0 (bit 1),
+    // zero alphabetic (bit 3), zero stopwords (bit 4) — identical to
+    // a genuinely empty document, and identical in the SQL oracle
+    // (whose NULL propagation would otherwise zero every CASE arm
+    // and KEEP the null doc)
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""),
+      (3L, "the a quick brown foxes")).toDF("doc_id", "text")
+    val got = graft.operators.TextProfile
+      .gopherRules(docs, "doc_id", "text", minWords = 4L,
+        maxWords = 100L)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == got(2L),
+      s"null diverged from empty: ${got(1L)} vs ${got(2L)}")
+    assert(got(1L) == (1L, 1L + 2L + 8L + 16L, false), got(1L).toString)
+    assert(got(3L) == (5L, 0L, true), got(3L).toString)
+  }
 }
