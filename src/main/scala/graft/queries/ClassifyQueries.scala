@@ -24,21 +24,25 @@ object ClassifyQueries extends QueryPack {
   /** The shared cost-matrix CTE chain (multi-referenced CTEs
     * MATERIALIZED — a re-inlined `tok`/`cnt` stacks multiplicatively
     * in DuckDB, the q_pipeline_ccnet lesson). Ends at `costs`
-    * (doc_id, label, n_tokens, bits) plus `dt` (doc_id, n_tokens). */
-  private val oCosts =
-    """WITH w AS MATERIALIZED (
+    * (doc_id, label, n_tokens, bits) plus `dt` (doc_id, n_tokens).
+    * Exposed WITHOUT the leading WITH as [[oCostsBody]] so composed
+    * pipelines (CurationQueries.q_pipeline_classified) can splice it
+    * into a larger chain; the word-split CTE is named `cw`, not `w`,
+    * because the minhash chain it composes with already claims `w`. */
+  private[queries] val oCostsBody =
+    """cw AS MATERIALIZED (
       |  SELECT doc_id, source,
       |         string_split_regex(trim(text), '\s+') AS w
       |  FROM documents),
       |tok AS MATERIALIZED (
-      |  SELECT doc_id, unnest(w) AS token FROM w),
+      |  SELECT doc_id, unnest(w) AS token FROM cw),
       |ttk AS MATERIALIZED (
-      |  SELECT source AS label, unnest(w) AS token FROM w
+      |  SELECT source AS label, unnest(w) AS token FROM cw
       |  WHERE doc_id % 2 = 0),
       |cnt AS MATERIALIZED (
       |  SELECT label, token, count(*) AS c FROM ttk GROUP BY 1, 2),
       |cls AS MATERIALIZED (
-      |  SELECT source AS label, count(*) AS d FROM w
+      |  SELECT source AS label, count(*) AS d FROM cw
       |  WHERE doc_id % 2 = 0 GROUP BY 1),
       |v AS (SELECT count(DISTINCT token) AS v FROM ttk),
       |tot AS (SELECT CAST(sum(d) AS BIGINT) AS dd,
@@ -66,6 +70,8 @@ object ClassifyQueries extends QueryPack {
       |  LEFT JOIN seen ON seen.doc_id = dt.doc_id
       |                AND seen.label = dims.label)
       |""".stripMargin
+
+  private val oCosts = "WITH " + oCostsBody
 
   /** The full (doc × class) matrix — q_text_nb_score's oracle. */
   private val oScoreSql = oCosts +

@@ -767,6 +767,128 @@ object CurationQueries extends QueryPack {
               |FROM mixed
               |""".stripMargin)),
 
+    // the CLASSIFIER-GATED curation chain — the CCNet/GPT-3 "quality
+    // classifier" arm the NB stack exists for, composed end to end
+    // from stored artifacts like q_pipeline_ccnet (whose LM-tercile
+    // filter this replaces with a margin-thresholded NB decision):
+    // NB model store built in-chain (trained on the even-doc_id
+    // labeled half, the classifier gate convention) -> margin
+    // classification of every document -> minhash-LSH near-dup
+    // clusters keep their most CONFIDENTLY-classified copy (margin as
+    // the survivor score: of two near-identical docs, keep the one
+    // the classifier is surest about) -> keep only confident
+    // non-benchmark docs (margin_bits >= 1, i.e. strictly not a tie;
+    // source != src0) -> stored-set decontamination drops anything
+    // sharing a 4-gram with the benchmark. Stage boundaries persisted
+    // (the ProfilePretrain rule); the oracle replays the whole chain:
+    // NB integer-bit costs, the margin rank, minhash clusters, the
+    // survivor pick, the gram semi-join.
+    "q_pipeline_classified" -> Q(
+      (s, d) => {
+        import graft.operators.{Classify, Maintenance}
+        val docs = t(s, d, "documents")
+        val root = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_classified_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        val modelDir = s"$root/model"
+        val deconDir = s"$root/decon"
+        Classify.writeNbModel(docs.filter(col("doc_id") % 2 === 0),
+          "source", "text", modelDir)
+        Curation.writeDeconSet(docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 4, deconDir)
+        // serve-state certification (the ccnet rule): both writers
+        // land compacted stores; the maintenance pass verifies it
+        val reports = Maintenance.compactAll(s,
+          Seq(modelDir, deconDir))
+        require(reports.values.forall(!_.compacted),
+          s"classified stores drifted at write time: $reports")
+        val margined = Classify.classifyNbWithMargin(
+            Classify.readNbModel(s, modelDir), docs, "doc_id", "text")
+          .select(col("doc_id"), col("label"), col("margin_bits"))
+        val scored = docs.select(col("doc_id"), col("source"),
+            col("text"))
+          .join(margined, Seq("doc_id")).persist()
+        val survivors = Curation.survivorsBest(scored, "doc_id",
+          "margin_bits",
+          Dedup.dupClusters(Dedup.minhashLshPairs(docs, "doc_id",
+            "text", n = 3, numHashes = 16, rowsPerBand = 4,
+            threshold = 0.5)))
+        val corpus = survivors.filter(col("source") =!= "src0" &&
+          col("margin_bits") >= 1).persist()
+        val contaminated = Curation.decontaminateWithSet(corpus,
+            Curation.readDeconSet(s, deconDir)._1, "doc_id", "text",
+            n = 4)
+          .select("doc_id")
+        // no broadcast hint on the anti join: `contaminated` is the
+        // OUTPUT of a corpus-sized computation — AQE sizes it (the
+        // q_pipeline_ccnet rule)
+        corpus.join(contaminated, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("label"), col("margin_bits"))
+      },
+      Some(s"""WITH RECURSIVE ${DedupQueries.oMinhashCtes},
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM jp
+              |  UNION
+              |  SELECT id_b AS src, id_a AS dst FROM jp),
+              |nodes AS (SELECT DISTINCT src AS id FROM edges),
+              |reach(src, dst) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT r.src, e.dst FROM reach r
+              |  JOIN edges e ON r.dst = e.src),
+              |clusters AS MATERIALIZED (
+              |  SELECT src AS doc_id, min(dst) AS cluster_id
+              |  FROM reach GROUP BY src),
+              |${ClassifyQueries.oCostsBody},
+              |rr AS (
+              |  SELECT doc_id, label, bits,
+              |    row_number() OVER (PARTITION BY doc_id
+              |                       ORDER BY bits, label) AS rn
+              |  FROM costs),
+              |mg AS MATERIALIZED (
+              |  SELECT r1.doc_id, r1.label,
+              |    CAST(coalesce(r2.bits - r1.bits, 0) AS BIGINT)
+              |      AS margin_bits
+              |  FROM rr r1 LEFT JOIN rr r2
+              |    ON r1.doc_id = r2.doc_id AND r2.rn = 2
+              |  WHERE r1.rn = 1),
+              |best AS (
+              |  SELECT doc_id FROM (
+              |    SELECT c.doc_id,
+              |      row_number() OVER (PARTITION BY c.cluster_id
+              |        ORDER BY mg.margin_bits DESC, c.doc_id ASC) AS rn
+              |    FROM clusters c JOIN mg USING (doc_id))
+              |  WHERE rn = 1),
+              |corp AS MATERIALIZED (
+              |  SELECT d.doc_id, mg.label, mg.margin_bits, d.text
+              |  FROM documents d JOIN mg USING (doc_id)
+              |  WHERE d.source <> 'src0' AND mg.margin_bits >= 1
+              |    AND (d.doc_id NOT IN (SELECT doc_id FROM clusters)
+              |      OR d.doc_id IN (SELECT doc_id FROM best))),
+              |gw AS (SELECT doc_id,
+              |         string_split_regex(trim(text), '\\s+') AS wl
+              |       FROM corp),
+              |gg AS (SELECT DISTINCT doc_id, gram FROM (
+              |  SELECT doc_id,
+              |    unnest(list_transform(range(1, len(wl)-2), i ->
+              |      wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] || ' '
+              |        || wl[i+3])) AS gram
+              |  FROM gw WHERE len(wl) >= 4)),
+              |bw AS (SELECT doc_id,
+              |         string_split_regex(trim(text), '\\s+') AS wl
+              |       FROM documents WHERE source = 'src0'),
+              |bg AS (SELECT DISTINCT gram FROM (
+              |  SELECT unnest(list_transform(range(1, len(wl)-2), i ->
+              |      wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] || ' '
+              |        || wl[i+3])) AS gram
+              |  FROM bw WHERE len(wl) >= 4)),
+              |cont AS (SELECT DISTINCT gg.doc_id
+              |         FROM gg JOIN bg USING (gram))
+              |SELECT doc_id, label, margin_bits FROM corp
+              |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+              |""".stripMargin)),
+
     // PII redaction: mask emails / IPv4s / phone-shaped numbers and
     // count matches per pattern — RE2-compatible patterns by
     // construction, so the oracle replays the masking bit-for-bit.
