@@ -1192,6 +1192,46 @@ object TextQueries extends QueryPack {
       },
       Some(oDsirSql)),
 
+    // DSIR actually SERVING: corpus documents arrive as a STREAM and
+    // weight per micro-batch against the two persisted models
+    // (StreamJobs.dsirLookupStream), each batch overwriting its
+    // batch_id=<id> subdir with releaseDsirCache per batch. Weights
+    // are doc-local, so the cross-batch union equals the batch
+    // weigher exactly — q_stream_lm_score's discipline applied to
+    // importance weighting; shares q_text_dsir's oracle verbatim.
+    "q_stream_dsir" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_stream_dsir_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        val run = s"$dir/run_${System.nanoTime()}"
+        graft.operators.LmScore.writeModel(
+          docs.filter(col("lang") === "en"), "text", s"$dir/target")
+        graft.operators.LmScore.writeModel(docs, "text", s"$dir/source")
+        val rows = docs.select($"doc_id", $"text")
+          .as[(Long, String)].collect().toSeq
+        implicit val sqlCtx = s.sqlContext
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val outDir = s"$run/out"
+        val q = graft.streaming.StreamJobs.dsirLookupStream(
+            input.toDS().toDF("doc_id", "text"), s"$dir/target",
+            s"$dir/source", outDir, "doc_id", "text")
+          .option("checkpointLocation", s"$run/ckpt").start()
+        try {
+          rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.read.parquet(outDir).select(col("doc_id"), col("n_bigrams"),
+          col("target_bits"), col("source_bits"), col("delta_bits"),
+          col("delta_milli_bits"))
+      },
+      Some(oDsirSql)),
+
     // the LM quality filter actually SERVING: corpus documents arrive
     // as a STREAM and score per micro-batch against the persisted
     // model (StreamJobs.lmLookupStream), each batch overwriting its

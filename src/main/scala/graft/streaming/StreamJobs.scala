@@ -368,6 +368,43 @@ object StreamJobs {
         ()
     }
 
+  /** Streaming DSIR importance weighting — [[lmLookupStream]]'s serve
+    * pattern over TWO persisted bigram stores (`LmScore.writeModel`):
+    * each arriving micro-batch of documents weights against the
+    * stored target (clean/domain) and source (whole-pool) models and
+    * lands (idCol, n_bigrams, target_bits, source_bits, delta_bits,
+    * delta_milli_bits) under `outDir/batch_id=<id>/`. This is the
+    * deployment shape the DSIR paper describes and
+    * `LmScore.importanceBits` documents: both models train once per
+    * pool/domain lifetime; the per-batch cost is one batch explode +
+    * four stored vocab-bounded dim joins. Weights are doc-local, so
+    * the cross-batch union equals the batch weigher exactly;
+    * batch_id-scoped overwrite = replay idempotent. The per-batch
+    * model pins release via [[graft.operators.LmScore
+    * .releaseDsirCache]] — the two-model serve MUST release per batch
+    * or the pinned vocab-bounded caches accumulate executor storage
+    * across an unbounded stream (the releaseNbCache discipline,
+    * two-model form). Returns the writer — caller picks
+    * trigger/checkpoint and starts it. */
+  def dsirLookupStream(docs: DataFrame, targetDir: String,
+      sourceDir: String, outDir: String, idCol: String,
+      textCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val target = graft.operators.LmScore.readModel(
+          batch.sparkSession, targetDir)
+        val source = graft.operators.LmScore.readModel(
+          batch.sparkSession, sourceDir)
+        try graft.operators.LmScore
+          .importanceBits(target, source, widen(batch), idCol, textCol)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+        finally graft.operators.LmScore.releaseDsirCache(target, source)
+        ()
+    }
+
   /** [[nbLookupStream]]'s WRITE-path twin: each micro-batch of
     * LABELED documents appends to the persisted classifier model in
     * O(batch) via `Classify.appendNbModel` — tagged `runId-batchId`

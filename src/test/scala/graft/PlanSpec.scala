@@ -100,4 +100,20 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("ObjectHashAggregate"), s"$q lost the heap agg\n$p")
     }
   }
+
+  test("kNN vote broadcasts the labeled seed, never shuffles the neighbor frame on nnId") {
+    // knnVote hints broadcast explicitly: the seed usually arrives
+    // stats-less, and an estimate-driven planner would shuffle the
+    // queries×k neighbor frame instead (the round-17 ADVICE item)
+    val s = spark
+    import s.implicits._
+    val neighbors = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 10L, 1))
+      .toDF("q_id", "nn_id", "rank")
+    val labeled = Seq((10L, "a"), (11L, "b")).toDF("vec_id", "label")
+    val p = graft.operators.Classify.knnVote(neighbors, labeled,
+        "q_id", "nn_id", "rank", "vec_id", "label")
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
