@@ -719,6 +719,60 @@ object Similarity {
     blockedNearDup(bucketed, idCol, vecCol, "bucket", tau)
   }
 
+  /** SEMANTIC decontamination — the embedding-space arm of the
+    * [[graft.operators.Curation.decontaminate]] family: drop every
+    * corpus vector whose cosine against ANY benchmark vector reaches
+    * `threshold`. Surface-form decon (the n-gram semi-join) misses
+    * paraphrased or translated benchmark leakage; the embedding probe
+    * catches exactly that class. Returns the CONTAMINATED set — one
+    * row per hit corpus id with its max verified cosine as evidence,
+    * (idCol, cos) — which the caller anti-joins away, the
+    * decontaminateWithSet contract.
+    *
+    * Candidates come from shared SRP buckets (the [[lshNearDup]]
+    * discipline, same deterministic hyperplane family on both
+    * frames), so the quadratic verify is bounded by per-bucket
+    * occupancy instead of |corpus|×|bench| — the 100 TB shape.
+    * Misses straddling pairs exactly as [[lshNearDup]] documents
+    * (fewer planes = bigger buckets = higher recall & cost; `planes`
+    * ≤ 0 derives from the CORPUS size). No broadcast hint on the
+    * bucket join: a benchmark suite is usually small but unbounded
+    * in principle (the q_pipeline_ccnet rule — AQE sizes the side at
+    * runtime). Zero-norm vectors on either side are excluded
+    * (undefined cosine). Cosines round to 6 decimals BEFORE the
+    * threshold compare and the max — the file-wide cross-engine
+    * float discipline. */
+  def decontaminateSemantic(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      dim: Int = 64, planes: Int = 0,
+      knownCount: Long = -1L): DataFrame = {
+    require(threshold > 0,
+      "decontaminateSemantic: threshold must be > 0 (a derived " +
+        "threshold is a DEDUP concept — contamination is defined " +
+        "against the benchmark, not the corpus background)")
+    val p =
+      if (planes > 0) planes
+      else derivedPlanes(
+        if (knownCount >= 0) knownCount else corpus.count())
+    val cb = corpus
+      .select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__nrm", norm(col("__v")))
+      .filter(col("__nrm") > 0)
+      .withColumn("__bucket", srpBucket(col("__v"), dim, p))
+    val bb = bench
+      .select(col(vecCol).as("__bv"))
+      .withColumn("__bnrm", norm(col("__bv")))
+      .filter(col("__bnrm") > 0)
+      .withColumn("__bucket", srpBucket(col("__bv"), dim, p))
+    cb.join(bb, Seq("__bucket"))
+      .withColumn("__cos", round(
+        dot(col("__v"), col("__bv")) / (col("__nrm") * col("__bnrm")),
+        6))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col(idCol))
+      .agg(max(col("__cos")).as("cos"))
+  }
+
   // ───────────────────────── Product quantization ──────────────────────
   // IVF answers WHICH vectors to score; PQ answers how to score them
   // WITHOUT holding the floats: the vector splits into m subvectors,

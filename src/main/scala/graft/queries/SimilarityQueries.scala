@@ -33,17 +33,30 @@ object SimilarityQueries extends QueryPack {
     * family (full-rank; the affine lattice it replaced capped at
     * rank 16). All operands non-negative, t² < 10^10 — the `%`
     * replays identically on both engines. */
-  private[queries] def oSrpPairCtes(threshold: Double): String = {
-    def oProj(p: Int, vec: String) =
-      s"""list_reduce(list_transform(range(1, 65),
-         |    i -> CAST($vec[i] AS DOUBLE) *
-         |         (((($p * 761 + (i-1) * 503 + 97) % 100000) *
-         |           (($p * 761 + (i-1) * 503 + 97) % 100000) + $p)
-         |          % 99991 % 1000 / 1000.0 - 0.5)),
-         |  (x, y) -> x + y)""".stripMargin
-    val oBucket = (0 until 4).map { p =>
-      s"(CASE WHEN ${oProj(p, "embedding")} >= 0 THEN ${1L << p} ELSE 0 END)"
+  /** DuckDB SRP projection p of `vec` — SrpKernel's quadratic-mix
+    * hyperplane family, left-fold in index order (see
+    * [[oSrpPairCtes]]'s scaladoc for the coefficient formula and why
+    * the `%` replays identically on both engines). Shared by the
+    * single-frame near-dup chain and the cross-frame semantic-decon
+    * oracle. */
+  private def oSrpProj(p: Int, vec: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+       |    i -> CAST($vec[i] AS DOUBLE) *
+       |         (((($p * 761 + (i-1) * 503 + 97) % 100000) *
+       |           (($p * 761 + (i-1) * 503 + 97) % 100000) + $p)
+       |          % 99991 % 1000 / 1000.0 - 0.5)),
+       |  (x, y) -> x + y)""".stripMargin
+
+  /** The 4-plane SRP bucket pack over `vec` — valid only while the
+    * Spark side derives 4 planes (corpus ≤ 4096 vectors); pair with
+    * a guard CTE that fails LOUDLY past that. */
+  private def oSrpBucket4(vec: String): String =
+    (0 until 4).map { p =>
+      s"(CASE WHEN ${oSrpProj(p, vec)} >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" +\n      ")
+
+  private[queries] def oSrpPairCtes(threshold: Double): String = {
+    val oBucket = oSrpBucket4("embedding")
     s"""guard AS (
        |  -- this oracle packs exactly 4 bucket bits; the Spark side
        |  -- DERIVES its plane count, which is 4 only while the
@@ -576,6 +589,55 @@ object SimilarityQueries extends QueryPack {
               |SELECT e.vec_id, e.label FROM embeddings e
               |WHERE e.vec_id NOT IN (
               |  SELECT vec_id FROM clusters WHERE vec_id <> cluster_id)
+              |""".stripMargin)),
+
+    // SEMANTIC decontamination: the embedding-space arm of the decon
+    // family — drop corpus vectors whose cosine against ANY benchmark
+    // vector reaches τ. Surface-form decon (q_decontaminate's 4-gram
+    // semi-join) misses paraphrased/translated benchmark leakage;
+    // this probe catches exactly that class. Gate convention: every
+    // 50th vector stands in for the benchmark suite, the rest is the
+    // corpus; candidates from shared SRP buckets (derivedPlanes = 4
+    // at ≤ 4096 corpus vectors — the oracle's hardcoded pack, loud
+    // guard past it), verified cosine ≥ 0.3, max-cosine evidence per
+    // contaminated id.
+    "q_embed_decontaminate" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        Similarity.decontaminateSemantic(
+          corpus = emb.filter($"vec_id" % 50 =!= 0),
+          bench = emb.filter($"vec_id" % 50 === 0),
+          idCol = "vec_id", vecCol = "embedding", threshold = 0.3)
+      },
+      Some(s"""WITH guard AS (
+              |  SELECT CASE WHEN count(*) > 4096 THEN error(concat(
+              |    'semantic-decon oracle hardcodes 4 SRP planes but ',
+              |    'corpus > 4096: regenerate for derivedPlanes(n)'))
+              |    ELSE 1 END AS ok
+              |  FROM embeddings WHERE vec_id % 50 <> 0),
+              |cp AS (
+              |  SELECT vec_id, embedding,
+              |         sqrt(${oDot("embedding", "embedding")}) AS nrm,
+              |         ${oSrpBucket4("embedding")} AS bucket
+              |  FROM embeddings, guard
+              |  WHERE vec_id % 50 <> 0
+              |    AND sqrt(${oDot("embedding", "embedding")}) > 0),
+              |bn AS (
+              |  SELECT embedding AS bv,
+              |         sqrt(${oDot("embedding", "embedding")}) AS bnrm,
+              |         ${oSrpBucket4("embedding")} AS bucket
+              |  FROM embeddings
+              |  WHERE vec_id % 50 = 0
+              |    AND sqrt(${oDot("embedding", "embedding")}) > 0),
+              |hits AS (
+              |  SELECT c.vec_id,
+              |    round(${oDot("c.embedding", "b.bv")} / (c.nrm * b.bnrm),
+              |          6) AS cos
+              |  FROM cp c JOIN bn b ON c.bucket = b.bucket
+              |  WHERE round(${oDot("c.embedding", "b.bv")} / (c.nrm * b.bnrm),
+              |        6) >= 0.3)
+              |SELECT vec_id, max(cos) AS cos FROM hits GROUP BY 1
               |""".stripMargin)),
 
     // int8 embedding quantization stats: the compression pass before

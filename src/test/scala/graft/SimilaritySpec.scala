@@ -437,4 +437,37 @@ class SimilaritySpec extends SparkSpec {
     assert(grown.codebook.collect().toSeq ==
       idx2.codebook.collect().toSeq)
   }
+
+  test("decontaminateSemantic: duplicate-of-benchmark drops with cos 1, orthogonal and zero-norm corpus rows keep") {
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    val bvec = Array.tabulate(dim)(d => if (d % 2 == 0) 1f else -1f)
+    val orth = Array.tabulate(dim)(d => if (d % 2 == 0) 1f else 1f)
+    val bench = Seq((900L, bvec)).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, bvec),                      // exact benchmark copy → drop
+      (2L, bvec.map(_ * 2f)),          // scaled copy, cos 1 → drop
+      (3L, orth),                      // orthogonal, cos 0 → keep
+      (4L, Array.fill(dim)(0f)))       // zero norm → excluded, keep
+      .toDF("vec_id", "embedding")
+    val hits = Similarity.decontaminateSemantic(corpus, bench,
+        "vec_id", "embedding", threshold = 0.5, planes = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(hits.keySet === Set(1L, 2L), hits.toString)
+    assert(hits(1L) === 1.0 && hits(2L) === 1.0, hits.toString)
+    // the contract is a drop SET: the caller anti-joins it away
+    val clean = corpus.join(
+        Similarity.decontaminateSemantic(corpus, bench, "vec_id",
+          "embedding", threshold = 0.5, planes = 2)
+          .select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      .select("vec_id").as[Long].collect().sorted
+    assert(clean.toSeq === Seq(3L, 4L), clean.mkString(","))
+    // a zero/negative threshold is a caller bug, not a derivation
+    intercept[IllegalArgumentException] {
+      Similarity.decontaminateSemantic(corpus, bench, "vec_id",
+        "embedding", threshold = 0.0)
+    }
+  }
 }
