@@ -754,23 +754,102 @@ object Similarity {
       if (planes > 0) planes
       else derivedPlanes(
         if (knownCount >= 0) knownCount else corpus.count())
-    val cb = corpus
-      .select(col(idCol), col(vecCol).as("__v"))
-      .withColumn("__nrm", norm(col("__v")))
-      .filter(col("__nrm") > 0)
-      .withColumn("__bucket", srpBucket(col("__v"), dim, p))
     val bb = bench
       .select(col(vecCol).as("__bv"))
       .withColumn("__bnrm", norm(col("__bv")))
       .filter(col("__bnrm") > 0)
       .withColumn("__bucket", srpBucket(col("__bv"), dim, p))
-    cb.join(bb, Seq("__bucket"))
+      .select(col("__bucket").as("bucket"), col("__bv").as("bv"),
+        col("__bnrm").as("bnrm"))
+    decontaminateSemanticWithSet(corpus, bb, idCol, vecCol, threshold,
+      dim, p)
+  }
+
+  /** The probe arm of [[decontaminateSemantic]] over an
+    * already-bucketed benchmark frame — (bucket, bv, bnrm) rows, as
+    * stored by [[writeSemanticDeconSet]] or built inline. `planes`
+    * MUST be the count the set was bucketed with (the stored sidecar
+    * carries it); a mismatched pack compares disjoint bucket ids and
+    * silently finds nothing, which is why the stored path fails fast
+    * on a dir without the params sidecar. Bit-identical to the fresh
+    * form at equal planes. */
+  def decontaminateSemanticWithSet(corpus: DataFrame, set: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      dim: Int, planes: Int): DataFrame = {
+    require(threshold > 0,
+      "decontaminateSemanticWithSet: threshold must be > 0")
+    require(planes >= 1,
+      "decontaminateSemanticWithSet: planes must be >= 1")
+    corpus
+      .select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__nrm", norm(col("__v")))
+      .filter(col("__nrm") > 0)
+      .withColumn("bucket", srpBucket(col("__v"), dim, planes))
+      .join(set, Seq("bucket"))
       .withColumn("__cos", round(
-        dot(col("__v"), col("__bv")) / (col("__nrm") * col("__bnrm")),
+        dot(col("__v"), col("bv")) / (col("__nrm") * col("bnrm")),
         6))
       .filter(col("__cos") >= threshold)
       .groupBy(col(idCol))
       .agg(max(col("__cos")).as("cos"))
+  }
+
+  /** Persist the benchmark side of [[decontaminateSemantic]] —
+    * [[graft.operators.Curation.writeDeconSet]]'s embedding-space
+    * twin: the bucketed benchmark frame (bucket, bv, bnrm) lands as
+    * bucket-sorted sized parquet + a params sidecar
+    * `{"dim":…,"planes":…,"sortedFiles":…}`, staged and atomically
+    * swapped. Benchmarks are tiny and change rarely, so the SRP pack
+    * is paid once at write time and every ingest batch probes the
+    * stored state. `planes` is FIXED here because the probe must pack
+    * the identical bits — size it for the CORPUS the deployment will
+    * probe ([[derivedPlanes]] of the expected corpus count; bucket
+    * width bounds corpus-side occupancy, not bench-side). */
+  def writeSemanticDeconSet(bench: DataFrame, vecCol: String,
+      dir: String, dim: Int, planes: Int,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    require(planes >= 1, "writeSemanticDeconSet: planes must be >= 1")
+    val spark = bench.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val bb = bench
+      .select(col(vecCol).as("bv"))
+      .withColumn("bnrm", norm(col("bv")))
+      .filter(col("bnrm") > 0)
+      .withColumn("bucket", srpBucket(col("bv"), dim, planes))
+      .select("bucket", "bv", "bnrm")
+    graft.core.FsUtil.swapInto(fs,
+        new org.apache.hadoop.fs.Path(dir)) { staging =>
+      val files = graft.sources.Sinks.writeSizedParquet(bb,
+        new org.apache.hadoop.fs.Path(staging, "bench.parquet").toString,
+        targetFileBytes = targetFileBytes,
+        sortCols = Seq("bucket"),
+        minFiles = spark.sparkContext.defaultParallelism)
+      graft.core.FsUtil.writeSidecar(fs,
+        new org.apache.hadoop.fs.Path(staging, "params.json"),
+        s"""{"dim":$dim,"planes":$planes,"sortedFiles":$files}""")
+    }
+  }
+
+  /** The stored set's (bucketed bench frame, dim, planes). Fails fast
+    * on a directory without the params sidecar — probing with guessed
+    * planes would compare disjoint bucket ids and silently drop
+    * nothing. */
+  def readSemanticDeconSet(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val params = graft.core.FsUtil.readSidecar(fs,
+        new org.apache.hadoop.fs.Path(dir, "params.json"))
+      .getOrElse(throw new java.io.IOException(
+        s"readSemanticDeconSet: $dir has no params.json — not a " +
+          "stored semantic decon set"))
+    def longOf(k: String): Long =
+      graft.core.FsUtil.sidecarLong(params, k).getOrElse(
+        throw new java.io.IOException(
+          s"readSemanticDeconSet: $dir params.json lacks $k: $params"))
+    (spark.read.parquet(s"$dir/bench.parquet"),
+      longOf("dim").toInt, longOf("planes").toInt)
   }
 
   // ───────────────────────── Product quantization ──────────────────────

@@ -55,6 +55,44 @@ object SimilarityQueries extends QueryPack {
       s"(CASE WHEN ${oSrpProj(p, vec)} >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" +\n      ")
 
+  /** Shared by q_embed_decontaminate (fresh), q_embed_decon_stored
+    * (persisted set — round-trip must be bit-identical), and
+    * q_stream_embed_decon (per-batch probe — hits are row-local, so
+    * the cross-batch union equals the batch probe): benchmark = every
+    * 50th vector, corpus = the rest, shared 4-plane SRP buckets,
+    * verified cosine ≥ 0.3, max-cosine evidence per contaminated
+    * id. */
+  private def oEmbedDeconSql: String =
+    s"""WITH guard AS (
+       |  SELECT CASE WHEN count(*) > 4096 THEN error(concat(
+       |    'semantic-decon oracle hardcodes 4 SRP planes but ',
+       |    'corpus > 4096: regenerate for derivedPlanes(n)'))
+       |    ELSE 1 END AS ok
+       |  FROM embeddings WHERE vec_id % 50 <> 0),
+       |cp AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${oDot("embedding", "embedding")}) AS nrm,
+       |         ${oSrpBucket4("embedding")} AS bucket
+       |  FROM embeddings, guard
+       |  WHERE vec_id % 50 <> 0
+       |    AND sqrt(${oDot("embedding", "embedding")}) > 0),
+       |bn AS (
+       |  SELECT embedding AS bv,
+       |         sqrt(${oDot("embedding", "embedding")}) AS bnrm,
+       |         ${oSrpBucket4("embedding")} AS bucket
+       |  FROM embeddings
+       |  WHERE vec_id % 50 = 0
+       |    AND sqrt(${oDot("embedding", "embedding")}) > 0),
+       |hits AS (
+       |  SELECT c.vec_id,
+       |    round(${oDot("c.embedding", "b.bv")} / (c.nrm * b.bnrm),
+       |          6) AS cos
+       |  FROM cp c JOIN bn b ON c.bucket = b.bucket
+       |  WHERE round(${oDot("c.embedding", "b.bv")} / (c.nrm * b.bnrm),
+       |        6) >= 0.3)
+       |SELECT vec_id, max(cos) AS cos FROM hits GROUP BY 1
+       |""".stripMargin
+
   private[queries] def oSrpPairCtes(threshold: Double): String = {
     val oBucket = oSrpBucket4("embedding")
     s"""guard AS (
@@ -610,35 +648,71 @@ object SimilarityQueries extends QueryPack {
           bench = emb.filter($"vec_id" % 50 === 0),
           idCol = "vec_id", vecCol = "embedding", threshold = 0.3)
       },
-      Some(s"""WITH guard AS (
-              |  SELECT CASE WHEN count(*) > 4096 THEN error(concat(
-              |    'semantic-decon oracle hardcodes 4 SRP planes but ',
-              |    'corpus > 4096: regenerate for derivedPlanes(n)'))
-              |    ELSE 1 END AS ok
-              |  FROM embeddings WHERE vec_id % 50 <> 0),
-              |cp AS (
-              |  SELECT vec_id, embedding,
-              |         sqrt(${oDot("embedding", "embedding")}) AS nrm,
-              |         ${oSrpBucket4("embedding")} AS bucket
-              |  FROM embeddings, guard
-              |  WHERE vec_id % 50 <> 0
-              |    AND sqrt(${oDot("embedding", "embedding")}) > 0),
-              |bn AS (
-              |  SELECT embedding AS bv,
-              |         sqrt(${oDot("embedding", "embedding")}) AS bnrm,
-              |         ${oSrpBucket4("embedding")} AS bucket
-              |  FROM embeddings
-              |  WHERE vec_id % 50 = 0
-              |    AND sqrt(${oDot("embedding", "embedding")}) > 0),
-              |hits AS (
-              |  SELECT c.vec_id,
-              |    round(${oDot("c.embedding", "b.bv")} / (c.nrm * b.bnrm),
-              |          6) AS cos
-              |  FROM cp c JOIN bn b ON c.bucket = b.bucket
-              |  WHERE round(${oDot("c.embedding", "b.bv")} / (c.nrm * b.bnrm),
-              |        6) >= 0.3)
-              |SELECT vec_id, max(cos) AS cos FROM hits GROUP BY 1
-              |""".stripMargin)),
+      Some(oEmbedDeconSql)),
+
+    // semantic decon from a PERSISTED benchmark set — the serving
+    // shape: the benchmark's SRP pack is paid once at set-write time
+    // (bucket-sorted sized parquet, plane count pinned in the
+    // sidecar), every probe reads the stored state. Full lifecycle
+    // in-row (write → read → probe, the q_ann_ivf_index discipline);
+    // must hash-match q_embed_decontaminate — the store round-trip
+    // may not change a bit, so it shares the oracle verbatim.
+    "q_embed_decon_stored" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_edecon_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        Similarity.writeSemanticDeconSet(
+          emb.filter($"vec_id" % 50 === 0), "embedding", dir,
+          dim = 64, planes = 4)
+        val (set, dim, planes) = Similarity.readSemanticDeconSet(s, dir)
+        Similarity.decontaminateSemanticWithSet(
+          emb.filter($"vec_id" % 50 =!= 0), set, "vec_id",
+          "embedding", threshold = 0.3, dim = dim, planes = planes)
+      },
+      Some(oEmbedDeconSql)),
+
+    // semantic decon actually SERVING: corpus vectors arrive as a
+    // STREAM and probe the stored benchmark set per micro-batch
+    // (StreamJobs.embedDeconLookupStream), each batch overwriting its
+    // batch_id=<id> subdir. Hits are row-local given the stored set,
+    // so the cross-batch union equals the batch probe exactly —
+    // q_stream_decontaminate's discipline in embedding space; shares
+    // the fresh oracle verbatim.
+    "q_stream_embed_decon" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_sedecon_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        val run = s"$dir/run_${System.nanoTime()}"
+        Similarity.writeSemanticDeconSet(
+          emb.filter($"vec_id" % 50 === 0), "embedding", s"$dir/set",
+          dim = 64, planes = 4)
+        val rows = emb.filter($"vec_id" % 50 =!= 0)
+          .select($"vec_id", $"embedding")
+          .as[(Long, Array[Float])].collect().toSeq
+        implicit val sqlCtx = s.sqlContext
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])]
+        val outDir = s"$run/out"
+        val q = graft.streaming.StreamJobs.embedDeconLookupStream(
+            input.toDS().toDF("vec_id", "embedding"), s"$dir/set",
+            outDir, "vec_id", "embedding", threshold = 0.3)
+          .option("checkpointLocation", s"$run/ckpt").start()
+        try {
+          rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.read.parquet(outDir).select(col("vec_id"), col("cos"))
+      },
+      Some(oEmbedDeconSql)),
 
     // int8 embedding quantization stats: the compression pass before
     // storage/ANN. All outputs are integers or order-free IEEE doubles,

@@ -240,6 +240,38 @@ object StreamJobs {
         ()
     }
 
+  /** [[deconLookupStream]]'s EMBEDDING-SPACE twin: each arriving
+    * micro-batch of vectors probes the stored semantic decon set
+    * (`Similarity.writeSemanticDeconSet` — bucketed benchmark
+    * vectors + the plane count in its sidecar) and lands its
+    * contaminated members as (idCol, cos = max verified cosine)
+    * under `outDir/batch_id=<id>/`. Catches the
+    * paraphrased/translated benchmark leakage the gram probe cannot
+    * see, at the same serve shape: the benchmark pack is paid once
+    * at set-write time, each batch pays one narrow bucket pass + one
+    * bucket join bounded by per-bucket occupancy. The set (and its
+    * sidecar-pinned plane count) is re-read per batch, so a
+    * re-written set takes effect from the next micro-batch. Hits are
+    * row-local given the stored set, so the cross-batch union equals
+    * the batch probe exactly; batch_id-scoped overwrite = replay
+    * idempotent. Returns the writer — caller picks
+    * trigger/checkpoint and starts it. */
+  def embedDeconLookupStream(vecs: DataFrame, setDir: String,
+      outDir: String, idCol: String, vecCol: String,
+      threshold: Double)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val (set, dim, planes) = graft.operators.Similarity
+          .readSemanticDeconSet(batch.sparkSession, setDir)
+        graft.operators.Similarity.decontaminateSemanticWithSet(
+            widen(batch), set, idCol, vecCol, threshold, dim, planes)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+        ()
+    }
+
   /** Streaming LM quality scoring — the serve pattern applied to the
     * persisted bigram model (`LmScore.writeModel`): each arriving
     * micro-batch of documents scores against the STORED model (two

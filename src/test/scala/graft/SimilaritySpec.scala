@@ -470,4 +470,36 @@ class SimilaritySpec extends SparkSpec {
         "embedding", threshold = 0.0)
     }
   }
+
+  test("semantic decon set: stored probe ≡ fresh probe bit-for-bit; read fails fast without the sidecar") {
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    def vec(seed: Int) =
+      Array.tabulate(dim)(d => ((seed * 31 + d * 7) % 13 - 6).toFloat)
+    val bench = (0 until 5).map(i => (900L + i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val corpus = (0 until 40).map(i => (i.toLong, vec(i % 8)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-edecon").toString + "/set"
+    Similarity.writeSemanticDeconSet(bench, "embedding", dir,
+      dim = dim, planes = 3)
+    val (set, rdim, rplanes) = Similarity.readSemanticDeconSet(s, dir)
+    assert(rdim === dim && rplanes === 3)
+    val stored = Similarity.decontaminateSemanticWithSet(corpus, set,
+        "vec_id", "embedding", 0.5, rdim, rplanes)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val fresh = Similarity.decontaminateSemantic(corpus, bench,
+        "vec_id", "embedding", 0.5, dim = dim, planes = 3)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(stored === fresh, s"stored=$stored fresh=$fresh")
+    assert(stored.nonEmpty, "fixture produced no hits — weak test")
+    // no sidecar → fail fast (guessed planes would silently miss)
+    intercept[java.io.IOException] {
+      Similarity.readSemanticDeconSet(s,
+        java.nio.file.Files.createTempDirectory("graft-edecon-none")
+          .toString)
+    }
+  }
 }
