@@ -650,6 +650,36 @@ object SimilarityQueries extends QueryPack {
       },
       Some(oEmbedDeconSql)),
 
+    // cluster-balanced diversity sampling (the D4-style selection
+    // step: k-means the embedding space, then sample a FIXED quota
+    // per cluster so dominant topics stop drowning the tail): IVF
+    // cell assignment doubles as the k-means clustering (same
+    // deterministic seeds + one Lloyd refinement), and the per-cell
+    // quota is the deterministic exact-k sampler — a composition of
+    // two already-gated stages whose oracle replays both verbatim.
+    // Scale shape: the clustering is the ivfIndex build (narrow
+    // argmax over a collected centroid literal), the quota a
+    // bounded-heap top-k per cell — no window, no extra shuffle
+    // beyond the cell groupBy.
+    "q_embed_cluster_sample" -> Q(
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.operators.Curation.sampleExactK(
+          Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+            .assigned.select(col("nn_id").as("vec_id"), col("cell")),
+          strataCol = "cell", idCol = "vec_id", k = 8,
+          seedCols = Seq("vec_id"))
+      },
+      Some(s"""WITH $ivfChainCtes
+              |SELECT cell, vec_id FROM (
+              |  SELECT a.cell, a.nn_id AS vec_id,
+              |    row_number() OVER (PARTITION BY a.cell
+              |      ORDER BY md5(CAST(a.nn_id AS VARCHAR)) DESC,
+              |               a.nn_id ASC) AS rn
+              |  FROM assigned a)
+              |WHERE rn <= 8
+              |""".stripMargin)),
+
     // semantic decon from a PERSISTED benchmark set — the serving
     // shape: the benchmark's SRP pack is paid once at set-write time
     // (bucket-sorted sized parquet, plane count pinned in the
