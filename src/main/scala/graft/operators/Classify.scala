@@ -247,23 +247,30 @@ object Classify {
     * signal: a label that wins on far neighbors is weaker evidence
     * than one that wins on rank 1-2).
     *
-    * Scale shape: the seed is SMALL by construction (it is what got
-    * hand-labeled), so the label join broadcasts — hinted explicitly,
-    * because the seed frame usually arrives stats-less (a fresh read
-    * or an in-memory relation) and an estimate-driven planner would
-    * otherwise shuffle the queries×k neighbor frame on nnId; the two
-    * aggregations are map-side combined over the queries×k neighbor
-    * frame — no window, no shuffle beyond the qId groupings. The
-    * expensive part is the ANN probe that PRODUCES `neighbors`, and
-    * that is the stored-index serving path with its own scale story.
-    * Everything is integer (votes, ranks) — the DuckDB oracle replays
-    * the vote verbatim on top of the ANN chain's oracle. */
+    * Scale shape: the label join broadcasts only when the CALLER
+    * vouches for the seed (`broadcastSeed = true` — right when the
+    * seed is the hand-labeled set, which usually arrives stats-less,
+    * where an estimate-driven planner would shuffle the queries×k
+    * neighbor frame on nnId instead). The default leaves sizing to
+    * AQE: a forced hint on a caller-supplied frame that is NOT
+    * statically bounded — e.g. a corpus-derived label table — would
+    * bypass autoBroadcastJoinThreshold and hit the 8 GB broadcast cap
+    * or OOM the driver at deployment scale (the round-17 ADVICE
+    * trap). The two aggregations are map-side combined over the
+    * queries×k neighbor frame — no window, no shuffle beyond the qId
+    * groupings. The expensive part is the ANN probe that PRODUCES
+    * `neighbors`, and that is the stored-index serving path with its
+    * own scale story. Everything is integer (votes, ranks) — the
+    * DuckDB oracle replays the vote verbatim on top of the ANN
+    * chain's oracle. */
   def knnVote(neighbors: DataFrame, labeled: DataFrame,
       qIdCol: String, nnIdCol: String, rankCol: String,
-      idCol: String, labelCol: String): DataFrame =
+      idCol: String, labelCol: String,
+      broadcastSeed: Boolean = false): DataFrame = {
+    val seed = labeled.select(col(idCol).as(nnIdCol),
+      col(labelCol).as("label"))
     neighbors
-      .join(broadcast(labeled.select(col(idCol).as(nnIdCol),
-        col(labelCol).as("label"))), Seq(nnIdCol))
+      .join(if (broadcastSeed) broadcast(seed) else seed, Seq(nnIdCol))
       .groupBy(col(qIdCol), col("label"))
       .agg(count(lit(1)).as("votes"),
         min(col(rankCol)).cast("long").as("best_rank"))
@@ -276,6 +283,7 @@ object Classify {
       .select(col(qIdCol), col("__m.label").as("label"),
         col("__m.votes").as("votes"),
         col("__m.best_rank").as("best_rank"))
+  }
 
   /** Release the caches [[scoreNb]]/[[classifyNb]] pinned for
     * `model`. Call once the returned scores are fully consumed (a

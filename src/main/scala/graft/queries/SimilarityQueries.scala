@@ -218,9 +218,14 @@ object SimilarityQueries extends QueryPack {
     // query from the MAJORITY label of its 5 approximate nearest
     // neighbors (ties to the label ascending), with the winner's
     // best rank as the calibration signal — the semi-supervised step
-    // that spreads a small hand-labeled seed over a corpus. The
-    // oracle composes the IVF chain verbatim and replays the integer
-    // vote on top.
+    // that spreads a small hand-labeled seed over a corpus. Gate
+    // convention: every 10th vector stands in for the hand-labeled
+    // seed — BOUNDED by construction, so the broadcast vouch is
+    // honest (passing the whole corpus as `labeled` under a forced
+    // hint was the round-17 ADVICE trap: a corpus-cardinality frame
+    // bypassing autoBroadcastJoinThreshold). The oracle composes the
+    // IVF chain verbatim and replays the integer vote on top, label
+    // join restricted to the same seed.
     "q_embed_knn_classify" -> Q(
       (s, d) => {
         import s.implicits._
@@ -230,8 +235,10 @@ object SimilarityQueries extends QueryPack {
             queries = emb.filter($"vec_id" % 100 === 0),
             corpus = emb, idCol = "vec_id", vecCol = "embedding",
             k = 5, nlist = 16, nprobe = 4),
-          labeled = emb, qIdCol = "q_id", nnIdCol = "nn_id",
-          rankCol = "rank", idCol = "vec_id", labelCol = "label")
+          labeled = emb.filter($"vec_id" % 10 === 0),
+          qIdCol = "q_id", nnIdCol = "nn_id",
+          rankCol = "rank", idCol = "vec_id", labelCol = "label",
+          broadcastSeed = true)
       },
       Some(s"""WITH $ivfChainCtes,
               |$oKnnVoteTail""".stripMargin)),
@@ -260,8 +267,10 @@ object SimilarityQueries extends QueryPack {
           Similarity.ivfTopKWithIndex(
             emb.filter($"vec_id" % 100 === 0 && $"vec_id" < 2000),
             idx, k = 5, nprobe = 4),
-          labeled = emb, qIdCol = "q_id", nnIdCol = "nn_id",
-          rankCol = "rank", idCol = "vec_id", labelCol = "label")
+          labeled = emb.filter($"vec_id" % 10 === 0),
+          qIdCol = "q_id", nnIdCol = "nn_id",
+          rankCol = "rank", idCol = "vec_id", labelCol = "label",
+          broadcastSeed = true)
       },
       Some(s"""WITH ${ivfChainCtesWith(
                  "q.vec_id % 100 = 0 AND q.vec_id < 2000")},
@@ -1243,8 +1252,10 @@ object SimilarityQueries extends QueryPack {
   /** The majority-vote tail shared by q_embed_knn_classify and
     * q_embed_knn_stored: exhaustive cosine scoring inside the probed
     * cells, rank top-5, then the integer vote (majority label, ties
-    * to the label ascending, winner's best rank). Appends to the
-    * [[ivfChainCtesWith]] chain, which must end at `probes` /
+    * to the label ascending, winner's best rank) over the BOUNDED
+    * label seed (every 10th vector — the gate rows' hand-labeled
+    * stand-in; neighbors outside the seed carry no vote). Appends to
+    * the [[ivfChainCtesWith]] chain, which must end at `probes` /
     * `assigned`. */
   private def oKnnVoteTail: String =
     s"""scored AS (
@@ -1263,6 +1274,7 @@ object SimilarityQueries extends QueryPack {
        |  SELECT ap.q_id, l.label, count(*) AS votes,
        |         CAST(min(ap.rank) AS BIGINT) AS best_rank
        |  FROM ap JOIN embeddings l ON ap.nn_id = l.vec_id
+       |  WHERE l.vec_id % 10 = 0
        |  GROUP BY 1, 2),
        |m AS (SELECT q_id, max(votes) AS mv FROM v GROUP BY 1),
        |b AS (SELECT v.q_id, min(v.label) AS label

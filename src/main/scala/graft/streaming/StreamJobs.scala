@@ -308,15 +308,22 @@ object StreamJobs {
     * however large the batch is, so the probe's cost is a constant
     * while the repartition it gates saved 2–4× at sf10
     * (BASELINE.md round-16 serve-parallelism notes). Partition count
-    * comes from the executed plan's output partitioning — not
-    * `batch.rdd`, which would force an RDD conversion of every
-    * micro-batch plan just to read one integer. */
+    * comes from the executed plan's output partitioning when the plan
+    * KNOWS it — but FileSourceScanExec and DSv2 micro-batch scans
+    * report UnknownPartitioning(0), so 0 means UNKNOWN, not narrow:
+    * for those the count falls back to `batch.rdd.getNumPartitions`
+    * (building the RDD lineage runs no job — only reading one
+    * integer off it), otherwise an already-wide parquet-backed batch
+    * would pay the exchange it was supposed to skip (round-17
+    * ADVICE). */
   private[graft] val WidenRowFloor = 4096L
 
   private[graft] def widen(batch: DataFrame): DataFrame = {
     val p = batch.sparkSession.sparkContext.defaultParallelism
-    val parts =
+    val planParts =
       batch.queryExecution.executedPlan.outputPartitioning.numPartitions
+    val parts =
+      if (planParts > 0) planParts else batch.rdd.getNumPartitions
     if (parts * 2 >= p) batch
     else if (batch.limit(WidenRowFloor.toInt).count() < WidenRowFloor)
       batch

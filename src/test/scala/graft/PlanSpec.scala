@@ -101,19 +101,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("kNN vote broadcasts the labeled seed, never shuffles the neighbor frame on nnId") {
-    // knnVote hints broadcast explicitly: the seed usually arrives
-    // stats-less, and an estimate-driven planner would shuffle the
-    // queries×k neighbor frame instead (the round-17 ADVICE item)
+  test("kNN vote broadcasts the labeled seed only when the caller vouches for it") {
+    // the hint is OPT-IN (round-17 ADVICE): a caller passing the
+    // hand-labeled seed — small by construction but usually
+    // stats-less — sets broadcastSeed=true and never shuffles the
+    // queries×k neighbor frame; the default adds NO hint, so a
+    // corpus-cardinality label frame stays under AQE's sizing
+    // instead of bypassing autoBroadcastJoinThreshold
     val s = spark
     import s.implicits._
     val neighbors = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 10L, 1))
       .toDF("q_id", "nn_id", "rank")
     val labeled = Seq((10L, "a"), (11L, "b")).toDF("vec_id", "label")
-    val p = graft.operators.Classify.knnVote(neighbors, labeled,
-        "q_id", "nn_id", "rank", "vec_id", "label")
-      .queryExecution.executedPlan.toString()
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    val hinted = graft.operators.Classify.knnVote(neighbors, labeled,
+      "q_id", "nn_id", "rank", "vec_id", "label", broadcastSeed = true)
+    val hp = hinted.queryExecution.executedPlan.toString()
+    assert(hp.contains("BroadcastHashJoin"), hp)
+    assert(!hp.contains("SortMergeJoin"), hp)
+    // default: the logical plan carries no broadcast hint at all —
+    // the planner, not the operator, owns the join strategy
+    val unhinted = graft.operators.Classify.knnVote(neighbors, labeled,
+      "q_id", "nn_id", "rank", "vec_id", "label")
+    val hints = unhinted.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, unhinted.queryExecution.analyzed.toString())
   }
 }

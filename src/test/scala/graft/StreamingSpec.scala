@@ -197,5 +197,20 @@ class StreamingSpec extends SparkSpec {
     // already wide: untouched regardless of size
     val wide = s.range(0, 100, 1, p).toDF("id")
     assert(StreamJobs.widen(wide).rdd.getNumPartitions === p)
+    // plan-UNKNOWN partitioning (FileSourceScanExec reports
+    // UnknownPartitioning(0)): the wide-source skip must still fire
+    // via the RDD fallback — an already-wide parquet batch pays no
+    // exchange (round-17 ADVICE: gating on the plan's 0 alone made
+    // this branch never fire for real sources)
+    val dir = java.nio.file.Files.createTempDirectory("widen_pq")
+      .toString + "/t.parquet"
+    s.range(0, StreamJobs.WidenRowFloor * 4, 1, p).toDF("id")
+      .write.mode("overwrite").parquet(dir)
+    val pq = s.read.parquet(dir)
+    assert(pq.queryExecution.executedPlan
+      .outputPartitioning.numPartitions === 0) // the premise: plan says unknown
+    assert(StreamJobs.widen(pq).queryExecution.optimizedPlan
+      .collect { case r: org.apache.spark.sql.catalyst.plans.logical
+        .Repartition => r }.isEmpty) // no exchange injected
   }
 }
