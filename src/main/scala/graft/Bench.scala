@@ -19,10 +19,16 @@ package graft
   * at-bar rows (slow rows are real) or carries "burst"/"retry"
   * counters with burst-corrected values; the full CPU ("mcal") and
   * file-read ("io") probe vectors plus original-vs-retry pairs live
-  * in bench_last.json. The stdout line is breach-only when bars
-  * exist: per-query seconds appear only for rows >= 1.5× bar (or
-  * with no bar), at full precision — the complete dict is in
-  * bench_last.json. */
+  * in bench_last.json. Third arm (round-18): when the capture as a
+  * WHOLE is suspect — best cal anywhere in the run > 3× the recorded
+  * idle bar, or > 10 rows still breach after retries — the remaining
+  * breach set re-runs once behind fresh bracketing cals and the line
+  * carries BOTH readings ("qrc" + "rcal"), so a burst-window capture
+  * self-adjudicates on the official artifact instead of needing an
+  * out-of-band idle pair (BenchAdjudication.recheckTriggered). The
+  * stdout line is breach-only when bars exist: per-query seconds
+  * appear only for rows >= 1.5× bar (or with no bar), at full
+  * precision — the complete dict is in bench_last.json. */
 /** The pure burst-adjudication rules Bench applies — factored out so
   * BenchSpec can drive the scenarios a live run can't stage on demand
   * (a mid-run box burst, a fully-throttled run, a clean run). */
@@ -110,6 +116,28 @@ private[graft] object BenchAdjudication {
         barless.sortBy(i => -times(i))
     ordered.take(20)
   }
+
+  /** Idle-box cal bar (median calOnce on an idle box reads
+    * 0.08–0.11 — BASELINE.md header; this is the recorded upper
+    * edge). The recheck gate compares against this CONSTANT, not the
+    * run's own best cal, because a WHOLE-RUN throttle inflates every
+    * in-run probe — relative rules are blind to it by construction
+    * (round-17: opening cal 3.98 ≈ 40× idle, 28 breach rows, yet
+    * zero probes over the run-relative burst line). */
+  val IdleCalBar = 0.11
+
+  /** Whether the capture needs the end-of-run BREACH RECHECK (the
+    * round-17 task: a burst-window capture must self-adjudicate on
+    * the official artifact, not via out-of-band idle pairs): the
+    * box never reached idle speed at ANY probe (best cal > 3× the
+    * recorded idle bar — whole-run throttle), or the breach dict is
+    * too wide to be plausible as simultaneous real regressions
+    * (> 10 rows — real regressions arrive with the commits that
+    * cause them, not 28 at once across unrelated query families).
+    * The recheck re-runs the breach set once behind fresh bracketing
+    * cals and emits BOTH readings. */
+  def recheckTriggered(bestCal: Double, breachCount: Int): Boolean =
+    bestCal > 3.0 * IdleCalBar || breachCount > 10
 
   /** Whether a still-breached row's retry verdict is UNTRUSTWORTHY:
     * the cal probe bracketing its retry read over the burst flag
@@ -400,6 +428,47 @@ object Bench {
     val results = raw.toSeq
     val total = results.map(_._2).sum
 
+    // ---- end-of-run breach RECHECK (round-17 task #2) ----------------
+    // The retry arm above is run-relative and slot-bounded; a capture
+    // landing in a WHOLE-RUN bursty window (r17: opening cal 3.98,
+    // 28 breach rows, uniform ~2× inflation) sails past it and the
+    // adjudication ends up living in out-of-band idle pairs. When the
+    // recheckTriggered gate fires — best cal never reached idle, or
+    // the breach dict is implausibly wide — every row still reading
+    // >= 1.5× its bar after retries re-runs ONCE behind fresh
+    // bracketing cal probes, and the line carries BOTH readings:
+    // "queries" keeps the originals, "qrc" the recheck values, "rcal"
+    // the recheck's own bracketing cal (so a recheck that ALSO ran
+    // throttled is self-identifying rather than falsely exonerating).
+    // Bounded: ratio-ordered, <= 30 rows / 300 s — it only fires on
+    // degraded captures, where spending minutes beats shipping an
+    // artifact a human must re-adjudicate.
+    val bestCal = (cal +: cal2 +: midCals.toSeq).min
+    val breachNow = results.filter { case (k, v) =>
+      bars.get(k).exists(b => v >= 1.5 * b) }
+    val recheck = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var recheckCal = -1.0
+    if (bars.nonEmpty &&
+        BenchAdjudication.recheckTriggered(bestCal, breachNow.size)) {
+      val idxOf = results.zipWithIndex.map { case ((k, _), i) => k -> i }.toMap
+      val preCal = midProbe()
+      var budget = 300.0
+      breachNow.sortBy { case (k, v) => -(v / bars(k)) }.take(30)
+        .foreach { case (name, _) =>
+          if (budget > 0) {
+            val t0 = System.nanoTime()
+            val ok =
+              try { ordered(idxOf(name))._2(spark, sfDir).count(); true }
+              catch { case _: Throwable => false }
+            val again = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            budget -= again
+            if (ok) recheck += name -> again
+          }
+        }
+      recheckCal = math.max(preCal, midProbe())
+    }
+
     def assemble(level: Int): String = {
       val f = fmt(level) _
       // cal/cal2 keep 2 decimals at every level — they are the
@@ -500,7 +569,29 @@ object Bench {
     def burstSuppressed(k: String, v: Double): Boolean =
       BenchAdjudication.suppressAsBurst(v, bars.get(k),
         retryCalOf.get(k), cal, midCals.toSeq, cal2)
-    def assembleBreachOnly(): String = {
+    // recheck emission (two fidelity levels): level 0 ships every
+    // rechecked row's second reading in "qrc"; level 1 sheds the
+    // CONVERGED rows (recheck < 1.5× bar — certified burst victims)
+    // into a "qrcok" count and keeps "qrc" only for rows still
+    // breaching on the recheck — exactly the rows a regression gate
+    // must still examine. "rcal" always rides along: a recheck that
+    // itself ran throttled must say so, not exonerate.
+    def recheckFields(shed: Boolean): String = {
+      if (recheck.isEmpty) ""
+      else {
+        val f = fmt(0) _
+        val (still, okRows) = recheck.toSeq.partition { case (k, v) =>
+          bars.get(k).exists(b => v >= 1.5 * b) }
+        val kept = if (shed) still else recheck.toSeq
+        val qrc = kept.map { case (k, v) =>
+          "\"" + (if (k.startsWith("q_")) k.drop(2) else k) + "\":" + f(v)
+        }.mkString("{", ",", "}")
+        val okField =
+          if (shed && okRows.nonEmpty) s""""qrcok":${okRows.size},""" else ""
+        s""""rcal":${f(recheckCal)},$okField"qrc":$qrc,"""
+      }
+    }
+    def assembleBreachOnly(shedRecheck: Boolean): String = {
       val f = fmt(0) _
       val qburst = results.count { case (k, v) => burstSuppressed(k, v) }
       val qs = results.filter { case (k, v) =>
@@ -514,13 +605,18 @@ object Bench {
       val qburstField = if (qburst == 0) "" else s""""qburst":$qburst,"""
       s"""{"metric":"total","value":${f(total)},"cal":${f(cal)},""" +
         s""""cal2":${f(cal2)},$burstField$qburstField""" +
+        s"""${recheckFields(shedRecheck)}""" +
         s""""mcal":[${midCals.map(f).mkString(",")}],""" +
         s""""io":[${ioCals.map(fmtIo).mkString(",")}],""" +
         s""""nq":${results.size},"queries":$qs,"sf":"$sfName",""" +
         s""""rps":${throughput.toLong}}"""
     }
-    val breachLine = if (bars.nonEmpty) Some(assembleBreachOnly()) else None
-    val line = breachLine.filter(_.length <= 1985).getOrElse(
+    val breachLine =
+      if (bars.nonEmpty)
+        Seq(assembleBreachOnly(false), assembleBreachOnly(true))
+          .find(_.length <= 1985)
+      else None
+    val line = breachLine.getOrElse(
       (0 to 4).map(assemble)
         .find(_.length <= 1985).getOrElse(assembleTruncated()))
 
@@ -545,8 +641,15 @@ object Bench {
         else retried.map { case (n, o, r, rc) =>
           "\"" + n + "\":[" + f(o) + "," + f(r) + "," + f(rc) + "]"
         }.mkString(""""retried":{""", ",", "},")
+      // the recheck pass at full fidelity: every re-run breach row's
+      // second reading plus the pass's bracketing cal
+      val recheckField =
+        if (recheck.isEmpty) ""
+        else s""""rcal":${f(recheckCal)},""" +
+          recheck.map { case (n, v) => "\"" + n + "\":" + f(v) }
+            .mkString(""""recheck":{""", ",", "},")
       s"""{"metric":"total","value":${f(total)},"cal":${f(cal)},""" +
-        s""""cal2":${f(cal2)},$cal3Field$mcal$retryField""" +
+        s""""cal2":${f(cal2)},$cal3Field$mcal$retryField$recheckField""" +
         s""""queries":$qs,"sf":"$sfName",""" +
         s""""rps":${throughput.toLong}}"""
     }

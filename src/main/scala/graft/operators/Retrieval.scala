@@ -64,6 +64,38 @@ object Retrieval {
           .as("recall_bp"))
   }
 
+  /** SET recall of one id set against a reference id set — the
+    * decon-family analog of [[recallAtK]]: how many of the reference
+    * arm's contaminated ids the probe caught, as one row
+    * (n_true, n_hit, recall_bp). `recall_bp` is integer basis points
+    * (bit-exact on every engine); an empty reference yields 10000 —
+    * a probe misses nothing when there is nothing to catch. This is
+    * the measurement that turns "the banded SRP probe is good" into
+    * a number — the q_ann_recall discipline for unranked sets.
+    *
+    * Scale shape: both inputs are the HIT sets (contamination is
+    * rare by construction — benchmark-sized × threshold-bounded, not
+    * corpus-sized); one distinct + one left join + a global agg over
+    * those rows. The expensive part is the exact reference arm,
+    * which is the measurement's point and runs on a bounded bench
+    * ([[graft.operators.Similarity.decontaminateSemanticExact]]). */
+  def setRecall(candidate: DataFrame, reference: DataFrame,
+      idCol: String): DataFrame = {
+    val ref = reference.select(col(idCol)).distinct()
+    val cand = candidate.select(col(idCol)).distinct()
+      .withColumn("__hit", lit(1L))
+    ref.join(cand, Seq(idCol), "left")
+      .agg(count(lit(1)).as("n_true"),
+        // outer coalesce: a zero-row reference aggregates sum to
+        // NULL, and the oracle must read n_hit = 0 there too
+        coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L))
+          .cast("long").as("n_hit"))
+      .select(col("n_true"), col("n_hit"),
+        when(col("n_true") === 0, lit(10000L))
+          .otherwise(expr("n_hit * 10000L div n_true"))
+          .as("recall_bp"))
+  }
+
   /** The NDCG position weights as milli-integers — round(1000 /
     * log2(i+1)) for positions 1..k — and their prefix sums (the ideal
     * DCG for a query with n relevant results). Computed ONCE in Scala

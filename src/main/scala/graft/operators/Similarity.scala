@@ -729,6 +729,14 @@ object Similarity {
     * (idCol, cos) — which the caller anti-joins away, the
     * decontaminateWithSet contract.
     *
+    * SINGLE-BAND form — one packed bucket id, recall p^planes, which
+    * COLLAPSES as [[derivedPlanes]] grows with the corpus (the
+    * round-17 finding). The deployment defaults are
+    * [[decontaminateSemanticBanded]] (measured-recall OR-construction)
+    * or [[decontaminateSemanticExact]] (recall 1.0 for a bounded
+    * bench); this form is kept as the bands=1 special case and the
+    * oracle-pinned fixed-pack gate shape.
+    *
     * Candidates come from shared SRP buckets (the [[lshNearDup]]
     * discipline, same deterministic hyperplane family on both
     * frames), so the quadratic verify is bounded by per-bucket
@@ -850,6 +858,298 @@ object Similarity {
           s"readSemanticDeconSet: $dir params.json lacks $k: $params"))
     (spark.read.parquet(s"$dir/bench.parquet"),
       longOf("dim").toInt, longOf("planes").toInt)
+  }
+
+  // ────────────────── Banded semantic decontamination ──────────────────
+  // The single-band probe above joins on exact equality of ONE packed
+  // bucket id, so its recall per true pair at cosine τ is p^planes with
+  // p = 1 − arccos(τ)/π — and since [[derivedPlanes]] GROWS the plane
+  // count with the corpus, the single-band probe's recall COLLAPSES as
+  // the corpus scales (τ=0.3: ~13% at 4 planes, ~0.6% at 10, ~0 at 30 —
+  // the round-17 finding). The banded form is the standard LSH
+  // OR-construction fix, [[graft.operators.Dedup.minhashLshPairs]]'s
+  // rowsPerBand discipline in SRP space: `bands` independent tables of
+  // `rowsPerBand` planes each, a pair is a candidate if ANY band's key
+  // matches, recall = 1 − (1 − p^rowsPerBand)^bands. rowsPerBand bounds
+  // the per-band verify fan-out (each corpus row meets ~|bench|/2^r
+  // bench rows per band), bands buys recall linearly in probe cost.
+  // All bands pack from ONE [[srpBucket]] kernel pass over
+  // bands×rowsPerBand planes (band b's key = bits [b·r, (b+1)·r) of the
+  // pack — a shift and a mask, replayed verbatim by the DuckDB oracle),
+  // so banding costs one narrow pass regardless of band count.
+
+  /** P(one SRP plane agrees) for a pair at cosine τ — the
+    * Goemans–Williamson identity 1 − θ/π driving every banded-recall
+    * derivation and the analytic recall estimate. */
+  def srpCollisionProb(tau: Double): Double = {
+    require(tau >= -1.0 && tau <= 1.0, s"cosine out of range: $tau")
+    1.0 - math.acos(tau) / math.Pi
+  }
+
+  /** Analytic recall of a banded probe for a pair at EXACTLY cosine τ:
+    * 1 − (1 − p^r)^B. Pairs above τ collide more, so this is the
+    * floor over the caught set — the number the measured
+    * (q_embed_decon_recall) row is checked against. */
+  def bandedDeconRecall(tau: Double, bands: Int,
+      rowsPerBand: Int): Double = {
+    val pr = math.pow(srpCollisionProb(tau), rowsPerBand.toDouble)
+    1.0 - math.pow(1.0 - pr, bands.toDouble)
+  }
+
+  /** Size-derived band WIDTH: enough planes per band that a corpus
+    * row meets ~`targetFanout` bench rows per band
+    * (2^r ≈ |bench|/targetFanout) — the decon analog of
+    * [[derivedPlanes]]' occupancy rule, except the bound is against
+    * the BENCH side: banded-probe verify cost is
+    * bands × |corpus| × |bench| / 2^r cosines, i.e. corpus-LINEAR
+    * with a bench-bounded constant, never corpus-quadratic. Floor 1
+    * (a one-plane band still halves the fan-out), cap 20 (a bench
+    * past 2^20×fanout should shard decon sets, not widen keys). */
+  def derivedDeconRowsPerBand(benchCount: Long,
+      targetFanout: Double = 4.0): Int = {
+    require(targetFanout > 0, "targetFanout must be > 0")
+    val r = math.ceil(math.log(math.max(1.0,
+      benchCount.toDouble / targetFanout)) / math.log(2.0)).toInt
+    math.min(20, math.max(1, r))
+  }
+
+  /** Band count for a recall target at threshold τ given the band
+    * width: the smallest B with 1 − (1 − p^r)^B ≥ targetRecall,
+    * CAPPED at min(maxBands, 63/rowsPerBand) — the first cap bounds
+    * probe cost (each band is one more bucket join over the corpus),
+    * the second keeps the whole pack inside [[srpBucket]]'s 63-bit
+    * long. When the cap binds, the operator still runs at the cap and
+    * the RECALL MEASUREMENT (q_embed_decon_recall / ProfileSemantic)
+    * reports what that buys — measured, never asserted. At low τ the
+    * cap binds early (p(0.3) ≈ 0.60 — SRP separability is weak far
+    * from 1.0); the honest high-recall arm for a BOUNDED bench is
+    * [[decontaminateSemanticExact]], which needs no hashing at all. */
+  def derivedDeconBands(tau: Double, rowsPerBand: Int,
+      targetRecall: Double = 0.9, maxBands: Int = 16): Int = {
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall must be in (0,1): $targetRecall")
+    val cap = math.max(1, math.min(maxBands, 63 / rowsPerBand))
+    val pr = math.pow(srpCollisionProb(tau), rowsPerBand.toDouble)
+    if (pr >= 1.0) 1
+    else if (pr <= 0.0) cap
+    else {
+      val need = math.ceil(
+        math.log(1.0 - targetRecall) / math.log(1.0 - pr)).toInt
+      math.min(cap, math.max(1, need))
+    }
+  }
+
+  /** The recall-FIRST shape derivation — the banded default: the
+    * (bands, rowsPerBand) meeting `targetRecall` at τ with the
+    * LARGEST feasible band width under the 63-bit pack cap.
+    * Per-corpus-row verify cost is bands × |bench| / 2^rowsPerBand —
+    * exponential in the width, linear in the count — so among shapes
+    * that meet the target, the widest-band one is cheapest; the cap
+    * binds the product bands×rowsPerBand ≤ 63. τ=0.3 derives (10, 3)
+    * (recall 0.91), τ=0.8 (8, 6), τ=0.9 → wider still: the payoff
+    * grows with τ because per-plane separability does — at LOW τ the
+    * suppression 2^r can't outrun the band multiplier and the banded
+    * probe approaches [[decontaminateSemanticExact]]'s cost anyway
+    * (BASELINE.md records the measured crossover). Recall here is
+    * per-PAIR at exactly τ — independent of corpus size, unlike the
+    * single-band form whose derivedPlanes growth collapses it. */
+  def derivedDeconShape(tau: Double,
+      targetRecall: Double = 0.9): (Int, Int) =
+    (1 to 63).flatMap { r =>
+      val b = derivedDeconBands(tau, r, targetRecall, maxBands = 63)
+      if (b * r <= 63 && bandedDeconRecall(tau, b, r) >= targetRecall)
+        Some((b, r))
+      else None
+    }.lastOption.getOrElse((6, 2))
+
+  /** The per-band key columns of one packed [[srpBucket]] over
+    * bands×rowsPerBand planes: band b = bits [b·r, (b+1)·r) of
+    * `pack` — pure shift/mask arithmetic the oracle replays. */
+  private def bandKeyArray(pack: Column, bands: Int,
+      rowsPerBand: Int): Column = {
+    val mask = (1L << rowsPerBand) - 1L
+    array((0 until bands).map(b =>
+      shiftright(pack, b * rowsPerBand).bitwiseAND(lit(mask))): _*)
+  }
+
+  /** The exploded (band, bkey) frame both probe sides share: one
+    * [[srpBucket]] kernel pass packs every band's bits, then each row
+    * fans out to `bands` (band, bkey) rows. Keeps whatever other
+    * columns `df` carries. */
+  private def bandExplode(df: DataFrame, vecCol: Column, dim: Int,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val keep = df.columns.map(col).toSeq
+    df.withColumn("__pack", srpBucket(vecCol, dim, bands * rowsPerBand))
+      .select(keep :+
+        posexplode(bandKeyArray(col("__pack"), bands, rowsPerBand))
+          .as(Seq("band", "bkey")): _*)
+  }
+
+  /** EXACT semantic decontamination — the recall-1.0 arm: every
+    * corpus×bench cosine is verified, no hashing, no misses. Returns
+    * the contaminated set (idCol, cos) like the probed forms. The
+    * deliberate cross join is SAFE exactly when the bench side is
+    * bounded (a benchmark suite — broadcast-hinted on that contract):
+    * cost is |corpus|×|bench| cosines, corpus-LINEAR with a
+    * bench-bounded constant, the same envelope class as
+    * [[bruteForceTopK]]'s query side. Prefer this whenever
+    * |bench| ≤ ~10⁵; past that the banded probe trades its MEASURED
+    * recall for a 2^rowsPerBand cut in verify work. ScaleLint flags
+    * the cartesian by design — this row joins the definitional
+    * brute-force allowances (PLANS.md header). */
+  def decontaminateSemanticExact(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0,
+      "decontaminateSemanticExact: threshold must be > 0")
+    val bb = bench
+      .select(col(vecCol).as("bv"))
+      .withColumn("bnrm", norm(col("bv")))
+      .filter(col("bnrm") > 0)
+    corpus
+      .select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__nrm", norm(col("__v")))
+      .filter(col("__nrm") > 0)
+      .join(broadcast(bb))
+      .withColumn("__cos", round(
+        dot(col("__v"), col("bv")) / (col("__nrm") * col("bnrm")), 6))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col(idCol))
+      .agg(max(col("__cos")).as("cos"))
+  }
+
+  /** BANDED semantic decontamination — the scale path of the decon
+    * family (see the section comment): candidates are the OR of
+    * `bands` per-band bucket joins, verified with the true cosine,
+    * max-cosine evidence per contaminated id — (idCol, cos), the
+    * decontaminateWithSet contract. A true pair matching in several
+    * bands verifies once per matching band (the OR-construction's
+    * bounded duplicate cost — max() absorbs it); recall per pair at
+    * cosine τ is 1 − (1 − p^rowsPerBand)^bands, MEASURED against
+    * [[decontaminateSemanticExact]] by q_embed_decon_recall and
+    * ProfileSemantic rather than asserted. Derivation defaults
+    * (pure — no extra action over either frame): both ≤ 0 derives
+    * the recall-first [[derivedDeconShape]] at τ; `rowsPerBand` given
+    * with `bands` ≤ 0 derives the band count for the 0.9 recall
+    * target at that width ([[derivedDeconBands]], capped — a caller
+    * who bounded the width for fan-out reasons, e.g. via
+    * [[derivedDeconRowsPerBand]], accepts whatever recall the cap
+    * leaves, and the recall row measures it). */
+  def decontaminateSemanticBanded(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      dim: Int = 64, bands: Int = 0, rowsPerBand: Int = 0): DataFrame = {
+    require(threshold > 0,
+      "decontaminateSemanticBanded: threshold must be > 0")
+    val (b0, r) =
+      if (rowsPerBand > 0) (bands, rowsPerBand)
+      else if (bands > 0)
+        (bands, derivedDeconShape(threshold)._2)
+      else derivedDeconShape(threshold)
+    val b = if (b0 > 0) b0 else derivedDeconBands(threshold, r)
+    val set = bandedBenchSet(bench, vecCol, dim, b, r)
+    decontaminateSemanticBandedWithSet(corpus, set, idCol, vecCol,
+      threshold, dim, b, r)
+  }
+
+  /** The bench side of the banded probe: (band, bkey, bv, bnrm) —
+    * one row per (bench vector, band). */
+  private def bandedBenchSet(bench: DataFrame, vecCol: String,
+      dim: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    requireBandShape(bands, rowsPerBand)
+    bandExplode(
+      bench.select(col(vecCol).as("bv"))
+        .withColumn("bnrm", norm(col("bv")))
+        .filter(col("bnrm") > 0),
+      col("bv"), dim, bands, rowsPerBand)
+      .select("band", "bkey", "bv", "bnrm")
+  }
+
+  private def requireBandShape(bands: Int, rowsPerBand: Int): Unit = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"bands/rowsPerBand must be >= 1: $bands, $rowsPerBand")
+    require(bands * rowsPerBand <= 63,
+      s"bands*rowsPerBand must fit the 63-bit pack: " +
+        s"$bands*$rowsPerBand = ${bands * rowsPerBand}")
+  }
+
+  /** The probe arm of [[decontaminateSemanticBanded]] over an
+    * already-banded benchmark frame — (band, bkey, bv, bnrm) rows as
+    * stored by [[writeSemanticDeconSetBanded]] or built inline.
+    * (bands, rowsPerBand) MUST be the shape the set was packed with
+    * (the stored sidecar carries both); a mismatched pack compares
+    * disjoint keys and silently finds nothing — why the stored path
+    * fails fast on a dir without the sidecar. Bit-identical to the
+    * fresh form at equal (bands, rowsPerBand). */
+  def decontaminateSemanticBandedWithSet(corpus: DataFrame,
+      set: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    require(threshold > 0,
+      "decontaminateSemanticBandedWithSet: threshold must be > 0")
+    requireBandShape(bands, rowsPerBand)
+    bandExplode(
+      corpus.select(col(idCol), col(vecCol).as("__v"))
+        .withColumn("__nrm", norm(col("__v")))
+        .filter(col("__nrm") > 0),
+      col("__v"), dim, bands, rowsPerBand)
+      .join(set, Seq("band", "bkey"))
+      .withColumn("__cos", round(
+        dot(col("__v"), col("bv")) / (col("__nrm") * col("bnrm")), 6))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col(idCol))
+      .agg(max(col("__cos")).as("cos"))
+  }
+
+  /** Persist the bench side of the banded probe —
+    * [[writeSemanticDeconSet]]'s banded twin: the exploded
+    * (band, bkey, bv, bnrm) frame lands as (band, bkey)-sorted sized
+    * parquet + a params sidecar
+    * `{"dim":…,"bands":…,"rowsPerBand":…,"sortedFiles":…}`, staged
+    * and atomically swapped. The SRP pack is paid once at write time;
+    * every probe reads the stored state with the shape pinned. */
+  def writeSemanticDeconSetBanded(bench: DataFrame, vecCol: String,
+      dir: String, dim: Int, bands: Int, rowsPerBand: Int,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    requireBandShape(bands, rowsPerBand)
+    val spark = bench.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val bb = bandedBenchSet(bench, vecCol, dim, bands, rowsPerBand)
+    graft.core.FsUtil.swapInto(fs,
+        new org.apache.hadoop.fs.Path(dir)) { staging =>
+      val files = graft.sources.Sinks.writeSizedParquet(bb,
+        new org.apache.hadoop.fs.Path(staging, "bench.parquet").toString,
+        targetFileBytes = targetFileBytes,
+        sortCols = Seq("band", "bkey"),
+        minFiles = spark.sparkContext.defaultParallelism)
+      graft.core.FsUtil.writeSidecar(fs,
+        new org.apache.hadoop.fs.Path(staging, "params.json"),
+        s"""{"dim":$dim,"bands":$bands,"rowsPerBand":$rowsPerBand,""" +
+          s""""sortedFiles":$files}""")
+    }
+  }
+
+  /** The stored banded set's (frame, dim, bands, rowsPerBand). Fails
+    * fast on a dir without the sidecar OR on a SINGLE-BAND set
+    * ([[writeSemanticDeconSet]]'s layout — its sidecar carries
+    * "planes", not "bands"): probing a mismatched layout would
+    * compare disjoint keys and silently drop nothing. */
+  def readSemanticDeconSetBanded(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Int, Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val params = graft.core.FsUtil.readSidecar(fs,
+        new org.apache.hadoop.fs.Path(dir, "params.json"))
+      .getOrElse(throw new java.io.IOException(
+        s"readSemanticDeconSetBanded: $dir has no params.json — not " +
+          "a stored semantic decon set"))
+    def longOf(k: String): Long =
+      graft.core.FsUtil.sidecarLong(params, k).getOrElse(
+        throw new java.io.IOException(
+          s"readSemanticDeconSetBanded: $dir params.json lacks $k " +
+            s"(a single-band set? probe it with " +
+            s"decontaminateSemanticWithSet): $params"))
+    (spark.read.parquet(s"$dir/bench.parquet"), longOf("dim").toInt,
+      longOf("bands").toInt, longOf("rowsPerBand").toInt)
   }
 
   // ───────────────────────── Product quantization ──────────────────────

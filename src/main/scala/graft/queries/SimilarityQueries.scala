@@ -93,6 +93,79 @@ object SimilarityQueries extends QueryPack {
        |SELECT vec_id, max(cos) AS cos FROM hits GROUP BY 1
        |""".stripMargin
 
+  /** DuckDB band key `b` of a (bands × rowsPerBand)-plane pack over
+    * `vec`: Σ_j 2^j · (proj(b·r + j) ≥ 0) — bit-identical to the
+    * Spark side's shift/mask slice of the single srpBucket pack. */
+  private def oBandKey(b: Int, rowsPerBand: Int, vec: String): String =
+    (0 until rowsPerBand).map { j =>
+      s"(CASE WHEN ${oSrpProj(b * rowsPerBand + j, vec)} >= 0 " +
+        s"THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" +\n      ")
+
+  /** Shared CTE chain of the BANDED semantic-decon oracle (6 bands ×
+    * 2 planes — the gate's fixed shape; fresh and stored rows must be
+    * bit-identical so both share it verbatim): per-band keys on both
+    * frames, candidates = OR over the 6 per-band key equalities,
+    * verified cosine ≥ 0.3, ends at `bhit(vec_id, cos)` rows (one per
+    * verified candidate PAIR — the caller aggregates). */
+  private def oBandedDeconCtes: String = {
+    def keys(vec: String): String =
+      (0 until 6).map(b => s"${oBandKey(b, 2, vec)} AS k$b")
+        .mkString(",\n         ")
+    val onClause = (0 until 6).map(b => s"c.k$b = b.k$b")
+      .mkString(" OR ")
+    s"""dcp AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${oDot("embedding", "embedding")}) AS nrm,
+       |         ${keys("embedding")}
+       |  FROM embeddings
+       |  WHERE vec_id % 50 <> 0
+       |    AND sqrt(${oDot("embedding", "embedding")}) > 0),
+       |dbn AS (
+       |  SELECT embedding AS bv,
+       |         sqrt(${oDot("embedding", "embedding")}) AS bnrm,
+       |         ${keys("embedding")}
+       |  FROM embeddings
+       |  WHERE vec_id % 50 = 0
+       |    AND sqrt(${oDot("embedding", "embedding")}) > 0),
+       |bhit AS (
+       |  SELECT c.vec_id,
+       |    round(${oDot("c.embedding", "b.bv")} / (c.nrm * b.bnrm),
+       |          6) AS cos
+       |  FROM dcp c JOIN dbn b ON ($onClause)
+       |  WHERE round(${oDot("c.embedding", "b.bv")} / (c.nrm * b.bnrm),
+       |        6) >= 0.3)""".stripMargin
+  }
+
+  /** Banded fresh/stored rows' full oracle. */
+  private def oBandedDeconSql: String =
+    s"""WITH $oBandedDeconCtes
+       |SELECT vec_id, max(cos) AS cos FROM bhit GROUP BY 1
+       |""".stripMargin
+
+  /** The exact (recall-1.0) arm's CTEs: every corpus×bench cosine,
+    * ends at `ehit(vec_id, cos)` pair rows. */
+  private def oExactDeconCtes: String =
+    s"""ecp AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(${oDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |  WHERE vec_id % 50 <> 0
+       |    AND sqrt(${oDot("embedding", "embedding")}) > 0),
+       |ebn AS (
+       |  SELECT embedding AS bv,
+       |         sqrt(${oDot("embedding", "embedding")}) AS bnrm
+       |  FROM embeddings
+       |  WHERE vec_id % 50 = 0
+       |    AND sqrt(${oDot("embedding", "embedding")}) > 0),
+       |ehit AS (
+       |  SELECT c.vec_id,
+       |    round(${oDot("c.embedding", "b.bv")} / (c.nrm * b.bnrm),
+       |          6) AS cos
+       |  FROM ecp c, ebn b
+       |  WHERE round(${oDot("c.embedding", "b.bv")} / (c.nrm * b.bnrm),
+       |        6) >= 0.3)""".stripMargin
+
   private[queries] def oSrpPairCtes(threshold: Double): String = {
     val oBucket = oSrpBucket4("embedding")
     s"""guard AS (
@@ -752,6 +825,114 @@ object SimilarityQueries extends QueryPack {
         s.read.parquet(outDir).select(col("vec_id"), col("cos"))
       },
       Some(oEmbedDeconSql)),
+
+    // EXACT semantic decon — the recall-1.0 arm of the family: every
+    // corpus×bench cosine verified, no hashing, no misses. The
+    // deliberate cross join is the bounded-bench contract (the
+    // brute-force allowance class — bench is broadcast, cost is
+    // corpus-LINEAR with a bench-bounded constant); it is both a
+    // first-class operator (the right default when |bench| ≤ ~10⁵)
+    // and the reference arm q_embed_decon_recall measures the banded
+    // probe against.
+    "q_embed_decon_exact" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        Similarity.decontaminateSemanticExact(
+          corpus = emb.filter($"vec_id" % 50 =!= 0),
+          bench = emb.filter($"vec_id" % 50 === 0),
+          idCol = "vec_id", vecCol = "embedding", threshold = 0.3)
+      },
+      Some(s"""WITH $oExactDeconCtes
+              |SELECT vec_id, max(cos) AS cos FROM ehit GROUP BY 1
+              |""".stripMargin)),
+
+    // BANDED semantic decon — the scale path that fixes the
+    // single-band probe's collapsing recall (round-17 finding #1):
+    // 6 bands × 2 planes — fixed so the oracle replays the exact
+    // pack, and exactly what the derivation picks here anyway
+    // (derivedDeconBands(τ=0.3, r=2, target 0.9) = 6; deployment
+    // derives r from |bench| too, see derivedDeconRowsPerBand) —
+    // candidates = OR of
+    // the 6 per-band bucket joins, verified cosine ≥ 0.3, max-cosine
+    // evidence per contaminated id. All 6 band keys slice ONE
+    // 12-plane srpBucket pack — banding costs one narrow pass.
+    "q_embed_decon_banded" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        Similarity.decontaminateSemanticBanded(
+          corpus = emb.filter($"vec_id" % 50 =!= 0),
+          bench = emb.filter($"vec_id" % 50 === 0),
+          idCol = "vec_id", vecCol = "embedding", threshold = 0.3,
+          dim = 64, bands = 6, rowsPerBand = 2)
+      },
+      Some(oBandedDeconSql)),
+
+    // banded decon from a PERSISTED set — the serving shape: the
+    // bench's 12-plane pack lands once as (band, bkey)-sorted sized
+    // parquet with (bands, rowsPerBand) pinned in the sidecar; every
+    // probe reads the stored state. Must hash-match
+    // q_embed_decon_banded — the store round-trip may not change a
+    // bit, so it shares the oracle verbatim.
+    "q_embed_decon_banded_stored" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_bdecon_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        Similarity.writeSemanticDeconSetBanded(
+          emb.filter($"vec_id" % 50 === 0), "embedding", dir,
+          dim = 64, bands = 6, rowsPerBand = 2)
+        val (set, dim, bands, rpb) =
+          Similarity.readSemanticDeconSetBanded(s, dir)
+        Similarity.decontaminateSemanticBandedWithSet(
+          emb.filter($"vec_id" % 50 =!= 0), set, "vec_id",
+          "embedding", threshold = 0.3, dim = dim, bands = bands,
+          rowsPerBand = rpb)
+      },
+      Some(oBandedDeconSql)),
+
+    // the banded probe's recall, MEASURED against the exact arm —
+    // the q_ann_recall discipline for the decon family (round-17
+    // finding #1: retrieval quality was asserted, not measured): one
+    // row (n_true, n_hit, recall_bp), integer basis points, both
+    // arms composed verbatim in the oracle. The analytic floor at
+    // this shape is 1−(1−p²)⁶ ≈ 0.93 at τ=0.3 (p ≈ 0.597) — pairs
+    // above τ collide more, so the measured value should sit at or
+    // above it; BASELINE.md records the measured values across the
+    // scale dirs.
+    "q_embed_decon_recall" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.filter($"vec_id" % 50 =!= 0)
+        val bench = emb.filter($"vec_id" % 50 === 0)
+        graft.operators.Retrieval.setRecall(
+          candidate = Similarity.decontaminateSemanticBanded(
+            corpus, bench, "vec_id", "embedding", threshold = 0.3,
+            dim = 64, bands = 6, rowsPerBand = 2),
+          reference = Similarity.decontaminateSemanticExact(
+            corpus, bench, "vec_id", "embedding", threshold = 0.3),
+          idCol = "vec_id")
+      },
+      Some(s"""WITH $oExactDeconCtes,
+              |$oBandedDeconCtes,
+              |etruth AS (SELECT DISTINCT vec_id FROM ehit),
+              |bcand AS (SELECT DISTINCT vec_id FROM bhit),
+              |jm AS (
+              |  SELECT t.vec_id,
+              |    CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+              |  FROM etruth t LEFT JOIN bcand c USING (vec_id))
+              |SELECT count(*) AS n_true,
+              |  CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hit,
+              |  CAST(CASE WHEN count(*) = 0 THEN 10000
+              |    ELSE coalesce(sum(hit), 0) * 10000 // count(*)
+              |    END AS BIGINT) AS recall_bp
+              |FROM jm
+              |""".stripMargin)),
 
     // int8 embedding quantization stats: the compression pass before
     // storage/ANN. All outputs are integers or order-free IEEE doubles,

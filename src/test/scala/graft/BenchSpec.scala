@@ -191,6 +191,25 @@ class BenchSpec extends AnyFunSuite {
     assert(BenchBars.forSf("sf0.42").isEmpty)
   }
 
+  test("breach recheck triggers on a whole-run throttle or an implausibly wide breach dict, never on a clean capture") {
+    // the round-17 official capture: opening cal 3.98 (~40× idle), 28
+    // breach rows — BOTH arms fire; each alone must also fire
+    assert(recheckTriggered(3.98, 28))
+    assert(recheckTriggered(0.40, 0))  // whole-run throttle, no breaches
+    assert(recheckTriggered(0.09, 11)) // idle cals, wide breach dict
+    // a clean capture (idle cal, a few breach rows) never rechecks —
+    // a handful of at-2×-bar rows after retries is exactly the
+    // regression signal the gate must NOT launder away
+    assert(!recheckTriggered(0.09, 10))
+    assert(!recheckTriggered(0.11 * 3.0, 3)) // the 3×-idle boundary is exclusive
+    // the relative burst machinery stays blind to the whole-run case
+    // (fully-throttled test above) — the recheck gate is the arm that
+    // catches it, via the RECORDED idle constant
+    val probes = Seq(4.1, 4.4, 3.9)
+    assert(burstProbeCount(3.98, probes, 4.2) == 0 &&
+      recheckTriggered((3.98 +: 4.2 +: probes).min, 0))
+  }
+
   test("brackets attribute each query to its surrounding probes") {
     val probes = Seq(0.2, 0.3)
     // calEvery=4, 10 queries → probes before q4 and q8

@@ -275,15 +275,19 @@ class ScaleLintSpec extends SparkSpec {
     // whose REFERENCE arm is that same brute-force baseline by
     // definition (exact ground truth over the sampled query set; the
     // candidate arm under evaluation is the probe-pruned IVF).
+    // Round 18 adds the bounded-bench decon pair: exact semantic
+    // decon IS a corpus×bench cross join by definition (corpus-linear
+    // with a bench-bounded broadcast inner loop — the recall-1.0 arm),
+    // and the recall row composes that arm as its reference.
+    val annCross =
+      Set("CARTESIAN", "CARTESIAN_PHYSICAL", "NESTED_LOOP_JOIN")
     val allowed = Map(
-      "q_ann_bruteforce_topk" -> Set("CARTESIAN", "CARTESIAN_PHYSICAL",
-        "NESTED_LOOP_JOIN"),
-      "q_ann_pq_topk" -> Set("CARTESIAN", "CARTESIAN_PHYSICAL",
-        "NESTED_LOOP_JOIN"),
-      "q_ann_recall" -> Set("CARTESIAN", "CARTESIAN_PHYSICAL",
-        "NESTED_LOOP_JOIN"),
-      "q_ann_rank_metrics" -> Set("CARTESIAN", "CARTESIAN_PHYSICAL",
-        "NESTED_LOOP_JOIN"))
+      "q_ann_bruteforce_topk" -> annCross,
+      "q_ann_pq_topk" -> annCross,
+      "q_ann_recall" -> annCross,
+      "q_ann_rank_metrics" -> annCross,
+      "q_embed_decon_exact" -> annCross,
+      "q_embed_decon_recall" -> annCross)
     val bad = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val errs = ScaleLint.errors(q.run(spark, sf0001))
         .filterNot(f => allowed.getOrElse(name, Set.empty).contains(f.code))

@@ -502,4 +502,155 @@ class SimilaritySpec extends SparkSpec {
           .toString)
     }
   }
+
+  // shared banded-decon fixture: 60 corpus vectors over 8 base
+  // directions, 6 bench vectors — enough bucket structure that the
+  // banded probe both hits and misses
+  private def bandedFixture = {
+    val s = spark
+    import s.implicits._
+    def vec(seed: Int) =
+      Array.tabulate(64)(d => ((seed * 31 + d * 7) % 13 - 6).toFloat)
+    val bench = (0 until 6).map(i => (900L + i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val corpus = (0 until 60).map(i => (i.toLong, vec(i % 8)))
+      .toDF("vec_id", "embedding")
+    (corpus, bench)
+  }
+
+  test("banded decon: hits ⊆ exact, hits ⊇ the matching single-band probe, bands=1 ≡ the single-band form bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val (corpus, bench) = bandedFixture
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").as[Long].collect().toSet
+    val exact = Similarity.decontaminateSemanticExact(corpus, bench,
+      "vec_id", "embedding", 0.5)
+    val banded = Similarity.decontaminateSemanticBanded(corpus, bench,
+      "vec_id", "embedding", 0.5, dim = 64, bands = 4, rowsPerBand = 3)
+    // sound: a banded hit is a VERIFIED cosine — never a false drop
+    assert(ids(banded).subsetOf(ids(exact)))
+    // every banded hit carries the exact arm's max cosine (the
+    // verify is the same rounded kernel — only candidate COVERAGE
+    // differs between the arms)
+    val emax = exact.as[(Long, Double)].collect().toMap
+    banded.as[(Long, Double)].collect().foreach { case (id, c) =>
+      assert(c === emax(id), s"id=$id banded=$c exact=${emax(id)}")
+    }
+    // OR-construction: adding the same plane budget as MORE bands
+    // can only widen coverage vs one band of the full pack
+    val single = Similarity.decontaminateSemantic(corpus, bench,
+      "vec_id", "embedding", 0.5, planes = 12)
+    assert(ids(single).subsetOf(ids(banded)))
+    // bands=1, rowsPerBand=p slices bits [0,p) of a p-plane pack —
+    // exactly the single-band bucket, so the forms must agree
+    val b1 = Similarity.decontaminateSemanticBanded(corpus, bench,
+        "vec_id", "embedding", 0.5, dim = 64, bands = 1,
+        rowsPerBand = 4)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val s1 = Similarity.decontaminateSemantic(corpus, bench,
+        "vec_id", "embedding", 0.5, planes = 4)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(b1 === s1)
+    assert(b1.nonEmpty, "fixture produced no hits — weak test")
+    // a pack wider than the 63-bit bucket is a caller bug
+    intercept[IllegalArgumentException] {
+      Similarity.decontaminateSemanticBanded(corpus, bench, "vec_id",
+        "embedding", 0.5, bands = 8, rowsPerBand = 8)
+    }
+  }
+
+  test("banded decon set: stored probe ≡ fresh bit-for-bit; single-band sidecar fails fast") {
+    val s = spark
+    import s.implicits._
+    val (corpus, bench) = bandedFixture
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bdecon").toString + "/set"
+    Similarity.writeSemanticDeconSetBanded(bench, "embedding", dir,
+      dim = 64, bands = 4, rowsPerBand = 3)
+    val (set, rdim, rbands, rrpb) =
+      Similarity.readSemanticDeconSetBanded(s, dir)
+    assert(rdim === 64 && rbands === 4 && rrpb === 3)
+    val stored = Similarity.decontaminateSemanticBandedWithSet(corpus,
+        set, "vec_id", "embedding", 0.5, rdim, rbands, rrpb)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val fresh = Similarity.decontaminateSemanticBanded(corpus, bench,
+        "vec_id", "embedding", 0.5, dim = 64, bands = 4,
+        rowsPerBand = 3)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(stored === fresh, s"stored=$stored fresh=$fresh")
+    assert(stored.nonEmpty, "fixture produced no hits — weak test")
+    // a SINGLE-BAND set (sidecar carries "planes", not "bands") must
+    // fail fast — probing it with guessed band shape would compare
+    // disjoint keys and silently drop nothing
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft-bdecon-sb").toString + "/set"
+    Similarity.writeSemanticDeconSet(bench, "embedding", sdir,
+      dim = 64, planes = 4)
+    intercept[java.io.IOException] {
+      Similarity.readSemanticDeconSetBanded(s, sdir)
+    }
+  }
+
+  test("banded-decon derivations: collision prob endpoints, fan-out band width, recall-target band count under caps") {
+    // Goemans–Williamson endpoints and the τ=0.3 value the gate's
+    // analytic recall floor uses
+    assert(math.abs(Similarity.srpCollisionProb(1.0) - 1.0) < 1e-12)
+    assert(math.abs(Similarity.srpCollisionProb(-1.0)) < 1e-12)
+    assert(math.abs(Similarity.srpCollisionProb(0.0) - 0.5) < 1e-12)
+    val p03 = Similarity.srpCollisionProb(0.3)
+    assert(p03 > 0.59 && p03 < 0.61, p03.toString)
+    // band width: 2^r ≈ bench/fanout, floored and capped
+    assert(Similarity.derivedDeconRowsPerBand(1) === 1)
+    assert(Similarity.derivedDeconRowsPerBand(64, 4.0) === 4)
+    assert(Similarity.derivedDeconRowsPerBand(10000, 4.0) === 12)
+    assert(Similarity.derivedDeconRowsPerBand(Long.MaxValue) === 20)
+    // band count meets the recall target when the cap doesn't bind…
+    val b = Similarity.derivedDeconBands(0.8, 4, targetRecall = 0.9)
+    assert(Similarity.bandedDeconRecall(0.8, b, 4) >= 0.9)
+    assert(Similarity.bandedDeconRecall(0.8, b - 1, 4) < 0.9)
+    // …and binds at min(maxBands, 63/rowsPerBand) when it does (low
+    // τ × wide bands — SRP separability is weak far from 1.0)
+    assert(Similarity.derivedDeconBands(0.3, 12) === 5)   // 63/12
+    assert(Similarity.derivedDeconBands(0.1, 8) === 7)    // 63/8
+    // the GATE shape is the derived shape at its own parameters:
+    // τ=0.3, r=2, target 0.9 → 6 bands
+    assert(Similarity.derivedDeconBands(0.3, 2) === 6)
+    // the gate shape's analytic floor quoted in the row comment
+    val floor = Similarity.bandedDeconRecall(0.3, 6, 2)
+    assert(floor > 0.92 && floor < 0.94, floor.toString)
+    // recall-first shape derivation: meets the target, fits the
+    // 63-bit pack, and picks the WIDEST feasible band (cheapest —
+    // cost is bands/2^width per bench row)
+    for (tau <- Seq(0.3, 0.5, 0.8, 0.9)) {
+      val (b, r) = Similarity.derivedDeconShape(tau)
+      assert(b * r <= 63, s"tau=$tau ($b,$r)")
+      assert(Similarity.bandedDeconRecall(tau, b, r) >= 0.9,
+        s"tau=$tau ($b,$r)")
+      // one band wider would blow the pack (or the width is maximal)
+      val b2 = Similarity.derivedDeconBands(tau, r + 1, 0.9,
+        maxBands = 63)
+      assert(b2 * (r + 1) > 63 ||
+        Similarity.bandedDeconRecall(tau, b2, r + 1) < 0.9 || r == 63,
+        s"tau=$tau: ($b2,${r + 1}) also feasible but not picked")
+    }
+    assert(Similarity.derivedDeconShape(0.3) === ((10, 3)))
+    assert(Similarity.derivedDeconShape(0.8) === ((8, 6)))
+  }
+
+  test("setRecall: integer basis points, misses counted, empty reference is vacuously caught") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    val cand = Seq(2L, 3L, 5L).toDF("vec_id") // 5 is a false alarm —
+    // recall ignores it (precision is the exact arm's job: banded
+    // hits are verified cosines, false alarms cannot occur there)
+    val r = graft.operators.Retrieval.setRecall(cand, ref, "vec_id")
+      .as[(Long, Long, Long)].head()
+    assert(r === ((4L, 2L, 5000L)), r.toString)
+    val empty = graft.operators.Retrieval.setRecall(
+        cand, ref.filter(col("vec_id") < 0), "vec_id")
+      .as[(Long, Long, Long)].head()
+    assert(empty === ((0L, 0L, 10000L)), empty.toString)
+  }
 }
