@@ -281,7 +281,9 @@ object StreamJobs {
     * filtering shape a 100 TB ingest runs: the reference model
     * changes rarely (appendModel takes new reference batches in
     * O(batch); they take effect from the next micro-batch, because
-    * the model is re-read per batch), corpora arrive forever, and
+    * each batch probes the store's sidecar/manifest STAMP and
+    * re-reads the model only when it moved — [[ModelCache]], closing
+    * the per-batch fixed read cost), corpora arrive forever, and
     * scores are doc-local, so the cross-batch union equals the batch
     * scorer exactly. Batch_id-scoped overwrite = replay idempotent.
     * Returns the writer — caller picks trigger/checkpoint and starts
@@ -330,14 +332,24 @@ object StreamJobs {
     else batch.repartition(p)
   }
 
+  /** The bigram-store control tables [[ModelCache]] stamps for the
+    * LM/DSIR serves. */
+  private val LmModelTables = Seq("bigrams.parquet", "unigrams.parquet")
+
   def lmLookupStream(docs: DataFrame, modelDir: String,
       outDir: String, idCol: String, textCol: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val model = graft.operators.LmScore.readModel(
-          batch.sparkSession, modelDir)
+        // stamp-cached (round-17 finding #3): the store is re-read —
+        // and the previous model's pinned cache released — only when
+        // the sidecar/manifest stamp moves; an append still takes
+        // effect next batch because appendModel's stamp drop moves it
+        val model = ModelCache.getOrLoad(batch.sparkSession, modelDir,
+            LmModelTables) {
+          graft.operators.LmScore.readModel(batch.sparkSession, modelDir)
+        } (graft.operators.LmScore.releaseBackoffCache)
         graft.operators.LmScore.score(model, widen(batch), idCol,
             textCol)
           .write.mode("overwrite")
@@ -382,14 +394,15 @@ object StreamJobs {
     * under `outDir/batch_id=<id>/`. The classifier-routing shape a
     * 100 TB ingest runs: the model changes rarely (appendNbModel takes
     * new labeled batches in O(batch); they take effect from the next
-    * micro-batch, because the model is re-read per batch), corpora
+    * micro-batch, because each batch probes the store's stamp and
+    * re-reads only when it moved — [[ModelCache]]), corpora
     * arrive forever, and class decisions are doc-local, so the
     * cross-batch union equals the batch classifier exactly.
-    * Batch_id-scoped overwrite = replay idempotent. The per-batch
-    * model caches [[graft.operators.Classify.classifyNb]] pins are
-    * released after the batch lands ([[graft.operators.Classify
-    * .releaseNbCache]]) — the serve session never accumulates pinned
-    * storage. Returns the writer — caller picks trigger/checkpoint
+    * Batch_id-scoped overwrite = replay idempotent. The caches
+    * [[graft.operators.Classify.classifyNb]] pins release when the
+    * stamp moves (the cache entry's lifecycle carries the
+    * releaseNbCache discipline) — the serve session holds one
+    * model's pinned storage per store dir, never an accumulation. Returns the writer — caller picks trigger/checkpoint
     * and starts it. */
   def nbLookupStream(docs: DataFrame, modelDir: String,
       outDir: String, idCol: String, textCol: String)
@@ -397,13 +410,20 @@ object StreamJobs {
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val model = graft.operators.Classify.readNbModel(
-          batch.sparkSession, modelDir)
-        try graft.operators.Classify
+        // stamp-cached; the release-per-batch discipline moved into
+        // the cache's entry lifecycle (released when the stamp moves,
+        // so the serve session still never ACCUMULATES pinned storage
+        // — it holds exactly one model's worth per store dir)
+        val model = ModelCache.getOrLoad(batch.sparkSession, modelDir,
+            Seq("counts.parquet", "classes.parquet",
+              "vocabulary.parquet")) {
+          graft.operators.Classify.readNbModel(batch.sparkSession,
+            modelDir)
+        } (graft.operators.Classify.releaseNbCache)
+        graft.operators.Classify
           .classifyNb(model, widen(batch), idCol, textCol)
           .write.mode("overwrite")
           .parquet(s"$outDir/batch_id=$batchId")
-        finally graft.operators.Classify.releaseNbCache(model)
         ()
     }
 
@@ -415,16 +435,18 @@ object StreamJobs {
     * delta_milli_bits) under `outDir/batch_id=<id>/`. This is the
     * deployment shape the DSIR paper describes and
     * `LmScore.importanceBits` documents: both models train once per
-    * pool/domain lifetime; the per-batch cost is one batch explode +
-    * four stored vocab-bounded dim joins. Weights are doc-local, so
-    * the cross-batch union equals the batch weigher exactly;
-    * batch_id-scoped overwrite = replay idempotent. The per-batch
-    * model pins release via [[graft.operators.LmScore
-    * .releaseDsirCache]] — the two-model serve MUST release per batch
-    * or the pinned vocab-bounded caches accumulate executor storage
-    * across an unbounded stream (the releaseNbCache discipline,
-    * two-model form). Returns the writer — caller picks
-    * trigger/checkpoint and starts it. */
+    * pool/domain lifetime; the recurring per-batch cost is one batch
+    * explode + the stored vocab-bounded dim joins, with BOTH stores
+    * stamp-cached independently ([[ModelCache]], round-17 finding #3
+    * — the four-parquet-read fixed cost is paid only when a store's
+    * stamp moves, and appends still take effect next batch). Weights
+    * are doc-local, so the cross-batch union equals the batch
+    * weigher exactly; batch_id-scoped overwrite = replay idempotent.
+    * Each model's pinned vocab-bounded caches release when its cache
+    * entry turns over (the releaseDsirCache discipline carried by the
+    * two entries' lifecycles) — the serve never ACCUMULATES pinned
+    * storage across an unbounded stream. Returns the writer — caller
+    * picks trigger/checkpoint and starts it. */
   def dsirLookupStream(docs: DataFrame, targetDir: String,
       sourceDir: String, outDir: String, idCol: String,
       textCol: String)
@@ -432,15 +454,20 @@ object StreamJobs {
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val target = graft.operators.LmScore.readModel(
-          batch.sparkSession, targetDir)
-        val source = graft.operators.LmScore.readModel(
-          batch.sparkSession, sourceDir)
-        try graft.operators.LmScore
+        // both stores stamp-cached INDEPENDENTLY (they append on
+        // independent schedules); each model's pinned cache releases
+        // when its own stamp moves — the releaseDsirCache discipline
+        // carried by the two entries' lifecycles
+        def stamped(dir: String) =
+          ModelCache.getOrLoad(batch.sparkSession, dir, LmModelTables) {
+            graft.operators.LmScore.readModel(batch.sparkSession, dir)
+          } (graft.operators.LmScore.releaseBackoffCache)
+        val target = stamped(targetDir)
+        val source = stamped(sourceDir)
+        graft.operators.LmScore
           .importanceBits(target, source, widen(batch), idCol, textCol)
           .write.mode("overwrite")
           .parquet(s"$outDir/batch_id=$batchId")
-        finally graft.operators.LmScore.releaseDsirCache(target, source)
         ()
     }
 

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.ModelCache
+
+/** The sidecar-stamp model cache behind the serve streams (round-17
+  * finding #3): per-batch store reads must collapse to stamp probes,
+  * WITHOUT weakening the freshness contract — a mid-stream append
+  * still takes effect from the next micro-batch, because the append
+  * moves the stamp. */
+class ModelCacheSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-mc-$name").toString
+
+  test("cache mechanics: same stamp = one load; a moved control file reloads and releases the stale entry; invalidate releases") {
+    ModelCache.clear()
+    val s = spark
+    val dir = tmp("mech") + "/store"
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    graft.core.FsUtil.writeSidecar(fs,
+      new org.apache.hadoop.fs.Path(dir, "params.json"), """{"v":1}""")
+    var loads = 0
+    var releases = 0
+    def get(): String = ModelCache.getOrLoad(s, dir, Seq("t.parquet")) {
+      loads += 1; s"model-$loads"
+    } { _ => releases += 1 }
+    assert(get() === "model-1" && get() === "model-1")
+    assert(loads === 1 && releases === 0)
+    // the stamp includes mtime+content of params.json AND each
+    // table's manifest: moving either forces a reload that first
+    // releases the stale entry
+    graft.core.FsUtil.writeSidecar(fs,
+      new org.apache.hadoop.fs.Path(dir, "params.json"), """{"v":2}""")
+    assert(get() === "model-2")
+    assert(loads === 2 && releases === 1)
+    val mdir = new org.apache.hadoop.fs.Path(dir, "t.parquet")
+    fs.mkdirs(mdir)
+    graft.core.FsUtil.writeSidecar(fs, new org.apache.hadoop.fs.Path(
+      mdir, graft.sources.Sinks.ManifestFile), """{"names":["a"]}""")
+    assert(get() === "model-3")
+    assert(loads === 3 && releases === 2)
+    ModelCache.invalidate(dir)
+    assert(releases === 3)
+    // disabled = the pre-cache behavior: load per call
+    ModelCache.enabled = false
+    try { get(); get(); assert(loads === 5) }
+    finally ModelCache.enabled = true
+  }
+
+  test("lm serve: unchanged store is read once across batches; a mid-stream append takes effect next batch") {
+    ModelCache.clear()
+    val s = spark
+    import s.implicits._
+    val root = tmp("lm")
+    val modelDir = s"$root/model"
+    val outDir = s"$root/out"
+    val ref1 = Seq((1L, "alpha beta alpha gamma"))
+      .toDF("doc_id", "text")
+    graft.operators.LmScore.writeModel(ref1, "text", modelDir)
+    implicit val sqlCtx = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamJobs.lmLookupStream(
+        in.toDS().toDF("doc_id", "text"), modelDir, outDir,
+        "doc_id", "text")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    def bitsOf(id: Long): Long =
+      s.read.parquet(outDir).filter($"doc_id" === id)
+        .select("bits").as[Long].head()
+    try {
+      val loads0 = ModelCache.loads
+      in.addData(Seq((10L, "alpha beta gamma"))); q.processAllAvailable()
+      assert(ModelCache.loads === loads0 + 1)
+      // same store, next batch: stamp unchanged → NO reload, and the
+      // identical text scores identically (same model)
+      in.addData(Seq((11L, "alpha beta gamma"))); q.processAllAvailable()
+      assert(ModelCache.loads === loads0 + 1,
+        "unchanged store re-read — the fixed cost the cache exists to drop")
+      assert(bitsOf(11L) === bitsOf(10L))
+      // mid-stream append: new reference mass moves the stamp; the
+      // NEXT batch must score against the grown model
+      // enough repeated (alpha, beta) mass that the integer
+      // bit-length cost of the scored bigram itself moves — the
+      // backoff formula quantizes to bin lengths, so a token-scale
+      // append can reload correctly yet score identically
+      graft.operators.LmScore.appendModel(
+        Seq((2L, ("alpha beta " * 40) + "delta epsilon"))
+          .toDF("doc_id", "text"),
+        "text", modelDir, tag = "mc-append")
+      in.addData(Seq((12L, "alpha beta gamma"))); q.processAllAvailable()
+      assert(ModelCache.loads === loads0 + 2,
+        "append did not move the stamp")
+      assert(bitsOf(12L) !== bitsOf(10L),
+        "post-append batch scored against the stale model")
+      // and the post-append score equals a FRESH read's score — the
+      // cache changed when, not what
+      val fresh = graft.operators.LmScore.score(
+          graft.operators.LmScore.readModel(s, modelDir),
+          Seq((12L, "alpha beta gamma")).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .select("bits").as[Long].head()
+      assert(bitsOf(12L) === fresh)
+    } finally q.stop()
+  }
+}
