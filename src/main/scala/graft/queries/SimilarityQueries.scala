@@ -107,7 +107,11 @@ object SimilarityQueries extends QueryPack {
     * bit-identical so both share it verbatim): per-band keys on both
     * frames, candidates = OR over the 6 per-band key equalities,
     * verified cosine ≥ 0.3, ends at `bhit(vec_id, cos)` rows (one per
-    * verified candidate PAIR — the caller aggregates). */
+    * verified candidate PAIR — the caller aggregates). The CORPUS
+    * side reads from a caller-defined `dsrc(vec_id, embedding)` CTE
+    * ([[oDeconGateSrc]] for the gate rows; q_pipeline_embed feeds its
+    * dedup survivors), the bench side stays the every-50th gate
+    * convention. */
   private def oBandedDeconCtes: String = {
     def keys(vec: String): String =
       (0 until 6).map(b => s"${oBandKey(b, 2, vec)} AS k$b")
@@ -118,9 +122,8 @@ object SimilarityQueries extends QueryPack {
        |  SELECT vec_id, embedding,
        |         sqrt(${oDot("embedding", "embedding")}) AS nrm,
        |         ${keys("embedding")}
-       |  FROM embeddings
-       |  WHERE vec_id % 50 <> 0
-       |    AND sqrt(${oDot("embedding", "embedding")}) > 0),
+       |  FROM dsrc
+       |  WHERE sqrt(${oDot("embedding", "embedding")}) > 0),
        |dbn AS (
        |  SELECT embedding AS bv,
        |         sqrt(${oDot("embedding", "embedding")}) AS bnrm,
@@ -137,9 +140,16 @@ object SimilarityQueries extends QueryPack {
        |        6) >= 0.3)""".stripMargin
   }
 
+  /** The gate rows' corpus source: every non-50th vector. */
+  private def oDeconGateSrc: String =
+    """dsrc AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE vec_id % 50 <> 0)""".stripMargin
+
   /** Banded fresh/stored rows' full oracle. */
   private def oBandedDeconSql: String =
-    s"""WITH $oBandedDeconCtes
+    s"""WITH $oDeconGateSrc,
+       |$oBandedDeconCtes
        |SELECT vec_id, max(cos) AS cos FROM bhit GROUP BY 1
        |""".stripMargin
 
@@ -166,23 +176,25 @@ object SimilarityQueries extends QueryPack {
        |  WHERE round(${oDot("c.embedding", "b.bv")} / (c.nrm * b.bnrm),
        |        6) >= 0.3)""".stripMargin
 
-  private[queries] def oSrpPairCtes(threshold: Double): String = {
+  private[queries] def oSrpPairCtes(threshold: Double,
+      pred: String = "TRUE"): String = {
     val oBucket = oSrpBucket4("embedding")
     s"""guard AS (
        |  -- this oracle packs exactly 4 bucket bits; the Spark side
-       |  -- DERIVES its plane count, which is 4 only while the
-       |  -- corpus stays <= 4096 vectors (derivedPlanes' floor). If
-       |  -- a future gate scale crosses that, fail LOUDLY here
+       |  -- either DERIVES its plane count (4 only while the corpus
+       |  -- stays <= 4096 vectors, derivedPlanes' floor) or pins
+       |  -- planes=4 explicitly alongside this same bound. If a
+       |  -- future gate scale crosses that, fail LOUDLY here
        |  -- instead of silently hash-mismatching.
        |  SELECT CASE WHEN count(*) > 4096 THEN error(concat(
        |    'neardup oracle hardcodes 4 SRP planes but corpus > 4096: ',
        |    'regenerate the bucket expression for derivedPlanes(n)'))
-       |    ELSE 1 END AS ok FROM embeddings),
+       |    ELSE 1 END AS ok FROM embeddings WHERE $pred),
        |n AS (
        |  SELECT vec_id, embedding,
        |         sqrt(${oDot("embedding", "embedding")}) AS nrm,
        |         $oBucket AS bucket
-       |  FROM embeddings, guard),
+       |  FROM embeddings, guard WHERE $pred),
        |sp AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    round(${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm),
@@ -918,7 +930,8 @@ object SimilarityQueries extends QueryPack {
             corpus, bench, "vec_id", "embedding", threshold = 0.3),
           idCol = "vec_id")
       },
-      Some(s"""WITH $oExactDeconCtes,
+      Some(s"""WITH $oDeconGateSrc,
+              |$oExactDeconCtes,
               |$oBandedDeconCtes,
               |etruth AS (SELECT DISTINCT vec_id FROM ehit),
               |bcand AS (SELECT DISTINCT vec_id FROM bhit),
@@ -932,6 +945,90 @@ object SimilarityQueries extends QueryPack {
               |    ELSE coalesce(sum(hit), 0) * 10000 // count(*)
               |    END AS BIGINT) AS recall_bp
               |FROM jm
+              |""".stripMargin)),
+
+    // the EMBEDDING-SPACE curation pipeline — the composed form the
+    // text side has had since round 14 (ccnet/curation/corpus_clean/
+    // pretrain/classified), over the embedding lanes: (1) LSH
+    // semantic dedup (SRP buckets → verified pairs → dual-branch
+    // clusters → survivors), (2) stored-set BANDED semantic decon
+    // (bench packed once at the gate shape, survivors anti-joined
+    // against the verified hits — AQE sizes the anti join, the ccnet
+    // rule: the contaminated set is a corpus-derived output), (3)
+    // cluster-balanced diversity selection (IVF cells over the clean
+    // corpus → deterministic exact-k quota per cell). Stage
+    // boundaries persisted (the ProfilePretrain rule); the dedup
+    // stage DERIVES its plane count from the corpus (the
+    // q_embed_dedup pattern — pinning planes=4 for the oracle's pack
+    // was the measured sf10 trap: 16 buckets over 196k vectors; the
+    // oracle's 4-plane pack holds at gate scale via the loud ≤4096
+    // guard). Scale shape: every stage is
+    // the already-gated operator — bucket-bounded pairs, measured
+    // dual-branch clustering, bench-bounded banded probe, narrow
+    // argmax + bounded-heap quota; no stage is corpus-quadratic.
+    "q_pipeline_embed" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val root = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_pembed_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        Similarity.writeSemanticDeconSetBanded(
+          emb.filter($"vec_id" % 50 === 0), "embedding",
+          s"$root/decon", dim = 64, bands = 6, rowsPerBand = 2)
+        val corpus = emb.filter($"vec_id" % 50 =!= 0)
+          .select($"vec_id", $"embedding")
+        val survivors = graft.operators.Curation.survivors(
+          corpus, "vec_id",
+          graft.operators.Dedup.dupClusters(
+            Similarity.lshNearDup(corpus, "vec_id", "embedding",
+              dim = 64, threshold = 0.3))).persist()
+        val (set, dim, bands, rpb) =
+          Similarity.readSemanticDeconSetBanded(s, s"$root/decon")
+        val contaminated = Similarity.decontaminateSemanticBandedWithSet(
+            survivors, set, "vec_id", "embedding", threshold = 0.3,
+            dim = dim, bands = bands, rowsPerBand = rpb)
+          .select("vec_id")
+        val clean = survivors
+          .join(contaminated, Seq("vec_id"), "left_anti").persist()
+        graft.operators.Curation.sampleExactK(
+          Similarity.ivfIndex(clean, "vec_id", "embedding", nlist = 16)
+            .assigned.select(col("nn_id").as("vec_id"), col("cell")),
+          strataCol = "cell", idCol = "vec_id", k = 8,
+          seedCols = Seq("vec_id"))
+      },
+      Some(s"""WITH RECURSIVE ${oSrpPairCtes(0.3, "vec_id % 50 <> 0")},
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM sp
+              |  UNION
+              |  SELECT id_b AS src, id_a AS dst FROM sp),
+              |enodes AS (SELECT DISTINCT src AS id FROM edges),
+              |reach(src, dst) AS (
+              |  SELECT id, id FROM enodes
+              |  UNION
+              |  SELECT r.src, e.dst FROM reach r
+              |  JOIN edges e ON r.dst = e.src),
+              |clusters AS MATERIALIZED (
+              |  SELECT src AS vec_id, min(dst) AS cluster_id
+              |  FROM reach GROUP BY src),
+              |dsrc AS MATERIALIZED (
+              |  SELECT e.vec_id, e.embedding FROM embeddings e
+              |  WHERE e.vec_id % 50 <> 0
+              |    AND e.vec_id NOT IN (
+              |      SELECT vec_id FROM clusters WHERE vec_id <> cluster_id)),
+              |$oBandedDeconCtes,
+              |clean AS MATERIALIZED (
+              |  SELECT vec_id, embedding FROM dsrc
+              |  WHERE vec_id NOT IN (SELECT vec_id FROM bhit)),
+              |${ivfChainCtesWith("TRUE", source = "clean")}
+              |SELECT cell, vec_id FROM (
+              |  SELECT a.cell, a.nn_id AS vec_id,
+              |    row_number() OVER (PARTITION BY a.cell
+              |      ORDER BY md5(CAST(a.nn_id AS VARCHAR)) DESC,
+              |               a.nn_id ASC) AS rn
+              |  FROM assigned a)
+              |WHERE rn <= 8
               |""".stripMargin)),
 
     // int8 embedding quantization stats: the compression pass before
@@ -1467,16 +1564,17 @@ object SimilarityQueries extends QueryPack {
        |     JOIN v ON v.q_id = b.q_id AND v.label = b.label
        |""".stripMargin
 
-  private def ivfChainCtesWith(queryPred: String): String = s"""n AS (
+  private def ivfChainCtesWith(queryPred: String,
+      source: String = "embeddings"): String = s"""ivn AS (
               |  SELECT vec_id, embedding,
               |         sqrt(${oDot("embedding", "embedding")}) AS nrm
-              |  FROM embeddings),
+              |  FROM $source),
               |cent0 AS (
               |  SELECT vec_id AS cent_id,
               |         list_transform(embedding,
               |                        v -> CAST(v AS DOUBLE)) AS cent_vec,
               |         nrm AS cent_nrm
-              |  FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+              |  FROM ivn ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
               |a0 AS (
               |  SELECT nn_id, nn_vec, cell FROM (
               |    SELECT c.vec_id AS nn_id, c.embedding AS nn_vec,
@@ -1484,7 +1582,7 @@ object SimilarityQueries extends QueryPack {
               |      row_number() OVER (PARTITION BY c.vec_id
               |        ORDER BY ${oDot("c.embedding", "cent_vec")} /
               |                 (c.nrm * cent_nrm) DESC, cent_id ASC) AS r
-              |    FROM n c, cent0)
+              |    FROM ivn c, cent0)
               |  WHERE r = 1),
               |pe AS (
               |  SELECT cell, unnest(range(1, 65)) AS j,
@@ -1515,7 +1613,7 @@ object SimilarityQueries extends QueryPack {
               |      row_number() OVER (PARTITION BY c.vec_id
               |        ORDER BY ${oDot("c.embedding", "cent_vec")} /
               |                 (c.nrm * cent_nrm) DESC, cent_id ASC) AS r
-              |    FROM n c, cent)
+              |    FROM ivn c, cent)
               |  WHERE r = 1),
               |probes AS (
               |  SELECT q_id, q_vec, q_nrm, cell FROM (
@@ -1524,7 +1622,7 @@ object SimilarityQueries extends QueryPack {
               |      row_number() OVER (PARTITION BY q.vec_id
               |        ORDER BY ${oDot("q.embedding", "cent_vec")} /
               |                 (q.nrm * cent_nrm) DESC, cent_id ASC) AS r
-              |    FROM n q, cent
+              |    FROM ivn q, cent
               |    WHERE $queryPred)
               |  WHERE r <= 4)""".stripMargin
 
