@@ -398,8 +398,8 @@ object SimilarityQueries extends QueryPack {
               |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
               |    ${oDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
               |      AS cos
-              |  FROM n q JOIN n c ON q.vec_id % 100 = 0
-              |                   AND q.vec_id <> c.vec_id),
+              |  FROM ivn q JOIN ivn c ON q.vec_id % 100 = 0
+              |                       AND q.vec_id <> c.vec_id),
               |ex AS (
               |  SELECT q_id, nn_id FROM (
               |    SELECT q_id, nn_id,
@@ -463,8 +463,8 @@ object SimilarityQueries extends QueryPack {
            |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
            |    ${oDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
            |      AS cos
-           |  FROM n q JOIN n c ON q.vec_id % 100 = 0
-           |                   AND q.vec_id <> c.vec_id),
+           |  FROM ivn q JOIN ivn c ON q.vec_id % 100 = 0
+           |                       AND q.vec_id <> c.vec_id),
            |ex AS (
            |  SELECT q_id, nn_id FROM (
            |    SELECT q_id, nn_id,
@@ -1642,7 +1642,7 @@ object SimilarityQueries extends QueryPack {
   // excluded exactly as Similarity.ivfPqTopK drops them.
   private def ivfPqOracleSql: String =
     s"""WITH $ivfChainCtes,
-       |${pqChainCtes()},
+       |${pqChainCtes("ivn")},
        |scored AS (
        |  SELECT p.q_id, a.nn_id,
        |    ${oDot("p.q_vec", "x.rv")} / (p.q_nrm * x.rnrm) AS cos
