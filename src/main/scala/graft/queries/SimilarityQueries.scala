@@ -838,6 +838,46 @@ object SimilarityQueries extends QueryPack {
       },
       Some(oEmbedDeconSql)),
 
+    // the BANDED set actually SERVING — the measured-recall scale
+    // path through the same layout-adaptive serve: corpus vectors
+    // stream against a stored banded set (sidecar carries
+    // bands/rowsPerBand; embedDeconLookupStream dispatches on it),
+    // hits row-local so the cross-batch union equals the batch
+    // probe; shares the banded fresh oracle verbatim. Deployment
+    // rotation story in one row: rewrite the set banded, the serve
+    // adapts, recall stops collapsing with corpus growth.
+    "q_stream_embed_decon_banded" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_sbdecon_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        val run = s"$dir/run_${System.nanoTime()}"
+        Similarity.writeSemanticDeconSetBanded(
+          emb.filter($"vec_id" % 50 === 0), "embedding", s"$dir/set",
+          dim = 64, bands = 6, rowsPerBand = 2)
+        val rows = emb.filter($"vec_id" % 50 =!= 0)
+          .select($"vec_id", $"embedding")
+          .as[(Long, Array[Float])].collect().toSeq
+        implicit val sqlCtx = s.sqlContext
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])]
+        val outDir = s"$run/out"
+        val q = graft.streaming.StreamJobs.embedDeconLookupStream(
+            input.toDS().toDF("vec_id", "embedding"), s"$dir/set",
+            outDir, "vec_id", "embedding", threshold = 0.3)
+          .option("checkpointLocation", s"$run/ckpt").start()
+        try {
+          rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.read.parquet(outDir).select(col("vec_id"), col("cos"))
+      },
+      Some(oBandedDeconSql)),
+
     // EXACT semantic decon — the recall-1.0 arm of the family: every
     // corpus×bench cosine verified, no hashing, no misses. The
     // deliberate cross join is the bounded-bench contract (the

@@ -241,21 +241,27 @@ object StreamJobs {
     }
 
   /** [[deconLookupStream]]'s EMBEDDING-SPACE twin: each arriving
-    * micro-batch of vectors probes the stored semantic decon set
-    * (`Similarity.writeSemanticDeconSet` — bucketed benchmark
-    * vectors + the plane count in its sidecar) and lands its
-    * contaminated members as (idCol, cos = max verified cosine)
-    * under `outDir/batch_id=<id>/`. Catches the
+    * micro-batch of vectors probes the stored semantic decon set and
+    * lands its contaminated members as (idCol, cos = max verified
+    * cosine) under `outDir/batch_id=<id>/`. Catches the
     * paraphrased/translated benchmark leakage the gram probe cannot
     * see, at the same serve shape: the benchmark pack is paid once
-    * at set-write time, each batch pays one narrow bucket pass + one
-    * bucket join bounded by per-bucket occupancy. The set (and its
-    * sidecar-pinned plane count) is re-read per batch, so a
-    * re-written set takes effect from the next micro-batch. Hits are
-    * row-local given the stored set, so the cross-batch union equals
-    * the batch probe exactly; batch_id-scoped overwrite = replay
-    * idempotent. Returns the writer — caller picks
-    * trigger/checkpoint and starts it. */
+    * at set-write time, each batch pays one narrow key pass + the
+    * occupancy-bounded bucket join(s). LAYOUT-ADAPTIVE (round 18):
+    * the stored sidecar names the pack — a banded set
+    * ([[graft.operators.Similarity.writeSemanticDeconSetBanded]],
+    * sidecar carries bands/rowsPerBand; the measured-recall scale
+    * path) probes through the banded OR-construction, a single-band
+    * set (`writeSemanticDeconSet`, sidecar carries planes) through
+    * the single-pack probe — so rotating a deployment to banded sets
+    * needs no serve change, just a set rewrite. The read is
+    * stamp-cached ([[ModelCache]] on params.json — a swap rewrites
+    * it, fresh mtime even on identical content), so a re-written set
+    * takes effect from the next micro-batch and a quiet stream pays
+    * a sidecar probe, not a set re-read. Hits are row-local given
+    * the stored set, so the cross-batch union equals the batch probe
+    * exactly; batch_id-scoped overwrite = replay idempotent. Returns
+    * the writer — caller picks trigger/checkpoint and starts it. */
   def embedDeconLookupStream(vecs: DataFrame, setDir: String,
       outDir: String, idCol: String, vecCol: String,
       threshold: Double)
@@ -263,10 +269,30 @@ object StreamJobs {
         org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val (set, dim, planes) = graft.operators.Similarity
-          .readSemanticDeconSet(batch.sparkSession, setDir)
-        graft.operators.Similarity.decontaminateSemanticWithSet(
-            widen(batch), set, idCol, vecCol, threshold, dim, planes)
+        val s = batch.sparkSession
+        val probe = ModelCache.getOrLoad(s, setDir, Seq.empty) {
+          val fs = new org.apache.hadoop.fs.Path(setDir).getFileSystem(
+            s.sparkContext.hadoopConfiguration)
+          val params = graft.core.FsUtil.readSidecar(fs,
+              new org.apache.hadoop.fs.Path(setDir, "params.json"))
+            .getOrElse(throw new java.io.IOException(
+              s"embedDeconLookupStream: $setDir has no params.json — " +
+                "not a stored semantic decon set"))
+          if (graft.core.FsUtil.sidecarLong(params, "bands").isDefined) {
+            val (set, dim, bands, rpb) = graft.operators.Similarity
+              .readSemanticDeconSetBanded(s, setDir)
+            (b: DataFrame) => graft.operators.Similarity
+              .decontaminateSemanticBandedWithSet(b, set, idCol,
+                vecCol, threshold, dim, bands, rpb)
+          } else {
+            val (set, dim, planes) = graft.operators.Similarity
+              .readSemanticDeconSet(s, setDir)
+            (b: DataFrame) => graft.operators.Similarity
+              .decontaminateSemanticWithSet(b, set, idCol, vecCol,
+                threshold, dim, planes)
+          }
+        } (_ => ()) // nothing pinned: the set frames are plain reads
+        probe(widen(batch))
           .write.mode("overwrite")
           .parquet(s"$outDir/batch_id=$batchId")
         ()
