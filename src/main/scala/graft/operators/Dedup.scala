@@ -738,10 +738,21 @@ object Dedup {
       // (label(label(v))), halving remaining path length — rounds scale
       // with log(diameter) instead of diameter
       val lookup = labels.select(col("id").as("jid"), col("label").as("jl"))
-      val updated = stepped
+      // LINEAGE CUT (round 18): persist() caches the DATA, but each
+      // round's logical plan still nested the full history — labels
+      // appears three times per round (neighbor-min, step, pointer
+      // jump), so the analyzed tree grew ~3× per round and at sf10
+      // (2.3M directed edges, 12+ rounds) the DRIVER OOM'd rendering
+      // the plan string for the SQL listener before any executor ran.
+      // Rebuilding the frame from its RDD makes every round's plan a
+      // constant-size join over two leaf scans; the RDD chain stays
+      // linear and each link is persisted.
+      val updatedPlan = stepped
         .join(lookup, stepped("l1") === lookup("jid"), "left")
         .select(stepped("id").as("id"), col("label"),
           least(col("l1"), coalesce(col("jl"), col("l1"))).as("next"))
+      val updated = spark
+        .createDataFrame(updatedPlan.rdd, updatedPlan.schema)
         .persist()
       // single action per round: materializes the cache AND counts
       // outstanding changes
