@@ -440,7 +440,11 @@ object Bench {
     // "queries" keeps the originals, "qrc" the recheck values, "rcal"
     // the recheck's own bracketing cal (so a recheck that ALSO ran
     // throttled is self-identifying rather than falsely exonerating).
-    // Bounded: ratio-ordered, <= 30 rows / 300 s — it only fires on
+    // Bounded: ratio-ordered, <= 30 rows / 300 s (deliberately
+    // query-seconds only, unlike the retry arm's probe-inclusive p0
+    // accounting: the recheck's probes bracket the PASS, not each
+    // row, so charging them to the row budget would shortchange the
+    // last rows for overhead the pass pays once) — it only fires on
     // degraded captures, where spending minutes beats shipping an
     // artifact a human must re-adjudicate.
     val bestCal = (cal +: cal2 +: midCals.toSeq).min

@@ -745,8 +745,9 @@ object Dedup {
       // (2.3M directed edges, 12+ rounds) the DRIVER OOM'd rendering
       // the plan string for the SQL listener before any executor ran.
       // Rebuilding the frame from its RDD makes every round's plan a
-      // constant-size join over two leaf scans; the RDD chain stays
-      // linear and each link is persisted.
+      // constant-size join over two leaf scans; the RDD lineage chain
+      // stays linear (the newest link persisted, older links released
+      // as each round retires its predecessor's cache).
       val updatedPlan = stepped
         .join(lookup, stepped("l1") === lookup("jid"), "left")
         .select(stepped("id").as("id"), col("label"),

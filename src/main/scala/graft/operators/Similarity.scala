@@ -1033,7 +1033,11 @@ object Similarity {
     * target at that width ([[derivedDeconBands]], capped — a caller
     * who bounded the width for fan-out reasons, e.g. via
     * [[derivedDeconRowsPerBand]], accepts whatever recall the cap
-    * leaves, and the recall row measures it). */
+    * leaves, and the recall row measures it); `bands` given with
+    * `rowsPerBand` ≤ 0 takes the WIDEST width the pack cap admits
+    * for that band count (max(1, 63/bands) — width is the cost
+    * suppressor, so given a fixed probe budget the widest legal band
+    * is the cheapest; recall is whatever the pair gives, measured). */
   def decontaminateSemanticBanded(corpus: DataFrame, bench: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
       dim: Int = 64, bands: Int = 0, rowsPerBand: Int = 0): DataFrame = {
@@ -1041,8 +1045,7 @@ object Similarity {
       "decontaminateSemanticBanded: threshold must be > 0")
     val (b0, r) =
       if (rowsPerBand > 0) (bands, rowsPerBand)
-      else if (bands > 0)
-        (bands, derivedDeconShape(threshold)._2)
+      else if (bands > 0) (bands, math.max(1, 63 / bands))
       else derivedDeconShape(threshold)
     val b = if (b0 > 0) b0 else derivedDeconBands(threshold, r)
     val set = bandedBenchSet(bench, vecCol, dim, b, r)

@@ -270,7 +270,12 @@ object StreamJobs {
     vecs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val probe = ModelCache.getOrLoad(s, setDir, Seq.empty) {
+        // the cached value is a probe CLOSURE, which bakes in this
+        // stream's parameters — so the cache key must carry them too,
+        // or two streams probing one set at different thresholds (or
+        // column names) would silently share the first stream's probe
+        val probe = ModelCache.getOrLoad(s, setDir, Seq.empty,
+            key = s"$setDir#$idCol#$vecCol#$threshold") {
           val fs = new org.apache.hadoop.fs.Path(setDir).getFileSystem(
             s.sparkContext.hadoopConfiguration)
           val params = graft.core.FsUtil.readSidecar(fs,

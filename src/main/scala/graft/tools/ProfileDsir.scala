@@ -56,22 +56,24 @@ object ProfileDsir {
       def serveLoop(label: String, on: Boolean): Unit = {
         graft.streaming.ModelCache.clear()
         graft.streaming.ModelCache.enabled = on
-        val run = graft.core.FsUtil.deleteOnExit(
-          s"$root/serve_${if (on) "cached" else "uncached"}")
-        implicit val sqlCtx = spark.sqlContext
-        val in = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, String)]
-        val q = graft.streaming.StreamJobs.dsirLookupStream(
-            in.toDS().toDF("doc_id", "text"), s"$root/target",
-            s"$root/source", s"$run/out", "doc_id", "text")
-          .option("checkpointLocation", s"$run/ckpt").start()
-        try rows.grouped(1000).zipWithIndex.foreach { case (b, i) =>
-          val t0 = System.nanoTime()
-          in.addData(b); q.processAllAvailable()
-          println(f"[profile-dsir] $label batch $i: " +
-            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
-        } finally q.stop()
-        graft.streaming.ModelCache.enabled = true
+        try {
+          val run = graft.core.FsUtil.deleteOnExit(
+            s"$root/serve_${if (on) "cached" else "uncached"}")
+          implicit val sqlCtx = spark.sqlContext
+          val in = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, String)]
+          val q = graft.streaming.StreamJobs.dsirLookupStream(
+              in.toDS().toDF("doc_id", "text"), s"$root/target",
+              s"$root/source", s"$run/out", "doc_id", "text")
+            .option("checkpointLocation", s"$run/ckpt").start()
+          try rows.grouped(1000).zipWithIndex.foreach { case (b, i) =>
+            val t0 = System.nanoTime()
+            in.addData(b); q.processAllAvailable()
+            println(f"[profile-dsir] $label batch $i: " +
+              f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+          } finally q.stop()
+        } finally graft.streaming.ModelCache.enabled = true // a mid-arm
+        // throw must not leave the JVM-global switch off
         spark.catalog.clearCache()
       }
       serveLoop("serve UNCACHED (read both stores per batch)", on = false)

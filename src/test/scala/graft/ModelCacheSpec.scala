@@ -43,12 +43,30 @@ class ModelCacheSpec extends SparkSpec {
       mdir, graft.sources.Sinks.ManifestFile), """{"names":["a"]}""")
     assert(get() === "model-3")
     assert(loads === 3 && releases === 2)
+    // a caller whose loaded value bakes in per-stream parameters
+    // keys the entry by (dir + params): two keys on one dir are
+    // INDEPENDENT entries (the embedDeconLookupStream contract — two
+    // streams probing one set at different thresholds must not share
+    // the first stream's probe closure)
+    var l2 = 0
+    def getKeyed(k: String): String =
+      ModelCache.getOrLoad(s, dir, Seq("t.parquet"), key = k) {
+        l2 += 1; s"$k-model-$l2"
+      } { _ => () }
+    assert(getKeyed(s"$dir#0.3") === s"$dir#0.3-model-1")
+    assert(getKeyed(s"$dir#0.8") === s"$dir#0.8-model-2")
+    assert(getKeyed(s"$dir#0.3") === s"$dir#0.3-model-1") // still cached
+    assert(l2 === 2)
     ModelCache.invalidate(dir)
     assert(releases === 3)
-    // disabled = the pre-cache behavior: load per call
+    // disabled = the pre-cache behavior, one batch deferred: every
+    // call is a forced miss that loads fresh and releases the
+    // PREVIOUS entry — storage stays bounded at one model per key
     ModelCache.enabled = false
-    try { get(); get(); assert(loads === 5) }
-    finally ModelCache.enabled = true
+    try {
+      get(); assert(loads === 4 && releases === 3) // entry was gone
+      get(); assert(loads === 5 && releases === 4) // prior forced miss released
+    } finally ModelCache.enabled = true
   }
 
   test("lm serve: unchanged store is read once across batches; a mid-stream append takes effect next batch") {
