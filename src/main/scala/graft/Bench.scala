@@ -458,8 +458,16 @@ object Bench {
       val preCal = midProbe()
       var budget = 300.0
       breachNow.sortBy { case (k, v) => -(v / bars(k)) }.take(30)
-        .foreach { case (name, _) =>
-          if (budget > 0) {
+        .foreach { case (name, orig) =>
+          // admission check BEFORE launching: a re-run should take
+          // about the bar on an idle box and at worst the original
+          // throttled reading — admit on the bar (so one slow
+          // original can't starve the rest) but never launch a row
+          // whose ORIGINAL reading alone exceeds what's left, else
+          // a single minutes-long row overshoots the documented
+          // 300 s bound by its full runtime on exactly the throttled
+          // box the recheck exists for.
+          if (budget > 0 && bars(name) <= budget && orig <= budget) {
             val t0 = System.nanoTime()
             val ok =
               try { ordered(idxOf(name))._2(spark, sfDir).count(); true }

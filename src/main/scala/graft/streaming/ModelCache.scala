@@ -53,8 +53,14 @@ object ModelCache {
     * bounded at one model per store dir either way). */
   @volatile private[graft] var enabled = true
 
-  // spec observability: loads since JVM start (a hit leaves it alone)
-  @volatile private[graft] var loads = 0L
+  // spec observability: loads since JVM start (a hit leaves it
+  // alone). Atomic, not a @volatile var: the disabled path derives
+  // its forced-miss stamp from this counter, and two concurrent
+  // disabled calls reading the same value would mint COLLIDING
+  // "disabled-N" stamps — turning a forced miss into a cache hit in
+  // the mode whose contract is load-fresh-every-call.
+  private val loadCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def loads: Long = loadCount.get()
 
   /** The store's control-file stamp: for params.json and each
     * table's manifest — path, length, mtime, and content. Tiny
@@ -100,19 +106,31 @@ object ModelCache {
     val k = if (key.isEmpty) dir else key
     val stamp =
       if (enabled) stampOf(spark, dir, tables)
-      else { // forced miss: unique stamp → load fresh, release the
-        loads += 1 // previous entry (the pre-cache per-batch behavior)
-        s"disabled-$loads"
-      }
+      else // forced miss: unique stamp → load fresh, release the
+        // previous entry (the pre-cache per-batch behavior); the
+        // atomic increment both counts the forced load and keeps
+        // concurrent disabled stamps collision-free
+        s"disabled-${loadCount.incrementAndGet()}"
     entries.synchronized(entries.get(k)) match {
       case Some(e) if e.stamp == stamp => e.model.asInstanceOf[T]
       case _ =>
         val m = load
-        if (enabled) loads += 1
+        if (enabled) loadCount.incrementAndGet()
         entries.synchronized {
           entries.get(k) match {
             case Some(e) if e.stamp == stamp =>
-              release(m) // lost a same-key race: adopt the winner's
+              // Lost a same-key race: adopt the winner's model. Do
+              // NOT release(m) here — Spark's CacheManager keys
+              // cached plans by canonicalized plan, so two loads of
+              // the same store SHARE cache entries, and unpersisting
+              // the loser's frames would unpersist the winner's
+              // pinned plans too (per-batch recompute until the
+              // stamp next moves). Defer the loser's release to the
+              // entry's eventual turnover instead, where the winner
+              // releases anyway (unpersist is idempotent on shared
+              // entries).
+              entries.put(k, Entry(e.stamp, e.model,
+                () => { e.release(); release(m) }))
               e.model.asInstanceOf[T]
             case stale =>
               stale.foreach(_.release())
@@ -123,10 +141,18 @@ object ModelCache {
     }
   }
 
-  /** Release and drop `dir`'s entry (store retired, or a test wants
-    * a cold start). Idempotent. */
+  /** Release and drop `dir`'s entries (store retired, or a test
+    * wants a cold start). Covers BOTH the plain `key = dir` entry
+    * and composite-keyed entries (`dir#...` — the
+    * [[getOrLoad]] `key` contract folds per-stream parameters in
+    * after a `#`), so retiring a store dir releases every probe
+    * closure built over it, not just the default-keyed one.
+    * Idempotent. */
   def invalidate(dir: String): Unit = entries.synchronized {
-    entries.remove(dir).foreach(_.release())
+    val pfx = dir + "#"
+    val keys = entries.keysIterator
+      .filter(k => k == dir || k.startsWith(pfx)).toList
+    keys.foreach(k => entries.remove(k).foreach(_.release()))
   }
 
   /** Release and drop everything. */

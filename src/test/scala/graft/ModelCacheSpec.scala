@@ -49,16 +49,26 @@ class ModelCacheSpec extends SparkSpec {
     // streams probing one set at different thresholds must not share
     // the first stream's probe closure)
     var l2 = 0
+    var rel2 = 0
     def getKeyed(k: String): String =
       ModelCache.getOrLoad(s, dir, Seq("t.parquet"), key = k) {
         l2 += 1; s"$k-model-$l2"
-      } { _ => () }
+      } { _ => rel2 += 1 }
     assert(getKeyed(s"$dir#0.3") === s"$dir#0.3-model-1")
     assert(getKeyed(s"$dir#0.8") === s"$dir#0.8-model-2")
     assert(getKeyed(s"$dir#0.3") === s"$dir#0.3-model-1") // still cached
     assert(l2 === 2)
+    // invalidate(dir) retires the STORE: it must release the plain
+    // entry AND every composite-keyed (dir#...) entry built over it
+    // (round-18 ADVICE — before, the keyed probe closures lingered
+    // forever despite the scaladoc's bound-the-map-via-invalidate)
     ModelCache.invalidate(dir)
     assert(releases === 3)
+    assert(rel2 === 2, "composite-keyed entries survived invalidate(dir)")
+    assert(getKeyed(s"$dir#0.3") === s"$dir#0.3-model-3",
+      "a retired key should reload fresh")
+    ModelCache.invalidate(dir)
+    assert(rel2 === 3)
     // disabled = the pre-cache behavior, one batch deferred: every
     // call is a forced miss that loads fresh and releases the
     // PREVIOUS entry — storage stays bounded at one model per key
@@ -67,6 +77,42 @@ class ModelCacheSpec extends SparkSpec {
       get(); assert(loads === 4 && releases === 3) // entry was gone
       get(); assert(loads === 5 && releases === 4) // prior forced miss released
     } finally ModelCache.enabled = true
+  }
+
+  test("retiring a decon-set dir via invalidate(dir) releases the serve's composite-keyed probe entry") {
+    ModelCache.clear()
+    val s = spark
+    import s.implicits._
+    val root = tmp("retire")
+    val setDir = s"$root/set"
+    val bench = Seq((0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    graft.operators.Similarity.writeSemanticDeconSetBanded(
+      bench, "embedding", setDir, dim = 4, bands = 2, rowsPerBand = 2)
+    implicit val sqlCtx = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamJobs.embedDeconLookupStream(
+        in.toDS().toDF("vec_id", "embedding"), setDir, s"$root/out",
+        "vec_id", "embedding", threshold = 0.5)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      val l0 = ModelCache.loads
+      in.addData(Seq((10L, Array(1f, 0f, 0f, 0f)))); q.processAllAvailable()
+      assert(ModelCache.loads === l0 + 1)
+      in.addData(Seq((11L, Array(0f, 1f, 0f, 0f)))); q.processAllAvailable()
+      assert(ModelCache.loads === l0 + 1,
+        "unchanged set re-read — the probe closure should be cached")
+      // retire the set by its DIR alone — the retiring caller doesn't
+      // know the stream's composite key ($setDir#id#vec#threshold);
+      // prefix invalidation must reach it (round-18 ADVICE)
+      ModelCache.invalidate(setDir)
+      in.addData(Seq((12L, Array(1f, 0f, 0f, 0f)))); q.processAllAvailable()
+      assert(ModelCache.loads === l0 + 2,
+        "retired dir's composite-keyed probe entry survived invalidate(dir)")
+      // the probes themselves stayed correct across the retire
+      assert(s.read.parquet(s"$root/out").filter($"cos" >= 0.5).count() === 3)
+    } finally q.stop()
   }
 
   test("lm serve: unchanged store is read once across batches; a mid-stream append takes effect next batch") {
