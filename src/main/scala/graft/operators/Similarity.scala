@@ -998,24 +998,49 @@ object Similarity {
     * the cartesian by design — this row joins the definitional
     * brute-force allowances (PLANS.md header). */
   def decontaminateSemanticExact(corpus: DataFrame, bench: DataFrame,
-      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+      idCol: String, vecCol: String, threshold: Double): DataFrame =
+    decontaminateSemanticExactWithSet(corpus,
+      bench
+        .select(col(vecCol).as("bv"))
+        .withColumn("bnrm", norm(col("bv")))
+        .filter(col("bnrm") > 0),
+      idCol, vecCol, threshold)
+
+  /** The probe arm of [[decontaminateSemanticExact]] over an
+    * already-normed bench frame carrying (bv, bnrm) — notably any
+    * band slice of a STORED banded set
+    * ([[writeSemanticDeconSetBanded]] persists those columns beside
+    * the band keys), so a dominated-shape store can be probed exactly
+    * without a rewrite. Bit-identical to the fresh exact form on the
+    * same bench vectors. */
+  def decontaminateSemanticExactWithSet(corpus: DataFrame,
+      benchSet: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
     require(threshold > 0,
       "decontaminateSemanticExact: threshold must be > 0")
-    val bb = bench
-      .select(col(vecCol).as("bv"))
-      .withColumn("bnrm", norm(col("bv")))
-      .filter(col("bnrm") > 0)
     corpus
       .select(col(idCol), col(vecCol).as("__v"))
       .withColumn("__nrm", norm(col("__v")))
       .filter(col("__nrm") > 0)
-      .join(broadcast(bb))
+      .join(broadcast(benchSet.select(col("bv"), col("bnrm"))))
       .withColumn("__cos", round(
         dot(col("__v"), col("bv")) / (col("__nrm") * col("bnrm")), 6))
       .filter(col("__cos") >= threshold)
       .groupBy(col(idCol))
       .agg(max(col("__cos")).as("cos"))
   }
+
+  /** The banded/exact COST CROSSOVER (round-18 finding #1): the
+    * banded probe verifies `bands × |corpus| × |bench| / 2^rowsPerBand`
+    * cosines vs the exact arm's `|corpus| × |bench|` — banding pays
+    * iff `bands < 2^rowsPerBand`. A shape at or past the crossover is
+    * STRICTLY dominated for every threshold: more verify work than
+    * exact AND recall < 1. At low τ the recall-first derivation lands
+    * there (τ=0.3 derives (10, 3) → multiplier 10/8), so derived and
+    * defaulted shapes dispatch to the exact arm; BASELINE.md measures
+    * the sf10 consequence (banded 32–50 s vs exact ~25 s at τ=0.3). */
+  def bandedShapeDominated(bands: Int, rowsPerBand: Int): Boolean =
+    bands.toLong >= (1L << rowsPerBand)
 
   /** BANDED semantic decontamination — the scale path of the decon
     * family (see the section comment): candidates are the OR of
@@ -1037,20 +1062,34 @@ object Similarity {
     * `rowsPerBand` ≤ 0 takes the WIDEST width the pack cap admits
     * for that band count (max(1, 63/bands) — width is the cost
     * suppressor, so given a fixed probe budget the widest legal band
-    * is the cheapest; recall is whatever the pair gives, measured). */
+    * is the cheapest; recall is whatever the pair gives, measured).
+    *
+    * CROSSOVER DISPATCH (round-18 finding #1): when any part of the
+    * shape was derived and the result is [[bandedShapeDominated]]
+    * (bands ≥ 2^rowsPerBand — more verify work than exact at
+    * recall < 1, the low-τ regime), this routes to
+    * [[decontaminateSemanticExact]]: strictly cheaper AND recall 1.0.
+    * A caller who pins BOTH bands and rowsPerBand keeps the banded
+    * path even past the crossover (the gate rows' oracle-replay
+    * contract; a deliberate recall experiment is a pin too). */
   def decontaminateSemanticBanded(corpus: DataFrame, bench: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
       dim: Int = 64, bands: Int = 0, rowsPerBand: Int = 0): DataFrame = {
     require(threshold > 0,
       "decontaminateSemanticBanded: threshold must be > 0")
+    val pinned = bands > 0 && rowsPerBand > 0
     val (b0, r) =
       if (rowsPerBand > 0) (bands, rowsPerBand)
       else if (bands > 0) (bands, math.max(1, 63 / bands))
       else derivedDeconShape(threshold)
     val b = if (b0 > 0) b0 else derivedDeconBands(threshold, r)
-    val set = bandedBenchSet(bench, vecCol, dim, b, r)
-    decontaminateSemanticBandedWithSet(corpus, set, idCol, vecCol,
-      threshold, dim, b, r)
+    if (!pinned && bandedShapeDominated(b, r))
+      decontaminateSemanticExact(corpus, bench, idCol, vecCol, threshold)
+    else {
+      val set = bandedBenchSet(bench, vecCol, dim, b, r)
+      decontaminateSemanticBandedWithSet(corpus, set, idCol, vecCol,
+        threshold, dim, b, r)
+    }
   }
 
   /** The bench side of the banded probe: (band, bkey, bv, bnrm) —

@@ -114,6 +114,79 @@ object MultimodalQueries extends QueryPack {
              |FROM m
              |""".stripMargin)),
 
+    // the COMPOSED multimodal curation pipeline (round-18 task #5 —
+    // the text side has five composed rows, the embedding side one;
+    // this is the multimodal lane's): (1) REAL PNG decode over the
+    // asset table (metadata only — width/height/pix_sum from
+    // javax.imageio), (2) resolution QUALITY GATE (min 16×16 — the
+    // gate runs on decoded metadata BEFORE any expensive per-asset
+    // work, the 100 TB discipline: dropped assets never pay the
+    // resize), (3) REAL resize of the survivors (aspect-preserving
+    // downscale to 16, out dims re-decoded from produced bytes),
+    // (4) feature extraction over the survivors' content payload
+    // (byte stats + rolling content hash), (5) curated-table LAYOUT
+    // WRITE — asset_id-range-partitioned sized parquet (the
+    // q_layout discipline), result read back from the store so the
+    // gate covers the written state. Stage boundaries persisted
+    // (q_pipeline_pretrain discipline: the decode meta feeds both
+    // the gate and the final join). Scale shape: every stage is a
+    // narrow per-partition codec pass or an equi join on asset_id;
+    // nothing is corpus-quadratic; the only exchanges are the
+    // semi-join on kept ids and the final range write.
+    "q_pipeline_multimodal" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val assets = Multimodal.asImageAssets(docs, "doc_id", "text")
+        val meta = Multimodal.decodeImages(s, assets).toDF().persist()
+        val kept = meta
+          .filter(col("width") >= 16 && col("height") >= 16)
+          .select("asset_id")
+        val resized = Multimodal.resizeImages(s,
+          assets.join(kept, Seq("asset_id")), maxDim = 16L).toDF()
+        val feats = Multimodal.extractFeatures(s,
+            Multimodal.asAssets(docs, "doc_id", "text")
+              .join(kept, Seq("asset_id"))).toDF()
+          .select(col("asset_id"), col("n_bytes"), col("content_hash"))
+        val curated = resized.join(feats, Seq("asset_id"))
+          .select("asset_id", "width", "height", "out_w", "out_h",
+            "n_bytes", "content_hash")
+        val outDir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_pmm_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode)) + "/curated"
+        graft.sources.Sinks.writeSizedParquet(curated, outDir,
+          sortCols = Seq("asset_id"),
+          minFiles = s.sparkContext.defaultParallelism)
+        s.read.parquet(outDir)
+      },
+      // text is ASCII (verified): length == byte length, per-char
+      // codepoints == bytes — the decode-meta / resize / features
+      // oracles composed over the gate's surviving ids
+      Some("""WITH d AS (SELECT doc_id, length(text) AS n FROM documents),
+             |g AS (
+             |  SELECT doc_id, 8 + n % 24 AS w, 8 + (n * 7) % 24 AS h
+             |  FROM d),
+             |k AS (SELECT doc_id, w, h FROM g WHERE w >= 16 AND h >= 16),
+             |rz AS (
+             |  SELECT doc_id, w, h,
+             |    CASE WHEN greatest(w, h) <= 16 THEN w
+             |         ELSE greatest(1, w * 16 // greatest(w, h)) END AS out_w,
+             |    CASE WHEN greatest(w, h) <= 16 THEN h
+             |         ELSE greatest(1, h * 16 // greatest(w, h)) END AS out_h
+             |  FROM k),
+             |cs AS (
+             |  SELECT doc_id,
+             |    list_transform(string_split(text, ''), c -> ascii(c)) AS bs
+             |  FROM documents
+             |  WHERE doc_id IN (SELECT doc_id FROM k))
+             |SELECT rz.doc_id AS asset_id, rz.w AS width, rz.h AS height,
+             |  rz.out_w, rz.out_h,
+             |  len(bs) AS n_bytes,
+             |  list_reduce(list_prepend(7, bs),
+             |              (a, b) -> (a * 31 + b) % 1048576) AS content_hash
+             |FROM rz JOIN cs USING (doc_id)
+             |""".stripMargin)),
+
     // feature extraction over raw payload bytes: byte stats, rolling
     // content hash (polyHash fold), 4-bin byte histogram — the
     // fixed-dim feature contract a real extractor would fill

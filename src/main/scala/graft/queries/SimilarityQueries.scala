@@ -102,21 +102,24 @@ object SimilarityQueries extends QueryPack {
         s"THEN ${1L << j} ELSE 0 END)"
     }.mkString(" +\n      ")
 
-  /** Shared CTE chain of the BANDED semantic-decon oracle (6 bands ×
-    * 2 planes — the gate's fixed shape; fresh and stored rows must be
-    * bit-identical so both share it verbatim): per-band keys on both
-    * frames, candidates = OR over the 6 per-band key equalities,
+  /** Shared CTE chain of the BANDED semantic-decon oracle
+    * (bands × rowsPerBand — default (6, 2), the operator gate rows'
+    * pinned shape; fresh and stored rows must be bit-identical so
+    * both share it verbatim; the banded SERVE rows replay (4, 3), a
+    * shape the crossover dispatch keeps banded): per-band keys on
+    * both frames, candidates = OR over the per-band key equalities,
     * verified cosine ≥ 0.3, ends at `bhit(vec_id, cos)` rows (one per
     * verified candidate PAIR — the caller aggregates). The CORPUS
     * side reads from a caller-defined `dsrc(vec_id, embedding)` CTE
     * ([[oDeconGateSrc]] for the gate rows; q_pipeline_embed feeds its
     * dedup survivors), the bench side stays the every-50th gate
     * convention. */
-  private def oBandedDeconCtes: String = {
+  private def oBandedDeconCtes(bands: Int = 6,
+      rowsPerBand: Int = 2): String = {
     def keys(vec: String): String =
-      (0 until 6).map(b => s"${oBandKey(b, 2, vec)} AS k$b")
+      (0 until bands).map(b => s"${oBandKey(b, rowsPerBand, vec)} AS k$b")
         .mkString(",\n         ")
-    val onClause = (0 until 6).map(b => s"c.k$b = b.k$b")
+    val onClause = (0 until bands).map(b => s"c.k$b = b.k$b")
       .mkString(" OR ")
     s"""dcp AS (
        |  SELECT vec_id, embedding,
@@ -146,10 +149,11 @@ object SimilarityQueries extends QueryPack {
       |  SELECT vec_id, embedding FROM embeddings
       |  WHERE vec_id % 50 <> 0)""".stripMargin
 
-  /** Banded fresh/stored rows' full oracle. */
-  private def oBandedDeconSql: String =
+  /** Banded fresh/stored rows' full oracle at a given shape. */
+  private def oBandedDeconSql(bands: Int = 6,
+      rowsPerBand: Int = 2): String =
     s"""WITH $oDeconGateSrc,
-       |$oBandedDeconCtes
+       |${oBandedDeconCtes(bands, rowsPerBand)}
        |SELECT vec_id, max(cos) AS cos FROM bhit GROUP BY 1
        |""".stripMargin
 
@@ -304,13 +308,17 @@ object SimilarityQueries extends QueryPack {
     // neighbors (ties to the label ascending), with the winner's
     // best rank as the calibration signal — the semi-supervised step
     // that spreads a small hand-labeled seed over a corpus. Gate
-    // convention: every 10th vector stands in for the hand-labeled
-    // seed — BOUNDED by construction, so the broadcast vouch is
-    // honest (passing the whole corpus as `labeled` under a forced
-    // hint was the round-17 ADVICE trap: a corpus-cardinality frame
-    // bypassing autoBroadcastJoinThreshold). The oracle composes the
-    // IVF chain verbatim and replays the integer vote on top, label
-    // join restricted to the same seed.
+    // convention: every 10th vector UNDER the fixed id cap stands in
+    // for the hand-labeled seed — a hand-labeled asset is a
+    // fixed-size input, so the cap (the q_embed_knn_stored
+    // query-batch discipline) is what makes the broadcast vouch
+    // honest. A modulus filter ALONE is corpus-PROPORTIONAL (10% of
+    // whatever arrives), which only looks bounded at gate scale —
+    // the round-18 finding; passing the whole corpus as `labeled`
+    // under a forced hint was the round-17 form of the same trap.
+    // The oracle composes the IVF chain verbatim and replays the
+    // integer vote on top, label join restricted to the same capped
+    // seed.
     "q_embed_knn_classify" -> Q(
       (s, d) => {
         import s.implicits._
@@ -320,7 +328,7 @@ object SimilarityQueries extends QueryPack {
             queries = emb.filter($"vec_id" % 100 === 0),
             corpus = emb, idCol = "vec_id", vecCol = "embedding",
             k = 5, nlist = 16, nprobe = 4),
-          labeled = emb.filter($"vec_id" % 10 === 0),
+          labeled = emb.filter($"vec_id" % 10 === 0 && $"vec_id" < 4000),
           qIdCol = "q_id", nnIdCol = "nn_id",
           rankCol = "rank", idCol = "vec_id", labelCol = "label",
           broadcastSeed = true)
@@ -352,7 +360,7 @@ object SimilarityQueries extends QueryPack {
           Similarity.ivfTopKWithIndex(
             emb.filter($"vec_id" % 100 === 0 && $"vec_id" < 2000),
             idx, k = 5, nprobe = 4),
-          labeled = emb.filter($"vec_id" % 10 === 0),
+          labeled = emb.filter($"vec_id" % 10 === 0 && $"vec_id" < 4000),
           qIdCol = "q_id", nnIdCol = "nn_id",
           rankCol = "rank", idCol = "vec_id", labelCol = "label",
           broadcastSeed = true)
@@ -843,9 +851,11 @@ object SimilarityQueries extends QueryPack {
     // stream against a stored banded set (sidecar carries
     // bands/rowsPerBand; embedDeconLookupStream dispatches on it),
     // hits row-local so the cross-batch union equals the batch
-    // probe; shares the banded fresh oracle verbatim. Deployment
-    // rotation story in one row: rewrite the set banded, the serve
-    // adapts, recall stops collapsing with corpus growth.
+    // probe. Shape (4, 3): 4 < 2^3, so the crossover dispatch KEEPS
+    // the banded probe — this row gates the banded serve arm (the
+    // dominated-shape arm is q_stream_embed_decon_dispatch).
+    // Deployment rotation story in one row: rewrite the set banded,
+    // the serve adapts, recall stops collapsing with corpus growth.
     "q_stream_embed_decon_banded" -> Q(
       (s, d) => {
         import s.implicits._
@@ -853,6 +863,47 @@ object SimilarityQueries extends QueryPack {
         val dir = graft.core.FsUtil.deleteOnExit(
           s"${System.getProperty("java.io.tmpdir")}/" +
             s"graft_sbdecon_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        val run = s"$dir/run_${System.nanoTime()}"
+        Similarity.writeSemanticDeconSetBanded(
+          emb.filter($"vec_id" % 50 === 0), "embedding", s"$dir/set",
+          dim = 64, bands = 4, rowsPerBand = 3)
+        val rows = emb.filter($"vec_id" % 50 =!= 0)
+          .select($"vec_id", $"embedding")
+          .as[(Long, Array[Float])].collect().toSeq
+        implicit val sqlCtx = s.sqlContext
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])]
+        val outDir = s"$run/out"
+        val q = graft.streaming.StreamJobs.embedDeconLookupStream(
+            input.toDS().toDF("vec_id", "embedding"), s"$dir/set",
+            outDir, "vec_id", "embedding", threshold = 0.3)
+          .option("checkpointLocation", s"$run/ckpt").start()
+        try {
+          rows.grouped(math.max(1, rows.size / 3 + 1)).foreach { b =>
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.read.parquet(outDir).select(col("vec_id"), col("cos"))
+      },
+      Some(oBandedDeconSql(4, 3))),
+
+    // the crossover dispatch actually SERVING (round-18 finding #1):
+    // the stored set carries the (6, 2) gate shape — 6 ≥ 2^2, at or
+    // past the cost crossover, so the banded OR-construction would
+    // verify 1.5× the exact arm's cosines at recall < 1. The serve
+    // detects the dominated sidecar shape and probes the SAME store's
+    // (bv, bnrm) columns through the exact arm instead: recall 1.0
+    // at strictly less work, no set rewrite. Oracle = the exact arm
+    // composed verbatim — the row is green only if the dispatch fired
+    // (the banded probe at this shape misses 2 of the 48 hits).
+    "q_stream_embed_decon_dispatch" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_sddecon_p${ProcessHandle.current().pid()}_" +
             java.lang.Integer.toHexString(d.hashCode))
         val run = s"$dir/run_${System.nanoTime()}"
         Similarity.writeSemanticDeconSetBanded(
@@ -876,7 +927,9 @@ object SimilarityQueries extends QueryPack {
         } finally q.stop()
         s.read.parquet(outDir).select(col("vec_id"), col("cos"))
       },
-      Some(oBandedDeconSql)),
+      Some(s"""WITH $oExactDeconCtes
+              |SELECT vec_id, max(cos) AS cos FROM ehit GROUP BY 1
+              |""".stripMargin)),
 
     // EXACT semantic decon — the recall-1.0 arm of the family: every
     // corpus×bench cosine verified, no hashing, no misses. The
@@ -919,7 +972,7 @@ object SimilarityQueries extends QueryPack {
           idCol = "vec_id", vecCol = "embedding", threshold = 0.3,
           dim = 64, bands = 6, rowsPerBand = 2)
       },
-      Some(oBandedDeconSql)),
+      Some(oBandedDeconSql())),
 
     // banded decon from a PERSISTED set — the serving shape: the
     // bench's 12-plane pack lands once as (band, bkey)-sorted sized
@@ -945,7 +998,7 @@ object SimilarityQueries extends QueryPack {
           "embedding", threshold = 0.3, dim = dim, bands = bands,
           rowsPerBand = rpb)
       },
-      Some(oBandedDeconSql)),
+      Some(oBandedDeconSql())),
 
     // the banded probe's recall, MEASURED against the exact arm —
     // the q_ann_recall discipline for the decon family (round-17
@@ -972,7 +1025,59 @@ object SimilarityQueries extends QueryPack {
       },
       Some(s"""WITH $oDeconGateSrc,
               |$oExactDeconCtes,
-              |$oBandedDeconCtes,
+              |${oBandedDeconCtes()},
+              |etruth AS (SELECT DISTINCT vec_id FROM ehit),
+              |bcand AS (SELECT DISTINCT vec_id FROM bhit),
+              |jm AS (
+              |  SELECT t.vec_id,
+              |    CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+              |  FROM etruth t LEFT JOIN bcand c USING (vec_id))
+              |SELECT count(*) AS n_true,
+              |  CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hit,
+              |  CAST(CASE WHEN count(*) = 0 THEN 10000
+              |    ELSE coalesce(sum(hit), 0) * 10000 // count(*)
+              |    END AS BIGINT) AS recall_bp
+              |FROM jm
+              |""".stripMargin)),
+
+    // the STORED set's probe recall, measured — the serve-side recall
+    // canary (round-18 task #6): q_embed_decon_recall measures the
+    // FRESH banded arm; this row measures the arm a deployment
+    // actually serves — write the set, read it back through the
+    // sidecar, probe through the same WithSet call the serve
+    // dispatches to — so a set-rotation regression (wrong sidecar
+    // shape, stale pack, mangled (bv, bnrm) columns) surfaces as a
+    // red row, not a silent recall collapse. Shape (4, 3) — the
+    // banded serve shape (4 < 2^3 keeps the banded arm; a dominated
+    // shape would serve exact and trivially read 10000 bp). The
+    // oracle replays the fresh (4, 3) arm: the store round-trip may
+    // not change a bit, so stored recall ≡ fresh recall.
+    "q_embed_decon_recall_stored" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.filter($"vec_id" % 50 =!= 0)
+        val bench = emb.filter($"vec_id" % 50 === 0)
+        val dir = graft.core.FsUtil.deleteOnExit(
+          s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft_rdecon_p${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(d.hashCode))
+        Similarity.writeSemanticDeconSetBanded(
+          bench, "embedding", s"$dir/set",
+          dim = 64, bands = 4, rowsPerBand = 3)
+        val (set, dim, bands, rpb) =
+          Similarity.readSemanticDeconSetBanded(s, s"$dir/set")
+        graft.operators.Retrieval.setRecall(
+          candidate = Similarity.decontaminateSemanticBandedWithSet(
+            corpus, set, "vec_id", "embedding", threshold = 0.3,
+            dim = dim, bands = bands, rowsPerBand = rpb),
+          reference = Similarity.decontaminateSemanticExact(
+            corpus, bench, "vec_id", "embedding", threshold = 0.3),
+          idCol = "vec_id")
+      },
+      Some(s"""WITH $oDeconGateSrc,
+              |$oExactDeconCtes,
+              |${oBandedDeconCtes(4, 3)},
               |etruth AS (SELECT DISTINCT vec_id FROM ehit),
               |bcand AS (SELECT DISTINCT vec_id FROM bhit),
               |jm AS (
@@ -1057,7 +1162,7 @@ object SimilarityQueries extends QueryPack {
               |  WHERE e.vec_id % 50 <> 0
               |    AND e.vec_id NOT IN (
               |      SELECT vec_id FROM clusters WHERE vec_id <> cluster_id)),
-              |$oBandedDeconCtes,
+              |${oBandedDeconCtes()},
               |clean AS MATERIALIZED (
               |  SELECT vec_id, embedding FROM dsrc
               |  WHERE vec_id NOT IN (SELECT vec_id FROM bhit)),
@@ -1571,10 +1676,11 @@ object SimilarityQueries extends QueryPack {
     * q_embed_knn_stored: exhaustive cosine scoring inside the probed
     * cells, rank top-5, then the integer vote (majority label, ties
     * to the label ascending, winner's best rank) over the BOUNDED
-    * label seed (every 10th vector — the gate rows' hand-labeled
-    * stand-in; neighbors outside the seed carry no vote). Appends to
-    * the [[ivfChainCtesWith]] chain, which must end at `probes` /
-    * `assigned`. */
+    * label seed (every 10th vector under the fixed id cap — the gate
+    * rows' hand-labeled stand-in, capped because a modulus alone is
+    * corpus-proportional; neighbors outside the seed carry no vote).
+    * Appends to the [[ivfChainCtesWith]] chain, which must end at
+    * `probes` / `assigned`. */
   private def oKnnVoteTail: String =
     s"""scored AS (
        |  SELECT q_id, nn_id,
@@ -1592,7 +1698,7 @@ object SimilarityQueries extends QueryPack {
        |  SELECT ap.q_id, l.label, count(*) AS votes,
        |         CAST(min(ap.rank) AS BIGINT) AS best_rank
        |  FROM ap JOIN embeddings l ON ap.nn_id = l.vec_id
-       |  WHERE l.vec_id % 10 = 0
+       |  WHERE l.vec_id % 10 = 0 AND l.vec_id < 4000
        |  GROUP BY 1, 2),
        |m AS (SELECT q_id, max(votes) AS mv FROM v GROUP BY 1),
        |b AS (SELECT v.q_id, min(v.label) AS label

@@ -94,6 +94,8 @@ object ModelCache {
     * bakes in more than the store's state — per-stream parameters, a
     * probe closure — must fold those into the key, or two streams on
     * one store would silently share the first caller's parameters.
+    * Composite keys must use the `dir#...` form so [[invalidate]]'s
+    * prefix match can release them when the store is retired.
     *
     * `load` runs OUTSIDE the map's monitor (it can be a multi-second
     * Spark read; holding the lock would stall every other stream's

@@ -254,7 +254,13 @@ object StreamJobs {
     * path) probes through the banded OR-construction, a single-band
     * set (`writeSemanticDeconSet`, sidecar carries planes) through
     * the single-pack probe — so rotating a deployment to banded sets
-    * needs no serve change, just a set rewrite. The read is
+    * needs no serve change, just a set rewrite. A banded set whose
+    * stored shape sits at or past the cost crossover
+    * ([[graft.operators.Similarity.bandedShapeDominated]] —
+    * bands ≥ 2^rowsPerBand, the low-τ regime) probes through the
+    * EXACT arm over the same store's (bv, bnrm) columns instead:
+    * strictly cheaper than the dominated banded probe AND recall 1.0
+    * (round-18 finding #1). The read is
     * stamp-cached ([[ModelCache]] on params.json — a swap rewrites
     * it, fresh mtime even on identical content), so a re-written set
     * takes effect from the next micro-batch and a quiet stream pays
@@ -286,9 +292,25 @@ object StreamJobs {
           if (graft.core.FsUtil.sidecarLong(params, "bands").isDefined) {
             val (set, dim, bands, rpb) = graft.operators.Similarity
               .readSemanticDeconSetBanded(s, setDir)
-            (b: DataFrame) => graft.operators.Similarity
-              .decontaminateSemanticBandedWithSet(b, set, idCol,
-                vecCol, threshold, dim, bands, rpb)
+            if (graft.operators.Similarity
+                .bandedShapeDominated(bands, rpb)) {
+              // crossover dispatch (round-18 finding #1): a stored
+              // shape at bands ≥ 2^rowsPerBand does MORE verify work
+              // than the exact probe at recall < 1, for every
+              // threshold — strictly dominated, so probe the stored
+              // set's (bv, bnrm) through the exact arm instead. Band
+              // 0 carries every bench vector exactly once, so the
+              // slice is a narrow filter over the same store — no
+              // set rewrite needed to rotate such a deployment.
+              val bb = set.filter(col("band") === 0)
+                .select("bv", "bnrm")
+              (b: DataFrame) => graft.operators.Similarity
+                .decontaminateSemanticExactWithSet(b, bb, idCol,
+                  vecCol, threshold)
+            } else
+              (b: DataFrame) => graft.operators.Similarity
+                .decontaminateSemanticBandedWithSet(b, set, idCol,
+                  vecCol, threshold, dim, bands, rpb)
           } else {
             val (set, dim, planes) = graft.operators.Similarity
               .readSemanticDeconSet(s, setDir)

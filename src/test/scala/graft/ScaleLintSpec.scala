@@ -287,7 +287,10 @@ class ScaleLintSpec extends SparkSpec {
       "q_ann_recall" -> annCross,
       "q_ann_rank_metrics" -> annCross,
       "q_embed_decon_exact" -> annCross,
-      "q_embed_decon_recall" -> annCross)
+      "q_embed_decon_recall" -> annCross,
+      // round 19: the stored-set recall canary composes the same
+      // exact reference arm as q_embed_decon_recall
+      "q_embed_decon_recall_stored" -> annCross)
     val bad = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val errs = ScaleLint.errors(q.run(spark, sf0001))
         .filterNot(f => allowed.getOrElse(name, Set.empty).contains(f.code))

@@ -592,6 +592,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("crossover dispatch: derived dominated shapes route to the exact arm, pinned shapes keep the banded path") {
+    val s = spark
+    import s.implicits._
+    val (corpus, bench) = bandedFixture
+    // the rule: banded verify cost is bands/2^rowsPerBand × exact —
+    // banding pays iff bands < 2^rowsPerBand
+    assert(Similarity.bandedShapeDominated(6, 2)) // gate shape, 6/4
+    assert(Similarity.bandedShapeDominated(10, 3)) // τ=0.3 derivation
+    assert(Similarity.bandedShapeDominated(2, 1))
+    assert(!Similarity.bandedShapeDominated(4, 3)) // banded serve shape
+    assert(!Similarity.bandedShapeDominated(8, 6)) // τ=0.8 derivation
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Double)].collect().sortBy(_._1).toSeq
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.toString
+    // τ=0.3 derives (10, 3) — dominated, so the fully-DERIVED call
+    // must BE the exact arm: same rows, and no band-key join in the
+    // plan (recall 1.0 at strictly less verify work)
+    val exact = Similarity.decontaminateSemanticExact(corpus, bench,
+      "vec_id", "embedding", 0.3)
+    val derived = Similarity.decontaminateSemanticBanded(corpus, bench,
+      "vec_id", "embedding", 0.3)
+    assert(rows(derived) === rows(exact))
+    assert(!plan(derived).contains("bkey"),
+      "derived dominated shape still built the banded probe")
+    // a caller-PINNED dominated shape keeps the banded path — the
+    // gate rows' oracle-replay contract
+    val pinned = Similarity.decontaminateSemanticBanded(corpus, bench,
+      "vec_id", "embedding", 0.3, dim = 64, bands = 6, rowsPerBand = 2)
+    assert(plan(pinned).contains("bkey"),
+      "pinned shape was dispatched away from the banded path")
+    // a non-dominated derivation (τ=0.8 → (8, 6)) keeps banded too
+    val highTau = Similarity.decontaminateSemanticBanded(corpus, bench,
+      "vec_id", "embedding", 0.8)
+    assert(plan(highTau).contains("bkey"))
+    // sound either way: pinned-banded hits ⊆ exact with equal cosines
+    val emax = rows(exact).toMap
+    rows(pinned).foreach { case (id, c) => assert(c === emax(id)) }
+  }
+
   test("banded-decon derivations: collision prob endpoints, fan-out band width, recall-target band count under caps") {
     // Goemans–Williamson endpoints and the τ=0.3 value the gate's
     // analytic recall floor uses
