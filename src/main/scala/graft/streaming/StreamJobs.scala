@@ -723,8 +723,17 @@ object StreamJobs {
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
+          // widen like every other ingest stream: the profile build's
+          // first stage (tokenize/explode before the groupBy exchange)
+          // otherwise runs in the SOURCE's task count — measured at
+          // sf10 (ProfileIngestWiden, 111k-doc batches arriving as one
+          // MemoryStream partition): unwidened 25.6 s vs gated 12.3 s
+          // over three batches. This path simply never had the
+          // round-16 exchange; the round-18 breach hypothesis blamed
+          // the gate's fallback, but the gate reads these batches
+          // correctly (rddParts=1) — it was never consulted here.
           graft.operators.CorpusProfile.ingestBatch(
-            graft.operators.CorpusProfile.build(batch, idCol,
+            graft.operators.CorpusProfile.build(widen(batch), idCol,
               strataCol, textCol), profileDir, s"$runId-$batchId")
         ()
     }
