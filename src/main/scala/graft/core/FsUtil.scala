@@ -188,6 +188,19 @@ object FsUtil {
     * not one per attempt; sidecar writers are single-writer-per-file
     * by the store contracts, which is what makes the fixed name safe.
     *
+    * LOCAL filesystems do NOT take the FileContext route (round 19):
+    * for file:// the context delegates to
+    * `AbstractFileSystem.renameInternal`'s default overwrite path —
+    * DELETE dest, then rename — which leaves a window where the
+    * target is ABSENT. For the tagged-append manifest that window is
+    * not torn-content but torn-EXISTENCE: a concurrent
+    * `Sinks.readTagged` catching it falls back to the plain
+    * directory read and can open a stranded attempt's files mid-
+    * purge (the exact FAILED_READ IngestSpec's concurrent serve test
+    * caught under suite load). Local targets swap through NIO
+    * `Files.move(ATOMIC_MOVE | REPLACE_EXISTING)` instead — POSIX
+    * rename(2), atomic replace, no absence window.
+    *
     * Filesystems with no AbstractFileSystem binding (object stores
     * like s3a, which implement only the FileSystem API) cannot take
     * the FileContext overwrite-rename; they FALL BACK to the plain
@@ -203,24 +216,41 @@ object FsUtil {
         content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
-    val ctx =
-      try Some(org.apache.hadoop.fs.FileContext.getFileContext(
-        file.toUri, fs.getConf))
-      catch {
-        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-          None
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      // qualified path → raw local path for NIO (strip the file: URI)
+      def local(p: Path): java.nio.file.Path =
+        java.nio.file.Paths.get(p.toUri.getPath)
+      val tmp = new Path(parent, s".${file.getName}.tmp")
+      plainWrite(tmp)
+      try java.nio.file.Files.move(local(tmp), local(file),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw e
       }
-    ctx match {
-      case None => plainWrite(file) // non-atomic, documented above
-      case Some(c) =>
-        val tmp = new Path(parent, s".${file.getName}.tmp")
-        plainWrite(tmp)
-        try c.rename(tmp, file,
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        catch { case e: Throwable =>
-          try fs.delete(tmp, false) catch { case _: Throwable => () }
-          throw e
+      ()
+    } else {
+      val ctx =
+        try Some(org.apache.hadoop.fs.FileContext.getFileContext(
+          file.toUri, fs.getConf))
+        catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            None
         }
+      ctx match {
+        case None => plainWrite(file) // non-atomic, documented above
+        case Some(c) =>
+          val tmp = new Path(parent, s".${file.getName}.tmp")
+          plainWrite(tmp)
+          try c.rename(tmp, file,
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          catch { case e: Throwable =>
+            try fs.delete(tmp, false) catch { case _: Throwable => () }
+            throw e
+          }
+      }
     }
   }
 

@@ -1040,7 +1040,10 @@ object Similarity {
     * defaulted shapes dispatch to the exact arm; BASELINE.md measures
     * the sf10 consequence (banded 32–50 s vs exact ~25 s at τ=0.3). */
   def bandedShapeDominated(bands: Int, rowsPerBand: Int): Boolean =
-    bands.toLong >= (1L << rowsPerBand)
+    // double form, not 1L << rowsPerBand: the pack cap admits widths
+    // up to 63, where the long shift wraps negative and would call a
+    // maximally-suppressed (1, 63) shape dominated
+    bands.toDouble >= math.pow(2.0, rowsPerBand.toDouble)
 
   /** BANDED semantic decontamination — the scale path of the decon
     * family (see the section comment): candidates are the OR of

@@ -99,6 +99,42 @@ class FsUtilSpec extends SparkSpec {
       .getOrElse(Array.empty).forall(_.isFile))
   }
 
+  test("writeSidecar replace is atomic: a hammering reader never sees the target absent or torn") {
+    // round 19: the FileContext overwrite-rename on file:// delegates
+    // to AbstractFileSystem.renameInternal's DELETE-then-rename
+    // default, leaving a window where the target does not exist — a
+    // concurrent Sinks.readTagged catching that window fell back to
+    // the raw directory read and raced a stranded-file purge
+    // (IngestSpec's concurrent serve test, under suite load). Local
+    // targets must swap via POSIX rename(2): old content or new
+    // content, NEVER absent, never torn.
+    val parent = Files.createTempDirectory("graft-sidecar-atomic")
+    val target = new Path(parent.toString, "manifest.json")
+    def payload(i: Int) = s"""{"gen":$i,"pad":"${"x" * 64}"}"""
+    FsUtil.writeSidecar(fs, target, payload(0))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        FsUtil.readSidecar(fs, target) match {
+          case None => bad.add("ABSENT")
+          case Some(c) if !c.startsWith("""{"gen":""") ||
+            !c.endsWith("\"}") => bad.add(s"TORN: $c")
+          case _ => ()
+        }
+        reads.incrementAndGet()
+        ()
+      }
+    }, "graft-sidecar-reader")
+    reader.start()
+    try (1 to 500).foreach(i => FsUtil.writeSidecar(fs, target, payload(i)))
+    finally { stop.set(true); reader.join() }
+    assert(bad.isEmpty, s"reader caught: ${bad.peek()}")
+    assert(reads.get() >= 1, "reader never completed a probe")
+    assert(FsUtil.readSidecar(fs, target).contains(payload(500)))
+  }
+
   test("a non-contention lock-create failure raises immediately, not after the wait") {
     // a filesystem whose create fails PERSISTENTLY (read-only fs,
     // permission denied — not stageable on a root-owned local disk,

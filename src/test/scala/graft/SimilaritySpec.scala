@@ -603,6 +603,9 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.bandedShapeDominated(2, 1))
     assert(!Similarity.bandedShapeDominated(4, 3)) // banded serve shape
     assert(!Similarity.bandedShapeDominated(8, 6)) // τ=0.8 derivation
+    // width 63 is legal under the pack cap; the naive 1L << 63 wraps
+    // negative and would call this maximally-suppressed shape dominated
+    assert(!Similarity.bandedShapeDominated(1, 63))
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.as[(Long, Double)].collect().sortBy(_._1).toSeq
     def plan(df: org.apache.spark.sql.DataFrame) =
