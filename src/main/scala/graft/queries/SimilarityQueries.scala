@@ -952,6 +952,29 @@ object SimilarityQueries extends QueryPack {
               |SELECT vec_id, max(cos) AS cos FROM ehit GROUP BY 1
               |""".stripMargin)),
 
+    // the OPERATOR-level crossover dispatch under the oracle
+    // (round 19; q_stream_embed_decon_dispatch is the serve twin):
+    // a fully-DERIVED call at τ=0.3 derives (10,3) — dominated
+    // (10 ≥ 2³, more verify work than exact at recall < 1) — so
+    // decontaminateSemanticBanded must route to the exact arm. The
+    // oracle is the exact arm composed verbatim: if the dispatch
+    // ever breaks, the row silently becomes a (10,3) banded probe,
+    // misses real hits, and goes red on the hash — a regression
+    // canary for the one place the engine used to run a
+    // strictly-dominated plan by default.
+    "q_embed_decon_auto" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        Similarity.decontaminateSemanticBanded(
+          corpus = emb.filter($"vec_id" % 50 =!= 0),
+          bench = emb.filter($"vec_id" % 50 === 0),
+          idCol = "vec_id", vecCol = "embedding", threshold = 0.3)
+      },
+      Some(s"""WITH $oExactDeconCtes
+              |SELECT vec_id, max(cos) AS cos FROM ehit GROUP BY 1
+              |""".stripMargin)),
+
     // BANDED semantic decon — the scale path that fixes the
     // single-band probe's collapsing recall (round-17 finding #1):
     // 6 bands × 2 planes — fixed so the oracle replays the exact

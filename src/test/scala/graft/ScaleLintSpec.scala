@@ -289,8 +289,10 @@ class ScaleLintSpec extends SparkSpec {
       "q_embed_decon_exact" -> annCross,
       "q_embed_decon_recall" -> annCross,
       // round 19: the stored-set recall canary composes the same
-      // exact reference arm as q_embed_decon_recall
-      "q_embed_decon_recall_stored" -> annCross)
+      // exact reference arm as q_embed_decon_recall, and the
+      // dispatch canary IS the exact arm whenever the dispatch works
+      "q_embed_decon_recall_stored" -> annCross,
+      "q_embed_decon_auto" -> annCross)
     val bad = Registry.all.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val errs = ScaleLint.errors(q.run(spark, sf0001))
         .filterNot(f => allowed.getOrElse(name, Set.empty).contains(f.code))
