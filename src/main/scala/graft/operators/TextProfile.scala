@@ -796,6 +796,15 @@ object TextProfile {
     //    files have none of that interaction.
     val scored = (if (preWeight) {
       val qTermSet = qterms.select(col("term")).distinct()
+      // NOT widened before the fan-out (round-19 measured-and-
+      // rejected): on a gate-scale store the pruned posting rows run
+      // this exchange-free segment as ONE task (scan = one split),
+      // and a round-robin repartition to session width was tried —
+      // the stage read 1.16-1.31 s at 32 tasks vs 1.15-1.19 s at one
+      // (per-task broadcast/setup overhead eats the split), while
+      // the exchange itself added cost on every serve batch. At
+      // production scale the stored posting table scans as many
+      // splits and the stage is wide without help.
       tfLen
         .join(broadcast(qTermSet), Seq("term"), "left_semi")
         .join(keptDf, "term")

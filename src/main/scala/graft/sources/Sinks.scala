@@ -72,7 +72,25 @@ object Sinks {
     * size-accurate-but-single file otherwise serializes every later
     * scan onto one or two tasks (measured: the BM25 stored-index
     * probe read 914 s vs 147 s fresh at 500k docs off a 1-file
-    * posting table). Returns the ACTUAL data-file count on disk
+    * posting table).
+    *
+    * The floor is SIZE-PROPORTIONAL (round-19, guide §6 "small files
+    * hurt twice"): `minFiles` applies in full only once the table is
+    * estimated big enough that a floored file carries at least
+    * [[FloorBytesPerFile]] — below that the floor scales down to
+    * ceil(bytes / FloorBytesPerFile), reaching 1 for a near-empty
+    * table. Rationale: the parallelism floor exists to keep BIG
+    * stored tables scannable in parallel, but applied to a 100 KB
+    * store it writes `parallelism` near-empty files whose per-file
+    * open/list cost every later read pays (at gate scale that was
+    * 32 files × ~40 stored tables per bench run of pure overhead,
+    * with zero parallelism gained — a 100 KB table scans in one task
+    * regardless of how many files hold it). At the round-12
+    * forensics scale that motivated the floor (500k docs, a
+    * multi-hundred-MB posting table) the estimate clears
+    * minFiles × FloorBytesPerFile and the full floor still applies —
+    * PersistenceFilesSpec pins both regimes. Returns the ACTUAL
+    * data-file count on disk
     * after the write (one listStatus), not the planned partition
     * count: repartitionByRange over skewed/few-distinct sort keys
     * can leave planned partitions empty, and empty partitions write
@@ -83,8 +101,11 @@ object Sinks {
   def writeSizedParquet(df: DataFrame, path: String,
       targetFileBytes: Long = 128L << 20,
       sortCols: Seq[String] = Nil, minFiles: Int = 1): Int = {
-    val n = math.max(plannedFileCount(df, targetFileBytes),
-      math.max(1, minFiles))
+    val est = estimatedBytes(df)
+    val sizedFloor = ((est + FloorBytesPerFile - 1) / FloorBytesPerFile)
+      .min(BigInt(math.max(1, minFiles))).toInt
+    val n = math.max(plannedCountOf(est, targetFileBytes),
+      math.max(1, sizedFloor))
     val shaped =
       if (sortCols.nonEmpty)
         df.repartitionByRange(n, sortCols.map(col): _*)
@@ -323,6 +344,36 @@ object Sinks {
   def plannedFileCount(df: DataFrame,
       targetFileBytes: Long = 128L << 20): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    plannedCountOf(estimatedBytes(df), targetFileBytes)
+  }
+
+  /** Minimum estimated bytes a file produced by the `minFiles` floor
+    * must carry before the floor applies in full — the scale knob of
+    * [[writeSizedParquet]]'s size-proportional floor. 256 KB,
+    * deliberately tiny relative to the 128 MB file target, because
+    * the ESTIMATE runs low on string-heavy tables (Catalyst's
+    * width-ratio scaling prices every string at a flat 20 B, so an
+    * exploded posting/bigram table can be estimated at a tenth of
+    * its real bytes): with a 256 KB budget the full parallelism
+    * floor engages by ~8 MB estimated — safely below any table whose
+    * single-file layout could throttle a downstream scan (the
+    * round-12 914 s case was hundreds of MB) — while a gate-scale
+    * store (tens to hundreds of KB estimated) stops shattering into
+    * `parallelism` near-empty files. */
+  private[graft] val FloorBytesPerFile: Long = 256L << 10
+
+  private def plannedCountOf(estBytes: BigInt,
+      targetFileBytes: Long): Int =
+    // ceil(est/target), capped at 1M files (a 128 MB target at that
+    // cap is 128 TB of output — past it, raise the target instead)
+    ((estBytes + targetFileBytes - 1) / targetFileBytes)
+      .min(BigInt(1 << 20)).toInt.max(1)
+
+  /** The byte-size estimate behind [[plannedFileCount]] /
+    * [[writeSizedParquet]]: Catalyst's own optimized-plan stats when
+    * usable, else rowCount × sampled UnsafeRow width (one count job —
+    * the honest price of a stats-less input). */
+  private[graft] def estimatedBytes(df: DataFrame): BigInt = {
     val statsEst =
       df.queryExecution.optimizedPlan.stats.sizeInBytes.max(BigInt(1))
     // Plans over stats-less leaves (LogicalRDD, some views) report
@@ -369,9 +420,6 @@ object Sinks {
             s"fell back to rowCount*sampledWidth($rowBytes)=$fallback")
         fallback.max(BigInt(1))
       }
-    // ceil(est/target), capped at 1M files (a 128 MB target at that
-    // cap is 128 TB of output — past it, raise the target instead)
-    ((estBytes + targetFileBytes - 1) / targetFileBytes)
-      .min(BigInt(1 << 20)).toInt.max(1)
+    estBytes
   }
 }

@@ -3,7 +3,7 @@ package graft.tools
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd,
-  SparkListenerJobStart}
+  SparkListenerJobStart, SparkListenerStageCompleted}
 
 /** Dev tool: per-JOB time breakdown of one registry query — where the
   * guide's §1 "measure first" loop goes when the data is overhead-sized
@@ -27,10 +27,24 @@ object ProfileJobs {
     @volatile var jobNanos = 0L
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short")))
-          .getOrElse("?")
+        val site = Option(js.properties).flatMap { p =>
+          val exec = Option(p.getProperty("spark.sql.execution.id"))
+            .map(e => s"exec=$e ").getOrElse("")
+          Option(p.getProperty("spark.job.description"))
+            .orElse(Option(p.getProperty("callSite.short")))
+            .map(exec + _).orElse(if (exec.nonEmpty) Some(exec) else None)
+        }.getOrElse("?").take(160).replace('\n', ' ')
         starts.put(js.jobId, (System.nanoTime(), site))
+      }
+      override def onStageCompleted(
+          sc: SparkListenerStageCompleted): Unit = {
+        if (sys.env.contains("SPARK_GRAFT_PROFILE_STAGES")) {
+          val si = sc.stageInfo
+          val ms = (for {a <- si.completionTime; b <- si.submissionTime}
+            yield a - b).getOrElse(-1L)
+          log.add(f"      stage ${si.stageId}%4d ${ms}%6d ms " +
+            f"tasks=${si.numTasks}%3d  ${si.name.take(110)}")
+        }
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(starts.remove(je.jobId)).foreach { case (t0, site) =>
