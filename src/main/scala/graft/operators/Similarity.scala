@@ -471,9 +471,27 @@ object Similarity {
     * (oracle-asserted: q_ann_ivf_index hash-matches q_ann_ivf_topk's
     * SQL). Returns (q_id, nn_id, rank, cos). */
   def ivfTopKWithIndex(queries: DataFrame, index: IvfIndex, k: Int,
+      nprobe: Int = 0, scale: Int = 6): DataFrame =
+    ivfTopKWithReady(queries, ivfReady(index), k, nprobe, scale)
+
+  /** A stored [[IvfIndex]] plus its codebook COLLECTED once — the
+    * unit a serve stream caches per store stamp
+    * ([[graft.streaming.ModelCache]]): probing through a ready
+    * handle pays neither the codebook parquet read nor the nlist-row
+    * collect per micro-batch, only the probe itself. Build with
+    * [[ivfReady]]; identical results to probing the index directly
+    * (the one-shot [[ivfTopKWithIndex]] delegates through it). */
+  final case class IvfReady private[operators] (index: IvfIndex,
+      private[operators] cents: Seq[(Any, Seq[Double], Double)])
+
+  def ivfReady(index: IvfIndex): IvfReady =
+    IvfReady(index, ivfCents(
+      index.codebook.orderBy(col("cent_id")).collect().toSeq))
+
+  def ivfTopKWithReady(queries: DataFrame, ready: IvfReady, k: Int,
       nprobe: Int = 0, scale: Int = 6): DataFrame = {
-    val cents = ivfCents(
-      index.codebook.orderBy(col("cent_id")).collect().toSeq)
+    val index = ready.index
+    val cents = ready.cents
     if (cents.isEmpty) {
       // empty corpus → empty result; q_id typed from the queries side,
       // nn_id from the corpus side (they may differ)
@@ -1769,16 +1787,31 @@ object Similarity {
     * centroid add-back. Identical output to [[ivfPqTopK]] with the
     * same parameters. */
   def ivfPqTopKWithIndex(queries: DataFrame, index: IvfPqIndex,
-      k: Int, nprobe: Int = 0, scale: Int = 6): DataFrame = {
-    val cents = ivfCents(
-      index.codebook.orderBy(col("cent_id")).collect().toSeq)
-    val cb: Seq[Seq[Seq[Double]]] =
+      k: Int, nprobe: Int = 0, scale: Int = 6): DataFrame =
+    ivfPqTopKWithReady(queries, ivfPqReady(index), k, nprobe, scale)
+
+  /** [[IvfReady]]'s IVF-PQ twin: the stored index plus BOTH
+    * codebooks collected once (nlist + m·ksub rows), so a stamp-
+    * cached serve pays only the probe per micro-batch. */
+  final case class IvfPqReady private[operators] (index: IvfPqIndex,
+      private[operators] cents: Seq[(Any, Seq[Double], Double)],
+      private[operators] cb: Seq[Seq[Seq[Double]]])
+
+  def ivfPqReady(index: IvfPqIndex): IvfPqReady =
+    IvfPqReady(index,
+      ivfCents(index.codebook.orderBy(col("cent_id")).collect().toSeq),
       index.pqCodebooks.orderBy(col("sub"), col("code")).collect()
         .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
         .map { case (_, rows) =>
           rows.sortBy(_.getInt(1))
             .map(_.getSeq[Any](2).map(ivfToDouble).toSeq).toSeq
-        }
+        })
+
+  def ivfPqTopKWithReady(queries: DataFrame, ready: IvfPqReady,
+      k: Int, nprobe: Int = 0, scale: Int = 6): DataFrame = {
+    val index = ready.index
+    val cents = ready.cents
+    val cb = ready.cb
     if (cents.isEmpty || cb.isEmpty)
       return queries.limit(0).select(col(index.idCol).as("q_id"),
         col(index.idCol).as("nn_id"), lit(0L).as("rank"),

@@ -67,14 +67,19 @@ object ModelCache {
     * driver-side reads (the files are sidecar-sized); any mutation
     * of the store moves at least one of them. A missing file stamps
     * as its path alone — so appearing/disappearing control files
-    * move the stamp too. */
+    * move the stamp too. `extraFiles` (relative to `dir`) cover
+    * stores whose rewrite path touches NO sidecar or manifest — the
+    * IVF index writes no params.json, so its serves stamp each
+    * table's `_SUCCESS` marker (every Spark write job, overwrite or
+    * append, rewrites it with a fresh mtime). */
   private def stampOf(spark: SparkSession, dir: String,
-      tables: Seq[String]): String = {
+      tables: Seq[String], extraFiles: Seq[String]): String = {
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val files = new Path(dir, "params.json") +:
+    val files = (new Path(dir, "params.json") +:
       tables.map(t => new Path(dir,
-        s"$t/${graft.sources.Sinks.ManifestFile}"))
+        s"$t/${graft.sources.Sinks.ManifestFile}"))) ++
+      extraFiles.map(f => new Path(dir, f))
     files.map { p =>
       val meta =
         try {
@@ -103,11 +108,12 @@ object ModelCache {
     * therefore race — the loser releases its copy and adopts the
     * winner's. */
   def getOrLoad[T](spark: SparkSession, dir: String,
-      tables: Seq[String], key: String = "")(load: => T)(
+      tables: Seq[String], key: String = "",
+      extraFiles: Seq[String] = Nil)(load: => T)(
       release: T => Unit): T = {
     val k = if (key.isEmpty) dir else key
     val stamp =
-      if (enabled) stampOf(spark, dir, tables)
+      if (enabled) stampOf(spark, dir, tables, extraFiles)
       else // forced miss: unique stamp → load fresh, release the
         // previous entry (the pre-cache per-batch behavior); the
         // atomic increment both counts the forced load and keeps

@@ -123,9 +123,13 @@ object StreamJobs {
     * `outDir/batch_id=<id>/`. Per batch the work is the stored-index
     * probe only — nlist centroid scores per query + a probe-capped
     * scan of the code table; no training, and the float corpus is
-    * never read. The index is re-read per batch (the codebook
-    * collects are nlist + m·ksub rows — negligible), so code rows
-    * appended by a concurrent ingest become visible to the next
+    * never read. The index read and both codebook collects are
+    * STAMP-CACHED ([[ModelCache]] on params.json + the codes table's
+    * manifest and _SUCCESS marker — round 19, the lm/nb/dsir serve
+    * discipline applied to the index serves): a quiet store pays a
+    * sidecar probe per batch, while code rows appended by a
+    * concurrent ingest (tagged append moves the manifest; plain
+    * append rewrites _SUCCESS) still become visible to the next
     * micro-batch.
     *
     * Replay idempotence: foreachBatch is at-least-once, so each
@@ -141,10 +145,17 @@ object StreamJobs {
         org.apache.spark.sql.Row] =
     queries.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val idx = graft.operators.Similarity.readIvfPqIndex(
-          batch.sparkSession, indexDir, idCol, vecCol)
+        val s = batch.sparkSession
+        val ready = ModelCache.getOrLoad(s, indexDir,
+            Seq("codes.parquet"),
+            key = s"$indexDir#ivfpq#$idCol#$vecCol",
+            extraFiles = Seq("codes.parquet/_SUCCESS")) {
+          graft.operators.Similarity.ivfPqReady(
+            graft.operators.Similarity.readIvfPqIndex(s, indexDir,
+              idCol, vecCol))
+        } (_ => ()) // nothing pinned: handle holds plans + literals
         graft.operators.Similarity
-          .ivfPqTopKWithIndex(batch, idx, k, nprobe)
+          .ivfPqTopKWithReady(batch, ready, k, nprobe)
           .write.mode("overwrite")
           .parquet(s"$outDir/batch_id=$batchId")
         ()
@@ -155,10 +166,13 @@ object StreamJobs {
     * (id, embedding) queries ranks against the persisted
     * `Similarity.IvfIndex` — nlist centroid scores per query + a
     * probe-capped scan of the assigned table; no training, no
-    * re-clustering. Index re-read per batch, so rows appended by a
-    * concurrent [[annIngestStream]] become visible to the next
-    * micro-batch; same batch_id-subdir overwrite idempotence as every
-    * serve here. */
+    * re-clustering. Index read + codebook collect are stamp-cached
+    * ([[ModelCache]]; the IVF store writes no params.json, so the
+    * stamp rides each table's _SUCCESS marker plus the assigned
+    * manifest), so rows appended by a concurrent [[annIngestStream]]
+    * (manifest moves) or by a plain append (_SUCCESS rewritten)
+    * still become visible to the next micro-batch; same
+    * batch_id-subdir overwrite idempotence as every serve here. */
   def ivfLookupStream(queries: DataFrame, indexDir: String,
       outDir: String, idCol: String, vecCol: String, k: Int,
       nprobe: Int = 0)
@@ -166,14 +180,29 @@ object StreamJobs {
         org.apache.spark.sql.Row] =
     queries.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val idx = graft.operators.Similarity.readIvfIndex(
-          batch.sparkSession, indexDir, idCol, vecCol)
-        graft.operators.Similarity.ivfTopKWithIndex(batch, idx, k,
+        val ready = ivfReadyCached(batch.sparkSession, indexDir,
+          idCol, vecCol)
+        graft.operators.Similarity.ivfTopKWithReady(batch, ready, k,
           nprobe)
           .write.mode("overwrite")
           .parquet(s"$outDir/batch_id=$batchId")
         ()
     }
+
+  /** The stamp-cached [[graft.operators.Similarity.IvfReady]] handle
+    * shared by [[ivfLookupStream]] and [[hybridLookupStream]]. */
+  private def ivfReadyCached(s: SparkSession, indexDir: String,
+      idCol: String, vecCol: String)
+      : graft.operators.Similarity.IvfReady =
+    ModelCache.getOrLoad(s, indexDir,
+        Seq("assigned.parquet"),
+        key = s"$indexDir#ivf#$idCol#$vecCol",
+        extraFiles = Seq("assigned.parquet/_SUCCESS",
+          "codebook.parquet/_SUCCESS")) {
+      graft.operators.Similarity.ivfReady(
+        graft.operators.Similarity.readIvfIndex(s, indexDir, idCol,
+          vecCol))
+    } (_ => ()) // nothing pinned: handle holds plans + literals
 
   /** Streaming lexical retrieval serving — [[annLookupStream]]'s
     * pattern applied to the SIXTH persistence unit: each arriving
@@ -185,9 +214,16 @@ object StreamJobs {
     * the posting lookup only — no tokenize of the corpus, no tf/df
     * recompute; the query batch broadcasts against the term-sorted
     * posting table (file-level min/max pruning on the few-term
-    * In-pushdown arm). The index is re-read per batch (params + df
-    * partials — a driver-small read), so postings appended by a
-    * concurrent ingest become visible to the next micro-batch.
+    * In-pushdown arm). The index read is STAMP-CACHED
+    * ([[ModelCache]] on params.json + both tables' manifests —
+    * round 19, the lm/nb/dsir discipline) with the vocab-bounded df
+    * aggregation PERSISTED for the entry's lifetime, so a quiet
+    * store pays a sidecar probe per batch instead of the
+    * params/manifest reads plus a df re-aggregation; postings
+    * appended by a concurrent ingest still become visible to the
+    * next micro-batch, because every bm25 mutation path rewrites
+    * params.json (ingest batches do so last, appends re-stamp,
+    * compaction swaps the dir).
     *
     * Replay idempotence: foreachBatch is at-least-once, so each
     * batch OVERWRITES its own batch_id-scoped subdir — the same
@@ -200,8 +236,7 @@ object StreamJobs {
         org.apache.spark.sql.Row] =
     queries.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val idx = graft.operators.TextProfile.readBm25Index(
-          batch.sparkSession, indexDir, idCol)
+        val idx = bm25IndexCached(batch.sparkSession, indexDir, idCol)
         graft.operators.TextProfile
           .bm25TopKWithIndex(batch, qIdCol, qTextCol, idx, k,
             stopwordCut)
@@ -209,6 +244,20 @@ object StreamJobs {
           .parquet(s"$outDir/batch_id=$batchId")
         ()
     }
+
+  /** The stamp-cached stored [[graft.operators.TextProfile.Bm25Index]]
+    * shared by [[bm25LookupStream]] and [[hybridLookupStream]]: the
+    * df partial aggregation (vocab-bounded) persists for the cache
+    * entry's lifetime and releases when the store's stamp moves. */
+  private def bm25IndexCached(s: SparkSession, indexDir: String,
+      idCol: String): graft.operators.TextProfile.Bm25Index =
+    ModelCache.getOrLoad(s, indexDir,
+        Seq("postings.parquet", "df.parquet"),
+        key = s"$indexDir#bm25#$idCol") {
+      val i = graft.operators.TextProfile.readBm25Index(s, indexDir,
+        idCol)
+      i.copy(dfreq = i.dfreq.persist())
+    } (i => { i.dfreq.unpersist(); () })
 
   /** Streaming benchmark decontamination — the serve pattern applied
     * to the persisted decon set (`Curation.writeDeconSet`): each
@@ -219,9 +268,14 @@ object StreamJobs {
     * actually runs: benchmarks are tiny and change rarely (gram
     * extraction paid once, at set-write time), corpora arrive
     * forever, and each batch pays one batch-gram explode + one
-    * broadcast-sized semi join. The set is re-read per batch, so
-    * `deconSetAppend`ed benchmarks take effect from the next
-    * micro-batch. Replay safety is DOUBLE here: batch_id-scoped
+    * broadcast-sized semi join. The set read is stamp-cached
+    * ([[ModelCache]] on params.json — round 19) with the
+    * benchmark-bounded gram frame PERSISTED for the entry's
+    * lifetime, so a quiet store pays a sidecar probe per batch
+    * instead of a set re-scan; `deconSetAppend`ed benchmarks still
+    * take effect from the next micro-batch, because every decon-set
+    * mutation rewrites params.json (append re-stamps, writeDeconSet
+    * swaps the dir). Replay safety is DOUBLE here: batch_id-scoped
     * overwrite (the serve convention) AND semi-join semantics (a
     * duplicate-holding set probes identically). Returns the writer —
     * caller picks trigger/checkpoint and starts it. */
@@ -231,8 +285,14 @@ object StreamJobs {
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val (set, n) = graft.operators.Curation.readDeconSet(
-          batch.sparkSession, setDir)
+        val (set, n) = ModelCache.getOrLoad(batch.sparkSession,
+            setDir, Seq("grams.parquet"),
+            key = s"$setDir#deconset",
+            extraFiles = Seq("grams.parquet/_SUCCESS")) {
+          val (g, nn) = graft.operators.Curation.readDeconSet(
+            batch.sparkSession, setDir)
+          (g.persist(), nn)
+        } (e => { e._1.unpersist(); () })
         graft.operators.Curation
           .decontaminateWithSet(widen(batch), set, idCol, textCol, n)
           .write.mode("overwrite")
@@ -560,7 +620,10 @@ object StreamJobs {
     * training, the float corpus only via the IVF probe's cell join.
     * Fusion is q_id-local, so per-batch fusing equals fusing the
     * union (each query lives in one batch) — what lets the streaming
-    * form share the batch oracle. Both indexes re-read per batch;
+    * form share the batch oracle. Both index reads are stamp-cached
+    * exactly as in the component serves ([[bm25IndexCached]] /
+    * [[ivfReadyCached]] — shared cache entries, so a hybrid serve
+    * and a single-modality serve on the same store pay one load);
     * same batch_id-overwrite replay idempotence as the component
     * serves.
     *
@@ -584,10 +647,8 @@ object StreamJobs {
     queries.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val bm = graft.operators.TextProfile.readBm25Index(spark,
-          bm25Dir, docIdCol)
-        val ivf = graft.operators.Similarity.readIvfIndex(spark,
-          ivfDir, vecIdCol, qVecCol)
+        val bm = bm25IndexCached(spark, bm25Dir, docIdCol)
+        val ivf = ivfReadyCached(spark, ivfDir, vecIdCol, qVecCol)
         val lex =
           if (excludeSelf) {
             // mirror the semantic arm's PRE-ranking exclusion: fetch
@@ -608,7 +669,7 @@ object StreamJobs {
               .drop("__self_rank")
           } else graft.operators.TextProfile.bm25TopKWithIndex(
             batch, qIdCol, qTextCol, bm, k, stopwordCut)
-        val sem = graft.operators.Similarity.ivfTopKWithIndex(
+        val sem = graft.operators.Similarity.ivfTopKWithReady(
           batch.select(col(qIdCol).as(vecIdCol), col(qVecCol)),
           ivf, k, nprobe)
         graft.operators.Retrieval.rrfFuse(

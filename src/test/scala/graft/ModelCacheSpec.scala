@@ -170,4 +170,46 @@ class ModelCacheSpec extends SparkSpec {
       assert(bitsOf(12L) === fresh)
     } finally q.stop()
   }
+
+  test("ivf serve handle: quiet store loads once; tagged ingest AND plain append both move the extraFiles stamp") {
+    ModelCache.clear()
+    val s = spark
+    import s.implicits._
+    val dir = tmp("ivfserve") + "/idx"
+    val emb = graft.sources.Tables.load(s, sf0001, "embeddings")
+    graft.operators.Similarity
+      .ivfIndex(emb, "vec_id", "embedding", nlist = 4).write(dir)
+    var loads = 0
+    def handle(): graft.operators.Similarity.IvfReady =
+      ModelCache.getOrLoad(s, dir, Seq("assigned.parquet"),
+          key = s"$dir#ivf",
+          extraFiles = Seq("assigned.parquet/_SUCCESS",
+            "codebook.parquet/_SUCCESS")) {
+        loads += 1
+        graft.operators.Similarity.ivfReady(
+          graft.operators.Similarity.readIvfIndex(s, dir, "vec_id",
+            "embedding"))
+      } (_ => ())
+    handle(); handle()
+    assert(loads === 1, "quiet store must stamp-hit, not reload")
+    // the IVF store writes no params.json — freshness rides the
+    // assigned manifest (tagged ingest) and _SUCCESS (plain append)
+    val batch1 = emb.limit(3)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    graft.operators.Similarity.ivfIngestBatch(batch1, dir, "vec_id",
+      "embedding", tag = "mc-ivf-0")
+    handle()
+    assert(loads === 2, "tagged ingest did not move the stamp")
+    val batch2 = emb.limit(3)
+      .select(($"vec_id" + 2000000L).as("vec_id"), $"embedding")
+    graft.operators.Similarity.ivfAppendToStored(
+      graft.operators.Similarity.readIvfIndex(s, dir, "vec_id",
+        "embedding"), batch2, dir)
+    handle()
+    assert(loads === 3, "plain append did not move the _SUCCESS stamp")
+    // and the reloaded handle actually SEES the appended rows
+    assert(handle().index.assigned
+      .filter($"nn_id" >= 1000000L).count() === 6)
+    ModelCache.invalidate(dir)
+  }
 }
