@@ -304,10 +304,21 @@ object Similarity {
   def ivfIngestBatch(batch: DataFrame, dir: String, idCol: String,
       vecCol: String, tag: String): Unit = {
     if (batch.isEmpty) return
-    val spark = batch.sparkSession
-    val index = readIvfIndex(spark, dir, idCol, vecCol)
-    val cents = ivfCents(
-      index.codebook.orderBy(col("cent_id")).collect().toSeq)
+    ivfIngestBatchWith(
+      ivfReady(readIvfIndex(batch.sparkSession, dir, idCol, vecCol)),
+      batch, dir, tag)
+  }
+
+  /** [[ivfIngestBatch]] with the codebook ALREADY collected
+    * ([[IvfReady]]) — the form a streaming ingest calls per
+    * micro-batch with a stamp-cached handle (round 19): ingest never
+    * mutates the codebook, so re-reading and re-collecting it per
+    * batch was a pure fixed cost. Identical behavior to the one-shot
+    * form, which delegates here. */
+  def ivfIngestBatchWith(ready: IvfReady, batch: DataFrame,
+      dir: String, tag: String): Unit = {
+    if (batch.isEmpty) return
+    val cents = ready.cents
     // fail fast, unlike ivfAppendToStored's visible-empty return: in
     // a fire-and-forget streaming sink an empty-codebook store would
     // otherwise drop every ingested vector while the stream runs
@@ -315,7 +326,7 @@ object Similarity {
     require(cents.nonEmpty,
       s"ivfIngestBatch: index at $dir has an empty codebook — " +
         "rebuild with ivfIndex before streaming ingest")
-    val c = ivfPrep(batch, idCol, vecCol)
+    val c = ivfPrep(batch, ready.index.idCol, ready.index.vecCol)
     val extra = assignCells(requireDim(c, cents.head._2.length,
       "ivfIngestBatch"), centArrOf(cents))
     graft.sources.Sinks.appendTagged(extra, s"$dir/assigned.parquet",
@@ -1703,10 +1714,10 @@ object Similarity {
   def ivfPqIngestBatch(batch: DataFrame, dir: String, idCol: String,
       vecCol: String, tag: String): Unit = {
     if (batch.isEmpty) return
-    val index = readIvfPqIndex(batch.sparkSession, dir, idCol, vecCol)
-    val extra = encodeWithStoredCodebooks(index, batch,
-      "ivfPqIngestBatch")
-    graft.sources.Sinks.appendTagged(extra, s"$dir/codes.parquet", tag)
+    ivfPqIngestBatchWith(
+      ivfPqEncoder(readIvfPqIndex(batch.sparkSession, dir, idCol,
+        vecCol)),
+      batch, dir, tag)
   }
 
   /** The shared encode arm of the two IVF-PQ append paths: coarse
@@ -1714,10 +1725,21 @@ object Similarity {
     * its stored per-subvector codebooks, residual-aware. Returns the
     * batch's (idCol, cell, codes) rows. */
   private def encodeWithStoredCodebooks(index: IvfPqIndex,
-      newCorpus: DataFrame, op: String): DataFrame = {
-    val cents = ivfCents(
-      index.codebook.orderBy(col("cent_id")).collect().toSeq)
-    val cbs: Seq[PqCents] =
+      newCorpus: DataFrame, op: String): DataFrame =
+    encodeWith(ivfPqEncoder(index), newCorpus, op)
+
+  /** [[IvfReady]]'s INGEST twin for the PQ-coded unit: both stored
+    * codebooks collected once, in the encoder's half-squared-norm
+    * form — the unit a streaming ingest caches per codebook stamp
+    * (round 19; ingest never mutates codebooks, so per-batch
+    * re-collects were pure fixed cost). */
+  final case class IvfPqEncoder private[operators] (index: IvfPqIndex,
+      private[operators] cents: Seq[(Any, Seq[Double], Double)],
+      private[operators] cbs: Seq[Seq[(Int, Seq[Double], Double)]])
+
+  def ivfPqEncoder(index: IvfPqIndex): IvfPqEncoder =
+    IvfPqEncoder(index,
+      ivfCents(index.codebook.orderBy(col("cent_id")).collect().toSeq),
       index.pqCodebooks.orderBy(col("sub"), col("code")).collect()
         .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
         .map { case (_, rows) =>
@@ -1725,7 +1747,23 @@ object Similarity {
             val v = r.getSeq[Any](2).map(ivfToDouble).toSeq
             (r.getInt(1), v, halfSq(v))
           }.toSeq
-        }
+        })
+
+  /** [[ivfPqIngestBatch]] with the codebooks already collected —
+    * identical behavior; the one-shot form delegates here. */
+  def ivfPqIngestBatchWith(enc: IvfPqEncoder, batch: DataFrame,
+      dir: String, tag: String): Unit = {
+    if (batch.isEmpty) return
+    graft.sources.Sinks.appendTagged(
+      encodeWith(enc, batch, "ivfPqIngestBatch"),
+      s"$dir/codes.parquet", tag)
+  }
+
+  private def encodeWith(enc: IvfPqEncoder,
+      newCorpus: DataFrame, op: String): DataFrame = {
+    val index = enc.index
+    val cents = enc.cents
+    val cbs: Seq[PqCents] = enc.cbs
     require(cents.nonEmpty && cbs.nonEmpty,
       s"$op: index has empty codebooks — rebuild with " +
         "ivfPqIndex instead of appending to an empty index")

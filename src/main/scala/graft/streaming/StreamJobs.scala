@@ -732,8 +732,19 @@ object StreamJobs {
         org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        graft.operators.Similarity.ivfIngestBatch(widen(batch), indexDir,
-          idCol, vecCol, s"$runId-$batchId")
+        // the codebook never changes during ingest (the standard IVF
+        // append), so the handle is stamp-cached on the CODEBOOK
+        // table alone — the per-batch assigned appends do not evict
+        // it, while a rebuild (fresh codebook _SUCCESS) reloads
+        val ready = ModelCache.getOrLoad(batch.sparkSession, indexDir,
+            Seq.empty, key = s"$indexDir#ivfingest#$idCol#$vecCol",
+            extraFiles = Seq("codebook.parquet/_SUCCESS")) {
+          graft.operators.Similarity.ivfReady(
+            graft.operators.Similarity.readIvfIndex(batch.sparkSession,
+              indexDir, idCol, vecCol))
+        } (_ => ())
+        graft.operators.Similarity.ivfIngestBatchWith(ready,
+          widen(batch), indexDir, s"$runId-$batchId")
         ()
     }
 
@@ -749,8 +760,18 @@ object StreamJobs {
         org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        graft.operators.Similarity.ivfPqIngestBatch(widen(batch), indexDir,
-          idCol, vecCol, s"$runId-$batchId")
+        // both PQ codebooks are ingest-immutable — stamp-cached on
+        // the codebook tables only (annIngestStream's rationale)
+        val enc = ModelCache.getOrLoad(batch.sparkSession, indexDir,
+            Seq.empty, key = s"$indexDir#ivfpqingest#$idCol#$vecCol",
+            extraFiles = Seq("codebook.parquet/_SUCCESS",
+              "pqcodebooks.parquet/_SUCCESS")) {
+          graft.operators.Similarity.ivfPqEncoder(
+            graft.operators.Similarity.readIvfPqIndex(
+              batch.sparkSession, indexDir, idCol, vecCol))
+        } (_ => ())
+        graft.operators.Similarity.ivfPqIngestBatchWith(enc,
+          widen(batch), indexDir, s"$runId-$batchId")
         ()
     }
 
