@@ -30,8 +30,6 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.hadoop.fs.file.impl",
-        "org.apache.hadoop.fs.RawLocalFileSystem")
     master.orElse(sys.env.get("SPARK_GRAFT_MASTER")).foreach(b.master)
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
