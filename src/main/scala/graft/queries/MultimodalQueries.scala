@@ -15,6 +15,25 @@ import QHelp._
   */
 object MultimodalQueries extends QueryPack {
 
+  /** Codec-stage parallelism (round-19, guide §2.6): every multimodal
+    * op is a per-row codec `mapPartitions`, so its task count is the
+    * SOURCE's partition count — and the documents scan is ONE split at
+    * gate scale (and still one at sf10: 58 MB < maxPartitionBytes), so
+    * encode/decode/resize/features all ran single-task while the
+    * session idled (measured: the pipeline's decode stage alone was
+    * 1.5 s in one task). Widening the PRE-encode doc rows moves only
+    * (id, text-length)-scale bytes — the generated payloads are then
+    * born wide and never shuffled (the §8 rule: move the proxy, not
+    * the payload). Skipped once the scan itself is wide (a real
+    * asset table at corpus scale), so nothing changes at 100 TB where
+    * the scan already parallelizes. The gauge frame is the raw scan —
+    * exchange-free, so reading its partition count runs nothing. */
+  private def widenScan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= p) df else df.repartition(p)
+  }
+
   override def queries: Map[String, Q] = Map(
 
     // real PNG decode: javax.imageio parses bytes it has never seen
@@ -23,7 +42,7 @@ object MultimodalQueries extends QueryPack {
     // wrong pixel, swapped channel, or stride bug fails the hash)
     "q_multimodal_decode_meta" -> Q(
       (s, d) => {
-        val assets = Multimodal.asImageAssets(t(s, d, "documents"),
+        val assets = Multimodal.asImageAssets(widenScan(t(s, d, "documents")),
           "doc_id", "text")
         Multimodal.decodeImages(s, assets).toDF()
       },
@@ -54,7 +73,7 @@ object MultimodalQueries extends QueryPack {
     // fails the hash)
     "q_multimodal_audio_meta" -> Q(
       (s, d) => {
-        val assets = Multimodal.asAudioAssets(t(s, d, "documents"),
+        val assets = Multimodal.asAudioAssets(widenScan(t(s, d, "documents")),
           "doc_id", "text")
         Multimodal.decodeAudio(s, assets).toDF()
       },
@@ -79,7 +98,7 @@ object MultimodalQueries extends QueryPack {
     // the real thing
     "q_multimodal_frame_sample" -> Q(
       (s, d) => {
-        val assets = Multimodal.asAssets(t(s, d, "documents"),
+        val assets = Multimodal.asAssets(widenScan(t(s, d, "documents")),
           "doc_id", "text")
         val meta = Multimodal.decodeMeta(s, assets).toDF()
         Multimodal.sampleFrames(meta, every = 7)
@@ -98,7 +117,7 @@ object MultimodalQueries extends QueryPack {
     // aspect-preserving integer target math is what the oracle replays
     "q_multimodal_resize" -> Q(
       (s, d) => {
-        val assets = Multimodal.asImageAssets(t(s, d, "documents"),
+        val assets = Multimodal.asImageAssets(widenScan(t(s, d, "documents")),
           "doc_id", "text")
         Multimodal.resizeImages(s, assets, maxDim = 16L).toDF()
       },
@@ -136,7 +155,7 @@ object MultimodalQueries extends QueryPack {
     "q_pipeline_multimodal" -> Q(
       (s, d) => {
         val docs = t(s, d, "documents")
-        val assets = Multimodal.asImageAssets(docs, "doc_id", "text")
+        val assets = Multimodal.asImageAssets(widenScan(docs), "doc_id", "text")
         val meta = Multimodal.decodeImages(s, assets).toDF().persist()
         val kept = meta
           .filter(col("width") >= 16 && col("height") >= 16)
@@ -144,7 +163,7 @@ object MultimodalQueries extends QueryPack {
         val resized = Multimodal.resizeImages(s,
           assets.join(kept, Seq("asset_id")), maxDim = 16L).toDF()
         val feats = Multimodal.extractFeatures(s,
-            Multimodal.asAssets(docs, "doc_id", "text")
+            Multimodal.asAssets(widenScan(docs), "doc_id", "text")
               .join(kept, Seq("asset_id"))).toDF()
           .select(col("asset_id"), col("n_bytes"), col("content_hash"))
         val curated = resized.join(feats, Seq("asset_id"))
@@ -192,7 +211,7 @@ object MultimodalQueries extends QueryPack {
     // fixed-dim feature contract a real extractor would fill
     "q_multimodal_features" -> Q(
       (s, d) => {
-        val assets = Multimodal.asAssets(t(s, d, "documents"),
+        val assets = Multimodal.asAssets(widenScan(t(s, d, "documents")),
           "doc_id", "text")
         Multimodal.extractFeatures(s, assets).toDF()
       },
