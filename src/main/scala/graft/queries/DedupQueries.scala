@@ -245,7 +245,7 @@ object DedupQueries extends QueryPack {
     // posting square on one reduce key; sub-bucketing spreads it and
     // preserves counts (every pair still meets exactly once per gram).
     "q_dedup_spans" -> Q(
-      (s, d) => Dedup.sharedSpanPairs(t(s, d, "documents"), "doc_id",
+      (s, d) => Dedup.sharedSpanPairs(widenScan(t(s, d, "documents")), "doc_id",
         "text", k = 6, minShared = 2L, maxPostings = 256),
       Some("""WITH w AS (
              |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
@@ -276,7 +276,7 @@ object DedupQueries extends QueryPack {
     // in corpus tokens: one gram explode + one distinct-doc count +
     // one gram-keyed join back (probe-side skew only, AQE-covered).
     "q_dedup_span_fraction" -> Q(
-      (s, d) => Dedup.dupSpanFraction(t(s, d, "documents"), "doc_id",
+      (s, d) => Dedup.dupSpanFraction(widenScan(t(s, d, "documents")), "doc_id",
         "text", k = 4),
       Some("""WITH w AS (
              |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS wl

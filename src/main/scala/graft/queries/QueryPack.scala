@@ -28,6 +28,22 @@ object QHelp {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Scan-width fan-out guard for CPU-heavy narrow passes (round-19,
+    * guide §2.6): a shingle/sign/codec pass over a table whose scan is
+    * ONE split (gate scale, and sf10 too — a 58 MB file is one split
+    * at the 128 MB default) runs single-task however many cores the
+    * session has, because everything up to the first exchange inherits
+    * the scan's partitioning. One round-robin exchange of the narrow
+    * source rows buys stage width; skipped once the scan itself is
+    * wide (the production regime, where the exchange would be waste).
+    * Pass a RAW scan frame — `.rdd` on an exchange-free plan builds
+    * lineage without running anything (the AQE-eager hazard the
+    * round's bm25 widen experiment documented). */
+  def widenScan(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= p) df else df.repartition(p)
+  }
+
   /** Order-independent, exact double aggregation: per-row cast to
     * decimal(30,6) (deterministic double→decimal rounding), exact
     * decimal sum, round to `scale`, surface as double. Both engines
