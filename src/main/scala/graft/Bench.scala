@@ -28,7 +28,12 @@ package graft
   * out-of-band idle pair (BenchAdjudication.recheckTriggered). The
   * stdout line is breach-only when bars exist: per-query seconds
   * appear only for rows >= 1.5× bar (or with no bar), at full
-  * precision — the complete dict is in bench_last.json. */
+  * precision — the complete dict is in bench_last.json. Round 20
+  * adds "qv": every row's seconds as a values-only vector in the
+  * run's alphabetical name order (names recoverable from the sorted
+  * registry / bench_last.json's full dict), restoring per-query
+  * driver visibility inside the byte window a full NAMED dict
+  * outgrew at ~96 queries; shed first if the line overflows. */
 /** The pure burst-adjudication rules Bench applies — factored out so
   * BenchSpec can drive the scenarios a live run can't stage on demand
   * (a mid-run box burst, a fully-throttled run, a clean run). */
@@ -603,7 +608,8 @@ object Bench {
         s""""rcal":${f(recheckCal)},$okField"qrc":$qrc,"""
       }
     }
-    def assembleBreachOnly(shedRecheck: Boolean): String = {
+    def assembleBreachOnly(shedRecheck: Boolean,
+        withQv: Boolean): String = {
       val f = fmt(0) _
       val qburst = results.count { case (k, v) => burstSuppressed(k, v) }
       val qs = results.filter { case (k, v) =>
@@ -615,17 +621,33 @@ object Bench {
         if (burstProbes == 0 && retried.isEmpty) ""
         else s""""burst":$burstProbes,"retry":${retried.size},"""
       val qburstField = if (qburst == 0) "" else s""""qburst":$qburst,"""
+      // "qv" = EVERY row's seconds as a values-only vector in the
+      // run's deterministic name order (the alphabetical registry
+      // order "nq" counts) — round 20: the breach-only dict blinded
+      // the driver's per-query comparison and its 8-vs-32-core
+      // scaling block (PERF_r19 n_common 0). A full NAMED dict can
+      // never fit the 2,000-byte capture window (155 names ≈ 3.5 KB
+      // — the round-7 decapitation), but the values alone cost ~800
+      // bytes, and the names are recoverable: qv[i] belongs to
+      // sorted(registry names)[i], the exact order bench_last.json's
+      // full-fidelity dict records. Additions-only (the breach dict
+      // and every envelope field are unchanged); shed first if the
+      // line ever outgrows the window.
+      val qvField =
+        if (!withQv) ""
+        else s""""qv":[${results.map(r => f(r._2)).mkString(",")}],"""
       s"""{"metric":"total","value":${f(total)},"cal":${f(cal)},""" +
         s""""cal2":${f(cal2)},$burstField$qburstField""" +
         s"""${recheckFields(shedRecheck)}""" +
         s""""mcal":[${midCals.map(f).mkString(",")}],""" +
         s""""io":[${ioCals.map(fmtIo).mkString(",")}],""" +
-        s""""nq":${results.size},"queries":$qs,"sf":"$sfName",""" +
-        s""""rps":${throughput.toLong}}"""
+        s""""nq":${results.size},$qvField"queries":$qs,""" +
+        s""""sf":"$sfName","rps":${throughput.toLong}}"""
     }
     val breachLine =
       if (bars.nonEmpty)
-        Seq(assembleBreachOnly(false), assembleBreachOnly(true))
+        Seq(assembleBreachOnly(false, true), assembleBreachOnly(true, true),
+            assembleBreachOnly(false, false), assembleBreachOnly(true, false))
           .find(_.length <= 1985)
       else None
     val line = breachLine.getOrElse(

@@ -255,9 +255,19 @@ object Similarity {
         codebook.write.mode("overwrite")
           .parquet(new Path(staging, "codebook.parquet").toString)
         // the corpus-sized half: sized + floored at scan parallelism
-        // so a stored probe never serializes onto one file's task
+        // so a stored probe never serializes onto one file's task.
+        // CELL-RANGE-SORTED (round 20, guide §6 sort-order-on-write):
+        // each file covers a tight cell range, so the probe's pushed
+        // In(cell) predicate (cellPruned) skips every file outside
+        // the nprobe cells via parquet min/max stats — without the
+        // sort a probe reads the whole stored corpus per batch.
+        // Distinct cells can undercut the planned file count (empty
+        // range partitions write no file); files stay splittable, so
+        // scan parallelism is unharmed. Ingest appends land unsorted
+        // tag files (correct, unpruned) until compaction.
         graft.sources.Sinks.writeSizedParquet(assigned,
           new Path(staging, "assigned.parquet").toString,
+          sortCols = if (cellLayoutOn) Seq("cell") else Nil,
           minFiles = assigned.sparkSession.sparkContext
             .defaultParallelism)
       }
@@ -513,13 +523,57 @@ object Similarity {
     }
     val np = if (nprobe > 0) nprobe else derivedNprobe(cents.length)
     // score only vectors in probed cells; bounded-heap top-k (no
-    // per-query window shuffle — see topKRank)
-    val scored = ivfProbes(queries, index.idCol, index.vecCol, cents, np)
-      .join(index.assigned, "cell")
+    // per-query window shuffle — see topKRank). The assigned side is
+    // cell-pruned with a pushed In predicate when the batch probes
+    // few cells (cellPruned — file/row-group skipping on the stored
+    // cell-sorted layout).
+    val probes = ivfProbes(queries, index.idCol, index.vecCol, cents, np)
+    val scored = probes
+      .join(cellPruned(index.assigned, probes), "cell")
       .filter(col("q_id") =!= col("nn_id"))
       .withColumn("cos",
         dot(col("q_vec"), col("nn_vec")) / (col("q_nrm") * col("nn_nrm")))
     topKRank(scored, k, scale)
+  }
+
+  /** Cell-count ceiling for [[cellPruned]]'s literal In predicate —
+    * past it a batch is probing most of the codebook anyway and the
+    * plain join is the plan (and a longer literal list only bloats
+    * the plan). 64 comfortably covers serve-lookup batches (a few
+    * queries × nprobe) while a production-sized batch falls back. */
+  private[graft] val CellIsinThreshold = 64
+
+  /** Measurement toggle (AbInterleaved's contract — the
+    * ModelCache.enabled discipline): `-Dgraft.ann.celllayout=off`
+    * restores the round-19 shape on BOTH halves of the cell-layout
+    * optimization — unsorted assigned/codes writes and a plain
+    * (unfiltered) probe join — so the A/B runs interleaved in one
+    * JVM instead of across drift-prone JVM pairs. Results are
+    * identical either way; only the plan/layout differs. */
+  private[operators] def cellLayoutOn: Boolean =
+    !sys.props.get("graft.ann.celllayout").contains("off")
+
+  /** Bounded-collect cell pruning for the stored-table probes —
+    * `TextProfile.bm25TopKWithIndex`'s In-pushdown rule applied to
+    * the IVF cell key (round 20, guide §6): collect at most
+    * threshold+1 distinct probed cells (a production-sized query
+    * batch never materializes past that) and, when few, filter the
+    * corpus-sized assigned/codes scan with a literal In predicate
+    * the parquet reader pushes down. Against the cell-range-sorted
+    * layout the writers produce, file/row-group min/max stats then
+    * prune the scan to the nprobe cells — the difference between
+    * reading the whole stored corpus per serve batch and reading
+    * the probed fraction. Semantically a no-op: the join on cell
+    * already drops every row the filter drops (oracle-checked).
+    * Unsorted ingest-tag files span the key space and stay unpruned
+    * (correct, just unskippable) until compaction re-sorts. */
+  private def cellPruned(table: DataFrame, probes: DataFrame): DataFrame = {
+    if (!cellLayoutOn) return table
+    val cells = probes.select(col("cell")).distinct()
+      .limit(CellIsinThreshold + 1).collect().map(_.get(0))
+    if (cells.length <= CellIsinThreshold)
+      table.filter(col("cell").isin(cells.toSeq: _*))
+    else table
   }
 
   /** Each query's `np` nearest cells: (q_id, q_vec, q_nrm, cell) —
@@ -1612,9 +1666,13 @@ object Similarity {
         pqCodebooks.write.mode("overwrite")
           .parquet(new Path(staging, "pqcodebooks.parquet").toString)
         // codes = the compressed corpus: sized + floored at scan
-        // parallelism (the probe's cell join reads this table)
+        // parallelism (the probe's cell join reads this table).
+        // cell-range-sorted exactly as IvfIndex.write's assigned
+        // table — the probe's pushed In(cell) prunes to the nprobe
+        // cells' files/row-groups (round 20, guide §6)
         graft.sources.Sinks.writeSizedParquet(codes,
           new Path(staging, "codes.parquet").toString,
+          sortCols = if (cellLayoutOn) Seq("cell") else Nil,
           minFiles = codes.sparkSession.sparkContext
             .defaultParallelism)
         graft.core.FsUtil.writeSidecar(fs,
@@ -1858,19 +1916,24 @@ object Similarity {
     val cbLit = typedLit(cb)
     val recon0 = flatten(transform(col("codes"), (c, s) =>
       element_at(element_at(cbLit, s + 1), c + 1)))
+    // the codes scan is cell-pruned BEFORE reconstruction (cellPruned
+    // — pushed In over the stored cell-sorted layout), so a few-cell
+    // serve batch neither reads nor reconstructs the unprobed corpus
+    val probes = ivfProbes(queries, index.idCol, index.vecCol, cents, np)
+    val codes = cellPruned(index.codes, probes)
     val reconAssigned = (
-      if (!index.residual) index.codes
+      if (!index.residual) codes
         .select(col(index.idCol).as("nn_id"), col("cell"),
           recon0.as("nn_vec"))
-      else index.codes
+      else codes
         .join(broadcast(index.codebook),
-          index.codes("cell") === index.codebook("cent_id"))
-        .select(col(index.idCol).as("nn_id"), index.codes("cell"),
+          codes("cell") === index.codebook("cent_id"))
+        .select(col(index.idCol).as("nn_id"), codes("cell"),
           zip_with(col("cent_vec"), recon0, (a, b) => a + b)
             .as("nn_vec")))
       .withColumn("nn_nrm", norm(col("nn_vec")))
       .filter(col("nn_nrm") > 0)
-    val scored = ivfProbes(queries, index.idCol, index.vecCol, cents, np)
+    val scored = probes
       .join(reconAssigned, "cell")
       .filter(col("q_id") =!= col("nn_id"))
       .withColumn("cos",

@@ -15,24 +15,15 @@ import QHelp._
   */
 object MultimodalQueries extends QueryPack {
 
-  /** Codec-stage parallelism (round-19, guide §2.6): every multimodal
-    * op is a per-row codec `mapPartitions`, so its task count is the
-    * SOURCE's partition count — and the documents scan is ONE split at
-    * gate scale (and still one at sf10: 58 MB < maxPartitionBytes), so
-    * encode/decode/resize/features all ran single-task while the
-    * session idled (measured: the pipeline's decode stage alone was
-    * 1.5 s in one task). Widening the PRE-encode doc rows moves only
-    * (id, text-length)-scale bytes — the generated payloads are then
-    * born wide and never shuffled (the §8 rule: move the proxy, not
-    * the payload). Skipped once the scan itself is wide (a real
-    * asset table at corpus scale), so nothing changes at 100 TB where
-    * the scan already parallelizes. The gauge frame is the raw scan —
-    * exchange-free, so reading its partition count runs nothing. */
-  private def widenScan(df: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= p) df else df.repartition(p)
-  }
+  // Codec-stage parallelism (round-19, guide §2.6): every multimodal
+  // op is a per-row codec `mapPartitions`, so its task count is the
+  // SOURCE's partition count — ONE split at gate scale and at sf10
+  // (58 MB < maxPartitionBytes). QHelp.widenScan (in scope via the
+  // wildcard import) exchanges only the narrow PRE-encode doc rows —
+  // payloads are generated wide and never shuffled (the §8 rule) —
+  // and is a no-op once the scan itself is wide (the 100 TB regime).
+  // The private duplicate that used to live here shadowed QHelp's
+  // verbatim copy; folded onto QHelp.widenScan in round 20.
 
   override def queries: Map[String, Q] = Map(
 

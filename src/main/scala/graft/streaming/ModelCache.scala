@@ -80,6 +80,23 @@ object ModelCache {
       tables.map(t => new Path(dir,
         s"$t/${graft.sources.Sinks.ManifestFile}"))) ++
       extraFiles.map(f => new Path(dir, f))
+    // extraFiles are _SUCCESS-class markers: ZERO-length, EMPTY
+    // content, so their stamp line would ride on mtime ALONE — and
+    // mtime granularity is platform-coarse (File.lastModified is
+    // second-granular on some filesystems), so two plain appends
+    // landing in the same tick would leave a serve cache silently
+    // stale until the next mutation (round-19 ADVICE). Fold the
+    // marker's PARENT-DIR data-file listing (count + total bytes +
+    // max mtime) into those lines: every append adds files, every
+    // rewrite replaces them, so same-tick mutations still move the
+    // stamp. One listStatus per marker per probe — the tables these
+    // markers guard are re-listed by the reader on reload anyway,
+    // and the probe stays orders cheaper than the per-batch re-read
+    // it replaced. Markers can also be DISABLED on object stores
+    // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false): the
+    // listing summary keeps such a store's stamp content-bearing
+    // instead of a constant "absent".
+    val extraSet = extraFiles.map(f => new Path(dir, f)).toSet
     files.map { p =>
       val meta =
         try {
@@ -87,7 +104,17 @@ object ModelCache {
           s"${st.getLen}:${st.getModificationTime}"
         } catch { case _: java.io.IOException => "absent" }
       val content = graft.core.FsUtil.readSidecar(fs, p).getOrElse("")
-      s"$p|$meta|$content"
+      val listing =
+        if (!extraSet.contains(p)) ""
+        else try {
+          val parts = fs.listStatus(p.getParent)
+            .filter(f => f.isFile &&
+              f.getPath.getName.endsWith(".parquet"))
+          val maxM =
+            if (parts.isEmpty) 0L else parts.map(_.getModificationTime).max
+          s"|n=${parts.length}:b=${parts.map(_.getLen).sum}:m=$maxM"
+        } catch { case _: java.io.IOException => "|dir-absent" }
+      s"$p|$meta|$content$listing"
     }.mkString("\n")
   }
 

@@ -84,6 +84,60 @@ class PersistenceFilesSpec extends SparkSpec {
       "bm25 postings lost the big-table parallelism floor")
   }
 
+  test("IVF assigned + IVF-PQ codes (the serve-scan units) keep >= scan-parallelism files once big enough") {
+    // round-20 ADVICE: the big-regime floor was pinned per-writer only
+    // for BM25 — a unit writer dropping its minFiles argument (a plain
+    // write regression) must fail HERE for the ANN serve units too.
+    // Synthetic corpus sized so the assigned/codes estimate clears
+    // p × FloorBytesPerFile; nlist >= p because the cell-range-sorted
+    // layout (round 20) writes at most one file per non-empty cell
+    // range.
+    val s = spark
+    import s.implicits._
+    val p = s.sparkContext.defaultParallelism
+    assert(p > 1, "test session must be multi-core for this to bite")
+    val vecs = s.range(0, 200000L, 1, 4)
+      .select($"id".as("vec_id"),
+        transform(sequence(lit(0), lit(15)),
+          j => (pmod($"id" * 31 + j * 7, lit(997)).cast("float") /
+            lit(997.0f)) + lit(0.001f)).as("embedding"))
+    assert(Sinks.estimatedBytes(vecs) >=
+      BigInt(p) * Sinks.FloorBytesPerFile, "test premise: big vecs")
+    val ivfDir = tmp("ivfbig")
+    graft.operators.Similarity.ivfIndex(vecs, "vec_id", "embedding",
+      nlist = 32).write(ivfDir)
+    assert(parts(ivfDir, "assigned.parquet") >= p,
+      "ivf assigned lost the big-table parallelism floor")
+
+    val ivfpqDir = tmp("ivfpqbig")
+    val idx = graft.operators.Similarity.ivfPqIndex(vecs, "vec_id",
+      "embedding", dim = 16, nlist = 32)
+    idx.write(ivfpqDir)
+    idx.release()
+    assert(parts(ivfpqDir, "codes.parquet") >= p,
+      "ivfpq codes lost the big-table parallelism floor")
+  }
+
+  test("minhash signed (the near-dup serve unit) keeps >= scan-parallelism files once big enough") {
+    val s = spark
+    import s.implicits._
+    val p = s.sparkContext.defaultParallelism
+    val docs = s.range(0, 60000L, 1, 4)
+      .select($"id".as("doc_id"),
+        concat_ws(" ", md5($"id".cast("string")),
+          md5(($"id" + 1).cast("string")),
+          md5(($"id" + 2).cast("string")),
+          md5(($"id" + 3).cast("string")),
+          md5(($"id" + 4).cast("string")),
+          md5(($"id" + 5).cast("string"))).as("text"))
+    val mhDir = tmp("minhashbig")
+    graft.operators.Dedup.writeMinhashIndex(
+      graft.operators.Dedup.minhashIndex(docs, "doc_id", "text",
+        n = 3, numHashes = 16, rowsPerBand = 4), mhDir)
+    assert(parts(mhDir, "signed.parquet") >= p,
+      "minhash signed lost the big-table parallelism floor")
+  }
+
   test("all six persistence units write gate-scale stores in FEW files (small-file hygiene)") {
     val s = spark
     val docs = Tables.load(s, sf0001, "documents")
